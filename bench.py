@@ -1,0 +1,79 @@
+"""Headline-query benchmark for the driver's per-round BENCH harness.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Timing excludes session startup; each query is executed once via a
+full action (collect), measuring end-to-end plan execution including
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from twitter_followers_patterns_mapreduce_spark.plans.registry import all_queries
+    from twitter_followers_patterns_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+
+    headline = [
+        "ce_count_edges",
+        "ex_two_hop_count",
+        "ap_two_hop_count",
+        "rs_triangle_count_raw",
+        "rj_triangle_count_raw",
+        "triangle_count",
+        "rank_by_degree",
+        "q1_pricing_summary",
+        "top_customers_by_revenue",
+        "doc_token_stats",
+        "doc_language_id",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_topk_bruteforce",
+        "events_tumbling_hourly",
+    ]
+    names = [n for n in headline if n in qs]
+
+    # warm the JVM + parquet footer caches once with the cheapest query
+    qs[names[0]](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

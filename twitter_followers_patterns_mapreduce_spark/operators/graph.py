@@ -1,0 +1,207 @@
+"""Core graph-pattern operators — the reference's five jobs, Spark-first.
+
+Reference semantics preserved exactly (SURVEY.md §2.9):
+  * CE  — filtered edge count          (``countedges/CountEdgesAfterMax.java``)
+  * EX  — exact 2-hop count, Σ indeg·outdeg, INCLUDES X→Y→X round-trips
+          (``exact/Exact2HopCount.java:83-106``)
+  * AP  — approx 2-hop count + path enumeration under a MAX id filter,
+          includes round-trips (``approx/Approx2HopCount.java``)
+  * RS  — reduce-side-join triangle count, EXCLUDES round-trip paths
+          (``rsjoin/RSJoinTriangleCount.java:102``), reports the RAW
+          incidence count = 3 × triangles (``:230`` prints raw)
+  * RJ  — replicated/broadcast-join triangle count (source missing in the
+          reference, ``README.md:81``) = same logical query, broadcast
+          physical strategy.
+
+Architecture: every operator is a lazy DataFrame plan.  The reference's
+hand-rolled machinery maps as:
+  IN/OUT value tagging + reducer cross-product  → self equi-join
+  (Z,X)-keyed two-source shuffle + hasEdge flag → left-semi join
+  Hadoop global Counters → stdout              → 1-row aggregate DataFrames
+  job-chained Temp materialization (``:204``)  → one DAG, in-memory shuffle
+
+Scale notes (100 TB): the exact count NEVER materializes paths — it is
+the degree-product rewrite (one shuffle over 2|E| rows, partial
+aggregation map-side).  Path materialization is O(Σ indeg·outdeg),
+quadratic in hot nodes; callers cap it with ``max_limit`` exactly as
+the reference does, and AQE skew-join handles power-law keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Reference compile-time constants (``countedges/CountEdgesAfterMax.java:34``,
+#: ``approx/Approx2HopCount.java:41``) — here runtime parameters.
+MAX_EDGE_COUNT = 11_316_812
+MAX_JOIN_JOBS = 12_500
+
+
+def filter_max(edges: DataFrame, max_limit: int | None) -> DataFrame:
+    """F1, the signature predicate: keep edge iff ``src < MAX AND dst < MAX``
+    (``countedges/CountEdgesAfterMax.java:56``).  Catalyst pushes this
+    conjunctive range predicate into the scan (PushedFilters)."""
+    if max_limit is None:
+        return edges
+    return edges.where((F.col("src") < max_limit) & (F.col("dst") < max_limit))
+
+
+def count_edges(edges: DataFrame, max_limit: int = MAX_EDGE_COUNT) -> DataFrame:
+    """CE: global scalar count of edges passing the MAX filter (A2;
+    ``countedges/CountEdgesAfterMax.java:56-59``).  The reference's
+    map-only job + Counter becomes filter→count with map-side partial
+    aggregation; result is a 1-row DataFrame, not a side channel."""
+    return filter_max(edges, max_limit).agg(F.count("*").alias("edge_count"))
+
+
+def degrees(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """Per-node in/out degree table — the EX mapper's double-emit of each
+    edge under both endpoints (``exact/Exact2HopCount.java:61-69``) is
+    idiomatically a UNION of two projections; the reducer tally loop
+    (``:92-99``) is one hash aggregate.
+
+    Single shuffle over 2|E| narrow rows; partial aggregation (the
+    combiner the reference never registered — SURVEY.md §4) is automatic.
+    """
+    e = filter_max(edges, max_limit)
+    tagged = e.select(F.col("src").alias("id"), F.lit(1).alias("out_deg"), F.lit(0).alias("in_deg")).unionAll(
+        e.select(F.col("dst").alias("id"), F.lit(0), F.lit(1))
+    )
+    return tagged.groupBy("id").agg(
+        F.sum("out_deg").alias("out_deg"), F.sum("in_deg").alias("in_deg")
+    )
+
+
+def two_hop_count_exact(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """EX: exact 2-hop path count via the degree-product rewrite
+    Σ_v indeg(v)·outdeg(v) (A1; ``exact/Exact2HopCount.java:102-105``).
+
+    Deliberately never materializes the O(paths) join — the algebraic
+    rewrite is a query-level algorithm choice, not a Catalyst rule
+    (SURVEY.md §4).  Includes degenerate X→Y→X round-trips, exactly as
+    the reference does (no F3 check in EX).
+    """
+    return degrees(edges, max_limit).agg(
+        F.coalesce(F.sum(F.col("in_deg") * F.col("out_deg")), F.lit(0)).cast("long").alias("two_hop_count")
+    )
+
+
+def two_hop_paths(
+    edges: DataFrame,
+    max_limit: int | None = MAX_JOIN_JOBS,
+    exclude_roundtrips: bool = False,
+) -> DataFrame:
+    """J1: materialized 2-hop paths (x, y, z) = ``e1 ⋈ e2 ON e1.dst = e2.src``.
+
+    The reference hand-rolls this as a tagged cogroup: edges shuffled
+    twice keyed by each endpoint with IN/OUT tags, reducer nested-loop
+    cross product (``approx/Approx2HopCount.java:68-76, 94-120``).  In
+    Spark it is one self equi-join; Catalyst picks sort-merge or
+    broadcast-hash, AQE splits skewed center-node keys.
+
+    ``exclude_roundtrips`` adds the RS variant's theta-conjunct
+    ``x != z`` (F3; ``rsjoin/RSJoinTriangleCount.java:102``) evaluated
+    inside the join, matching the reference's early filtering.
+    """
+    e = filter_max(edges, max_limit)
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.dst") == F.col("b.src")
+    if exclude_roundtrips:
+        cond = cond & (F.col("a.src") != F.col("b.dst"))
+    return a.join(b, cond).select(
+        F.col("a.src").alias("x"), F.col("a.dst").alias("y"), F.col("b.dst").alias("z")
+    )
+
+
+def two_hop_count_approx(edges: DataFrame, max_limit: int = MAX_JOIN_JOBS) -> DataFrame:
+    """AP: count of materialized 2-hop paths under the MAX filter (A3;
+    ``approx/Approx2HopCount.java:119``).  "Approx" approximates by
+    sampling the graph via MAX — not by sketching (``README.md:77``).
+    Equals ``two_hop_count_exact`` on the same filtered subgraph; kept
+    as the join-based physical variant for differential testing."""
+    return two_hop_paths(edges, max_limit).agg(F.count("*").cast("long").alias("two_hop_count"))
+
+
+def triangle_count_raw(
+    edges: DataFrame,
+    max_limit: int = MAX_JOIN_JOBS,
+    strategy: str = "auto",
+) -> DataFrame:
+    """RS/RJ: raw directed-triangle incidence count = #(2-hop path with a
+    closing edge), which the reference prints WITHOUT dividing by 3
+    (``rsjoin/RSJoinTriangleCount.java:230``).
+
+    The chained two-job pipeline (paths → HDFS Temp → (Z,X)-keyed
+    shuffle with hasEdge flag, ``:192-233``) collapses to one lazy plan:
+    paths LEFT-SEMI JOIN edges ON (z = src AND x = dst), then count.
+    The semi join IS the reference's existence short-circuit
+    (``hasEdge``, ``:170,183``).
+
+    ``strategy`` reproduces the reference's two physical join choices:
+      * ``'shuffle'``   — RS-join: sort-merge on the composite key
+        (``hint("shuffle_merge")``)
+      * ``'broadcast'`` — Rep-join (``README.md:81``): replicate the
+        filtered edge set to every task; Spark's BroadcastHashJoin IS
+        the replicated join
+      * ``'auto'``      — let Catalyst/AQE pick from sizes (the engine
+        default; at 100 TB with a small MAX-filtered edge set, AQE
+        picks broadcast by itself)
+    """
+    e = filter_max(edges, max_limit)
+    paths = two_hop_paths(edges, max_limit, exclude_roundtrips=True)
+    if strategy == "broadcast":
+        right = F.broadcast(e)
+    elif strategy == "shuffle":
+        right = e.hint("shuffle_merge")
+    elif strategy == "auto":
+        right = e
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    closed = paths.join(
+        right, (paths["z"] == right["src"]) & (paths["x"] == right["dst"]), "left_semi"
+    )
+    return closed.agg(F.count("*").cast("long").alias("triangle_count_raw"))
+
+
+def triangle_count(
+    edges: DataFrame, max_limit: int = MAX_JOIN_JOBS, strategy: str = "auto"
+) -> DataFrame:
+    """Normalized triangle count = raw ÷ 3 (each directed triangle is
+    counted once per rotation).  Engine-added variant; the reference
+    only reports raw (SURVEY.md §2.9 quirk, preserved separately)."""
+    raw = triangle_count_raw(edges, max_limit, strategy)
+    return raw.select(
+        F.floor(F.col("triangle_count_raw") / 3).cast("long").alias("triangle_count")
+    )
+
+
+def rank_by_degree(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Extension (SURVEY.md §7.3 M5): top-k nodes by total degree via a
+    window rank — the reference has no window functions (§2.5); this
+    exercises ``Window.orderBy`` + ``row_number`` with a deterministic
+    tiebreak so results are oracle-comparable."""
+    from pyspark.sql import Window as W
+
+    d = degrees(edges).withColumn("total_deg", F.col("in_deg") + F.col("out_deg"))
+    w = W.orderBy(F.col("total_deg").desc(), F.col("id").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "id", "total_deg", "in_deg", "out_deg")
+    )
+
+
+def mutual_follow_pairs(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """Extension: mutual-follow (reciprocal edge) pairs — the degenerate
+    round-trip structure EX/AP count and RS excludes (SURVEY.md §2.9),
+    surfaced as a first-class query.  Canonicalized a<b so each mutual
+    pair appears once; self-join with two equi-conjuncts."""
+    e = filter_max(edges, max_limit)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")))
+        .where(F.col("a.src") < F.col("a.dst"))
+        .select(F.col("a.src").alias("u"), F.col("a.dst").alias("v"))
+        .distinct()
+    )

@@ -1,0 +1,182 @@
+"""Core-parity named queries (SURVEY.md §2.9) over the derived edge view.
+
+Each reference job appears as a named query with a DuckDB oracle; the
+MAX constants are chosen per FIXTURES.md §1.5 so the sf0.01 graph
+(≈58k edges over 997 nodes) exercises the filter and keeps materialized
+path sets hashable (MAX=200 → ≈28k path rows).
+
+Column names are aliased identically in the Spark plan and the oracle
+SQL — the driver's compare hashes values under sorted column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.sources.readers import EDGES_ORACLE_CTE, derived_edges
+
+_E = f"WITH edges AS ({EDGES_ORACLE_CTE})"
+
+#: MAX cutoffs for the harness graph (reference defaults are id-scale
+#: specific: 11,316,812 for CE, 12,500 for join jobs — SURVEY.md §2.2 note).
+MAX_CE = G.MAX_EDGE_COUNT
+MAX_TRI = 500
+MAX_PATHS = 200
+
+
+@register(
+    "ce_count_edges",
+    oracle=f"""{_E}
+SELECT CAST(COUNT(*) AS BIGINT) AS edge_count
+FROM edges WHERE src < {MAX_CE} AND dst < {MAX_CE}""",
+    description="CE: edge count after MAX filter (reference default MAX, passes all)",
+)
+def ce_count_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.count_edges(derived_edges(spark, sf_dir), MAX_CE)
+
+
+@register(
+    "ce_count_edges_max",
+    oracle=f"""{_E}
+SELECT CAST(COUNT(*) AS BIGINT) AS edge_count
+FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI}""",
+    description="CE with a binding MAX cutoff (filter actually selective)",
+)
+def ce_count_edges_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.count_edges(derived_edges(spark, sf_dir), MAX_TRI)
+
+
+@register(
+    "degrees",
+    oracle=f"""{_E},
+tagged AS (
+  SELECT src AS id, 1 AS out_deg, 0 AS in_deg FROM edges
+  UNION ALL
+  SELECT dst AS id, 0 AS out_deg, 1 AS in_deg FROM edges)
+SELECT id, CAST(SUM(out_deg) AS BIGINT) AS out_deg, CAST(SUM(in_deg) AS BIGINT) AS in_deg
+FROM tagged GROUP BY id""",
+    description="per-node in/out degree table (EX mapper double-emit as UNION)",
+)
+def degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degrees(derived_edges(spark, sf_dir))
+
+
+@register(
+    "ex_two_hop_count",
+    oracle=f"""{_E},
+outd AS (SELECT src AS id, COUNT(*) AS o FROM edges GROUP BY src),
+ind  AS (SELECT dst AS id, COUNT(*) AS i FROM edges GROUP BY dst)
+SELECT CAST(COALESCE(SUM(i * o), 0) AS BIGINT) AS two_hop_count
+FROM ind JOIN outd USING (id)""",
+    description="EX: exact 2-hop count via degree-product rewrite (no path materialization)",
+)
+def ex_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.two_hop_count_exact(derived_edges(spark, sf_dir))
+
+
+@register(
+    "ap_two_hop_count",
+    oracle=f"""{_E},
+e AS (SELECT * FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI})
+SELECT CAST(COUNT(*) AS BIGINT) AS two_hop_count
+FROM e a JOIN e b ON a.dst = b.src""",
+    description="AP: 2-hop count by materializing the self-join under MAX (includes round-trips)",
+)
+def ap_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.two_hop_count_approx(derived_edges(spark, sf_dir), MAX_TRI)
+
+
+@register(
+    "ap_two_hop_paths",
+    oracle=f"""{_E},
+e AS (SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS})
+SELECT a.src AS x, a.dst AS y, b.dst AS z
+FROM e a JOIN e b ON a.dst = b.src""",
+    description="AP path enumeration: (x,y,z) tuples incl. round-trips",
+)
+def ap_two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.two_hop_paths(derived_edges(spark, sf_dir), MAX_PATHS, exclude_roundtrips=False)
+
+
+@register(
+    "rs_two_hop_paths_noloop",
+    oracle=f"""{_E},
+e AS (SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS})
+SELECT a.src AS x, a.dst AS y, b.dst AS z
+FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst""",
+    description="RS job 1: 2-hop paths excluding X→Y→X round-trips (F3 theta-conjunct)",
+)
+def rs_two_hop_paths_noloop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.two_hop_paths(derived_edges(spark, sf_dir), MAX_PATHS, exclude_roundtrips=True)
+
+
+_TRI_ORACLE = f"""{_E},
+e AS (SELECT * FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI}),
+paths AS (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangle_count_raw
+FROM paths p
+WHERE EXISTS (SELECT 1 FROM e WHERE e.src = p.z AND e.dst = p.x)"""
+
+
+@register(
+    "rs_triangle_count_raw",
+    oracle=_TRI_ORACLE,
+    description="RS: raw triangle incidence count (3× triangles), shuffle sort-merge semi-join",
+)
+def rs_triangle_count_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count_raw(derived_edges(spark, sf_dir), MAX_TRI, strategy="shuffle")
+
+
+@register(
+    "rj_triangle_count_raw",
+    oracle=_TRI_ORACLE,
+    description="RJ: same logical query, broadcast (replicated) semi-join — README.md:79-81",
+)
+def rj_triangle_count_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count_raw(derived_edges(spark, sf_dir), MAX_TRI, strategy="broadcast")
+
+
+@register(
+    "triangle_count",
+    oracle=f"""SELECT CAST(triangle_count_raw // 3 AS BIGINT) AS triangle_count
+FROM ({_TRI_ORACLE}) raw""",
+    description="normalized triangle count = raw ÷ 3 (engine-added variant, AQE-chosen join)",
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count(derived_edges(spark, sf_dir), MAX_TRI, strategy="auto")
+
+
+@register(
+    "rank_by_degree",
+    oracle=f"""{_E},
+tagged AS (
+  SELECT src AS id, 1 AS out_deg, 0 AS in_deg FROM edges
+  UNION ALL SELECT dst, 0, 1 FROM edges),
+deg AS (
+  SELECT id, CAST(SUM(out_deg) AS BIGINT) AS out_deg, CAST(SUM(in_deg) AS BIGINT) AS in_deg,
+         CAST(SUM(out_deg) + SUM(in_deg) AS BIGINT) AS total_deg
+  FROM tagged GROUP BY id),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY total_deg DESC, id ASC) AS rank, id, total_deg, out_deg, in_deg
+  FROM deg)
+SELECT CAST(rank AS INT) AS rank, id, total_deg, in_deg, out_deg FROM ranked WHERE rank <= 20""",
+    description="extension: top-20 nodes by total degree (window row_number, deterministic tiebreak)",
+)
+def rank_by_degree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.rank_by_degree(derived_edges(spark, sf_dir), k=20)
+
+
+@register(
+    "mutual_follow_pairs",
+    oracle=f"""{_E}
+SELECT DISTINCT a.src AS u, a.dst AS v
+FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst""",
+    description="extension: reciprocal-edge pairs (the round-trip structure EX counts / RS excludes)",
+)
+def mutual_follow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.mutual_follow_pairs(derived_edges(spark, sf_dir))

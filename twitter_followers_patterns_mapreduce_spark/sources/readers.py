@@ -1,0 +1,86 @@
+"""Sources: edge-table readers and harness table loaders.
+
+Reference scan surface (SURVEY.md §2.1):
+  * S1 — text line scan of ``edges.csv`` (``exact/Exact2HopCount.java:131``,
+    ``countedges/CountEdgesAfterMax.java:80``): here a schema'd CSV read;
+    Catalyst pushes filters into the scan and prunes columns.
+  * S3 — line parse ``StringTokenizer``+``split(",")``+``parseInt``
+    (``exact/Exact2HopCount.java:55-59``): subsumed by the CSV reader's
+    typed schema; also provided over raw-line DataFrames for parity.
+  * S2 — multi-source scan (``rsjoin/RSJoinTriangleCount.java:217-218``)
+    needs no special API in Spark: two DataFrames feeding one join.
+
+IDs are ``LongType`` throughout — the reference parses 32-bit
+(``countedges/CountEdgesAfterMax.java:52-53``) but accumulates 64-bit;
+at 100 TB scale 64-bit ids are mandatory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+    ]
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+#: Modulus used to derive a dense edge view from ``lineitem`` — dense enough
+#: (~997 nodes) to contain 2-hop paths and triangles at sf0.01 (FIXTURES.md §1.5).
+EDGE_MODULUS = 997
+
+#: DuckDB-compatible CTE body defining the identical edge view for oracles.
+EDGES_ORACLE_CTE = (
+    "SELECT DISTINCT CAST(l_orderkey % 997 AS BIGINT) AS src, "
+    "CAST(l_partkey % 997 AS BIGINT) AS dst "
+    "FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan of one harness table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def edges_from_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ``src,dst`` edge list exactly like the reference's input
+    (``Makefile:10`` ``local.input=input/edges.csv``, no header).
+
+    Explicit schema — no inference pass over 100 TB of text.
+    """
+    return spark.read.schema(EDGE_SCHEMA).csv(path)
+
+
+def edges_from_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse raw text lines ``"src,dst"`` into typed edges (S3 parity:
+    ``exact/Exact2HopCount.java:55-59``). JVM-side split+cast, no UDF."""
+    parts = F.split(F.col(col), ",")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("src"),
+        parts.getItem(1).cast("long").alias("dst"),
+    )
+
+
+def derived_edges(spark: SparkSession, sf_dir: str, modulus: int = EDGE_MODULUS) -> DataFrame:
+    """Deterministic edge view over ``lineitem`` (FIXTURES.md §1.5),
+    expressible identically in DuckDB SQL for the oracle harness.
+
+    Only two columns are read from the parquet scan (Catalyst column
+    pruning), and the DISTINCT is a single hash-aggregate shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % modulus).cast("long").alias("src"),
+            (F.col("l_partkey") % modulus).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
