@@ -1,0 +1,299 @@
+"""Deduplication operators over ``documents`` — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine (extension surface,
+SURVEY.md §7.3 M5; part of the 100 TB training-data pipeline story).
+
+Scale design:
+  * exact dedup      — one hash-groupBy shuffle on md5(text); at 100 TB
+    pre-partition by the hash prefix and spill-free partial counts.
+  * MinHash+LSH      — signatures are computed scan-side (per-row array
+    expressions inside codegen, NO shuffle), then one explode(bands) →
+    groupBy-band shuffle whose fan-in is |docs|·bands tiny rows;
+    candidate verification joins only the colliding pairs.  This is the
+    shingle→minhash→band→bucket-join pipeline; band width tunes the
+    jaccard detection threshold (6 bands × 2 rows ⇒ ~0.41 knee).
+  * SimHash          — pure per-row fold (aggregate/zip_with over the
+    token array), embarrassingly parallel; pair search is a self-join
+    on hamming ≤ r, pruned here by exact-band prefilter at scale.
+  * n-gram Jaccard   — inverted-index join (explode shingles → equi-join
+    on shingle) with hot-shingle skew handled by AQE; exact but
+    quadratic in posting-list length — the LSH path is the scale path.
+
+All hash values derive from md5 (functions/hashing.py) so the DuckDB
+oracle reproduces them bit-for-bit — full value-hash coverage, no
+rows-only fallbacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    h64_sql,
+    minhash_sql,
+)
+from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
+    shingles_sql,
+    tokens_sql,
+)
+
+SIMHASH_BITS = 60  # h64 yields 60 usable bits
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dup_groups(corpus: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash: (text_md5, n_copies,
+    keeper_id=min doc_id).  One hash-aggregate shuffle; the canonical
+    "drop exact dups, keep first" building block."""
+    return (
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("n_copies") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash + LSH
+# --------------------------------------------------------------------------
+
+
+def _shingle_expr(dialect: str, text: str = "text", n: int = 3) -> str:
+    return shingles_sql(tokens_sql(text, dialect), n, dialect)
+
+
+def minhash_signatures(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
+    """Per-doc minhash signature columns sig0..sig{K-1} plus the distinct
+    shingle set.  Entirely scan-side (no shuffle): each signature is an
+    array_min over a transform of the shingle array, all in codegen."""
+    sh = _shingle_expr("spark", n=n_shingle)
+    cols = ["doc_id", f"{sh} AS shingles"]
+    df = documents.selectExpr(*cols).where(F.size("shingles") > 0)
+    sig_cols = [
+        f"array_min(transform(shingles, s -> {minhash_sql('s', j, 'spark')})) AS sig{j}"
+        for j in range(MINHASH_K)
+    ]
+    return df.selectExpr("doc_id", "shingles", "size(shingles) AS n_shingles", *sig_cols)
+
+
+def _band_struct(k: int) -> F.Column:
+    key = F.concat_ws("-", *[F.col(f"sig{k * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+    return F.struct(F.lit(k).alias("band"), key.alias("key"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, threshold: float = 0.5, n_shingle: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    shingle-set Jaccard ≥ threshold.  Output (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(documents, n_shingle)
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*[_band_struct(k) for k in range(LSH_BANDS)])).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sets = sigs.select("doc_id", "shingles", "n_shingles")
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    joined = (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select(
+            F.col("da"),
+            F.col("db"),
+            F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).alias("common"),
+            F.col("sa.n_shingles").alias("na"),
+            F.col("sb.n_shingles").alias("nb"),
+        )
+    )
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        joined.where(jac >= threshold)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
+    """DuckDB oracle reproducing minhash_lsh_pairs bit-for-bit."""
+    sh = _shingle_expr("duckdb", n=n_shingle)
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(s, s_ -> {minhash_sql('s_', j, 'duckdb')})) AS sig{j}"
+        for j in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {k} AS band, {key} AS key FROM sigs".format(
+            k=k,
+            key=" || '-' || ".join(
+                f"CAST(sig{k * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            ),
+        )
+        for k in range(LSH_BANDS)
+    )
+    return f"""WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents
+), sh2 AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), sigs AS (
+  SELECT doc_id, s, n,
+    {sig_exprs}
+  FROM sh2
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+), verified AS (
+  SELECT c.da, c.db,
+         len(list_intersect(sa.s, sb.s)) AS common, sa.n AS na, sb.n AS nb
+  FROM cand c
+  JOIN sh2 sa ON sa.doc_id = c.da
+  JOIN sh2 sb ON sb.doc_id = c.db
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+FROM verified
+WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {threshold}"""
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+
+def _simhash_expr_spark(text: str = "text") -> str:
+    """60-bit SimHash as one per-row fold: token hashes → per-bit ±1 sums
+    (aggregate + zip_with, all codegen'd) → sign bits packed into a BIGINT."""
+    toks = tokens_sql(text, "spark")
+    hashes = f"transform({toks}, t -> {h64_sql('t', 'spark')})"
+    bitsums = (
+        f"aggregate({hashes}, array_repeat(cast(0 as bigint), {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(a, b) -> a + if((shiftright(h, b) & 1) = 1, 1, -1)))"
+    )
+    return (
+        f"aggregate(zip_with({bitsums}, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(s, b) -> if(s > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (x, y) -> x + y)"
+    )
+
+
+def simhash_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT) — embarrassingly parallel, no shuffle."""
+    return documents.selectExpr("doc_id", f"{_simhash_expr_spark()} AS simhash")
+
+
+def simhash_table_oracle() -> str:
+    """DuckDB mirror via unnest + per-bit group (same values, different
+    shape — set semantics make the ±1 sums order-independent)."""
+    toks = tokens_sql("text", "duckdb")
+    h = h64_sql("tok", "duckdb")
+    return f"""WITH t AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), th AS (
+  SELECT doc_id, {h} AS h FROM t
+), bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) bb
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ r.  All-pairs here;
+    at 100 TB prefilter by exact match on bit-bands of the simhash
+    (pigeonhole: distance ≤ r ⇒ some ⌈bits/(r+1)⌉-bit band equal)."""
+    s = simhash_table(documents)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+def simhash_near_pairs_oracle(max_hamming: int = 8) -> str:
+    return f"""WITH sim AS ({simhash_table_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# --------------------------------------------------------------------------
+# n-gram jaccard (exact, inverted index)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, n_shingle: int = 3
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted-index equi-join:
+    explode distinct shingles → join postings on shingle → per-pair
+    common counts → filter.  AQE skew-join splits hot shingles."""
+    sh = documents.selectExpr("doc_id", f"{_shingle_expr('spark', n=n_shingle)} AS s").where(
+        F.size("s") > 0
+    )
+    sized = sh.select("doc_id", F.size("s").alias("n"), "s")
+    postings = sized.select("doc_id", "n", F.explode("s").alias("g"))
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return common.where(jac >= threshold).select(
+        F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), F.round(jac, 6).alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
+    sh = _shingle_expr("duckdb", n=n_shingle)
+    return f"""WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents
+), sized AS (
+  SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0
+), postings AS (
+  SELECT doc_id, n, unnest(s) AS g FROM sized
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb, COUNT(*) AS common
+  FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+FROM pairs
+WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {threshold}"""

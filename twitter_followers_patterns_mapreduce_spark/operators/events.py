@@ -1,0 +1,163 @@
+"""Event-time operators over the ``events`` table — tumbling/sliding
+windows, sessionization, JSON prop extraction.  Batch forms here; the
+structured-streaming forms (same logical aggregations with watermarks)
+live in ``streaming/windows.py``.
+
+The reference is batch-only with no time semantics (SURVEY.md §2.7);
+this is the engine's event-time extension surface.
+
+Cross-engine notes: window starts are emitted as formatted strings
+(timestamps never cross the oracle boundary as raw values — Spark
+session TZ is pinned UTC, DuckDB is UTC-naive); double sums go through
+DECIMAL for exact aggregation; gap comparisons use integer epoch
+microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _dec_sum(col: str) -> F.Column:
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type via Spark's native
+    ``window()`` (epoch-aligned), start emitted as a string key."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dec_sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_HOURLY_ORACLE = f"""SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def sliding_1h_30m(events: DataFrame) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide) — each event lands in two
+    windows; Spark's ``window()`` enumerates them natively."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), _dec_sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+#: Spark's sliding windows are epoch-aligned: an event at t belongs to the
+#: windows starting at floor30(t) and floor30(t) − 30 min.
+SLIDING_ORACLE = f"""WITH starts AS (
+  SELECT to_timestamp((epoch(ts)::BIGINT // 1800) * 1800) AS w0, value FROM events
+), expanded AS (
+  SELECT w0 AS wstart, value FROM starts
+  UNION ALL
+  SELECT w0 - INTERVAL 30 MINUTE AS wstart, value FROM starts
+)
+SELECT strftime(wstart, '{TS_FMT_DUCK}') AS window_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM expanded GROUP BY 1"""
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Per-user sessionization: a new session starts when the gap to the
+    previous event exceeds ``gap_us``.  Classic lag + running-sum window
+    pair; output one row per session."""
+    w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t = F.unix_micros(F.col("ts"))
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(t - F.lag(t).over(w_user) > gap_us, 1).otherwise(0).alias("new_session"),
+    )
+    sessioned = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.count("*").alias("n_events"),
+            ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .select("user_id", F.col("session_seq").cast("long").alias("session_seq"),
+                "session_start", "n_events", "duration_sec")
+    )
+
+
+SESSIONIZE_ORACLE = f"""WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessioned AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+  COUNT(*) AS n_events,
+  CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_sec
+FROM sessioned GROUP BY user_id, session_seq"""
+
+
+def json_prop_stats(events: DataFrame) -> DataFrame:
+    """Extract the integer ``k`` from the JSON ``props`` column and
+    aggregate per event_type — semi-structured column handling."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_PROP_ORACLE = """SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type"""
+
+
+def user_interaction_edges(events: DataFrame, modulus: int = 997) -> DataFrame:
+    """Derive a user-interaction edge table from the event stream
+    (consecutive events by the same user_id bucket → edge), feeding the
+    graph operators — demonstrates the edge-table abstraction is source-
+    agnostic exactly like the reference's CSV input."""
+    w = Window.partitionBy(F.col("user_id") % 16).orderBy("ts", "event_id")
+    src = (F.col("user_id") % modulus).cast("long")
+    dst = (F.lead(F.col("user_id")).over(w) % modulus).cast("long")
+    return (
+        events.select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )

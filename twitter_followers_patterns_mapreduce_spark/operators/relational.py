@@ -1,0 +1,188 @@
+"""Relational operator coverage over the TPC-H-ish harness tables —
+joins (inner/semi/anti/outer/broadcast), hash aggregation, rollup,
+window top-k.  The reference has none of this (its only relation is the
+edge list); these queries exercise the engine surface a user switching
+from any batch-analytics stack expects, and anchor the bench.
+
+Money arithmetic: doubles are cast per-element to DECIMAL(18,4) before
+SUM so both engines aggregate exactly, then the final value is cast
+back to DOUBLE — cross-engine equality is exact with no rounding-
+boundary risk (sum order becomes irrelevant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def _dec_sum(col: F.Column) -> F.Column:
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates; filter and
+    the two grouping columns push into the parquet scan."""
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    disc = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    charge = disc * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(_dec_sum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_dec_sum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
+            F.round(_dec_sum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q1_oracle(cutoff: str = "1998-09-02") -> str:
+    return f"""SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def top_customers_by_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """3-way join → agg → window top-k.  ``customer`` is dimension-sized →
+    broadcast; the lineitem⋈orders fact join shuffles on orderkey."""
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    per_cust = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "c_custkey", "c_name", "revenue", "n_items")
+    )
+
+
+def top_customers_oracle(k: int = 10) -> str:
+    return f"""WITH per_cust AS (
+  SELECT c_custkey, c_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank FROM per_cust
+)
+SELECT CAST(rank AS INT) AS rank, c_custkey, c_name, revenue, n_items
+FROM ranked WHERE rank <= {k}"""
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — absent from the reference's join
+    inventory (SURVEY.md §2.3 checklist), included for completeness."""
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+def nation_revenue_rollup(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """ROLLUP(region, nation) revenue — grouping-sets aggregation; the
+    dimension chain is all broadcast joins."""
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+NATION_ROLLUP_ORACLE = """SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)"""
+
+
+def orders_monthly_priority(orders: DataFrame) -> DataFrame:
+    """Per-month × priority order counts + distinct customers — string
+    month key via date_format so timestamps never cross the engine
+    boundary as raw values."""
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    return (
+        orders.groupBy(month.alias("month"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+ORDERS_MONTHLY_ORACLE = """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+  o_orderpriority AS priority,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2"""
+
+
+def supplier_part_coverage(lineitem: DataFrame, supplier: DataFrame, part: DataFrame) -> DataFrame:
+    """Left-outer join keeping suppliers with zero lineitems (outer-join
+    coverage) + semi-join-derived distinct part breadth per supplier."""
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n_items")
+    )
+    return (
+        supplier.join(per_supp, supplier["s_suppkey"] == per_supp["l_suppkey"], "left")
+        .select(
+            "s_suppkey",
+            F.coalesce(F.col("n_parts"), F.lit(0)).alias("n_parts"),
+            F.coalesce(F.col("n_items"), F.lit(0)).alias("n_items"),
+        )
+    )
+
+
+SUPPLIER_COVERAGE_ORACLE = """SELECT s_suppkey,
+  COALESCE(n_parts, 0) AS n_parts,
+  COALESCE(n_items, 0) AS n_items
+FROM supplier LEFT JOIN (
+  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
+  FROM lineitem GROUP BY l_suppkey
+) li ON s_suppkey = l_suppkey"""

@@ -1,0 +1,155 @@
+"""Similarity search over the ``embeddings`` table (extension surface).
+
+Two physical strategies for the same logical top-k-by-cosine query —
+deliberately mirroring the reference's RS-join vs Rep-join lesson
+(one logical query, two physical joins, ``README.md:79-81``):
+
+  * brute force — query-set × corpus cross join; Spark broadcasts the
+    small query side, every executor scans its corpus slice once.
+    Exact; O(|Q|·|C|·d).  The correctness baseline.
+  * sign-LSH buckets — random-hyperplane LSH degenerated to axis-aligned
+    planes (sign bits of the first B dims) → equi-join on bucket id.
+    Approximate; each query probes ~|C|/2^B candidates.  At 100 TB the
+    bucket id becomes the shuffle/bucketing key so candidate lookup is
+    a co-located join, no cross product anywhere.
+
+Ranking ties are broken by vec_id so output is deterministic and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from twitter_followers_patterns_mapreduce_spark.functions.vector import as_double, cosine, cosine_sql_duckdb
+
+#: every 50th vector is a "query" — ~10 queries at sf0.01, ~100 at sf0.1.
+QUERY_MOD = 50
+LSH_SIGN_BITS = 6
+
+
+def _queries_and_corpus(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return q, emb
+
+
+def ann_topk_bruteforce(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.  The query side is
+    tiny → broadcast; corpus scanned once per executor slice."""
+    q, emb = _queries_and_corpus(embeddings)
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ann_topk_bruteforce_oracle(k: int = 10) -> str:
+    cos = cosine_sql_duckdb("q.qv", "c.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS sim
+  FROM q JOIN emb c ON q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+FROM ranked WHERE rank <= {k}"""
+
+
+def _sign_bucket(v: F.Column) -> F.Column:
+    """Pack sign bits of the first LSH_SIGN_BITS dims into an int bucket id."""
+    bucket = F.lit(0)
+    for i in range(LSH_SIGN_BITS):
+        bucket = bucket + F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket (equi-join on bucket id — broadcastable, co-locatable)."""
+    q, emb = _queries_and_corpus(embeddings)
+    qb = q.withColumn("bucket", _sign_bucket(F.col("qv")))
+    cb = emb.withColumn("bucket", _sign_bucket(F.col("v")))
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    scored = (
+        F.broadcast(qb)
+        .join(cb, (qb["bucket"] == cb["bucket"]) & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ann_topk_lsh_oracle(k: int = 5) -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(LSH_SIGN_BITS)
+    )
+    cos = cosine_sql_duckdb("q.qv", "c.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket_terms} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS sim
+  FROM q JOIN emb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+FROM ranked WHERE rank <= {k}"""
+
+
+def embedding_top_pairs(embeddings: DataFrame, top_n: int = 50) -> DataFrame:
+    """Embedding-cosine near-dup: the N most-similar distinct pairs
+    corpus-wide (global top-N keeps the result meaningful even when no
+    pair crosses a fixed threshold).  All-pairs here; the LSH bucket
+    join above is the scale path."""
+    emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), sim.alias("sim")
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "vec_a", "vec_b", "sim")
+    )
+
+
+def embedding_top_pairs_oracle(top_n: int = 50) -> str:
+    cos = cosine_sql_duckdb("a.v", "b.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a ASC, vec_b ASC) AS rank FROM pairs
+)
+SELECT CAST(rank AS INT) AS rank, vec_a, vec_b, sim FROM ranked WHERE rank <= {top_n}"""

@@ -1,0 +1,127 @@
+"""Text-analysis operators over the ``documents`` table (extension
+surface — SURVEY.md §7.3 M5; the reference has no string functions
+beyond split/concat, SURVEY.md §2.6).
+
+Every operator is a *select-list builder* emitted in two dialects —
+``spark`` (run via ``selectExpr``; all expressions are built-in SQL
+functions inside whole-stage codegen, zero Python UDFs) and ``duckdb``
+(the oracle SQL) — so Spark plan and oracle share one definition and
+parity is by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
+    LANG_STOPWORDS,
+    bpe_ish_tokens_sql,
+    count_in_set_sql,
+    doc_fingerprint_sql,
+    lang_id_sql,
+    size_sql,
+    tokens_sql,
+)
+
+
+def token_stats_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
+    """(expr, alias) pairs for per-document token statistics.
+
+    All ratios are double divisions with identical shape in both
+    dialects (int/int `/` yields double in Spark SQL and DuckDB alike),
+    rounded to 6 so cross-engine doubles hash identically.
+    """
+    toks = tokens_sql(text, dialect)
+    n = size_sql(toks, dialect)
+    distinct = (
+        f"size(array_distinct({toks}))" if dialect == "spark" else f"len(list_distinct({toks}))"
+    )
+    bpe = size_sql(bpe_ish_tokens_sql(text, dialect), dialect)
+    if dialect == "spark":
+        tok_chars = f"aggregate(transform({toks}, t -> length(t)), 0, (a, x) -> a + x)"
+        punct = f"length(regexp_replace({text}, '[a-zA-Z0-9\\\\s]', ''))"
+    else:
+        tok_chars = f"list_aggregate(list_transform({toks}, t -> len(t)), 'sum')"
+        punct = f"length(regexp_replace({text}, '[a-zA-Z0-9\\s]', '', 'g'))"
+    stop_en = count_in_set_sql(toks, LANG_STOPWORDS["en"], dialect)
+    return [
+        ("doc_id", "doc_id"),
+        (f"CAST({n} AS BIGINT)", "n_tokens"),
+        (f"CAST({distinct} AS BIGINT)", "n_unique_tokens"),
+        (f"CAST({bpe} AS BIGINT)", "n_bpe_tokens"),
+        (f"CAST(length({text}) AS BIGINT)", "n_chars"),
+        (f"round(CAST({tok_chars} AS DOUBLE) / {n}, 6)", "avg_token_len"),
+        (f"round(CAST({punct} AS DOUBLE) / length({text}), 6)", "punct_ratio"),
+        (f"round(CAST({stop_en} AS DOUBLE) / {n}, 6)", "stopword_ratio"),
+    ]
+
+
+def quality_score_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
+    """Composite document-quality heuristic: length saturation, lexical
+    diversity, low punctuation, stopword plausibility.  Weights are
+    arbitrary but fixed; the point is deterministic, scalable scoring."""
+    toks = tokens_sql(text, dialect)
+    n = size_sql(toks, dialect)
+    distinct = (
+        f"size(array_distinct({toks}))" if dialect == "spark" else f"len(list_distinct({toks}))"
+    )
+    if dialect == "spark":
+        punct = f"length(regexp_replace({text}, '[a-zA-Z0-9\\\\s]', ''))"
+    else:
+        punct = f"length(regexp_replace({text}, '[a-zA-Z0-9\\s]', '', 'g'))"
+    stop_en = count_in_set_sql(toks, LANG_STOPWORDS["en"], dialect)
+    # NB: every division keeps an explicit DOUBLE operand — Spark parses
+    # bare `x/1.0` as DECIMAL division (different rounding than DuckDB).
+    score = (
+        f"round(0.4 * least(1.0, CAST({n} AS DOUBLE) / 200.0)"
+        f" + 0.3 * (CAST({distinct} AS DOUBLE) / {n})"
+        f" + 0.2 * (1.0 - CAST({punct} AS DOUBLE) / length({text}))"
+        f" + 0.1 * (CAST({stop_en} AS DOUBLE) / {n}), 6)"
+    )
+    return [("doc_id", "doc_id"), (score, "quality_score")]
+
+
+def lang_id_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
+    """Stopword-voting language ID with deterministic tie-break."""
+    toks = tokens_sql(text, dialect)
+    return [
+        ("doc_id", "doc_id"),
+        ("lang", "labeled_lang"),
+        (lang_id_sql(toks, dialect), "pred_lang"),
+    ]
+
+
+def fingerprint_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
+    """Content fingerprint: min-h64 over 3-word shingles (1-perm minhash)."""
+    return [
+        ("doc_id", "doc_id"),
+        (doc_fingerprint_sql(text, dialect), "fingerprint"),
+    ]
+
+
+def select_sql(table: str, pairs: list[tuple[str, str]], where: str | None = None) -> str:
+    """Assemble a SELECT for the duckdb oracle from (expr, alias) pairs."""
+    cols = ",\n  ".join(f"{e} AS {a}" for e, a in pairs)
+    w = f"\nWHERE {where}" if where else ""
+    return f"SELECT\n  {cols}\nFROM {table}{w}"
+
+
+def apply_select(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Run the spark-dialect (expr, alias) pairs as a selectExpr."""
+    return df.selectExpr(*[f"{e} AS {a}" for e, a in pairs])
+
+
+def doc_token_stats(documents: DataFrame) -> DataFrame:
+    return apply_select(documents, token_stats_select("spark"))
+
+
+def doc_quality_score(documents: DataFrame) -> DataFrame:
+    return apply_select(documents, quality_score_select("spark"))
+
+
+def doc_language_id(documents: DataFrame) -> DataFrame:
+    return apply_select(documents, lang_id_select("spark"))
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    return apply_select(documents, fingerprint_select("spark"))
