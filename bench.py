@@ -48,6 +48,10 @@ def main() -> int:
         "events_tumbling_hourly",
     ]
     names = [n for n in headline if n in qs]
+    missing = [n for n in headline if n not in qs]
+    if missing:
+        # a silently-shrinking bench reads as "covered" when it isn't
+        print(f"bench: MISSING headline queries: {missing}", file=sys.stderr)
 
     # warm the JVM + parquet footer caches once with the cheapest query
     qs[names[0]](spark, sf_dir).collect()
@@ -67,6 +71,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "missing": missing,
                 "sf": sf,
             }
         )

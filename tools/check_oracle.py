@@ -45,7 +45,10 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    spark = get_spark(app_name="check_oracle")
+    spark = get_spark(
+        app_name="check_oracle",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     failures = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:

@@ -221,19 +221,64 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id"""
 
 
+def _simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(lo_bit, width) for r+1 disjoint bands covering all bits.
+
+    Pigeonhole: hamming(a, b) ≤ r ⇒ the ≤ r differing bits miss at least
+    one of the r+1 bands, so a and b are bit-identical on that band —
+    the band equi-join is a LOSSLESS candidate prefilter.
+    """
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil
+    bands = []
+    lo = 0
+    while lo < bits:
+        bands.append((lo, min(width, bits - lo)))
+        lo += width
+    return bands
+
+
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ r.  All-pairs here;
-    at 100 TB prefilter by exact match on bit-bands of the simhash
-    (pigeonhole: distance ≤ r ⇒ some ⌈bits/(r+1)⌉-bit band equal)."""
+    """Near-dup pairs by SimHash hamming distance ≤ r.
+
+    Scale shape: candidates come from an EQUI-join on (band_idx, band
+    value) over r+1 pigeonhole bands — never an all-pairs cross join.
+    Fan-out is r+1 tiny rows per doc; only colliding pairs reach the
+    exact ``bit_count(xor)`` verification.  Lossless (see
+    ``_simhash_bands``), so the all-pairs DuckDB oracle matches exactly.
+    """
     s = simhash_table(documents)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"(simhash >> {lo}) & {(1 << w) - 1}").alias("val"),
+        )
+        for i, (lo, w) in enumerate(_simhash_bands(max_hamming))
+    ]
+    bands = s.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    sb = s.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.expr("ha ^ hb"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(sa, "da")
+        .join(sb, "db")
         .where(ham <= max_hamming)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
     )

@@ -66,8 +66,10 @@ def sliding_1h_30m(events: DataFrame) -> DataFrame:
 
 #: Spark's sliding windows are epoch-aligned: an event at t belongs to the
 #: windows starting at floor30(t) and floor30(t) − 30 min.
+#: NB: ``epoch_us`` (integer micros) — ``epoch(ts)::BIGINT`` would ROUND
+#: fractional seconds and misassign boundary-adjacent events.
 SLIDING_ORACLE = f"""WITH starts AS (
-  SELECT to_timestamp((epoch(ts)::BIGINT // 1800) * 1800) AS w0, value FROM events
+  SELECT to_timestamp((epoch_us(ts) // 1800000000) * 1800) AS w0, value FROM events
 ), expanded AS (
   SELECT w0 AS wstart, value FROM starts
   UNION ALL

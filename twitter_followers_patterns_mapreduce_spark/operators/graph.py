@@ -177,17 +177,23 @@ def triangle_count(
 
 
 def rank_by_degree(edges: DataFrame, k: int = 20) -> DataFrame:
-    """Extension (SURVEY.md §7.3 M5): top-k nodes by total degree via a
-    window rank — the reference has no window functions (§2.5); this
-    exercises ``Window.orderBy`` + ``row_number`` with a deterministic
-    tiebreak so results are oracle-comparable."""
+    """Extension (SURVEY.md §7.3 M5): top-k nodes by total degree with a
+    deterministic tiebreak so results are oracle-comparable.
+
+    Scale shape: ``orderBy().limit(k)`` plans as TakeOrderedAndProject —
+    per-partition top-k then a driver merge of k·partitions rows — NOT a
+    global sort.  The rank column is then assigned by a window over the
+    already-limited k rows (partitionBy(lit) keeps the window partition
+    defined; at |V| in the millions the old no-partition window shipped
+    every node through one task)."""
     from pyspark.sql import Window as W
 
     d = degrees(edges).withColumn("total_deg", F.col("in_deg") + F.col("out_deg"))
-    w = W.orderBy(F.col("total_deg").desc(), F.col("id").asc())
+    order = [F.col("total_deg").desc(), F.col("id").asc()]
+    top = d.orderBy(*order).limit(k)
+    w = W.partitionBy(F.lit(0)).orderBy(*order)
     return (
-        d.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "id", "total_deg", "in_deg", "out_deg")
     )
 

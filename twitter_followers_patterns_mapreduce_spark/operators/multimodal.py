@@ -1,0 +1,213 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, plus
+cross-modal (text × embedding) joins — the training-data pipeline
+surface the reference lacks entirely (its only type is a text edge
+list, SURVEY.md §1.1).
+
+Design for 100 TB:
+  * media lives in a plain ``binary`` column + a typed metadata struct —
+    partition/prune/filter on the metadata, never decode to plan;
+  * decode / feature-extract runs as Arrow-batched ``mapInPandas``
+    (one Python process per partition, columnar batches — never a
+    row-at-a-time UDF); real codecs aren't in this container, so the
+    *decode* step is a clearly-marked stub while the Spark-side
+    plumbing (schema, batch shape, partitioning) is real and tested;
+  * the synthetic payload is ``unhex(md5(text))`` so every byte-level
+    feature has a bit-for-bit DuckDB oracle via hex arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from twitter_followers_patterns_mapreduce_spark.functions.vector import (
+    as_double,
+    cosine,
+    cosine_sql_duckdb,
+    dot,
+    norm,
+)
+from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_oracle,
+)
+from twitter_followers_patterns_mapreduce_spark.operators.text import quality_score_select
+
+PAYLOAD_BYTES = 16  # md5 digest length
+
+
+def with_fake_image(documents: DataFrame) -> DataFrame:
+    """Attach a deterministic binary payload + typed metadata struct.
+
+    Stand-in for real image bytes (no codecs in this container): payload
+    is ``unhex(md5(text))``; metadata (width/height/channels/fmt) is
+    derived from doc_id so plans can filter/partition on metadata
+    without touching bytes — the pattern real multimodal tables use.
+    """
+    return documents.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("image"),
+        F.struct(
+            (F.pmod(F.col("doc_id"), F.lit(4)) * 64 + 64).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) * 64 + 64).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake/md5").alias("fmt"),
+        ).alias("image_meta"),
+    )
+
+
+_BYTE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_byte_stats(documents: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over the binary column via
+    Arrow-batched ``mapInPandas`` — the real multimodal hot path shape
+    (decode/resize/frame-sample slot in exactly here).  Python touches
+    only the payload batches; everything before/after stays JVM-side."""
+    mm = with_fake_image(documents)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf["image"]
+            meta = pdf["image_meta"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": imgs.map(len).astype("int64"),
+                    "first_byte": imgs.map(lambda b: b[0]).astype("int64"),
+                    "byte_sum": imgs.map(lambda b: sum(b)).astype("int64"),
+                    "width": meta.map(lambda m: m["width"]).astype("int32"),
+                    "height": meta.map(lambda m: m["height"]).astype("int32"),
+                }
+            )
+
+    return mm.mapInPandas(extract, schema=_BYTE_STATS_SCHEMA)
+
+
+def image_byte_stats_oracle() -> str:
+    """Bit-for-bit oracle: the payload is unhex(md5(text)), so every byte
+    is a hex pair of the digest — pure SQL arithmetic."""
+    byte_sum = (
+        f"list_aggregate(list_transform(range(0, {PAYLOAD_BYTES}), "
+        f"i -> CAST(concat('0x', substring(md5(text), 2*i + 1, 2)) AS BIGINT)), 'sum')"
+    )
+    return f"""SELECT doc_id,
+  CAST({PAYLOAD_BYTES} AS BIGINT) AS n_bytes,
+  CAST(concat('0x', substring(md5(text), 1, 2)) AS BIGINT) AS first_byte,
+  CAST({byte_sum} AS BIGINT) AS byte_sum,
+  CAST((doc_id % 4) * 64 + 64 AS INT) AS width,
+  CAST((doc_id % 3) * 64 + 64 AS INT) AS height
+FROM documents"""
+
+
+def decode_image(mm: DataFrame) -> DataFrame:
+    """Decode the binary column into pixel arrays.
+
+    STUB: image codecs (Pillow/opencv) are not in this container.  The
+    surrounding plumbing (binary column in, ``mapInPandas`` batch shape,
+    array<float> feature column out) is the real production shape —
+    only the per-batch decode body is unimplemented.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pixels", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode requires a codec library not present in this "
+            "container; plug a Pillow/opencv decode body into this "
+            "mapInPandas slot"
+        )
+        yield  # pragma: no cover — marks this as a generator
+
+    return mm.mapInPandas(_decode, schema=schema)
+
+
+def doc_embedding_profile(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal per-document profile: text quality × vector norm ×
+    label in one row (equi-join on doc_id = vec_id).  At 100 TB both
+    sides bucket on the id so this is a co-located join."""
+    q = documents.selectExpr(
+        *[f"{e} AS {a}" for e, a in quality_score_select("spark")], "lang"
+    )
+    emb = embeddings.select(
+        F.col("vec_id"), as_double("embedding").alias("v"), F.col("label")
+    )
+    return (
+        q.join(emb, q["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            F.round(norm(F.col("v")), 6).alias("emb_norm"),
+            F.round(dot(F.col("v"), F.col("v")), 6).alias("emb_sq_norm"),
+            F.col("label").alias("cluster_label"),
+        )
+    )
+
+
+def doc_embedding_profile_oracle() -> str:
+    from twitter_followers_patterns_mapreduce_spark.operators.text import select_sql
+
+    qsel = select_sql("documents", quality_score_select("duckdb"))
+    return f"""WITH q AS ({qsel})
+SELECT d.doc_id, d.lang, q.quality_score,
+  round(sqrt(list_dot_product(e.v, e.v)), 6) AS emb_norm,
+  round(list_dot_product(e.v, e.v), 6) AS emb_sq_norm,
+  e.label AS cluster_label
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings) e
+  ON d.doc_id = e.vec_id"""
+
+
+def crossmodal_near_dups(
+    documents: DataFrame, embeddings: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs that carry BOTH modalities: MinHash-LSH text pairs
+    (equi-join candidate generation, dedup.py) annotated with the
+    embedding cosine of the same pair — the multimodal agreement check
+    a training-data pipeline runs before dropping a document."""
+    pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            (F.col("jaccard") >= threshold).alias("text_dup"),
+        )
+    )
+
+
+def crossmodal_near_dups_oracle(threshold: float = 0.5) -> str:
+    cos = cosine_sql_duckdb("ea.v", "eb.v")
+    return f"""WITH pairs AS ({minhash_lsh_pairs_oracle(threshold=threshold)}),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+  round({cos}, 6) AS cosine,
+  p.jaccard >= {threshold} AS text_dup
+FROM pairs p
+JOIN emb ea ON ea.vec_id = p.doc_a
+JOIN emb eb ON eb.vec_id = p.doc_b"""

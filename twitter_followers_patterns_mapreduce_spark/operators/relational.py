@@ -70,10 +70,13 @@ def top_customers_by_revenue(
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    # top-k via TakeOrderedAndProject (per-partition top-k + merge), never a
+    # global no-partition window — at 100 TB that is a one-task sort.
+    order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
+    top = per_cust.orderBy(*order).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (
-        per_cust.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "c_custkey", "c_name", "revenue", "n_items")
     )
 

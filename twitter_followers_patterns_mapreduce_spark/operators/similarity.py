@@ -83,14 +83,18 @@ def _sign_bucket(v: F.Column) -> F.Column:
 
 def ann_topk_lsh(embeddings: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket (equi-join on bucket id — broadcastable, co-locatable)."""
+    bucket (equi-join on bucket id — broadcastable, co-locatable).
+
+    Bucket columns are named distinctly per side (q_bucket/c_bucket) —
+    both lineages derive from the same scan, so a shared name would hit
+    the classic self-join column-ambiguity trap."""
     q, emb = _queries_and_corpus(embeddings)
-    qb = q.withColumn("bucket", _sign_bucket(F.col("qv")))
-    cb = emb.withColumn("bucket", _sign_bucket(F.col("v")))
+    qb = q.withColumn("q_bucket", _sign_bucket(F.col("qv")))
+    cb = emb.withColumn("c_bucket", _sign_bucket(F.col("v")))
     sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
     scored = (
         F.broadcast(qb)
-        .join(cb, (qb["bucket"] == cb["bucket"]) & (F.col("query_id") != F.col("vec_id")))
+        .join(cb, (F.col("q_bucket") == F.col("c_bucket")) & (F.col("query_id") != F.col("vec_id")))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -107,7 +111,7 @@ def ann_topk_lsh_oracle(k: int = 5) -> str:
     )
     cos = cosine_sql_duckdb("q.qv", "c.v")
     return f"""WITH emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket_terms} AS bucket
+  SELECT vec_id, v, {bucket_terms} AS bucket
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 ), q AS (
   SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id % {QUERY_MOD} = 0
@@ -123,23 +127,67 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
 FROM ranked WHERE rank <= {k}"""
 
 
+def _ranked_top_pairs(pairs: DataFrame, top_n: int) -> DataFrame:
+    """Global top-N pairs via orderBy().limit() — plans as
+    TakeOrderedAndProject (per-partition top-N, driver merge of
+    N·partitions rows), never a single-partition global window sort."""
+    order = [F.col("sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()]
+    top = pairs.orderBy(*order).limit(top_n)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_a", "vec_b", "sim")
+
+
 def embedding_top_pairs(embeddings: DataFrame, top_n: int = 50) -> DataFrame:
     """Embedding-cosine near-dup: the N most-similar distinct pairs
     corpus-wide (global top-N keeps the result meaningful even when no
-    pair crosses a fixed threshold).  All-pairs here; the LSH bucket
-    join above is the scale path."""
+    pair crosses a fixed threshold).
+
+    This is the DOCUMENTED exact brute-force baseline (all-pairs —
+    O(n²) like any exact top-pairs); ``embedding_top_pairs_lsh`` is the
+    equi-join scale path."""
     emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
     a, b = emb.alias("a"), emb.alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), sim.alias("sim")
     )
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
-        .select("rank", "vec_a", "vec_b", "sim")
+    return _ranked_top_pairs(pairs, top_n)
+
+
+def embedding_top_pairs_lsh(embeddings: DataFrame, top_n: int = 50) -> DataFrame:
+    """Approximate top-N pairs: candidates restricted to same sign-LSH
+    bucket — an EQUI-join on bucket id (shuffle/bucketing key at scale),
+    no cross product anywhere.  High-cosine pairs land in the same
+    bucket with high probability; the oracle applies the identical
+    bucket restriction so results are deterministic and comparable."""
+    emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    a = emb.select("vec_id", "v", _sign_bucket(F.col("v")).alias("bucket")).alias("a")
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("v_b"),
+        _sign_bucket(F.col("v")).alias("bucket_b"),
+    ).alias("b")
+    sim = F.round(cosine(F.col("v"), F.col("v_b")), 6)
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") < F.col("vec_id_b"))
+    ).select(F.col("vec_id").alias("vec_a"), F.col("vec_id_b").alias("vec_b"), sim.alias("sim"))
+    return _ranked_top_pairs(pairs, top_n)
+
+
+def embedding_top_pairs_lsh_oracle(top_n: int = 50) -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(LSH_SIGN_BITS)
     )
+    cos = cosine_sql_duckdb("a.v", "b.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, v, {bucket_terms} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS sim
+  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a ASC, vec_b ASC) AS rank FROM pairs
+)
+SELECT CAST(rank AS INT) AS rank, vec_a, vec_b, sim FROM ranked WHERE rank <= {top_n}"""
 
 
 def embedding_top_pairs_oracle(top_n: int = 50) -> str:

@@ -1,0 +1,67 @@
+"""Named deduplication queries over ``documents`` — exact, MinHash+LSH,
+SimHash, n-gram Jaccard (training-data pipeline surface).
+
+All hashes derive from md5 (``functions/hashing.py``) so every query
+here has a bit-for-bit DuckDB oracle — full value-hash coverage, no
+rows-only fallbacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators import dedup as D
+from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+EXACT_DUP_ORACLE = """SELECT md5(text) AS text_md5,
+  COUNT(*) AS n_copies,
+  MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) >= 2"""
+
+
+@register(
+    "dedup_exact",
+    oracle=EXACT_DUP_ORACLE,
+    description="exact duplicate groups by md5(text): one hash-aggregate shuffle",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=D.minhash_lsh_pairs_oracle(threshold=0.5),
+    description="near-dup pairs: shingle→minhash→band→bucket-join, verified exact jaccard",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_simhash_table",
+    oracle=D.simhash_table_oracle(),
+    description="60-bit SimHash per doc — pure per-row fold, no shuffle",
+)
+def dedup_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_table(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=D.simhash_near_pairs_oracle(max_hamming=8),
+    description="SimHash near-dup pairs via pigeonhole band equi-join (lossless prefilter)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=D.ngram_jaccard_pairs_oracle(threshold=0.5),
+    description="exact n-gram Jaccard pairs via inverted-index equi-join (AQE handles skew)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)

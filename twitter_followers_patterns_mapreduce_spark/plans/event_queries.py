@@ -1,0 +1,77 @@
+"""Named event-time queries over ``events`` — tumbling/sliding windows,
+sessionization, JSON prop extraction, and an event-derived edge view
+feeding the graph operators (source-agnostic edge-table abstraction,
+exactly like the reference's CSV input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators import events as E
+from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=E.TUMBLING_HOURLY_ORACLE,
+    description="tumbling 1h windows per event_type via native window() — epoch-aligned",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.tumbling_hourly(load_events(spark, sf_dir))
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle=E.SLIDING_ORACLE,
+    description="sliding windows (1h size / 30m slide): each event in two windows",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sliding_1h_30m(load_events(spark, sf_dir))
+
+
+@register(
+    "events_sessionize",
+    oracle=E.SESSIONIZE_ORACLE,
+    description="per-user 30-min-gap sessionization: lag + running-sum window pair",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sessionize(load_events(spark, sf_dir))
+
+
+@register(
+    "events_json_props",
+    oracle=E.JSON_PROP_ORACLE,
+    description="semi-structured: extract $.k from JSON props, aggregate per event_type",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.json_prop_stats(load_events(spark, sf_dir))
+
+
+#: Edge view derived from the event stream (consecutive same-bucket events
+#: → interaction edge) — demonstrates graph ops are source-agnostic.
+EVENT_EDGES_CTE = """SELECT DISTINCT
+  CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+FROM (
+  SELECT user_id % 997 AS src,
+         LEAD(user_id % 997) OVER (PARTITION BY user_id % 16 ORDER BY ts ASC, event_id ASC) AS dst
+  FROM events
+) hop
+WHERE dst IS NOT NULL AND src <> dst"""
+
+
+@register(
+    "event_graph_degrees",
+    oracle=f"""WITH edges AS ({EVENT_EDGES_CTE}),
+tagged AS (
+  SELECT src AS id, 1 AS out_deg, 0 AS in_deg FROM edges
+  UNION ALL
+  SELECT dst AS id, 0 AS out_deg, 1 AS in_deg FROM edges)
+SELECT id, CAST(SUM(out_deg) AS BIGINT) AS out_deg, CAST(SUM(in_deg) AS BIGINT) AS in_deg
+FROM tagged GROUP BY id""",
+    description="graph degrees over the event-derived edge view (source-agnostic edge table)",
+)
+def event_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degrees(E.user_interaction_edges(load_events(spark, sf_dir)))

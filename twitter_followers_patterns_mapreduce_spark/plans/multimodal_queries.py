@@ -1,0 +1,43 @@
+"""Named multimodal queries — binary columns with typed metadata,
+Arrow-batched byte-level feature extraction, and cross-modal
+(documents × embeddings) joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators import multimodal as M
+from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+
+@register(
+    "mm_image_byte_stats",
+    oracle=M.image_byte_stats_oracle(),
+    description="byte-level features over a binary media column via Arrow mapInPandas",
+)
+def mm_image_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.image_byte_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_doc_embedding_profile",
+    oracle=M.doc_embedding_profile_oracle(),
+    description="cross-modal per-doc profile: text quality × embedding norm × cluster label",
+)
+def mm_doc_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.doc_embedding_profile(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
+    "mm_crossmodal_near_dups",
+    oracle=M.crossmodal_near_dups_oracle(threshold=0.5),
+    description="MinHash text near-dup pairs annotated with embedding cosine agreement",
+)
+def mm_crossmodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.crossmodal_near_dups(
+        load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
+    )

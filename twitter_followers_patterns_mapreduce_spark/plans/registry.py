@@ -41,22 +41,25 @@ def register(name: str, oracle: str | None = None, description: str = ""):
     return deco
 
 
+#: Every module that registers queries.  Imports are unconditional: a
+#: missing or broken plans module must fail loudly here, never silently
+#: shrink the query surface (a blanket ``except ImportError: pass`` once
+#: hid six unbuilt modules and ~930 LoC of unverified operators).
+_PLAN_MODULES = (
+    "twitter_followers_patterns_mapreduce_spark.plans.core_queries",
+    "twitter_followers_patterns_mapreduce_spark.plans.relational_queries",
+    "twitter_followers_patterns_mapreduce_spark.plans.text_queries",
+    "twitter_followers_patterns_mapreduce_spark.plans.dedup_queries",
+    "twitter_followers_patterns_mapreduce_spark.plans.similarity_queries",
+    "twitter_followers_patterns_mapreduce_spark.plans.event_queries",
+    "twitter_followers_patterns_mapreduce_spark.plans.multimodal_queries",
+)
+
+
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    from twitter_followers_patterns_mapreduce_spark.plans import core_queries  # noqa: F401
-
-    for mod in (
-        "twitter_followers_patterns_mapreduce_spark.plans.relational_queries",
-        "twitter_followers_patterns_mapreduce_spark.plans.text_queries",
-        "twitter_followers_patterns_mapreduce_spark.plans.dedup_queries",
-        "twitter_followers_patterns_mapreduce_spark.plans.similarity_queries",
-        "twitter_followers_patterns_mapreduce_spark.plans.event_queries",
-        "twitter_followers_patterns_mapreduce_spark.plans.multimodal_queries",
-    ):
-        try:
-            __import__(mod)
-        except ImportError:
-            pass  # module not built yet (incremental rounds)
+    for mod in _PLAN_MODULES:
+        __import__(mod)
 
 
 def all_queries() -> dict[str, QueryFn]:

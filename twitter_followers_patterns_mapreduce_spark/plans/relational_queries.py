@@ -1,0 +1,86 @@
+"""Named relational queries over the TPC-H-ish harness tables.
+
+The reference's only relation is the edge list (SURVEY.md §1.1); this
+module is the engine's general batch-analytics surface — joins
+(inner/outer/anti/broadcast), hash aggregation, rollup, top-k — each
+registered with its DuckDB oracle from ``operators/relational.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators import relational as R
+from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=R.q1_oracle(),
+    description="TPC-H Q1 shape: scan-heavy groupBy, 8 aggregates, filter pushed to parquet scan",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "top_customers_by_revenue",
+    oracle=R.top_customers_oracle(k=10),
+    description="3-way join (fact shuffle + dim broadcast) → agg → TakeOrdered top-k",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_customers_by_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        k=10,
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle=R.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+    description="left-anti join (NOT EXISTS) — join-type coverage beyond the reference",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "nation_revenue_rollup",
+    oracle=R.NATION_ROLLUP_ORACLE,
+    description="ROLLUP(region, nation) revenue — grouping sets over a broadcast dim chain",
+)
+def nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.nation_revenue_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "orders_monthly_priority",
+    oracle=R.ORDERS_MONTHLY_ORACLE,
+    description="per-month × priority counts + COUNT(DISTINCT) — distinct-agg coverage",
+)
+def orders_monthly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_monthly_priority(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "supplier_part_coverage",
+    oracle=R.SUPPLIER_COVERAGE_ORACLE,
+    description="left-outer join keeping zero-lineitem suppliers — outer-join coverage",
+)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.supplier_part_coverage(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )

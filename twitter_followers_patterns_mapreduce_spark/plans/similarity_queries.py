@@ -1,0 +1,52 @@
+"""Named similarity-search queries over ``embeddings``.
+
+Brute-force vs sign-LSH is the reference's RS-join vs Rep-join lesson
+re-expressed for vector search (one logical query, two physical
+strategies — ``README.md:79-81``): the brute-force baselines are the
+documented exact O(n²) paths; the LSH variants are the equi-join scale
+paths whose bucket id becomes the shuffle/bucketing key at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators import similarity as S
+from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=S.ann_topk_bruteforce_oracle(k=10),
+    description="exact top-10 cosine neighbors per query vector (broadcast query side)",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=S.ann_topk_lsh_oracle(k=5),
+    description="approximate top-5 neighbors via sign-LSH bucket equi-join",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_topk_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "embedding_top_pairs",
+    oracle=S.embedding_top_pairs_oracle(top_n=50),
+    description="exact global top-50 most-similar pairs (documented brute-force baseline)",
+)
+def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_top_pairs(load_table(spark, sf_dir, "embeddings"), top_n=50)
+
+
+@register(
+    "embedding_top_pairs_lsh",
+    oracle=S.embedding_top_pairs_lsh_oracle(top_n=50),
+    description="top-50 similar pairs restricted to sign-LSH buckets — equi-join scale path",
+)
+def embedding_top_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_top_pairs_lsh(load_table(spark, sf_dir, "embeddings"), top_n=50)

@@ -1,0 +1,52 @@
+"""Named text-analysis queries over ``documents`` (training-data
+pipeline surface: token stats, quality scoring, language ID,
+fingerprinting).
+
+Spark plan and DuckDB oracle are generated from ONE select-list builder
+per operator (``operators/text.py``) — parity by construction; every
+expression is built-in SQL inside whole-stage codegen, zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators import text as TX
+from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+
+@register(
+    "doc_token_stats",
+    oracle=TX.select_sql("documents", TX.token_stats_select("duckdb")),
+    description="per-doc token counts (whitespace + BPE-ish regex), char/punct/stopword ratios",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality_score",
+    oracle=TX.select_sql("documents", TX.quality_score_select("duckdb")),
+    description="composite quality heuristic: length saturation + diversity + punct + stopwords",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_language_id",
+    oracle=TX.select_sql("documents", TX.lang_id_select("duckdb")),
+    description="stopword-voting language ID with deterministic tie-break vs labeled lang",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=TX.select_sql("documents", TX.fingerprint_select("duckdb")),
+    description="content fingerprint: min-h64 over 3-word shingles (1-perm minhash)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))

@@ -49,6 +49,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` loader: the parquet stores TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read nanos as BIGINT and convert
+    to a microsecond timestamp with INTEGER division (``div`` — a
+    double division would lose precision above 2^53 ns ≈ 104 days).
+    DuckDB truncates nanos→micros the same way, so oracles align."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = load_table(spark, sf_dir, "events")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def edges_from_csv(spark: SparkSession, path: str) -> DataFrame:
     """Read a ``src,dst`` edge list exactly like the reference's input
     (``Makefile:10`` ``local.input=input/edges.csv``, no header).
