@@ -52,3 +52,12 @@ def minhash_sql(x: str, j: int, dialect: str) -> str:
     a, b = minhash_coeffs()[j]
     h = h64_sql(x, dialect)
     return f"(({a} * ({h} % {P_MERSENNE_31}) + {b}) % {P_MERSENNE_31})"
+
+
+def minhash_perm_sql(h: str, j: int) -> str:
+    """j-th minhash permutation over an ALREADY-h64-hashed value ``h`` —
+    pure int64 affine arithmetic, dialect-free.  Hashing each shingle
+    once and permuting K times is K× cheaper than ``minhash_sql`` per
+    permutation (md5 dominates; the affine step is ~free)."""
+    a, b = minhash_coeffs()[j]
+    return f"(({a} * ({h} % {P_MERSENNE_31}) + {b}) % {P_MERSENNE_31})"

@@ -33,7 +33,7 @@ from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
     LSH_ROWS,
     MINHASH_K,
     h64_sql,
-    minhash_sql,
+    minhash_perm_sql,
 )
 from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
     shingles_sql,
@@ -68,23 +68,76 @@ def _shingle_expr(dialect: str, text: str = "text", n: int = 3) -> str:
     return shingles_sql(tokens_sql(text, dialect), n, dialect)
 
 
+def shingled_docs(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
+    """(doc_id, shingles) with tokens and shingles STAGED as separate
+    projections.  Inlining the tokenizer into the shingle lambda (the
+    one-expression form) re-tokenizes per array element — O(tokens²)
+    per doc, measured 7× slower at sf0.1; staged columns evaluate each
+    stage once (Catalyst keeps non-cheap multi-referenced aliases in
+    their own Project)."""
+    toks = tokens_sql("text", "spark")
+    return (
+        documents.selectExpr("doc_id", f"{toks} AS toks")
+        # equivalent to size(shingles) > 0, but filtering on the TOKEN
+        # array: a predicate on `shingles` gets pushed below both
+        # projections with the quadratic inline expression substituted
+        # back in (measured 6× slower at sf0.1)
+        .where(F.size("toks") >= n_shingle)
+        .selectExpr("doc_id", f"{shingles_sql('toks', n_shingle, 'spark')} AS shingles")
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
     """Per-doc minhash signature columns sig0..sig{K-1} plus the distinct
-    shingle set.  Entirely scan-side (no shuffle): each signature is an
-    array_min over a transform of the shingle array, all in codegen."""
-    sh = _shingle_expr("spark", n=n_shingle)
-    cols = ["doc_id", f"{sh} AS shingles"]
-    df = documents.selectExpr(*cols).where(F.size("shingles") > 0)
+    shingle set.  Entirely scan-side (no shuffle), all in codegen.
+
+    Each shingle is md5-hashed ONCE into a ``hashes`` array; the K
+    signatures are array_min over cheap affine permutations of that
+    array — K× fewer md5 evaluations than hashing per-permutation
+    (md5 dominates; together with staged shingling this is the
+    difference between ~48 s and ~4 s for the LSH pipeline at sf0.1)."""
+    hashed = shingled_docs(documents, n_shingle).selectExpr(
+        "doc_id",
+        "shingles",
+        f"transform(shingles, s -> {h64_sql('s', 'spark')}) AS hashes",
+    )
     sig_cols = [
-        f"array_min(transform(shingles, s -> {minhash_sql('s', j, 'spark')})) AS sig{j}"
+        f"array_min(transform(hashes, h -> {minhash_perm_sql('h', j)})) AS sig{j}"
         for j in range(MINHASH_K)
     ]
-    return df.selectExpr("doc_id", "shingles", "size(shingles) AS n_shingles", *sig_cols)
+    return hashed.selectExpr(
+        "doc_id", "shingles", "size(shingles) AS n_shingles", *sig_cols
+    )
 
 
 def _band_struct(k: int) -> F.Column:
     key = F.concat_ws("-", *[F.col(f"sig{k * LSH_ROWS + r}") for r in range(LSH_ROWS)])
     return F.struct(F.lit(k).alias("band"), key.alias("key"))
+
+
+def _bucket_pairs(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Distinct (da, db) pairs of doc_ids sharing a bucket key.
+
+    groupBy + in-bucket pair expansion instead of a bucket self-join:
+    the self-join evaluates the (expensive, scan-side) bucket keys on
+    BOTH sides; this shape computes them once and shuffles once.  The
+    per-bucket expansion is array algebra over collect_list — safe
+    because near-dup buckets are small by construction (a genuinely hot
+    bucket means the corpus is mostly one duplicate cluster)."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))"
+    )
+    return (
+        buckets.selectExpr(f"explode({pair_expr}) AS p")
+        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -94,19 +147,15 @@ def minhash_lsh_pairs(
     shingle-set Jaccard ≥ threshold.  Output (doc_a, doc_b, jaccard)."""
     sigs = minhash_signatures(documents, n_shingle)
     bands = sigs.select(
-        "doc_id", F.explode(F.array(*[_band_struct(k) for k in range(LSH_BANDS)])).alias("bk")
+        # explode_outer: plain explode makes Catalyst infer size()>0 /
+        # isnotnull predicates on the array and push them below the
+        # projections with the scan-side expressions fully inlined —
+        # re-evaluating the md5/shingle pipeline per row in a Filter
+        # (measured 6×+ slower).  The band array is a non-empty literal,
+        # so outer is semantically identical.
+        "doc_id", F.explode_outer(F.array(*[_band_struct(k) for k in range(LSH_BANDS)])).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
+    cand = _bucket_pairs(bands, ["band", "key"])
     sets = sigs.select("doc_id", "shingles", "n_shingles")
     sa = sets.alias("sa")
     sb = sets.alias("sb")
@@ -136,7 +185,7 @@ def minhash_lsh_pairs_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
     """DuckDB oracle reproducing minhash_lsh_pairs bit-for-bit."""
     sh = _shingle_expr("duckdb", n=n_shingle)
     sig_exprs = ",\n    ".join(
-        f"list_min(list_transform(s, s_ -> {minhash_sql('s_', j, 'duckdb')})) AS sig{j}"
+        f"list_min(list_transform(hs, h -> {minhash_perm_sql('h', j)})) AS sig{j}"
         for j in range(MINHASH_K)
     )
     band_selects = "\n  UNION ALL ".join(
@@ -152,10 +201,12 @@ def minhash_lsh_pairs_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
   SELECT doc_id, {sh} AS s FROM documents
 ), sh2 AS (
   SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), hashed AS (
+  SELECT doc_id, s, n, list_transform(s, s_ -> {h64_sql("s_", "duckdb")}) AS hs FROM sh2
 ), sigs AS (
   SELECT doc_id, s, n,
     {sig_exprs}
-  FROM sh2
+  FROM hashed
 ), bands AS (
   {band_selects}
 ), cand AS (
@@ -255,32 +306,32 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         )
         for i, (lo, w) in enumerate(_simhash_bands(max_hamming))
     ]
+    # carry the simhash through the bucket shuffle (8 bytes/row) so the
+    # per-row fold is computed ONCE and no verification join is needed
     bands = s.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
+        # explode_outer: see minhash_lsh_pairs — avoids inferred-predicate
+        # pushdown re-evaluating the simhash fold inside a Filter
+        "doc_id", "simhash", F.explode_outer(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    buckets = (
+        bands.groupBy("band", "val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
-    sa = s.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
-    sb = s.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.expr("ha ^ hb"))
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.doc_id AS da, y.doc_id AS db, "
+        "cast(bit_count(x.simhash ^ y.simhash) AS int) AS hamming))))"
+    )
     return (
-        cand.join(sa, "da")
-        .join(sb, "db")
-        .where(ham <= max_hamming)
+        buckets.selectExpr(f"explode({pair_expr}) AS p")
+        .where(F.col("p.hamming") <= max_hamming)
         .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+            F.col("p.da").alias("doc_a"),
+            F.col("p.db").alias("doc_b"),
+            F.col("p.hamming").alias("hamming"),
         )
+        .distinct()
     )
 
 
@@ -303,11 +354,12 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard via an inverted-index equi-join:
     explode distinct shingles → join postings on shingle → per-pair
     common counts → filter.  AQE skew-join splits hot shingles."""
-    sh = documents.selectExpr("doc_id", f"{_shingle_expr('spark', n=n_shingle)} AS s").where(
-        F.size("s") > 0
-    )
+    sh = shingled_docs(documents, n_shingle).withColumnRenamed("shingles", "s")
     sized = sh.select("doc_id", F.size("s").alias("n"), "s")
-    postings = sized.select("doc_id", "n", F.explode("s").alias("g"))
+    # explode_outer: s is non-empty by construction (shingled_docs);
+    # plain explode would push an inlined size(shingles)>0 filter to the
+    # scan, re-tokenizing per row (see minhash_lsh_pairs comment)
+    postings = sized.select("doc_id", "n", F.explode_outer("s").alias("g"))
     a, b = postings.alias("a"), postings.alias("b")
     common = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))

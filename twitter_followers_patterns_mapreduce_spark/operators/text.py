@@ -124,4 +124,22 @@ def doc_language_id(documents: DataFrame) -> DataFrame:
 
 
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
-    return apply_select(documents, fingerprint_select("spark"))
+    """Staged Spark form of ``fingerprint_select`` (same values): tokens
+    → shingles → hashes as separate projections so the tokenizer runs
+    once per doc, not once per shingle (the inlined one-expression form
+    is O(tokens²) per doc — see dedup.shingled_docs)."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
+        shingles_sql,
+        tokens_sql,
+    )
+
+    return (
+        documents.selectExpr("doc_id", "text", f"{tokens_sql('text', 'spark')} AS toks")
+        .selectExpr("doc_id", "text", f"{shingles_sql('toks', 3, 'spark')} AS sh")
+        .selectExpr(
+            "doc_id",
+            f"coalesce(array_min(transform(sh, s -> {h64_sql('s', 'spark')})), "
+            f"{h64_sql('text', 'spark')}) AS fingerprint",
+        )
+    )
