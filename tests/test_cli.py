@@ -1,0 +1,39 @@
+"""End-to-end CLI tests: the reference's `hadoop jar <class> <in> <out>`
+contract (Makefile:43-44) as `python -m twitter_followers_patterns_mapreduce_spark`,
+against the README sample graph goldens (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.cli import main
+
+SAMPLE = "\n".join(
+    ["1,2", "2,3", "3,1", "1,4", "4,5", "5,6", "6,4", "3,6", "2,5", "5,3"]
+)
+
+
+@pytest.fixture()
+def edges_csv(tmp_path):
+    p = tmp_path / "edges.csv"
+    p.write_text(SAMPLE + "\n")
+    return str(p)
+
+
+@pytest.mark.parametrize(
+    "job,expected",
+    [
+        ("count-edges", "10"),
+        ("exact-2hop", "16"),
+        ("approx-2hop", "16"),
+        ("rsjoin-triangle", "6"),
+        ("repjoin-triangle", "6"),
+    ],
+)
+def test_cli_jobs_print_reference_goldens(spark, edges_csv, tmp_path, capsys, job, expected):
+    out = str(tmp_path / f"out_{job}")
+    assert main([job, edges_csv, out]) == 0
+    assert capsys.readouterr().out.strip() == expected
+    # part files landed (S4 contract)
+    assert spark.read.parquet(out).count() >= 1

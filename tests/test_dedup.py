@@ -1,0 +1,90 @@
+"""Hand-computed goldens for the dedup operators on tiny corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators import dedup as D
+
+DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """3 exact copies of A, one near-dup of B, one unrelated C."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (5, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (3, "one two three four"),
+        (4, "one two three four five"),  # superset of 3: jaccard 2/3
+        (6, "completely different words here now"),
+    ]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def test_exact_dup_groups(corpus):
+    rows = D.exact_dup_groups(corpus).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_copies"] == 3
+    assert rows[0]["keeper_id"] == 1
+
+
+def test_minhash_signatures_shape(corpus):
+    sigs = D.minhash_signatures(corpus)
+    row = {r["doc_id"]: r for r in sigs.collect()}
+    # "one two three four" → 2 distinct 3-shingles
+    assert row[3]["n_shingles"] == 2
+    assert row[4]["n_shingles"] == 3
+    # identical docs → identical signatures
+    assert all(row[1][f"sig{j}"] == row[2][f"sig{j}"] for j in range(12))
+
+
+def test_minhash_lsh_finds_exact_dups(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.minhash_lsh_pairs(corpus).collect()}
+    # identical docs always collide in every band and verify at 1.0
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert pairs[(2, 5)] == 1.0
+    # unrelated doc never pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(corpus).collect()}
+    # docs 3/4: shingles {one two three, two three four} vs +{three four five}
+    assert pairs[(3, 4)] == round(2 / 3, 6)
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_simhash_identical_docs_zero_hamming(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_near_pairs(corpus).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 5)] == 0
+
+
+def test_simhash_bands_cover_all_bits():
+    bands = D._simhash_bands(8)
+    assert len(bands) == 9  # r+1 bands
+    covered = [lo + i for lo, w in bands for i in range(w)]
+    assert sorted(covered) == list(range(60))  # disjoint, complete
+
+
+def test_simhash_prefilter_is_lossless(spark):
+    """Band prefilter must find every pair within max_hamming: construct
+    docs whose simhashes differ by a few bits by perturbing tokens and
+    compare against the brute-force hamming over the simhash table."""
+    rows = [(i, f"shared common prefix tokens here plus unique{i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    table = {r["doc_id"]: r["simhash"] for r in D.simhash_table(docs).collect()}
+    want = {
+        (a, b)
+        for a in table
+        for b in table
+        if a < b and bin(table[a] ^ table[b]).count("1") <= 30
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_pairs(docs, max_hamming=30).collect()
+    }
+    assert got == want

@@ -1,0 +1,79 @@
+"""Hand-computed goldens for event-time operators (tumbling/sliding
+windows, sessionization, JSON props) on a tiny deterministic stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def at(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        (1, at(30), 7, "click", 1.0, '{"k": 5}'),
+        (2, at(45), 7, "click", 2.0, '{"k": 7}'),
+        (3, at(70), 7, "view", 4.0, '{"k": 1}'),
+        # user 8: gap 40 min between event 5 and 6 → two sessions
+        (4, at(0), 8, "click", 8.0, '{"k": 2}'),
+        (5, at(10), 8, "click", 16.0, '{"k": 9}'),
+        (6, at(50), 8, "view", 32.0, '{"k": 3}'),
+    ]
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def test_tumbling_hourly_goldens(tiny_events):
+    r = {
+        (x["window_start"], x["event_type"]): (x["n_events"], x["sum_value"])
+        for x in E.tumbling_hourly(tiny_events).collect()
+    }
+    assert r[("2024-01-01 00:00:00", "click")] == (4, 27.0)
+    assert r[("2024-01-01 00:00:00", "view")] == (1, 32.0)
+    assert r[("2024-01-01 01:00:00", "view")] == (1, 4.0)
+    assert len(r) == 3
+
+
+def test_sliding_goldens(tiny_events):
+    r = {
+        x["window_start"]: (x["n_events"], x["sum_value"])
+        for x in E.sliding_1h_30m(tiny_events).collect()
+    }
+    # event at 00:30 lands in windows starting 00:00 and 00:30
+    assert r["2024-01-01 00:00:00"] == (5, 59.0)  # minutes 0,10,30,45,50
+    assert r["2024-01-01 00:30:00"] == (4, 39.0)  # minutes 30,45,50,70
+    assert r["2023-12-31 23:30:00"] == (2, 24.0)  # minutes 0,10
+    assert r["2024-01-01 01:00:00"] == (1, 4.0)  # minute 70
+
+
+def test_sessionize_goldens(tiny_events):
+    r = {
+        (x["user_id"], x["session_seq"]): (x["session_start"], x["n_events"], x["duration_sec"])
+        for x in E.sessionize(tiny_events).collect()
+    }
+    # user 7: gaps 15 and 25 min — one session of 3 events, 40 min span
+    assert r[(7, 0)] == ("2024-01-01 00:30:00", 3, 2400)
+    # user 8: 40-min gap splits into two sessions
+    assert r[(8, 0)] == ("2024-01-01 00:00:00", 2, 600)
+    assert r[(8, 1)] == ("2024-01-01 00:50:00", 1, 0)
+    assert len(r) == 3
+
+
+def test_json_prop_stats_goldens(tiny_events):
+    r = {x["event_type"]: x for x in E.json_prop_stats(tiny_events).collect()}
+    assert (r["click"]["n_events"], r["click"]["sum_k"]) == (4, 23)
+    assert (r["click"]["min_k"], r["click"]["max_k"]) == (2, 9)
+    assert (r["view"]["n_events"], r["view"]["sum_k"]) == (2, 4)
+
+
+def test_user_interaction_edges_no_self_loops(tiny_events):
+    edges = E.user_interaction_edges(tiny_events).collect()
+    assert all(e["src"] != e["dst"] for e in edges)

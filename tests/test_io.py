@@ -1,0 +1,78 @@
+"""S1/S3/S4 coverage: CSV edge ingestion (the reference's sole input
+mode, ``Makefile:10`` ``local.input=input/edges.csv``) and the file
+sink.  The README sample graph round-trips through a real temp CSV and
+must reproduce the §2.9 goldens (CE=10, EX=16, RS raw=6).
+"""
+
+from __future__ import annotations
+
+from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+    edges_from_csv,
+    edges_from_lines,
+)
+from twitter_followers_patterns_mapreduce_spark.sources.writers import write_result
+
+SAMPLE_CSV = "\n".join(
+    ["1,2", "2,3", "3,1", "1,4", "4,5", "5,6", "6,4", "3,6", "2,5", "5,3"]
+)
+
+
+def one(df):
+    return df.collect()[0][0]
+
+
+def _write_sample(tmp_path) -> str:
+    p = tmp_path / "edges.csv"
+    p.write_text(SAMPLE_CSV + "\n")
+    return str(p)
+
+
+def test_edges_from_csv_goldens(spark, tmp_path):
+    edges = edges_from_csv(spark, _write_sample(tmp_path))
+    assert [f.dataType.simpleString() for f in edges.schema.fields] == ["bigint", "bigint"]
+    assert one(G.count_edges(edges, 11_316_812)) == 10
+    assert one(G.two_hop_count_exact(edges)) == 16
+    assert one(G.triangle_count_raw(edges, 12_500, strategy="shuffle")) == 6
+
+
+def test_edges_from_lines_matches_csv_reader(spark, tmp_path):
+    path = _write_sample(tmp_path)
+    via_lines = edges_from_lines(spark.read.text(path))
+    via_csv = edges_from_csv(spark, path)
+    assert sorted(map(tuple, via_lines.collect())) == sorted(map(tuple, via_csv.collect()))
+    assert one(G.two_hop_count_exact(via_lines)) == 16
+
+
+def test_write_result_roundtrip_parquet(spark, sample_edges, tmp_path):
+    paths = G.two_hop_paths(sample_edges, 12_500)
+    out = str(tmp_path / "paths_parquet")
+    write_result(paths, out, format="parquet")
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, paths.collect()))
+
+
+def test_write_result_roundtrip_csv(spark, sample_edges, tmp_path):
+    deg = G.degrees(sample_edges)
+    out = str(tmp_path / "deg_csv")
+    write_result(deg, out, format="csv")
+    back = spark.read.option("header", "true").csv(out, inferSchema=True)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, deg.collect()))
+
+
+def test_write_result_partitioned(spark, sample_edges, tmp_path):
+    out = str(tmp_path / "edges_by_src")
+    write_result(sample_edges, out, format="parquet", partition_by=["src"])
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    # hive-style layout: one directory per src value
+    assert any(d.name.startswith("src=") for d in (tmp_path / "edges_by_src").iterdir())
+
+
+def test_write_result_rejects_unknown_format(sample_edges, tmp_path):
+    try:
+        write_result(sample_edges, str(tmp_path / "x"), format="orc8")
+    except ValueError as e:
+        assert "orc8" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: binary payload column, metadata struct,
+Arrow mapInPandas batch extraction, decode stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators import multimodal as M
+
+DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, "hello world"), (1, "another document"), (5, "third one here")]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def test_fake_image_payload_and_meta(docs):
+    r = {x["doc_id"]: x for x in M.with_fake_image(docs).collect()}
+    # payload = md5 digest bytes of the text
+    assert bytes(r[0]["image"]) == hashlib.md5(b"hello world").digest()
+    assert r[0]["image_meta"]["width"] == 64  # (0 % 4) * 64 + 64
+    assert r[5]["image_meta"]["width"] == 128  # (5 % 4) * 64 + 64
+    assert r[5]["image_meta"]["height"] == 192  # (5 % 3) * 64 + 64
+    assert r[0]["image_meta"]["fmt"] == "fake/md5"
+
+
+def test_image_byte_stats_matches_python(docs):
+    r = {x["doc_id"]: x for x in M.image_byte_stats(docs).collect()}
+    for doc_id, text in [(0, "hello world"), (1, "another document")]:
+        digest = hashlib.md5(text.encode()).digest()
+        assert r[doc_id]["n_bytes"] == 16
+        assert r[doc_id]["first_byte"] == digest[0]
+        assert r[doc_id]["byte_sum"] == sum(digest)
+
+
+def test_decode_stub_raises_not_implemented(docs):
+    mm = M.with_fake_image(docs)
+    decoded = M.decode_image(mm)  # plan construction works (schema is real)
+    assert [f.name for f in decoded.schema.fields] == ["doc_id", "pixels"]
+    with pytest.raises(Exception) as exc_info:
+        decoded.collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_crossmodal_requires_both_modalities(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "zz yy xx ww")], schema=DOCS_SCHEMA
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 1.0])],
+        schema="vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = M.crossmodal_near_dups(docs, emb).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (1, 2, 1.0)
+    assert r["cosine"] > 0.99
+    assert bool(r["text_dup"]) is True

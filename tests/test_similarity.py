@@ -1,0 +1,65 @@
+"""Hand-computed goldens for similarity search (cosine math, top-k
+ranking, sign-LSH bucketing) on tiny embedding tables.
+
+QUERY_MOD=50 ⇒ vec_id 0 is a query vector in all fixtures.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators import similarity as S
+
+SCHEMA = "vec_id LONG, embedding ARRAY<FLOAT>"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),   # identical to query → sim 1.0
+        (2, [0.0, 1.0]),   # orthogonal → sim 0.0
+        (3, [1.0, 1.0]),   # 45° → sim 1/√2
+    ]
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def test_bruteforce_topk_goldens(emb):
+    rows = S.ann_topk_bruteforce(emb, k=3).collect()
+    got = [(r["rank"], r["neighbor_id"], r["sim"]) for r in rows if r["query_id"] == 0]
+    assert got == [
+        (1, 1, 1.0),
+        (2, 3, round(1 / math.sqrt(2), 6)),
+        (3, 2, 0.0),
+    ]
+
+
+def test_lsh_bucket_separation(spark):
+    """Sign buckets: [x, -y] → bucket 1; [-x, y] → bucket 2.  Only the
+    same-bucket neighbor is reachable via the LSH path."""
+    rows = [
+        (0, [1.0, -1.0]),
+        (1, [2.0, -2.0]),   # same bucket, sim 1.0
+        (2, [-1.0, 1.0]),   # other bucket, invisible to LSH
+    ]
+    emb = spark.createDataFrame(rows, schema=SCHEMA)
+    got = [(r["neighbor_id"], r["sim"]) for r in S.ann_topk_lsh(emb, k=5).collect()]
+    assert got == [(1, 1.0)]
+
+
+def test_embedding_top_pairs_goldens(emb):
+    rows = S.embedding_top_pairs(emb, top_n=2).collect()
+    got = [(r["rank"], r["vec_a"], r["vec_b"], r["sim"]) for r in rows]
+    s = round(1 / math.sqrt(2), 6)
+    assert got == [(1, 0, 1, 1.0), (2, 0, 3, s)]
+
+
+def test_lsh_pairs_subset_of_exact(emb):
+    """Bucket-restricted pairs are a subset of all pairs, with identical
+    sims for the pairs both report."""
+    exact = {(r["vec_a"], r["vec_b"]): r["sim"] for r in S.embedding_top_pairs(emb, 100).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["sim"] for r in S.embedding_top_pairs_lsh(emb, 100).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == v for p, v in lsh.items())

@@ -1,0 +1,87 @@
+"""Batch/stream equivalence for the structured-streaming window forms:
+the streaming tumbling aggregation over a file source must produce
+exactly the batch ``tumbling_hourly`` result on the same data, and
+append-mode watermarking must emit precisely the watermark-closed
+windows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators.events import tumbling_hourly
+from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+    events_file_stream,
+    run_available_now,
+    tumbling_hourly_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def event_rows():
+    """~90 deterministic events over 3 hours, two event types."""
+    rows = []
+    for i in range(90):
+        rows.append(
+            (
+                i,
+                T0 + dt.timedelta(minutes=2 * i, seconds=i % 7),
+                i % 5,
+                "click" if i % 3 else "view",
+                float(i) / 4.0,
+                '{"k": %d}' % (i % 10),
+            )
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory, event_rows):
+    """Events parquet split into 3 files → 3 streaming micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import EVENT_STREAM_SCHEMA
+
+    df = spark.createDataFrame(event_rows, schema=EVENT_STREAM_SCHEMA)
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_complete_equals_batch(spark, events_dir, event_rows):
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import EVENT_STREAM_SCHEMA
+
+    stream = events_file_stream(spark, events_dir)
+    assert stream.isStreaming
+    run_available_now(tumbling_hourly_stream(stream), "tumbling_complete", "complete")
+    got = sorted(map(tuple, spark.table("tumbling_complete").collect()))
+
+    batch_df = spark.createDataFrame(event_rows, schema=EVENT_STREAM_SCHEMA)
+    want = sorted(map(tuple, tumbling_hourly(batch_df).collect()))
+    assert got == want
+
+
+def test_stream_append_emits_watermark_closed_windows(spark, events_dir, event_rows):
+    """Append mode + 1h watermark: max ts ≈ 02:58 → watermark ≈ 01:58 →
+    only windows ending ≤ 01:58 (the 00:xx and 01:xx hours... end 01:00,
+    02:00 > 01:58? no — window [00:00,01:00) ends 01:00 ≤ 01:58 emits;
+    [01:00,02:00) ends 02:00 > 01:58 stays open).  So exactly the first
+    hour's windows emit."""
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import EVENT_STREAM_SCHEMA
+
+    stream = events_file_stream(spark, events_dir)
+    run_available_now(
+        tumbling_hourly_stream(stream, watermark="1 hour"), "tumbling_append", "append"
+    )
+    got = sorted(map(tuple, spark.table("tumbling_append").collect()))
+
+    batch_df = spark.createDataFrame(event_rows, schema=EVENT_STREAM_SCHEMA)
+    closed = [
+        t
+        for t in map(tuple, tumbling_hourly(batch_df).collect())
+        if t[0] == "2024-01-01 00:00:00"
+    ]
+    assert got == sorted(closed)
+    assert len(got) == 2  # click + view rows for hour 0

@@ -1,0 +1,57 @@
+"""Hand-computed goldens for the text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators import text as TX
+
+DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "el perro es la casa y que un", "es"),
+        (3, "x", "en"),
+        (4, "hello, world! 123", "en"),
+    ]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def test_token_stats_goldens(docs):
+    r = {x["doc_id"]: x for x in TX.doc_token_stats(docs).collect()}
+    assert r[1]["n_tokens"] == 3
+    assert r[1]["n_unique_tokens"] == 3
+    assert r[1]["n_chars"] == 11
+    assert r[1]["avg_token_len"] == 3.0
+    assert r[1]["punct_ratio"] == 0.0
+    assert r[1]["stopword_ratio"] == round(1 / 3, 6)  # "the"
+    # "hello, world! 123" → whitespace tokens 3; bpe-ish: hello , world ! 123 = 5
+    assert r[4]["n_tokens"] == 3
+    assert r[4]["n_bpe_tokens"] == 5
+    assert r[4]["punct_ratio"] == round(2 / 17, 6)
+
+
+def test_language_id(docs):
+    r = {x["doc_id"]: x["pred_lang"] for x in TX.doc_language_id(docs).collect()}
+    assert r[1] == "en"
+    assert r[2] == "es"
+    assert r[3] == "und"  # no stopword hits
+
+
+def test_quality_score_bounds_and_order(docs):
+    r = {x["doc_id"]: x["quality_score"] for x in TX.doc_quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in r.values())
+    # longer, diverse, clean text scores above the single-char doc
+    assert r[2] > r[3]
+
+
+def test_fingerprint_deterministic_and_fallback(spark):
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "ab"), (4, "zz top hits")]
+    docs = spark.createDataFrame(rows, schema="doc_id LONG, text STRING")
+    r = {x["doc_id"]: x["fingerprint"] for x in TX.doc_fingerprint(docs).collect()}
+    assert r[1] == r[2]  # same text → same fingerprint
+    assert r[3] is not None  # <3 tokens → h64(text) fallback, non-null
+    assert r[1] != r[4]

@@ -1,0 +1,80 @@
+"""Job-runner CLI — the reference's entry-point contract, Spark-first.
+
+Reference usage (``Makefile:43-44``):
+    hadoop jar target/mr-demo-1.0.jar exact.Exact2HopCount <in> <out>
+
+Engine usage:
+    python -m twitter_followers_patterns_mapreduce_spark <job> <edges.csv> <out_dir> \
+        [--max N] [--format parquet|csv|json] [--strategy auto|shuffle|broadcast]
+
+Jobs map 1:1 to the reference classes (SURVEY.md §0); MAX is a runtime
+flag instead of a compile-time constant (``CountEdgesAfterMax.java:34``
+"Change this value as needed" — the part we deliberately un-bake).
+Every job writes its result as part files under <out_dir> AND prints the
+scalar to stdout, mirroring the counter-plus-part-files contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+REFERENCE_MAX_CE = 11_316_812  # countedges/CountEdgesAfterMax.java:34
+REFERENCE_MAX_JOIN = 12_500  # approx/Approx2HopCount.java:41, rsjoin/...:33
+
+JOBS = ("count-edges", "exact-2hop", "approx-2hop", "rsjoin-triangle", "repjoin-triangle")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="twitter_followers_patterns_mapreduce_spark", description=__doc__)
+    p.add_argument("job", choices=JOBS)
+    p.add_argument("input", help="edge list CSV: one 'src,dst' pair per line, no header")
+    p.add_argument("output", help="output directory for part files")
+    p.add_argument("--max", type=int, default=None, help="MAX node-id cutoff (reference default per job)")
+    p.add_argument("--format", default="parquet", choices=("parquet", "csv", "json"))
+    p.add_argument(
+        "--strategy",
+        default=None,
+        choices=("auto", "shuffle", "broadcast"),
+        help="triangle closure join strategy (rsjoin=shuffle, repjoin=broadcast)",
+    )
+    args = p.parse_args(argv)
+
+    from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+    from twitter_followers_patterns_mapreduce_spark.session import get_spark
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import edges_from_csv
+    from twitter_followers_patterns_mapreduce_spark.sources.writers import write_result
+
+    spark = get_spark(app_name=f"job:{args.job}")
+    edges = edges_from_csv(spark, args.input)
+
+    if args.job == "count-edges":
+        result = G.count_edges(edges, args.max or REFERENCE_MAX_CE)
+    elif args.job == "exact-2hop":
+        e = edges
+        if args.max is not None:
+            from pyspark.sql import functions as F
+
+            e = edges.where((F.col("src") < args.max) & (F.col("dst") < args.max))
+        result = G.two_hop_count_exact(e)
+    elif args.job == "approx-2hop":
+        # AP writes the path tuples AND prints the count
+        # (approx/Approx2HopCount.java:114,119)
+        paths = G.two_hop_paths(edges, args.max or REFERENCE_MAX_JOIN)
+        write_result(paths, args.output, format=args.format)
+        n = paths.count()
+        print(n)
+        return 0
+    else:
+        strategy = args.strategy or (
+            "broadcast" if args.job == "repjoin-triangle" else "shuffle"
+        )
+        result = G.triangle_count_raw(edges, args.max or REFERENCE_MAX_JOIN, strategy)
+
+    write_result(result, args.output, format=args.format)
+    print(result.collect()[0][0])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,7 +77,11 @@ def _sign_bucket(v: F.Column) -> F.Column:
     """Pack sign bits of the first LSH_SIGN_BITS dims into an int bucket id."""
     bucket = F.lit(0)
     for i in range(LSH_SIGN_BITS):
-        bucket = bucket + F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # F.get (0-based) is null-safe past the array end — element_at
+        # THROWS under ANSI mode (Spark 4 default) for dims < LSH_SIGN_BITS;
+        # null >= 0 is null → falls to otherwise(0), matching DuckDB's
+        # out-of-bounds v[i] = NULL
+        bucket = bucket + F.when(F.get(v, i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
 

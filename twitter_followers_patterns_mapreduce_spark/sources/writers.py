@@ -1,0 +1,45 @@
+"""Sinks (reference S4): every reference job persists output part files
+via ``FileOutputFormat.setOutputPath`` (``exact/Exact2HopCount.java:132``,
+``approx/Approx2HopCount.java:146``, ``rsjoin/RSJoinTriangleCount.java:204,224``,
+``countedges/CountEdgesAfterMax.java:81``).
+
+Spark-first mapping: ``df.write`` with an explicit format.  Parquet is
+the default (columnar, statistics, predicate-pushdown on re-read);
+``csv`` reproduces the reference's text part-file layout exactly
+(one ``part-*`` file per partition).  ``partition_by`` maps to hive-style
+directory partitioning — the 100 TB layout knob the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_FORMATS = ("parquet", "csv", "json")
+
+
+def write_result(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Persist a query result as part files under ``path``.
+
+    Mirrors the reference's job-output contract (a directory of
+    part files), with the format made explicit instead of implied.
+    """
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if format == "csv":
+        # header on so a re-read recovers column names like the typed
+        # formats do (the reference's tab-separated parts are headerless
+        # and rely on positional convention — an explicit non-goal here)
+        w.option("header", "true").csv(path)
+    elif format == "json":
+        w.json(path)
+    else:
+        w.parquet(path)

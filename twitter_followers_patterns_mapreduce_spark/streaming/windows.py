@@ -1,0 +1,99 @@
+"""Structured-streaming forms of the event-time aggregations in
+``operators/events.py`` — the same logical window aggregations with
+watermarks for late data, per the public Structured Streaming model
+(readStream → transform → writeStream).
+
+The reference is batch-only (SURVEY.md §2.7); this is the engine's
+streaming extension surface.  Batch/stream parity is by construction:
+both forms share one aggregation body, and the batch-equivalence test
+(tests/test_streaming.py) pins it.
+
+At scale: state for windowed aggs lives in the executor state store,
+bounded by the watermark; `availableNow` triggers give incremental
+backfill over file sources with the same code path as live streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from twitter_followers_patterns_mapreduce_spark.operators.events import DEC, TS_FMT_SPARK
+
+#: Schema of the harness ``events`` table with ts as a proper timestamp
+#: (streaming file sources need an explicit schema — no inference pass).
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream: each parquet file under ``path`` becomes
+    a micro-batch (the standard incremental-ingest pattern)."""
+    return spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(path)
+
+
+def _tumbling_agg(events: DataFrame) -> DataFrame:
+    """Shared batch/stream aggregation body — single source of truth for
+    the tumbling-hourly semantics (mirrors events.tumbling_hourly)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def tumbling_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling 1-hour windows with a late-data watermark.
+
+    In append mode a window emits once the watermark passes its end —
+    exactly-once, bounded state.  Use output mode "complete" (memory
+    sink / dashboards) to observe open windows too.
+    """
+    return _tumbling_agg(events.withWatermark("ts", watermark))
+
+
+def sliding_15m_5m_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming sliding windows (15 min size / 5 min slide) per
+    event_type — each event contributes to three windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drain everything currently available through a memory sink and
+    block until done; returns the StreamingQuery (already terminated).
+    Results land in the in-memory table ``query_name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
