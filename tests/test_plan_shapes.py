@@ -1,0 +1,68 @@
+"""Physical-plan regression guards — the scale properties the engine
+claims, asserted against the actual executed plans at sf0.001:
+
+  * no CartesianProduct / BroadcastNestedLoopJoin anywhere except the
+    two documented brute-force similarity baselines;
+  * column pruning reaches the parquet scan (derived edge view reads
+    exactly 2 of lineitem's 10 columns);
+  * filter pushdown reaches the scan (Q1 shipdate predicate);
+  * RS vs RJ triangle variants really plan shuffle vs broadcast joins
+    (the reference's central lesson as physical plans).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+#: exact O(n²) baselines whose cross-join shape is the documented point
+#: of comparison for the LSH equi-join scale paths
+ALLOWED_BRUTE_FORCE = {"ann_topk_bruteforce", "embedding_top_pairs"}
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_undeclared_cross_joins(spark):
+    offenders = []
+    for name in all_queries():
+        if name in ALLOWED_BRUTE_FORCE:
+            continue
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_derived_edges_scan_prunes_columns(spark):
+    plan = plan_of(spark, "ce_count_edges")
+    scan = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" in scan and "l_partkey" in scan
+    for unneeded in ("l_extendedprice", "l_shipdate", "l_quantity"):
+        assert unneeded not in scan
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert pushed and "l_shipdate" in pushed[0]
+
+
+def test_rs_rj_join_strategies(spark):
+    rs = plan_of(spark, "rs_triangle_count_raw")
+    rj = plan_of(spark, "rj_triangle_count_raw")
+    assert "SortMergeJoin" in rs  # RS-join = shuffle sort-merge by construction
+    assert "BroadcastHashJoin" in rj  # Rep-join = replicated/broadcast
+    assert "BroadcastHashJoin" not in rs.split("LeftSemi")[0] or "SortMergeJoin" in rs
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_top_pairs_lsh"])
+def test_lsh_paths_are_equi_joins(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -186,15 +186,12 @@ def rank_by_degree(edges: DataFrame, k: int = 20) -> DataFrame:
     already-limited k rows (partitionBy(lit) keeps the window partition
     defined; at |V| in the millions the old no-partition window shipped
     every node through one task)."""
-    from pyspark.sql import Window as W
+    from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
 
     d = degrees(edges).withColumn("total_deg", F.col("in_deg") + F.col("out_deg"))
     order = [F.col("total_deg").desc(), F.col("id").asc()]
-    top = d.orderBy(*order).limit(k)
-    w = W.partitionBy(F.lit(0)).orderBy(*order)
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select("rank", "id", "total_deg", "in_deg", "out_deg")
+    return ranked_top_k(d, order, k, anchor="id").select(
+        "rank", "id", "total_deg", "in_deg", "out_deg"
     )
 
 

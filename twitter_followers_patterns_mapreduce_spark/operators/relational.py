@@ -72,12 +72,11 @@ def top_customers_by_revenue(
     )
     # top-k via TakeOrderedAndProject (per-partition top-k + merge), never a
     # global no-partition window — at 100 TB that is a one-task sort.
+    from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
+
     order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
-    top = per_cust.orderBy(*order).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select("rank", "c_custkey", "c_name", "revenue", "n_items")
+    return ranked_top_k(per_cust, order, k, anchor="c_custkey").select(
+        "rank", "c_custkey", "c_name", "revenue", "n_items"
     )
 
 

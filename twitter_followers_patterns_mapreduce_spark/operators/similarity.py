@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from twitter_followers_patterns_mapreduce_spark.functions.vector import as_double, cosine, cosine_sql_duckdb
+from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
 
 #: every 50th vector is a "query" — ~10 queries at sf0.01, ~100 at sf0.1.
 QUERY_MOD = 50
@@ -136,9 +137,9 @@ def _ranked_top_pairs(pairs: DataFrame, top_n: int) -> DataFrame:
     TakeOrderedAndProject (per-partition top-N, driver merge of
     N·partitions rows), never a single-partition global window sort."""
     order = [F.col("sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()]
-    top = pairs.orderBy(*order).limit(top_n)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_a", "vec_b", "sim")
+    return ranked_top_k(pairs, order, top_n, anchor="vec_a").select(
+        "rank", "vec_a", "vec_b", "sim"
+    )
 
 
 def embedding_top_pairs(embeddings: DataFrame, top_n: int = 50) -> DataFrame:
