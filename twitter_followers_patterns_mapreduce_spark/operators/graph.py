@@ -149,7 +149,16 @@ def triangle_count_raw(
         picks broadcast by itself)
     """
     e = filter_max(edges, max_limit)
-    paths = two_hop_paths(edges, max_limit, exclude_roundtrips=True)
+    # Pre-aggregate paths to (x, z, n_paths) BEFORE the closure join —
+    # the reference's TriangleReducer does exactly this (pathCount per
+    # (Z,X) key, added iff hasEdge, ``:168-186``).  Map-side partial
+    # aggregation shrinks the (z,x) shuffle from O(paths) rows to
+    # O(distinct endpoint pairs), and the y column is pruned entirely.
+    grouped = (
+        two_hop_paths(edges, max_limit, exclude_roundtrips=True)
+        .groupBy("x", "z")
+        .agg(F.count("*").alias("n_paths"))
+    )
     if strategy == "broadcast":
         right = F.broadcast(e)
     elif strategy == "shuffle":
@@ -158,10 +167,12 @@ def triangle_count_raw(
         right = e
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-    closed = paths.join(
-        right, (paths["z"] == right["src"]) & (paths["x"] == right["dst"]), "left_semi"
+    closed = grouped.join(
+        right, (grouped["z"] == right["src"]) & (grouped["x"] == right["dst"]), "left_semi"
     )
-    return closed.agg(F.count("*").cast("long").alias("triangle_count_raw"))
+    return closed.agg(
+        F.coalesce(F.sum("n_paths"), F.lit(0)).cast("long").alias("triangle_count_raw")
+    )
 
 
 def triangle_count(
