@@ -88,3 +88,14 @@ def test_simhash_prefilter_is_lossless(spark):
         for r in D.simhash_near_pairs(docs, max_hamming=30).collect()
     }
     assert got == want
+
+
+def test_exact_dedup_keep_best(spark):
+    rows = [
+        (2, "the quick brown fox jumps over it"),
+        (1, "the quick brown fox jumps over it"),  # same text, lower id wins tie
+        (3, "zz"),
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    kept = {r["keeper_id"] for r in D.exact_dedup_keep_best(docs).collect()}
+    assert kept == {1, 3}

@@ -63,3 +63,31 @@ def test_lsh_pairs_subset_of_exact(emb):
     lsh = {(r["vec_a"], r["vec_b"]): r["sim"] for r in S.embedding_top_pairs_lsh(emb, 100).collect()}
     assert set(lsh) <= set(exact)
     assert all(exact[p] == v for p, v in lsh.items())
+
+
+def test_ivf_probes_only_nearest_centroid(spark):
+    """Two well-separated label clusters; with n_probe=1 the query only
+    sees its own cluster's inverted list."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, 0.2], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    got = [
+        (r["rank"], r["neighbor_id"], r["sim"])
+        for r in S.ann_topk_ivf(emb, k=3, n_probe=1).collect()
+    ]
+    s1 = round(0.9 / math.sqrt(0.9**2 + 0.1**2), 6)
+    s2 = round(0.8 / math.sqrt(0.8**2 + 0.2**2), 6)
+    # only label-0 members (1, 2) are candidates — 3 and 4 are unprobed
+    assert got == [(1, 1, s1), (2, 2, s2)]
+
+
+def test_ivf_centroids_are_elementwise_means(spark):
+    rows = [(0, [2.0, 4.0], 7), (1, [4.0, 8.0], 7)]
+    emb = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    cents = {r["label"]: r["centroid"] for r in S.ivf_centroids(emb).collect()}
+    assert cents[7] == [3.0, 6.0]

@@ -59,6 +59,49 @@ def exact_dup_groups(corpus: DataFrame) -> DataFrame:
     )
 
 
+def exact_dedup_keep_best(corpus: DataFrame) -> DataFrame:
+    """Pick ONE representative per exact-dup group: highest quality
+    score, ties to lowest doc_id — the canonical training-data
+    "dedup, keep the best copy" step (row_number window dedup; the
+    window partitions on the content hash, so state per key is the
+    group size, never the corpus)."""
+    from pyspark.sql import Window
+
+    from twitter_followers_patterns_mapreduce_spark.operators.text import (
+        apply_select,
+        quality_score_select,
+    )
+
+    scored = apply_select(corpus, quality_score_select("spark"))
+    hashed = corpus.select("doc_id", F.md5("text").alias("text_md5"))
+    joined = hashed.join(scored, "doc_id")
+    w = Window.partitionBy("text_md5").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("text_md5", F.col("doc_id").alias("keeper_id"), "quality_score")
+    )
+
+
+def exact_dedup_keep_best_oracle() -> str:
+    from twitter_followers_patterns_mapreduce_spark.operators.text import (
+        quality_score_select,
+        select_sql,
+    )
+
+    scored = select_sql("documents", quality_score_select("duckdb"))
+    return f"""WITH scored AS ({scored}),
+joined AS (
+  SELECT md5(d.text) AS text_md5, d.doc_id, s.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY md5(d.text)
+                            ORDER BY s.quality_score DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+)
+SELECT text_md5, doc_id AS keeper_id, quality_score FROM joined WHERE rn = 1"""
+
+
 # --------------------------------------------------------------------------
 # minhash + LSH
 # --------------------------------------------------------------------------

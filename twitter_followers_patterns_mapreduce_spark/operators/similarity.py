@@ -142,6 +142,103 @@ def _ranked_top_pairs(pairs: DataFrame, top_n: int) -> DataFrame:
     )
 
 
+#: IVF coarse search: probe this many nearest centroids per query.
+IVF_NPROBE = 2
+
+
+def ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """Coarse-quantizer centroids: element-wise mean vector per label
+    (the harness ``label`` column plays the role of a trained k-means
+    assignment).
+
+    Shape: posexplode to (label, dim, val) narrow rows → one hash
+    aggregate → reassemble the array ordered by dim.  Per-dimension sums
+    go through DECIMAL so they are exact and order-independent — float
+    summation order differs between engines (and between Spark tasks),
+    and probe selection must be deterministic for the oracle."""
+    emb = embeddings.select("label", as_double("embedding").alias("v"))
+    dims = emb.select("label", F.posexplode("v").alias("pos", "val"))
+    avgs = dims.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("avg")
+    )
+    return avgs.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, avg))), x -> x.avg)").alias(
+            "centroid"
+        )
+    )
+
+
+def ann_topk_ivf(embeddings: DataFrame, k: int = 5, n_probe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus by ``label`` centroid,
+    probe only the ``n_probe`` centroids nearest each query, then exact
+    top-k within the probed inverted lists.
+
+    Scale shape: centroids are dimension-table sized → broadcast both
+    joins; the corpus is touched once via an equi-join on label.  At
+    100 TB the corpus is bucketed/partitioned by label so the probe join
+    is pruned to the selected partitions."""
+    q, emb = _queries_and_corpus(embeddings)
+    cb = embeddings.select("vec_id", F.col("label"))
+    corpus = emb.join(cb, "vec_id")  # (vec_id, v, label)
+    cents = ivf_centroids(embeddings)
+
+    # nearest n_probe centroids per query (tiny cross: |Q| × |labels|)
+    qc = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("label").asc())
+    probes = (
+        qc.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "label")
+    )
+
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, (probes["label"] == corpus["label"]) & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ann_topk_ivf_oracle(k: int = 5, n_probe: int = IVF_NPROBE) -> str:
+    cos_c = cosine_sql_duckdb("q.qv", "c.centroid")
+    cos_v = cosine_sql_duckdb("p.qv", "e.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {QUERY_MOD} = 0
+), cents AS (
+  SELECT label, list(avg ORDER BY i) AS centroid FROM (
+    SELECT label, i, CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg
+    FROM emb, (SELECT unnest(range(1, 65)) AS i) dims
+    GROUP BY label, i
+  ) GROUP BY label
+), probes AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_c} DESC, c.label ASC) AS crank
+    FROM q CROSS JOIN cents c
+  ) WHERE crank <= {n_probe}
+), scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id, round({cos_v}, 6) AS sim
+  FROM probes p JOIN emb e ON p.label = e.label AND p.query_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+FROM ranked WHERE rank <= {k}"""
+
+
 def embedding_top_pairs(embeddings: DataFrame, top_n: int = 50) -> DataFrame:
     """Embedding-cosine near-dup: the N most-similar distinct pairs
     corpus-wide (global top-N keeps the result meaningful even when no

@@ -32,6 +32,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle=D.exact_dedup_keep_best_oracle(),
+    description="one representative per exact-dup group: max quality score, row_number dedup",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_keep_best(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=D.minhash_lsh_pairs_oracle(threshold=0.5),
     description="near-dup pairs: shingle→minhash→band→bucket-join, verified exact jaccard",

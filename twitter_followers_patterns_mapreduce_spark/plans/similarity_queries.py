@@ -35,6 +35,15 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_ivf",
+    oracle=S.ann_topk_ivf_oracle(k=5),
+    description="IVF ANN: label-centroid coarse quantizer, probe 2 nearest lists, exact top-5 within",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_topk_ivf(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
     "embedding_top_pairs",
     oracle=S.embedding_top_pairs_oracle(top_n=50),
     description="exact global top-50 most-similar pairs (documented brute-force baseline)",
