@@ -394,23 +394,37 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.5, n_shingle: int = 3
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via an inverted-index equi-join:
-    explode distinct shingles → join postings on shingle → per-pair
-    common counts → filter.  AQE skew-join splits hot shingles."""
+    """Exact all-pairs n-gram Jaccard via an inverted index: explode
+    distinct shingles → group postings per shingle → expand in-posting
+    pairs → per-pair common counts → filter.
+
+    The posting-list pair expansion is the same single-pass groupBy
+    shape as ``_bucket_pairs`` (shingles computed ONCE, one shuffle) —
+    a posting self-join would evaluate the shingle pipeline on both
+    sides.  Exact but quadratic in posting-list length by nature; the
+    LSH path is the scale path.  AQE splits hot-shingle partitions."""
     sh = shingled_docs(documents, n_shingle).withColumnRenamed("shingles", "s")
     sized = sh.select("doc_id", F.size("s").alias("n"), "s")
     # explode_outer: s is non-empty by construction (shingled_docs);
     # plain explode would push an inlined size(shingles)>0 filter to the
     # scan, re-tokenizing per row (see minhash_lsh_pairs comment)
     postings = sized.select("doc_id", "n", F.explode_outer("s").alias("g"))
-    a, b = postings.alias("a"), postings.alias("b")
+    buckets = (
+        postings.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb))))"
+    )
     common = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        buckets.selectExpr(f"explode({pair_expr}) AS p")
         .groupBy(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+            F.col("p.da").alias("da"),
+            F.col("p.db").alias("db"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
         )
         .agg(F.count("*").alias("common"))
     )
