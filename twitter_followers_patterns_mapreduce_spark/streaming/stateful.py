@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator: per-user sessionization via
+``applyInPandasWithState`` — the escape hatch for semantics Spark's
+built-in window aggregations cannot express (a session ends on
+INACTIVITY GAP, not on a fixed boundary).
+
+Batch twin: ``operators/events.py::sessionize`` (lag + running sum).
+Streaming needs explicit state because a session's end is only known
+when a later event (or a timeout) arrives; state per user is one open
+session (constant size), evicted on EVENT-TIME timeout driven by the
+stream's watermark.
+
+Flow per micro-batch, per user key:
+  * merge new events into the open session while gaps ≤ ``gap``
+  * EMIT every session closed by a too-large gap
+  * keep the still-open session in state with an event-time timeout at
+    ``last_event + gap``; when the watermark passes it, emit the session
+
+NB: ``GroupStateTimeout.EventTimeTimeout`` (+ watermark) — the
+ProcessingTimeTimeout variant hard-crashes the Python worker in
+pyspark 4.1.2, and event time is the semantically right clock for
+session expiry anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SEC = 30 * 60
+
+#: emitted rows — same shape as the batch sessionize output
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_sec", T.LongType()),
+    ]
+)
+
+#: state per user: open session (start, last event) as epoch seconds
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_sec", T.DoubleType()),
+        T.StructField("last_sec", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _emit(user_id: int, sessions: list[tuple[float, float, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [pd.Timestamp(s[0], unit="s") for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "duration_sec": [int(s[1] - s[0]) for s in sessions],
+        }
+    )
+
+
+def _sessionize_user(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_sec, last_sec, n = state.get
+        state.remove()
+        yield _emit(user_id, [(start_sec, last_sec, n)])
+        return
+
+    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+    # Timestamp.timestamp() is unit-agnostic (Arrow may hand back
+    # datetime64[us] or [ns] depending on version — an astype('int64')
+    # would silently change scale)
+    secs = [pd.Timestamp(t).timestamp() for t in ts]
+    if state.exists:
+        start_sec, last_sec, n = state.get
+    else:
+        start_sec = last_sec = secs[0]
+        n = 0
+
+    closed: list[tuple[float, float, int]] = []
+    for s in secs:
+        if n and s - last_sec > SESSION_GAP_SEC:
+            closed.append((start_sec, last_sec, n))
+            start_sec, n = s, 0
+        last_sec = s
+        n += 1
+    state.update((start_sec, last_sec, n))
+    # expire the open session when the WATERMARK passes last + gap
+    state.setTimeoutTimestamp(int(last_sec * 1000) + SESSION_GAP_SEC * 1000)
+
+    if closed:
+        yield _emit(user_id, closed)
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming per-user sessionization.  Arrow-batched state function;
+    state is one open session per user, O(|active users|) total, evicted
+    by event-time timeout as the watermark advances."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
