@@ -18,9 +18,13 @@ from twitter_followers_patterns_mapreduce_spark.plans.registry import all_querie
 
 SF = "/root/testdata/sf0.001"
 
-#: exact O(n²) baselines whose cross-join shape is the documented point
-#: of comparison for the LSH equi-join scale paths
-ALLOWED_BRUTE_FORCE = {"ann_topk_bruteforce", "embedding_top_pairs"}
+#: queries whose cross-join node is DECLARED and bounded:
+#:   * ann_topk_bruteforce / embedding_top_pairs — exact O(n²) baselines,
+#:     the documented point of comparison for the LSH equi-join paths
+#:   * ann_topk_ivf — the |queries| × |centroids| probe-scoring cross,
+#:     both sides broadcast-small (centroids are a dimension table);
+#:     corpus access itself is an equi-join on label
+ALLOWED_BRUTE_FORCE = {"ann_topk_bruteforce", "embedding_top_pairs", "ann_topk_ivf"}
 
 
 def plan_of(spark, name: str) -> str:
