@@ -99,3 +99,22 @@ def test_exact_dedup_keep_best(spark):
     docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
     kept = {r["keeper_id"] for r in D.exact_dedup_keep_best(docs).collect()}
     assert kept == {1, 3}
+
+
+def test_salted_count_equals_plain_count(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.skew import salted_count
+
+    rows = [(i % 3, f"v{i}") for i in range(300)]  # key 0/1/2, heavy duplication
+    df = spark.createDataFrame(rows, schema="k LONG, v STRING")
+    got = {r["k"]: r["count"] for r in salted_count(df, "k", n_salts=8).collect()}
+    assert got == {0: 100, 1: 100, 2: 100}
+
+
+def test_salted_broadcast_join_equals_plain_join(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.skew import salted_broadcast_join
+
+    fact = spark.createDataFrame([(i % 2, i) for i in range(100)], schema="k LONG, x LONG")
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], schema="k LONG, name STRING")
+    got = sorted(map(tuple, salted_broadcast_join(fact, dim, "k", n_salts=4).select("k", "x", "name").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").select("k", "x", "name").collect()))
+    assert got == want

@@ -12,6 +12,7 @@ parity is by construction.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
     LANG_STOPWORDS,
@@ -121,6 +122,51 @@ def doc_quality_score(documents: DataFrame) -> DataFrame:
 
 def doc_language_id(documents: DataFrame) -> DataFrame:
     return apply_select(documents, lang_id_select("spark"))
+
+
+def curate_documents(documents: DataFrame, min_quality: float = 0.45) -> DataFrame:
+    """End-to-end corpus curation: keep documents that (a) survive exact
+    dedup as their group's best copy, (b) score ≥ ``min_quality``, and
+    (c) have their language confirmed by the stopword classifier.  The
+    composed filter a training-data pipeline runs before tokenization —
+    all three stages are scan-side selects plus one semi-join against
+    the keeper set."""
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        exact_dedup_keep_best,
+    )
+
+    quality = apply_select(documents, quality_score_select("spark"))
+    langs = apply_select(documents, lang_id_select("spark"))
+    keepers = exact_dedup_keep_best(documents).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .join(langs.select("doc_id", "pred_lang"), "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .where((F.col("quality_score") >= min_quality) & (F.col("pred_lang") == F.col("lang")))
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+def curate_documents_oracle(min_quality: float = 0.45) -> str:
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        exact_dedup_keep_best_oracle,
+    )
+
+    q = select_sql("documents", quality_score_select("duckdb"))
+    lg = select_sql("documents", lang_id_select("duckdb"))
+    return f"""WITH q AS ({q}),
+lg AS ({lg}),
+keepers AS ({exact_dedup_keep_best_oracle()})
+SELECT d.doc_id, d.lang, q.quality_score
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN lg ON lg.doc_id = d.doc_id
+WHERE q.quality_score >= {min_quality}
+  AND lg.pred_lang = d.lang
+  AND EXISTS (SELECT 1 FROM keepers k WHERE k.keeper_id = d.doc_id)"""
 
 
 def doc_fingerprint(documents: DataFrame) -> DataFrame:

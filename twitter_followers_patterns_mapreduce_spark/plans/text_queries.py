@@ -44,6 +44,15 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curate_documents",
+    oracle=TX.curate_documents_oracle(),
+    description="end-to-end corpus curation: keep-best dedup + quality + language agreement",
+)
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.curate_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_fingerprint",
     oracle=TX.select_sql("documents", TX.fingerprint_select("duckdb")),
     description="content fingerprint: min-h64 over 3-word shingles (1-perm minhash)",
