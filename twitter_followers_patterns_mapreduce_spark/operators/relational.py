@@ -165,6 +165,29 @@ ORDERS_MONTHLY_ORACLE = """SELECT strftime(o_orderdate, '%Y-%m') AS month,
 FROM orders GROUP BY 1, 2"""
 
 
+def repeat_customers_yoy(orders: DataFrame, year_a: int = 1995, year_b: int = 1996) -> DataFrame:
+    """Set-operation coverage (absent from the reference, SURVEY.md §2.5):
+    customers ordering in BOTH years (INTERSECT) and in year A but not
+    year B (EXCEPT), labeled and unioned into one result."""
+    yr = F.year("o_orderdate")
+    a = orders.where(yr == year_a).select("o_custkey").distinct()
+    b = orders.where(yr == year_b).select("o_custkey").distinct()
+    both = a.intersect(b).select("o_custkey", F.lit("retained").alias("cohort"))
+    lost = a.exceptAll(b).select("o_custkey", F.lit("churned").alias("cohort"))
+    return both.unionAll(lost)
+
+
+def repeat_customers_yoy_oracle(year_a: int = 1995, year_b: int = 1996) -> str:
+    return f"""WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {year_a}
+), b AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {year_b}
+)
+SELECT o_custkey, 'retained' AS cohort FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)"""
+
+
 def supplier_part_coverage(lineitem: DataFrame, supplier: DataFrame, part: DataFrame) -> DataFrame:
     """Left-outer join keeping suppliers with zero lineitems (outer-join
     coverage) + semi-join-derived distinct part breadth per supplier."""

@@ -74,6 +74,15 @@ def orders_monthly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repeat_customers_yoy",
+    oracle=R.repeat_customers_yoy_oracle(),
+    description="INTERSECT/EXCEPT cohorts: customers retained vs churned across years",
+)
+def repeat_customers_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.repeat_customers_yoy(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "supplier_part_coverage",
     oracle=R.SUPPLIER_COVERAGE_ORACLE,
     description="left-outer join keeping zero-lineitem suppliers — outer-join coverage",
