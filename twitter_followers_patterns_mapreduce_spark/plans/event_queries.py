@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from twitter_followers_patterns_mapreduce_spark.operators import events as E
 from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+from twitter_followers_patterns_mapreduce_spark.operators import temporal as TJ
 from twitter_followers_patterns_mapreduce_spark.plans.registry import register
 from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
 
@@ -75,3 +76,23 @@ FROM tagged GROUP BY id""",
 )
 def event_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.degrees(E.user_interaction_edges(load_events(spark, sf_dir)))
+
+
+@register(
+    "events_asof_purchase_click",
+    oracle=TJ.asof_join_oracle("purchase", "click"),
+    description="as-of join: each purchase gets the user's most recent prior click — "
+    "merge formulation (union + ordered window), zero pair materialization",
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TJ.asof_join(load_events(spark, sf_dir), "purchase", "click")
+
+
+@register(
+    "events_range_attribution",
+    oracle=TJ.range_join_oracle("view", "purchase"),
+    description="range join: purchases within 4 h after a view, per user — "
+    "time-bin equi-join candidates, never a nested-loop theta join",
+)
+def events_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TJ.range_join_attribution(load_events(spark, sf_dir), "view", "purchase")
