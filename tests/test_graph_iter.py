@@ -1,0 +1,64 @@
+"""Iterative graph operators: connected-components goldens on a
+multi-component graph, and PageRank differential-tested against an
+independent dense NumPy implementation of the same pinned semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_edges
+from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+
+
+@pytest.fixture(scope="module")
+def multi_component_edges(spark):
+    # components (undirected): {1,2,3} triangle, {4,5,6} chain via
+    # directed edges both ways, {7,8} pair, {9} appears only as dst
+    return make_edges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (4, 5), (6, 5), (7, 8), (8, 7), (10, 9)],
+    )
+
+
+def test_connected_components_goldens(multi_component_edges):
+    r = {x["id"]: x["comp"] for x in GI.connected_components(multi_component_edges).collect()}
+    assert r == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9, 10: 9}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    # a 12-node directed chain needs several propagation passes
+    chain = make_edges(spark, [(i, i + 1) for i in range(1, 12)])
+    r = {x["id"]: x["comp"] for x in GI.connected_components(chain).collect()}
+    assert set(r.values()) == {1} and len(r) == 12
+
+
+def _numpy_pagerank(edges, iters=5, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = np.ones(len(nodes))
+    for _ in range(iters):
+        mass = np.zeros(len(nodes))
+        for s, t in edges:
+            mass[idx[t]] += rank[idx[s]] / out_deg[s]
+        rank = (1.0 - d) + d * mass
+    return {n: rank[idx[n]] for n in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4), (5, 1)]
+    expected = _numpy_pagerank(edges)
+    got = {x["id"]: x["pagerank"] for x in GI.pagerank(make_edges(spark, edges)).collect()}
+    assert set(got) == set(expected)
+    for n, v in expected.items():
+        assert got[n] == pytest.approx(v, abs=2e-6)
+
+
+def test_pagerank_sink_node_keeps_base_rank(spark):
+    # node 3 has no in-edges after one hop structure: a pure source's
+    # rank is exactly (1-d) after the first iteration and stays there
+    got = {x["id"]: x["pagerank"] for x in GI.pagerank(make_edges(spark, [(3, 1), (1, 2)])).collect()}
+    assert got[3] == pytest.approx(0.15, abs=2e-6)

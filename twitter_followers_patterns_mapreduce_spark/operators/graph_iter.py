@@ -1,0 +1,173 @@
+"""Iterative graph algorithms — connected components and PageRank —
+the multi-pass extension of the reference's one/two-pass pattern jobs
+(2-hop, triangles: SURVEY.md §2; ``rsjoin/RSJoinTriangleCount.java``
+chains exactly two MapReduce jobs by hand via an HDFS ``Temp`` dir).
+
+Spark-first iteration model: each pass is a declarative join + aggregate
+DAG; the driver loop only decides WHEN to stop, never touches row data.
+``localCheckpoint(eager=True)`` truncates lineage per pass so the plan
+stays O(1) deep instead of O(iterations) (the Spark analogue of the
+reference's job-chaining materialization, minus HDFS round-trips).
+
+Scale notes (100 TB):
+  * hash-min label propagation converges in O(diameter) passes; for
+    power-law webgraphs the published fix is large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) which contracts high-degree stars in O(log n) passes —
+    same join-shape per pass, so the plumbing below carries over.
+  * each pass is two shuffles (join on dst, re-aggregate on id); the
+    convergence check piggybacks on the same pass output (a count of
+    changed labels), adding one cheap action per pass.
+  * PageRank keeps per-pass rank sums in DECIMAL so the cross-engine
+    result is exact: decimal SUM is associative/order-independent,
+    unlike double SUM whose value depends on shuffle merge order.
+    Per-edge contributions are IEEE double ops (bit-identical on any
+    engine); only the commutative reduction is decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal type used for the order-independent rank reduction
+_DEC = "decimal(28,12)"
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Undirected connected components by hash-min label propagation:
+    every node's label converges to the minimum node id reachable from
+    it.  Returns (id, comp).
+
+    Each pass: propagate labels across edges (join on the neighbor
+    side), take the min of own + neighbor labels (one hash aggregate),
+    then compare against the previous labels to count changes.
+    """
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    comp = und.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr = und.join(comp, und["b"] == comp["id"]).select(
+            F.col("a").alias("id"), F.col("comp")
+        )
+        new = (
+            comp.select("id", "comp")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(comp.withColumnRenamed("comp", "old"), "id")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp
+
+
+def connected_components_oracle(edges_cte: str) -> str:
+    """DuckDB oracle: min reachable id via a recursive transitive
+    closure — exponential-state formulation that is only viable at
+    oracle scale (sf0.01), which is exactly why the engine side
+    iterates label propagation instead."""
+    return f"""WITH RECURSIVE s AS ({edges_cte}),
+und AS (SELECT src AS a, dst AS b FROM s UNION SELECT dst, src FROM s),
+walk(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT w.id, u.b FROM walk w JOIN und u ON w.r = u.a
+)
+SELECT id, MIN(r) AS comp FROM walk GROUP BY id"""
+
+
+def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration textbook PageRank (un-normalized form:
+    ``rank = (1-d) + d * Σ rank(u)/out_deg(u)``; dangling mass is
+    dropped — semantics pinned for the oracle, documented here).
+
+    Returns (id, pagerank DOUBLE rounded via DECIMAL(18,6)) — the
+    reduction runs in DECIMAL so Spark and DuckDB agree bit-for-bit
+    regardless of aggregation order.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("id", F.lit(1.0).cast(_DEC).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank").cast("double") / F.col("out_deg")).cast(_DEC).alias("contrib"),
+            )
+        )
+        sums = contribs.groupBy("id").agg(F.sum("contrib").alias("mass"))
+        ranks = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
+                )
+                .cast(_DEC)
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # 6dp emission via exact integer floor on the decimal — DuckDB's
+    # decimal downscale cast TRUNCATES while Spark's ROUNDS, so neither
+    # is used: floor(rank*1e6) is exact in both, and BIGINT/1e6 division
+    # is the same IEEE op on identical inputs.
+    return ranks.select(
+        "id",
+        (F.floor(F.col("rank") * 1_000_000).cast("double") / F.lit(1_000_000.0)).alias(
+            "pagerank"
+        ),
+    )
+
+
+def pagerank_oracle(edges_cte: str, iters: int = 5, damping: float = 0.85) -> str:
+    """DuckDB oracle: the same fixed-point unrolled as a CTE chain —
+    identical decimal reduction, identical IEEE double per-edge ops."""
+    head = f"""WITH e AS ({edges_cte}),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+r0 AS (SELECT id, CAST(1.0 AS DECIMAL(28,12)) AS rank FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f""",
+r{i + 1} AS (
+  SELECT n.id,
+    CAST(CAST({1.0 - damping!r} AS DOUBLE) +
+         CAST({damping!r} AS DOUBLE) * COALESCE(CAST(c.mass AS DOUBLE), 0.0)
+         AS DECIMAL(28,12)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id,
+           SUM(CAST(CAST(r.rank AS DOUBLE) / d.out_deg AS DECIMAL(28,12))) AS mass
+    FROM e JOIN r{i} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) c ON n.id = c.id)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT id, CAST(FLOOR(rank * 1000000) AS DOUBLE) / 1000000.0 AS pagerank FROM r{iters}"""
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from twitter_followers_patterns_mapreduce_spark.operators import graph as G
 from twitter_followers_patterns_mapreduce_spark.plans.registry import register
+from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
 from twitter_followers_patterns_mapreduce_spark.sources.readers import EDGES_ORACLE_CTE, derived_edges
 
 _E = f"WITH edges AS ({EDGES_ORACLE_CTE})"
@@ -180,3 +181,38 @@ WHERE a.src < a.dst""",
 )
 def mutual_follow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.mutual_follow_pairs(derived_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Iterative extensions: connected components + PageRank (operators/graph_iter)
+
+#: deterministic sparsifier keeping ~1/50 of edges — the full derived view is
+#: one giant component (boring fixture); this cut yields ~20 components at
+#: sf0.01 so the CC output actually discriminates.
+SPARSE_MOD = 53
+_SPARSE_CTE = f"SELECT * FROM ({EDGES_ORACLE_CTE}) e WHERE (src * 31 + dst) % {SPARSE_MOD} = 0"
+
+
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    return e.where((e["src"] * 31 + e["dst"]) % SPARSE_MOD == 0)
+
+
+@register(
+    "graph_components",
+    oracle=GI.connected_components_oracle(_SPARSE_CTE),
+    description="iterative: undirected connected components via hash-min label propagation "
+    "(O(diameter) passes, lineage truncated per pass); oracle = recursive closure",
+)
+def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.connected_components(_sparse_edges(spark, sf_dir))
+
+
+@register(
+    "graph_pagerank",
+    oracle=GI.pagerank_oracle(EDGES_ORACLE_CTE, iters=5, damping=0.85),
+    description="iterative: 5-iteration PageRank, DECIMAL reduction for order-independent "
+    "cross-engine-exact sums; oracle = unrolled CTE chain",
+)
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.pagerank(derived_edges(spark, sf_dir), iters=5, damping=0.85)
