@@ -1,0 +1,67 @@
+"""Distribution-statistics operators: quantile interpolation goldens,
+histogram bucket edges, and the sketch error-bound / determinism
+evidence that replaces a cross-engine oracle for HLL / approx
+percentile (sketch internals are engine-specific)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_followers_patterns_mapreduce_spark.operators import stats as ST
+
+
+@pytest.fixture(scope="module")
+def tiny_vals(spark):
+    rows = [("a", float(v)) for v in [1, 2, 3, 4]] + [("b", float(v)) for v in [10, 20]]
+    return spark.createDataFrame(rows, schema="g STRING, v DOUBLE")
+
+
+def test_group_quantiles_type7_interpolation(tiny_vals):
+    r = {x["g"]: x for x in ST.group_quantiles(tiny_vals, "g", "v", (0.5, 0.9)).collect()}
+    # type-7: q50 of [1,2,3,4] = 2.5; q90 = 1 + 0.9*3 = 3.7
+    assert r["a"]["n"] == 4
+    assert r["a"]["q50"] == pytest.approx(2.5)
+    assert r["a"]["q90"] == pytest.approx(3.7)
+    assert r["b"]["q50"] == pytest.approx(15.0)
+
+
+def test_histogram_bucket_edges(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (4999.99,), (5000.0,), (14999.0,)], schema="l_extendedprice DOUBLE"
+    )
+    r = {x["bucket"]: x for x in ST.fixed_width_histogram(df, "l_extendedprice").collect()}
+    assert r[0]["n"] == 2  # 0.0 and 4999.99; 5000.0 goes to bucket 1
+    assert r[1]["n"] == 1
+    assert r[2]["n"] == 1
+    assert (r[1]["lo"], r[1]["hi"]) == (5000.0, 10000.0)
+
+
+def _mk_events(spark, n_users: int, n_rows: int):
+    return spark.range(n_rows).select(
+        F.lit("click").alias("event_type"),
+        (F.col("id") % n_users).alias("user_id"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+
+
+def test_sketch_exact_at_small_cardinality(spark):
+    r = ST.sketch_summary(_mk_events(spark, 150, 10_000)).collect()[0]
+    # HLL++ stays in exact sparse mode at tiny cardinalities... but is
+    # ±1 even at 150 (observed 151): pin the bound, not equality
+    assert abs(r["approx_users"] - r["exact_users"]) <= max(2, 0.02 * r["exact_users"])
+    assert r["approx_p50"] == pytest.approx(r["exact_p50"], rel=0.01)
+
+
+def test_sketch_error_bound_at_large_cardinality(spark):
+    r = ST.sketch_summary(_mk_events(spark, 60_000, 240_000)).collect()[0]
+    assert r["exact_users"] == 60_000
+    assert abs(r["approx_users"] - 60_000) / 60_000 < 0.05  # rsd 0.01, generous cap
+
+
+def test_sketch_deterministic_across_runs(spark):
+    df = _mk_events(spark, 5_000, 50_000)
+    a = ST.sketch_summary(df).collect()[0]["approx_users"]
+    b = ST.sketch_summary(df.repartition(13)).collect()[0]["approx_users"]
+    # HLL merge is commutative: partitioning must not change the estimate
+    assert a == b

@@ -1,0 +1,123 @@
+"""Distribution statistics — exact quantiles, fixed-width histograms,
+and sketch-based approximate aggregates.
+
+The reference's only aggregate is a global COUNT via Hadoop Counters
+(SURVEY.md §2.4); this module is the engine's distribution-analytics
+extension: the summaries a 100 TB corpus-curation pipeline computes
+before deciding thresholds (price/length cutoffs, dedup knobs).
+
+Scale design:
+  * exact percentiles shuffle each group once and sort within the
+    aggregate buffer — fine for bounded group counts (priorities,
+    event types).  For unbounded groups or single-pass global
+    quantiles the sketch path (``approx_percentile``, t-digest-like
+    bounded memory, mergeable across partitions) is the 100 TB route.
+  * the histogram is a pure scan-side projection (floor-div bucket)
+    plus one hash aggregate: the cheapest possible shape, whole-stage
+    codegen end-to-end.
+  * ``approx_count_distinct`` (HyperLogLog++) is mergeable per
+    partition — constant memory vs the exact path's shuffle of every
+    distinct key.  Sketch outputs are deterministic (hash-based) but
+    implementation-specific, so the sketch query has NO cross-engine
+    oracle; its correctness evidence is the error-bound pytest and the
+    exact companion columns computed alongside.
+
+Cross-engine notes: Spark ``percentile`` and DuckDB ``quantile_cont``
+both use the type-7 linear interpolation estimator — verified
+bit-identical on orders at sf0.01, no rounding needed.  Double sums
+route through DECIMAL as everywhere else in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+#: fixed histogram bucket width for l_extendedprice (range ≈ 900..110k)
+PRICE_BUCKET_WIDTH = 5_000.0
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group percentiles (type-7 interpolation) + count.
+    One shuffle on the group key; percentile buffers sort per group."""
+    aggs = [
+        F.percentile(value_col, F.lit(q)).alias(f"q{int(q * 100)}") for q in quantiles
+    ]
+    return df.groupBy(group_col).agg(F.count("*").alias("n"), *aggs)
+
+
+def group_quantiles_oracle(
+    table: str,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    qcols = ",\n  ".join(
+        f"quantile_cont({value_col}, {q}) AS q{int(q * 100)}" for q in quantiles
+    )
+    return f"""SELECT {group_col},
+  COUNT(*) AS n,
+  {qcols}
+FROM {table} GROUP BY {group_col}"""
+
+
+def fixed_width_histogram(
+    df: DataFrame, value_col: str, width: float = PRICE_BUCKET_WIDTH
+) -> DataFrame:
+    """Equi-width histogram: bucket = floor(value/width).  Scan-side
+    projection + one hash aggregate; bucket bounds emitted for
+    readability."""
+    bucket = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), F.col(value_col).alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(width)).alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def fixed_width_histogram_oracle(
+    table: str, value_col: str, width: float = PRICE_BUCKET_WIDTH
+) -> str:
+    return f"""WITH b AS (
+  SELECT CAST(FLOOR({value_col} / {width!r}) AS BIGINT) AS bucket, {value_col} AS v
+  FROM {table})
+SELECT bucket,
+  CAST(bucket * {width!r} AS DOUBLE) AS lo,
+  CAST((bucket + 1) * {width!r} AS DOUBLE) AS hi,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM b GROUP BY bucket"""
+
+
+def sketch_summary(events: DataFrame) -> DataFrame:
+    """Per-event_type sketch suite next to its exact companions:
+    HyperLogLog++ distinct users vs COUNT(DISTINCT), and t-digest-style
+    ``approx_percentile`` vs exact ``percentile`` of value.
+
+    No cross-engine oracle (sketch internals are implementation-
+    specific); pytest pins determinism and error bounds against the
+    exact columns.
+    """
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+    )

@@ -96,3 +96,17 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TJ.range_join_attribution(load_events(spark, sf_dir), "view", "purchase")
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # noqa: E402
+
+
+@register(
+    "events_sketch_summary",
+    oracle=None,  # sketch internals are engine-specific: rows-only harness check;
+    # error bounds vs the exact companion columns are pinned in tests/test_stats.py
+    description="HLL++ distinct-users and approx_percentile sketches next to their "
+    "exact companions, per event_type — mergeable constant-memory 100 TB path",
+)
+def events_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.sketch_summary(load_events(spark, sf_dir))

@@ -93,3 +93,31 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics (operators/stats.py)
+
+from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # noqa: E402
+
+
+@register(
+    "orders_price_quantiles",
+    oracle=ST.group_quantiles_oracle("orders", "o_orderpriority", "o_totalprice"),
+    description="exact per-priority p50/p90/p99 of order value — Spark percentile == "
+    "DuckDB quantile_cont (type-7 interpolation), verified bit-identical",
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.group_quantiles(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+@register(
+    "lineitem_price_histogram",
+    oracle=ST.fixed_width_histogram_oracle("lineitem", "l_extendedprice"),
+    description="equi-width price histogram: scan-side floor-div bucket + one hash agg, "
+    "whole-stage codegen end-to-end",
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.fixed_width_histogram(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
