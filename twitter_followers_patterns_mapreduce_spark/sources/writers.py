@@ -43,3 +43,31 @@ def write_result(
         w.json(path)
     else:
         w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+    sorted_by_key: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-bucketed (and optionally sorted) parquet
+    table — the 100 TB co-location knob.
+
+    Two tables bucketed on their join key with the same bucket count
+    join WITHOUT any Exchange: the shuffle is paid once at write time
+    and amortized over every subsequent join/aggregate on that key
+    (classic warehouse layout; the reference re-shuffles per job).
+    ``sortBy`` additionally removes the per-task Sort under sort-merge
+    joins.  ``path`` makes the table external (files live there, only
+    metadata in the catalog).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, key)
+    if sorted_by_key:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
