@@ -59,3 +59,16 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import splits as SP  # noqa: E402
+
+
+@register(
+    "doc_train_holdout_split",
+    oracle=SP.split_summary_oracle(holdout_pct=10),
+    description="deterministic h64-bucket train/holdout split per lang — membership is a "
+    "pure function of doc_id, immune to partitioning/order/growth (no rand())",
+)
+def doc_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.split_summary(load_table(spark, sf_dir, "documents"), holdout_pct=10)
