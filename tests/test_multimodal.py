@@ -62,3 +62,21 @@ def test_crossmodal_requires_both_modalities(spark):
     assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (1, 2, 1.0)
     assert r["cosine"] > 0.99
     assert bool(r["text_dup"]) is True
+
+
+def test_video_frame_sample_goldens(docs):
+    rows = M.video_frame_sample(docs, stride=2).collect()
+    # 3 docs × 4 sampled frames (0,2,4,6 of 8)
+    assert len(rows) == 12
+    by_key = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    for doc_id, text in [(0, "hello world"), (5, "third one here")]:
+        for i in (0, 2, 4, 6):
+            d = hashlib.md5(f"{text}:{i}".encode()).digest()
+            r = by_key[(doc_id, i)]
+            assert r["frame_sum"] == sum(d)
+            assert r["first_byte"] == d[0]
+
+
+def test_video_frame_sample_stride_controls_fanout(docs):
+    assert M.video_frame_sample(docs, stride=4).count() == 3 * 2  # frames 0, 4
+    assert M.video_frame_sample(docs, stride=1).count() == 3 * 8

@@ -211,3 +211,90 @@ SELECT p.doc_a, p.doc_b, p.jaccard,
 FROM pairs p
 JOIN emb ea ON ea.vec_id = p.doc_a
 JOIN emb eb ON eb.vec_id = p.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Video: frame sampling over a multi-frame binary payload
+
+N_FRAMES = 8
+FRAME_BYTES = 16  # one md5 digest per fake frame
+
+
+def with_fake_video(documents: DataFrame) -> DataFrame:
+    """Attach a deterministic multi-frame binary payload: frame i is
+    ``unhex(md5(text || ':' || i))``, concatenated — 128 bytes of
+    "video" whose every byte has a closed-form hex oracle — plus the
+    typed metadata struct real video tables carry."""
+    frames = [
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":{i}")))) for i in range(N_FRAMES)
+    ]
+    return documents.select(
+        "doc_id",
+        F.concat(*frames).alias("video"),
+        F.struct(
+            F.lit(N_FRAMES).alias("n_frames"),
+            F.lit(FRAME_BYTES).alias("frame_bytes"),
+            F.lit(4).alias("fps"),
+            F.lit("fake/md5").alias("codec"),
+        ).alias("video_meta"),
+    )
+
+
+_FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+    ]
+)
+
+
+def video_frame_sample(documents: DataFrame, stride: int = 2) -> DataFrame:
+    """Sample every ``stride``-th frame and extract per-frame byte
+    features — the fan-out shape of real frame sampling (one input row
+    → n_frames/stride output rows), as Arrow-batched ``mapInPandas``.
+    Frame boundaries come from the metadata struct, not hard-coded, so
+    the same plumbing serves variable-length media."""
+    mm = with_fake_video(documents)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            sums: list[int] = []
+            firsts: list[int] = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["video"], pdf["video_meta"]):
+                nf, fb = meta["n_frames"], meta["frame_bytes"]
+                for i in range(0, nf, stride):
+                    fr = blob[i * fb : (i + 1) * fb]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(sum(fr))
+                    firsts.append(fr[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                    "first_byte": pd.Series(firsts, dtype="int64"),
+                }
+            )
+
+    return mm.mapInPandas(sample, schema=_FRAME_SAMPLE_SCHEMA)
+
+
+def video_frame_sample_oracle(stride: int = 2) -> str:
+    """Closed-form hex oracle: frame i's bytes are the md5 digest of
+    ``text || ':' || i``."""
+    sampled = list(range(0, N_FRAMES, stride))
+    digest = "md5(text || ':' || f.frame_idx)"
+    frame_sum = (
+        f"list_aggregate(list_transform(range(0, {FRAME_BYTES}), "
+        f"i -> CAST(concat('0x', substring({digest}, 2*i + 1, 2)) AS BIGINT)), 'sum')"
+    )
+    return f"""SELECT doc_id,
+  CAST(f.frame_idx AS INT) AS frame_idx,
+  CAST({frame_sum} AS BIGINT) AS frame_sum,
+  CAST(concat('0x', substring({digest}, 1, 2)) AS BIGINT) AS first_byte
+FROM documents CROSS JOIN (SELECT unnest({sampled}) AS frame_idx) f"""

@@ -211,3 +211,86 @@ FROM supplier LEFT JOIN (
   SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_items
   FROM lineitem GROUP BY l_suppkey
 ) li ON s_suppkey = l_suppkey"""
+
+
+def orders_priority_year_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (priority, order year): all four grouping combinations
+    in one pass — Spark expands grouping sets before the hash aggregate,
+    so it stays a single shuffle.  NULL group keys are the subtotal
+    markers, exactly as in ANSI CUBE."""
+    return (
+        orders.cube("o_orderpriority", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+ORDERS_CUBE_ORACLE = """SELECT o_orderpriority, year(o_orderdate) AS order_year,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))"""
+
+
+def customer_running_revenue(orders: DataFrame, customer: DataFrame, k: int = 200) -> DataFrame:
+    """Per-customer month-ordered running revenue and 3-month moving
+    sum/count — cumulative and sliding window frames over a partitioned
+    sort (never a global window).  Limited to the top-k customers by
+    order count for bounded output.
+
+    The sliding stat is an exact decimal SUM + COUNT rather than AVG:
+    a 2-row average of 4dp values lands exactly on .xxxx5 rounding
+    boundaries, where Spark's decimal path and DuckDB's double path
+    round differently — sums have no such boundary."""
+    monthly = (
+        orders.groupBy(
+            "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(_dec_sum(F.col("o_totalprice")).alias("rev"))
+    )
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ma = Window.partitionBy("o_custkey").orderBy("month").rowsBetween(-2, 0)
+    top = orders.groupBy("o_custkey").count().orderBy(F.desc("count"), "o_custkey").limit(k)
+    return (
+        monthly.join(top.select("o_custkey"), "o_custkey")
+        .select(
+            "o_custkey",
+            "month",
+            F.round("rev", 4).alias("rev"),
+            F.round(F.sum(F.col("rev").cast(DEC)).over(w_cum).cast("double"), 4).alias(
+                "running_rev"
+            ),
+            F.round(F.sum(F.col("rev").cast(DEC)).over(w_ma).cast("double"), 4).alias(
+                "ma3_sum_rev"
+            ),
+            F.count("*").over(w_ma).alias("ma3_n"),
+        )
+    )
+
+
+def customer_running_revenue_oracle(k: int = 200) -> str:
+    return f"""WITH monthly AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+), top AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  ORDER BY COUNT(*) DESC, o_custkey LIMIT {k}
+)
+SELECT m.o_custkey, month,
+  ROUND(rev, 4) AS rev,
+  ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (
+    PARTITION BY m.o_custkey ORDER BY month
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_rev,
+  ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER (
+    PARTITION BY m.o_custkey ORDER BY month
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS ma3_sum_rev,
+  COUNT(*) OVER (
+    PARTITION BY m.o_custkey ORDER BY month
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_n
+FROM monthly m JOIN top t ON m.o_custkey = t.o_custkey"""

@@ -41,3 +41,13 @@ def mm_crossmodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.crossmodal_near_dups(
         load_table(spark, sf_dir, "documents"), load_table(spark, sf_dir, "embeddings")
     )
+
+
+@register(
+    "mm_video_frame_sample",
+    oracle=M.video_frame_sample_oracle(stride=2),
+    description="video frame sampling: metadata-driven byte slicing fan-out via Arrow "
+    "mapInPandas (1 row -> n_frames/stride rows), closed-form hex oracle",
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.video_frame_sample(load_table(spark, sf_dir, "documents"), stride=2)

@@ -121,3 +121,25 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.fixed_width_histogram(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "orders_priority_year_cube",
+    oracle=R.ORDERS_CUBE_ORACLE,
+    description="CUBE over (priority, year): all grouping sets in one shuffle, "
+    "NULL keys as ANSI subtotal markers",
+)
+def orders_priority_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_priority_year_cube(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "customer_running_revenue",
+    oracle=R.customer_running_revenue_oracle(k=200),
+    description="partitioned cumulative + 3-month sliding window frames per customer "
+    "(exact decimal sums; never a global window)",
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_running_revenue(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer"), k=200
+    )
