@@ -451,3 +451,52 @@ SELECT da AS doc_a, db AS doc_b,
        round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
 FROM pairs
 WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: LSH pairs → connected components → cluster summary
+
+
+def neardup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The full near-dedup pipeline shape: MinHash-LSH candidate pairs
+    (equi-join candidate generation) fed as an edge list into hash-min
+    connected components (operators/graph_iter), summarized per cluster
+    — (cluster, n_docs, min_doc, max_doc).  ``min_doc`` is the
+    canonical survivor a keep-one policy would retain; singleton docs
+    (no near-dup) are absent by construction.
+
+    This is operator COMPOSITION, not a new operator: the same CC
+    pass that clusters followers clusters duplicate documents — the
+    edge-table abstraction doing its job.
+    """
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    return comp.groupBy(F.col("comp").alias("cluster")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("id").alias("min_doc"),
+        F.max("id").alias("max_doc"),
+    )
+
+
+def neardup_clusters_oracle(threshold: float = 0.5) -> str:
+    """Recursive-closure oracle over the LSH pair query (embedded as a
+    derived table — it is itself a WITH query)."""
+    pairs = minhash_lsh_pairs_oracle(threshold=threshold)
+    return f"""WITH RECURSIVE und AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({pairs})
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM ({pairs})
+), walk(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT w.id, u.b FROM walk w JOIN und u ON w.r = u.a
+), labels AS (
+  SELECT id, MIN(r) AS comp FROM walk GROUP BY id
+)
+SELECT comp AS cluster, COUNT(*) AS n_docs, MIN(id) AS min_doc, MAX(id) AS max_doc
+FROM labels GROUP BY comp"""

@@ -163,3 +163,51 @@ def user_interaction_edges(events: DataFrame, modulus: int = 997) -> DataFrame:
         .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_decile_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot event counts into one column per event type, per user
+    decile.  The pivot values are DECLARED (not discovered) so the
+    plan is a single groupBy with conditional aggregates — no extra
+    distinct-scan job, and the 100 TB plan shape is one shuffle."""
+    decile = F.pmod(F.col("user_id"), F.lit(10)).cast("long")
+    return (
+        events.select(decile.alias("user_decile"), "event_type")
+        .groupBy("user_decile")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+
+
+USER_DECILE_PIVOT_ORACLE = """SELECT user_id % 10 AS user_decile,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1"""
+
+
+def typed_json_props(events: DataFrame) -> DataFrame:
+    """Parse ``props`` once into a typed struct with ``from_json`` and
+    aggregate on the struct field — schema-on-read for semi-structured
+    columns (vs per-access ``get_json_object`` re-parsing)."""
+    parsed = events.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("p.k").alias("n_with_k"),
+        F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        F.max("p.k").cast("long").alias("max_k"),
+    )
+
+
+TYPED_JSON_ORACLE = """SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type"""

@@ -74,3 +74,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_neardup_clusters",
+    oracle=D.neardup_clusters_oracle(threshold=0.5),
+    description="full near-dedup pipeline: LSH pairs as an edge list into hash-min "
+    "connected components, per-cluster canonical-survivor summary",
+)
+def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.neardup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)

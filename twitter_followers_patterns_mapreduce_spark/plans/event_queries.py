@@ -110,3 +110,23 @@ from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # 
 )
 def events_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.sketch_summary(load_events(spark, sf_dir))
+
+
+@register(
+    "events_type_pivot",
+    oracle=E.USER_DECILE_PIVOT_ORACLE,
+    description="declared-values pivot: one conditional-aggregate shuffle, "
+    "no distinct-discovery job",
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.user_decile_type_pivot(load_events(spark, sf_dir))
+
+
+@register(
+    "events_typed_json",
+    oracle=E.TYPED_JSON_ORACLE,
+    description="from_json schema-on-read: parse props once into a typed struct, "
+    "aggregate on struct fields",
+)
+def events_typed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.typed_json_props(load_events(spark, sf_dir))
