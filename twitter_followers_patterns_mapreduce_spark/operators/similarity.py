@@ -303,3 +303,64 @@ def embedding_top_pairs_oracle(top_n: int = 50) -> str:
   SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_a ASC, vec_b ASC) AS rank FROM pairs
 )
 SELECT CAST(rank AS INT) AS rank, vec_a, vec_b, sim FROM ranked WHERE rank <= {top_n}"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped Pandas escape hatch: per-label principal component
+
+
+def label_principal_component(embeddings: DataFrame, n_iter: int = 30) -> DataFrame:
+    """Per-label top principal component via power iteration — the
+    documented escape hatch for semantics Catalyst genuinely cannot
+    express (iterative eigen-solve per group), done the right way:
+    ``applyInPandas`` over ``groupBy(label)``, Arrow-batched, group
+    state bounded by the label's row count (labels are a partition-
+    sized dimension, not a per-row key).
+
+    Deterministic up to float summation order (fixed all-ones init,
+    fixed iteration count, sign normalized so the largest-|coordinate|
+    entry is positive; row order within a group still varies with
+    partitioning, so agreement across runs is ~1e-9, not bitwise).
+    Output:
+    (label, n_vecs, explained_ratio, pc_dim0, pc_dim1, pc_dim2).
+    No SQL oracle (not ANSI-expressible); differential-tested against
+    numpy.linalg.eigh in tests/test_similarity_pca.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pca_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.vstack(pdf["embedding"].to_numpy())
+        x = x - x.mean(axis=0)
+        cov = (x.T @ x) / max(len(x) - 1, 1)
+        v = np.ones(cov.shape[0])
+        for _ in range(n_iter):
+            v = cov @ v
+            n = np.linalg.norm(v)
+            if n == 0.0:
+                break
+            v = v / n
+        # sign convention: largest-magnitude coordinate positive
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        lam = float(v @ cov @ v)
+        total = float(np.trace(cov))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(x)],
+                "explained_ratio": [lam / total if total > 0 else 0.0],
+                "pc_dim0": [float(v[0])],
+                "pc_dim1": [float(v[1])],
+                "pc_dim2": [float(v[2])],
+            }
+        )
+
+    schema = (
+        "label LONG, n_vecs LONG, explained_ratio DOUBLE, "
+        "pc_dim0 DOUBLE, pc_dim1 DOUBLE, pc_dim2 DOUBLE"
+    )
+    return embeddings.select("label", "embedding").groupBy("label").applyInPandas(
+        pca_group, schema=schema
+    )

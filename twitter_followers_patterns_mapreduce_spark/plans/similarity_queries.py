@@ -59,3 +59,14 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_top_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_top_pairs_lsh(load_table(spark, sf_dir, "embeddings"), top_n=50)
+
+
+@register(
+    "embedding_label_pca",
+    oracle=None,  # iterative per-group eigen-solve: not ANSI-expressible; rows-only
+    # harness check, numpy.linalg.eigh differential test in tests/test_similarity_pca.py
+    description="per-label top principal component via applyInPandas power iteration — "
+    "the grouped-Pandas escape hatch for genuinely non-relational semantics",
+)
+def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_principal_component(load_table(spark, sf_dir, "embeddings"))
