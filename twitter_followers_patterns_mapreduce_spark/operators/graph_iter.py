@@ -54,22 +54,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        nbr = und.join(comp, und["b"] == comp["id"]).select(
-            F.col("a").alias("id"), F.col("comp")
+        # min neighbor label per node, then fold into the current label
+        # and detect movement in the SAME pass — two shuffles and one
+        # action per iteration (a separate compare-join would add both)
+        nbr_min = (
+            und.join(comp, und["b"] == comp["id"])
+            .groupBy(F.col("a").alias("nid"))
+            .agg(F.min("comp").alias("nbr_comp"))
         )
         new = (
-            comp.select("id", "comp")
-            .union(nbr)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            comp.join(nbr_min, comp["id"] == nbr_min["nid"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("_moved"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(comp.withColumnRenamed("comp", "old"), "id")
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
-        comp = new
+        changed = new.where(F.col("_moved")).count()
+        comp = new.drop("_moved")
         if changed == 0:
             break
     return comp
