@@ -76,3 +76,39 @@ def test_write_result_rejects_unknown_format(sample_edges, tmp_path):
         assert "orc8" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from twitter_followers_patterns_mapreduce_spark.sources.writers import compact
+
+    out = str(tmp_path / "many_parts")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.repartition(16).write.parquet(out)
+    import os
+
+    before = sum(1 for f in os.listdir(out) if f.startswith("part-"))
+    assert before == 16
+    after = compact(spark, out, target_files=2)
+    assert after == 2
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 999 * 1000  # content preserved
+
+
+def test_json_and_orc_edge_sources_match_csv(spark, tmp_path):
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+        edges_from_csv,
+        edges_from_json,
+        edges_from_orc,
+    )
+
+    csv_path = _write_sample(tmp_path)
+    edges = edges_from_csv(spark, csv_path)
+    jp, op = str(tmp_path / "edges_json"), str(tmp_path / "edges_orc")
+    edges.write.json(jp)
+    edges.write.orc(op)
+    base = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert {(r["src"], r["dst"]) for r in edges_from_json(spark, jp).collect()} == base
+    assert {(r["src"], r["dst"]) for r in edges_from_orc(spark, op).collect()} == base
+    # same goldens through a non-CSV source (§2.9: CE=10 at huge MAX)
+    assert one(G.count_edges(edges_from_json(spark, jp), 10**9)) == 10

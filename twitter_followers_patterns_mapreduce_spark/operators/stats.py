@@ -121,3 +121,47 @@ def sketch_summary(events: DataFrame) -> DataFrame:
         F.percentile("value", F.lit(0.5)).alias("exact_p50"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
     )
+
+
+def column_profile(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
+    """Table-stats collector (the ANALYZE primitive): one scan, one
+    partial-aggregated reduce producing per-column min/max/nulls/ndv.
+    ``columns`` is [(name, kind)] with kind 'num' (numeric: min/max as
+    values) or 'str' (min/max as lengths).  Output one row per column
+    so profiles of wide tables stay narrow."""
+    import functools
+
+    rows = []
+    for name, kind in columns:
+        c = F.col(name)
+        if kind == "num":
+            lo, hi = c.cast("double"), c.cast("double")
+        else:
+            lo, hi = F.length(c).cast("double"), F.length(c).cast("double")
+        rows.append(
+            df.agg(
+                F.lit(name).alias("column"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.countDistinct(c).alias("ndv"),
+                F.min(lo).alias("min_val"),
+                F.max(hi).alias("max_val"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def column_profile_oracle(table: str, columns: list[tuple[str, str]]) -> str:
+    parts = []
+    for name, kind in columns:
+        expr = name if kind == "num" else f"length({name})"
+        parts.append(
+            f"""SELECT '{name}' AS column,
+  COUNT(*) AS n_rows,
+  SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  COUNT(DISTINCT {name}) AS ndv,
+  CAST(MIN({expr}) AS DOUBLE) AS min_val,
+  CAST(MAX({expr}) AS DOUBLE) AS max_val
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)

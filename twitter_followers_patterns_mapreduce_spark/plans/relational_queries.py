@@ -143,3 +143,24 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.customer_running_revenue(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer"), k=200
     )
+
+
+#: columns profiled by the lineitem ANALYZE query (name, kind)
+_PROFILE_COLS = [
+    ("l_orderkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_shipdate", "num"),
+    ("l_returnflag", "str"),
+]
+
+
+@register(
+    "lineitem_column_profile",
+    oracle=ST.column_profile_oracle("lineitem", [(c, k) for c, k in _PROFILE_COLS if c != "l_shipdate"]),
+    description="ANALYZE-style column profiler: one narrow row per column with "
+    "count/nulls/ndv/min/max from partial-aggregated scans",
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = [(c, k) for c, k in _PROFILE_COLS if c != "l_shipdate"]
+    return ST.column_profile(load_table(spark, sf_dir, "lineitem"), cols)

@@ -95,3 +95,15 @@ def derived_edges(spark: SparkSession, sf_dir: str, modulus: int = EDGE_MODULUS)
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def edges_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines edge source (``{"src": 1, "dst": 2}`` per line) with
+    the same explicit schema as the CSV path — no inference pass."""
+    return spark.read.schema(EDGE_SCHEMA).json(path)
+
+
+def edges_from_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC edge source — columnar alternative to parquet; schema comes
+    from the file footer, projected onto (src, dst)."""
+    return spark.read.orc(path).select(F.col("src").cast("long"), F.col("dst").cast("long"))

@@ -71,3 +71,28 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def compact(spark, path: str, format: str = "parquet", target_files: int = 1) -> int:
+    """Small-file compaction: rewrite a directory of part files into
+    ``target_files`` files (atomically via a sibling temp dir + rename).
+
+    The 100 TB housekeeping primitive — streaming/incremental writers
+    leave thousands of small parts per partition, and scan throughput
+    dies on file-open overhead long before bytes do.  ``coalesce`` (no
+    shuffle) merges read-side; the rewrite is one pass.
+
+    Returns the number of data files after compaction.
+    """
+    import os
+    import shutil
+
+    if format != "parquet":
+        raise ValueError("compaction supports parquet only")
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+    )
