@@ -85,3 +85,30 @@ def test_stream_append_emits_watermark_closed_windows(spark, events_dir, event_r
     ]
     assert got == sorted(closed)
     assert len(got) == 2  # click + view rows for hour 0
+
+
+def test_stream_static_join_equals_batch(spark, events_dir, event_rows):
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        segment_window_stream,
+    )
+
+    segs = spark.createDataFrame(
+        [(u, f"seg{u % 2}") for u in {r[2] for r in event_rows}],
+        schema="user_id LONG, segment STRING",
+    )
+    stream = events_file_stream(spark, events_dir)
+    run_available_now(segment_window_stream(stream, segs), "seg_windows", "complete")
+    got = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM seg_windows").collect()
+    }
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+    )
+
+    batch = spark.createDataFrame(event_rows, schema=EVENT_STREAM_SCHEMA)
+    expected = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in segment_window_stream(batch, segs).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -97,3 +97,27 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return q
+
+
+def segment_window_stream(
+    events: DataFrame, user_segments: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream–static join: enrich the event stream with a static user→
+    segment dimension, then window-aggregate per segment.
+
+    The static side is re-read per micro-batch (picking up dim updates)
+    and joined without any streaming state — only the windowed
+    aggregate holds state, bounded by the watermark.  The 100 TB shape:
+    broadcast the dim, stream stays partition-local.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(user_segments), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "segment",
+            "n_events",
+        )
+    )
