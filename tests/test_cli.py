@@ -37,3 +37,18 @@ def test_cli_jobs_print_reference_goldens(spark, edges_csv, tmp_path, capsys, jo
     assert capsys.readouterr().out.strip() == expected
     # part files landed (S4 contract)
     assert spark.read.parquet(out).count() >= 1
+
+
+def test_cli_query_job_runs_registered_query(spark, tmp_path, capsys):
+    out = str(tmp_path / "out_query")
+    assert main(["query", "/root/testdata/sf0.001", out, "--name", "degrees"]) == 0
+    n = int(capsys.readouterr().out.strip())
+    assert n >= 1
+    assert spark.read.parquet(out).count() == n
+
+
+def test_cli_query_job_rejects_unknown_name(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["query", "/root/testdata/sf0.001", str(tmp_path / "x"), "--name", "nope"])

@@ -22,7 +22,14 @@ import sys
 REFERENCE_MAX_CE = 11_316_812  # countedges/CountEdgesAfterMax.java:34
 REFERENCE_MAX_JOIN = 12_500  # approx/Approx2HopCount.java:41, rsjoin/...:33
 
-JOBS = ("count-edges", "exact-2hop", "approx-2hop", "rsjoin-triangle", "repjoin-triangle")
+JOBS = (
+    "count-edges",
+    "exact-2hop",
+    "approx-2hop",
+    "rsjoin-triangle",
+    "repjoin-triangle",
+    "query",  # run any registered named query: input = table dir, --name required
+)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -38,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
         choices=("auto", "shuffle", "broadcast"),
         help="triangle closure join strategy (rsjoin=shuffle, repjoin=broadcast)",
     )
+    p.add_argument(
+        "--name",
+        default=None,
+        help="registered query name for the 'query' job (see plans/registry)",
+    )
     args = p.parse_args(argv)
 
     from twitter_followers_patterns_mapreduce_spark.operators import graph as G
@@ -46,6 +58,22 @@ def main(argv: list[str] | None = None) -> int:
     from twitter_followers_patterns_mapreduce_spark.sources.writers import write_result
 
     spark = get_spark(app_name=f"job:{args.job}")
+
+    if args.job == "query":
+        # engine surface beyond reference parity: run ANY registered
+        # named query against a directory of harness-layout parquet
+        # tables and persist the result as part files
+        from twitter_followers_patterns_mapreduce_spark.plans.registry import all_queries
+
+        qs = all_queries()
+        if not args.name or args.name not in qs:
+            known = ", ".join(sorted(qs))
+            p.error(f"--name must be one of: {known}")
+        result = qs[args.name](spark, args.input)
+        write_result(result, args.output, format=args.format)
+        print(result.count())
+        return 0
+
     edges = edges_from_csv(spark, args.input)
 
     if args.job == "count-edges":
