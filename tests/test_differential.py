@@ -97,3 +97,76 @@ def test_degrees_match_python(spark):
         want.setdefault(a, [0, 0])[0] += 1
         want.setdefault(b, [0, 0])[1] += 1
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# Iterative-graph and temporal-join differentials
+
+
+def py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find oracle: undirected components labeled by min node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_connected_components_matches_union_find(spark, seed):
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        connected_components,
+    )
+
+    edges = random_edges(seed, n_edges=30)  # sparse → several components
+    got = {r["id"]: r["comp"] for r in connected_components(make_edges(spark, edges)).collect()}
+    assert got == py_components(edges)
+
+
+def py_asof(rows, left_type, right_type):
+    """Per-left-event most recent right event (ties: max event_id)."""
+    out = {}
+    for eid, ts, uid, etype, val in rows:
+        if etype != left_type:
+            continue
+        best = None
+        for rid, rts, ruid, rtype, rval in rows:
+            if rtype == right_type and ruid == uid and rts <= ts:
+                if best is None or (rts, rid) > (best[0], best[1]):
+                    best = (rts, rid, rval)
+        out[eid] = best[2] if best else None
+    return out
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_asof_join_matches_python_scan(spark, seed):
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators.temporal import asof_join
+
+    rnd = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=rnd.randrange(0, 3600)),
+            rnd.randrange(4),
+            rnd.choice(["purchase", "click"]),
+            float(i),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, et, v, "{}") for eid, ts, uid, et, v in rows],
+        schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {r["event_id"]: r["asof_value"] for r in asof_join(df, "purchase", "click").collect()}
+    assert got == py_asof(rows, "purchase", "click")

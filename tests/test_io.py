@@ -112,3 +112,19 @@ def test_json_and_orc_edge_sources_match_csv(spark, tmp_path):
     assert {(r["src"], r["dst"]) for r in edges_from_orc(spark, op).collect()} == base
     # same goldens through a non-CSV source (§2.9: CE=10 at huge MAX)
     assert one(G.count_edges(edges_from_json(spark, jp), 10**9)) == 10
+
+
+def test_malformed_csv_lines_become_nulls_not_crashes(spark, tmp_path):
+    """The reference throws NumberFormatException mid-job on a bad line
+    (exact/Exact2HopCount.java:55-59 parses unconditionally); the
+    engine's schema'd reader yields NULL fields instead (PERMISSIVE),
+    so 100 TB ingests degrade per-row, not per-job.  Dropping the
+    malformed rows is then an explicit, testable filter."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import edges_from_csv
+
+    p = tmp_path / "bad_edges.csv"
+    p.write_text("1,2\nnot,a,number\n3\n4,5\nx,y\n")
+    edges = edges_from_csv(spark, str(p))
+    assert edges.count() == 5  # every line yields a row...
+    clean = edges.dropna()
+    assert {(r["src"], r["dst"]) for r in clean.collect()} == {(1, 2), (4, 5)}
