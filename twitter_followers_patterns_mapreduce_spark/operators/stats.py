@@ -114,12 +114,23 @@ def sketch_summary(events: DataFrame) -> DataFrame:
     No cross-engine oracle (sketch internals are implementation-
     specific); pytest pins determinism and error bounds against the
     exact columns.
+
+    Plan note: the exact COUNT(DISTINCT) runs as its OWN aggregate and
+    is joined back — mixing a distinct aggregate with buffer-heavy ones
+    (percentile, HLL) makes Catalyst route every buffer through the
+    distinct Expand, measured 3.7× slower at sf0.1 than two clean
+    aggregates plus a 5-row join.
     """
-    return events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    sketches = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.percentile("value", F.lit(0.5)).alias("exact_p50"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+    )
+    return exact.join(sketches, "event_type").select(
+        "event_type", "exact_users", "approx_users", "exact_p50", "approx_p50"
     )
 
 
