@@ -71,6 +71,19 @@ def main() -> int:
         cold[name] = per_run[0]
         times[name] = min(per_run)
 
+    # extension-surface sweep: one timed run per non-headline registered
+    # query, so per-round artifacts track the WHOLE engine, not only the
+    # 15 headline names (single run — these inform trends, not the metric)
+    extended: dict[str, float] = {}
+    for name in sorted(qs):
+        if name in names:
+            continue
+        t0 = time.time()
+        # noop sink: full plan execution without shipping wide results
+        # (path enumerations, pair tables) through the driver
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        extended[name] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -82,6 +95,8 @@ def main() -> int:
                 "cold_total": round(sum(cold.values()), 3),
                 "runs_per_query": 2,
                 "missing": missing,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
             }
         )
