@@ -121,7 +121,32 @@ def doc_quality_score(documents: DataFrame) -> DataFrame:
 
 
 def doc_language_id(documents: DataFrame) -> DataFrame:
-    return apply_select(documents, lang_id_select("spark"))
+    """Staged Spark form of ``lang_id_select`` (same values): tokens are
+    projected once, then the five per-language stopword scores, then the
+    argmax CASE over the cheap score columns.  The one-expression form
+    inlines the tokenizer into every score reference (~30 copies across
+    the WHENs / greatest() lists / zero-total guard), re-splitting the
+    text per reference."""
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import LANG_PRIORITY
+
+    toks = tokens_sql("text", "spark")
+    staged = documents.selectExpr("doc_id", "lang AS labeled_lang", f"{toks} AS __toks")
+    scored = staged.selectExpr(
+        "doc_id",
+        "labeled_lang",
+        *[
+            f"{count_in_set_sql('__toks', words, 'spark')} AS __s_{lang}"
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    whens = " ".join(
+        f"WHEN __s_{lang} >= greatest({', '.join('__s_' + o for o in LANG_PRIORITY if o != lang)}) "
+        f"THEN '{lang}'"
+        for lang in LANG_PRIORITY
+    )
+    total = " + ".join(f"__s_{lang}" for lang in LANG_PRIORITY)
+    pred = f"CASE WHEN ({total}) = 0 THEN 'und' {whens} ELSE 'und' END"
+    return scored.selectExpr("doc_id", "labeled_lang", f"{pred} AS pred_lang")
 
 
 def curate_documents(documents: DataFrame, min_quality: float = 0.45) -> DataFrame:
@@ -136,7 +161,7 @@ def curate_documents(documents: DataFrame, min_quality: float = 0.45) -> DataFra
     )
 
     quality = apply_select(documents, quality_score_select("spark"))
-    langs = apply_select(documents, lang_id_select("spark"))
+    langs = doc_language_id(documents)
     keepers = exact_dedup_keep_best(documents).select(
         F.col("keeper_id").alias("doc_id")
     )
