@@ -34,6 +34,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine()`` with the per-vector norms hoisted into staged columns:
+    identical arithmetic (dot / (na·nb), so bit-identical results), but
+    each norm is computed once per VECTOR below the join instead of once
+    per candidate PAIR above it — per-pair cost drops from three array
+    folds to one."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_sql_duckdb(a: str, b: str) -> str:
     """DuckDB-side cosine over DOUBLE[] columns."""
     return (

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from twitter_followers_patterns_mapreduce_spark.functions.vector import as_double, cosine, cosine_sql_duckdb
+from twitter_followers_patterns_mapreduce_spark.functions.vector import (
+    as_double,
+    cosine,
+    cosine_sql_duckdb,
+    cosine_with_norms,
+    norm,
+)
 from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
 
 #: every 50th vector is a "query" — ~10 queries at sf0.01, ~100 at sf0.1.
@@ -31,9 +37,13 @@ LSH_SIGN_BITS = 6
 
 
 def _queries_and_corpus(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
-    emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    """Query/corpus split with the vector norm staged per side (``nq`` /
+    ``nv``) so per-pair cosine is one dot product, not three."""
+    emb = embeddings.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     return q, emb
 
@@ -42,7 +52,7 @@ def ann_topk_bruteforce(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.  The query side is
     tiny → broadcast; corpus scanned once per executor slice."""
     q, emb = _queries_and_corpus(embeddings)
-    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    sim = F.round(cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6)
     scored = (
         F.broadcast(q)
         .join(emb, F.col("query_id") != F.col("vec_id"))
@@ -96,7 +106,7 @@ def ann_topk_lsh(embeddings: DataFrame, k: int = 5) -> DataFrame:
     q, emb = _queries_and_corpus(embeddings)
     qb = q.withColumn("q_bucket", _sign_bucket(F.col("qv")))
     cb = emb.withColumn("c_bucket", _sign_bucket(F.col("v")))
-    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    sim = F.round(cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6)
     scored = (
         F.broadcast(qb)
         .join(cb, (F.col("q_bucket") == F.col("c_bucket")) & (F.col("query_id") != F.col("vec_id")))
@@ -184,16 +194,16 @@ def ann_topk_ivf(embeddings: DataFrame, k: int = 5, n_probe: int = IVF_NPROBE) -
 
     # nearest n_probe centroids per query (tiny cross: |Q| × |labels|)
     qc = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim")
+        "query_id", "qv", "nq", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("label").asc())
     probes = (
         qc.withColumn("crank", F.row_number().over(w))
         .where(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "label")
+        .select("query_id", "qv", "nq", "label")
     )
 
-    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    sim = F.round(cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6)
     scored = (
         F.broadcast(probes)
         .join(corpus, (probes["label"] == corpus["label"]) & (F.col("query_id") != F.col("vec_id")))
@@ -247,9 +257,13 @@ def embedding_top_pairs(embeddings: DataFrame, top_n: int = 50) -> DataFrame:
     This is the DOCUMENTED exact brute-force baseline (all-pairs —
     O(n²) like any exact top-pairs); ``embedding_top_pairs_lsh`` is the
     equi-join scale path."""
-    emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    emb = embeddings.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
     a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        cosine_with_norms(F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")), 6
+    )
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), sim.alias("sim")
     )
@@ -262,13 +276,15 @@ def embedding_top_pairs_lsh(embeddings: DataFrame, top_n: int = 50) -> DataFrame
     no cross product anywhere.  High-cosine pairs land in the same
     bucket with high probability; the oracle applies the identical
     bucket restriction so results are deterministic and comparable."""
-    emb = embeddings.select("vec_id", as_double("embedding").alias("v"))
-    a = emb.select("vec_id", "v", _sign_bucket(F.col("v")).alias("bucket")).alias("a")
+    emb = embeddings.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nv", norm(F.col("v"))
+    )
+    a = emb.select("vec_id", "v", "nv", _sign_bucket(F.col("v")).alias("bucket")).alias("a")
     b = emb.select(
         F.col("vec_id").alias("vec_id_b"), F.col("v").alias("v_b"),
-        _sign_bucket(F.col("v")).alias("bucket_b"),
+        F.col("nv").alias("nv_b"), _sign_bucket(F.col("v")).alias("bucket_b"),
     ).alias("b")
-    sim = F.round(cosine(F.col("v"), F.col("v_b")), 6)
+    sim = F.round(cosine_with_norms(F.col("v"), F.col("v_b"), F.col("nv"), F.col("nv_b")), 6)
     pairs = a.join(
         b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") < F.col("vec_id_b"))
     ).select(F.col("vec_id").alias("vec_a"), F.col("vec_id_b").alias("vec_b"), sim.alias("sim"))
