@@ -126,7 +126,17 @@ def shingled_docs(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
         # projections with the quadratic inline expression substituted
         # back in (measured 6× slower at sf0.1)
         .where(F.size("toks") >= n_shingle)
-        .selectExpr("doc_id", f"{shingles_sql('toks', n_shingle, 'spark')} AS shingles")
+        # coalesce(…, array()) never fires (toks ≥ n guarantees non-null)
+        # but flips the column to non-NULLABLE, so downstream joins on
+        # jaccard(shingles) can't infer an isnotnull(shingles) constraint
+        # — that inferred filter gets alias-substituted below these
+        # projections and re-runs the whole inlined shingle pipeline
+        # per doc in a scan-side Filter (measured 8 s of a 9.6 s query
+        # at sf0.1)
+        .selectExpr(
+            "doc_id",
+            f"coalesce({shingles_sql('toks', n_shingle, 'spark')}, array()) AS shingles",
+        )
     )
 
 
