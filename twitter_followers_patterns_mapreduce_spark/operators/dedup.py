@@ -342,7 +342,7 @@ def _simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int
     return bands
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ r.
 
     Scale shape: candidates come from an EQUI-join on (band_idx, band

@@ -60,11 +60,17 @@ def dedup_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle=D.simhash_near_pairs_oracle(max_hamming=8),
+    oracle=D.simhash_near_pairs_oracle(max_hamming=3),
+    # r=3 is the published web-dedup operating point (Manku et al.,
+    # WWW'07 §4: 64-bit fingerprints, k=3).  It also sets the band
+    # width: r+1 pigeonhole bands of 15 bits → 1/32k per-band collision
+    # rate for unrelated docs, vs r=8's 7-bit bands (1/128) which made
+    # candidate generation quadratic-ish (83k "near-dup" pairs at sf0.1,
+    # nearly all noise).
     description="SimHash near-dup pairs via pigeonhole band equi-join (lossless prefilter)",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=8)
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @register(
