@@ -149,16 +149,16 @@ def triangle_count_raw(
         picks broadcast by itself)
     """
     e = filter_max(edges, max_limit)
-    # Pre-aggregate paths to (x, z, n_paths) BEFORE the closure join —
-    # the reference's TriangleReducer does exactly this (pathCount per
-    # (Z,X) key, added iff hasEdge, ``:168-186``).  Map-side partial
-    # aggregation shrinks the (z,x) shuffle from O(paths) rows to
-    # O(distinct endpoint pairs), and the y column is pruned entirely.
-    grouped = (
-        two_hop_paths(edges, max_limit, exclude_roundtrips=True)
-        .groupBy("x", "z")
-        .agg(F.count("*").alias("n_paths"))
-    )
+    # Paths flow STRAIGHT into the closure semi-join and die in the
+    # count — mirroring the reference's reduce-side pathCount-iff-hasEdge
+    # (``rsjoin/RSJoinTriangleCount.java:168-186``), which also counts
+    # after the shuffle, not before.  A groupBy(x, z) pre-aggregation
+    # before the join was measured 1.5× (broadcast) to 2.7× (shuffle)
+    # SLOWER at sf0.1 despite a ~100× duplication factor: hash-building
+    # 25.7M path rows costs more than streaming them, and under the
+    # broadcast strategy join-first needs no path shuffle at all (the
+    # semi-join filter and the partial count are both map-side).
+    paths = two_hop_paths(edges, max_limit, exclude_roundtrips=True)
     if strategy == "broadcast":
         right = F.broadcast(e)
     elif strategy == "shuffle":
@@ -167,12 +167,10 @@ def triangle_count_raw(
         right = e
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
-    closed = grouped.join(
-        right, (grouped["z"] == right["src"]) & (grouped["x"] == right["dst"]), "left_semi"
+    closed = paths.join(
+        right, (paths["z"] == right["src"]) & (paths["x"] == right["dst"]), "left_semi"
     )
-    return closed.agg(
-        F.coalesce(F.sum("n_paths"), F.lit(0)).cast("long").alias("triangle_count_raw")
-    )
+    return closed.agg(F.count("*").cast("long").alias("triangle_count_raw"))
 
 
 def triangle_count(
