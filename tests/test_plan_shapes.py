@@ -70,3 +70,39 @@ def test_lsh_paths_are_equi_joins(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+#: Optimizer-trap patterns in the OPTIMIZED logical plan.  Each is a
+#: Catalyst rewrite that silently re-evaluates an expensive scan-side
+#: expression (see operators/dedup.py::shingled_docs and
+#: functions/vector.py::as_double for the fixes):
+#:   * isnotnull(<expr tree>) — InferFiltersFromConstraints derived a
+#:     null check from a join/filter on a computed column, and pushdown
+#:     alias-substituted the full pipeline below the staged projections
+#:     (fix: make the staged column non-nullable via coalesce);
+#:   * huge Filter nodes — an inlined expression pipeline running per
+#:     row inside a Filter instead of once per staged projection.
+INFERRED_FILTER_TRAPS = (
+    "isnotnull(size(CASE",
+    "isnotnull(aggregate(",
+    "isnotnull(transform(",
+    "isnotnull(coalesce(transform",
+    "isnotnull(filter(split",
+    "isnotnull(CASE WHEN",
+)
+MAX_FILTER_NODE_CHARS = 1500
+
+
+def test_no_inferred_filter_reevaluation(spark):
+    offenders = []
+    for name in all_queries():
+        df = all_queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for pat in INFERRED_FILTER_TRAPS:
+            if pat in plan:
+                offenders.append((name, pat))
+        for line in plan.splitlines():
+            s = line.strip()
+            if s.startswith(("+- Filter", ":- Filter", "Filter ")) and len(s) > MAX_FILTER_NODE_CHARS:
+                offenders.append((name, f"filter-node-{len(s)}-chars"))
+    assert offenders == []

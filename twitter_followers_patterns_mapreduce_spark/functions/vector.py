@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 def as_double(v: Column | str) -> Column:
     v = F.col(v) if isinstance(v, str) else v
-    return F.transform(v, lambda x: x.cast("double"))
+    # coalesce(…, []) never fires (embeddings are non-null) but makes the
+    # column NON-NULLABLE, so joins/filters on derived similarity values
+    # can't infer an isnotnull(transform(…)) constraint that pushdown
+    # would re-evaluate per row in a scan-side Filter
+    return F.coalesce(
+        F.transform(v, lambda x: x.cast("double")), F.array().cast("array<double>")
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

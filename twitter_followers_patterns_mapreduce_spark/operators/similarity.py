@@ -167,7 +167,10 @@ def ivf_centroids(embeddings: DataFrame) -> DataFrame:
     summation order differs between engines (and between Spark tasks),
     and probe selection must be deterministic for the oracle."""
     emb = embeddings.select("label", as_double("embedding").alias("v"))
-    dims = emb.select("label", F.posexplode("v").alias("pos", "val"))
+    # posexplode_outer: plain posexplode makes Catalyst infer size(v)>0 /
+    # isnotnull(v) predicates that push to the scan with the array
+    # expression inlined (v is non-empty by construction)
+    dims = emb.select("label", F.posexplode_outer("v").alias("pos", "val"))
     avgs = dims.groupBy("label", "pos").agg(
         (F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("avg")
     )
