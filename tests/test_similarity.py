@@ -91,3 +91,24 @@ def test_ivf_centroids_are_elementwise_means(spark):
     emb = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT")
     cents = {r["label"]: r["centroid"] for r in S.ivf_centroids(emb).collect()}
     assert cents[7] == [3.0, 6.0]
+
+
+def test_blocked_top_pairs_matches_bruteforce(spark):
+    """The block-pair BLAS path must return EXACTLY the brute-force
+    result — same pairs, same ranks, same 6-dp sims (the rounding
+    absorbs BLAS-vs-sequential-fold ulp noise)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = [tuple(r) for r in S.embedding_top_pairs(emb, top_n=20).collect()]
+    blocked = [tuple(r) for r in S.embedding_top_pairs_blocked(emb, top_n=20, n_blocks=4).collect()]
+    assert brute == blocked
+
+
+def test_blocked_top_pairs_handles_more_blocks_than_rows(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>")
+    got = S.embedding_top_pairs_blocked(emb, top_n=5, n_blocks=8).collect()
+    # C(3,2) = 3 pairs, every one present exactly once
+    assert len(got) == 3
+    assert sorted((r["vec_a"], r["vec_b"]) for r in got) == [(0, 1), (0, 2), (1, 2)]
