@@ -4,6 +4,7 @@ Arrow mapInPandas batch extraction, decode stub contract."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 
@@ -80,3 +81,21 @@ def test_video_frame_sample_goldens(docs):
 def test_video_frame_sample_stride_controls_fanout(docs):
     assert M.video_frame_sample(docs, stride=4).count() == 3 * 2  # frames 0, 4
     assert M.video_frame_sample(docs, stride=1).count() == 3 * 8
+
+
+def test_audio_features_goldens(docs):
+    rows = {r["doc_id"]: r for r in M.audio_features(docs).collect()}
+    assert len(rows) == 3
+    for doc_id, text in [(0, "hello world"), (5, "third one here")]:
+        wav = []
+        for i in range(8):
+            wav += [b - 128 for b in hashlib.md5(f"{text}#{i}".encode()).digest()]
+        r = rows[doc_id]
+        assert r["n_samples"] == 128
+        assert r["peak"] == max(abs(x) for x in wav)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(wav, wav[1:]) if a * b < 0
+        )
+        rms = math.sqrt(sum(x * x for x in wav) / 128.0)
+        assert r["rms"] == math.floor(rms * 1_000_000) / 1_000_000.0
+        assert r["duration_s"] == 128 / 8000.0

@@ -284,6 +284,104 @@ def video_frame_sample(documents: DataFrame, stride: int = 2) -> DataFrame:
     return mm.mapInPandas(sample, schema=_FRAME_SAMPLE_SCHEMA)
 
 
+N_AUDIO_CHUNKS = 8
+#: fake 8-bit PCM: 8 md5 digests = 128 unsigned samples centered at 128
+AUDIO_SAMPLES = N_AUDIO_CHUNKS * PAYLOAD_BYTES
+AUDIO_RATE = 8000
+
+
+def with_fake_audio(documents: DataFrame) -> DataFrame:
+    """Attach a deterministic single-channel "waveform": chunk i is
+    ``unhex(md5(text || '#' || i))``, concatenated — 128 bytes of fake
+    8-bit PCM whose every sample has a closed-form hex oracle — plus
+    the typed metadata struct real audio tables carry."""
+    chunks = [
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"#{i}")))) for i in range(N_AUDIO_CHUNKS)
+    ]
+    return documents.select(
+        "doc_id",
+        F.concat(*chunks).alias("audio"),
+        F.struct(
+            F.lit(AUDIO_SAMPLES).alias("n_samples"),
+            F.lit(AUDIO_RATE).alias("sample_rate"),
+            F.lit(8).alias("bit_depth"),
+            F.lit("fake/md5").alias("codec"),
+        ).alias("audio_meta"),
+    )
+
+
+_AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(documents: DataFrame) -> DataFrame:
+    """Per-document waveform features via Arrow-batched ``mapInPandas``
+    (the slot a real spectrogram/MFCC extractor plugs into): samples
+    are bytes centered at 128; peak / zero-crossing counts are exact
+    integers, and RMS is emitted via exact integer floor at 6 dp
+    (sum-of-squares is integer, /128 is a power-of-two division, so
+    both engines sqrt the identical double)."""
+    import math
+
+    import numpy as np
+
+    mm = with_fake_audio(documents)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, peaks, zcs, rmss = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                s = np.frombuffer(blob, dtype=np.uint8).astype(np.int64) - 128
+                doc_ids.append(doc_id)
+                peaks.append(int(np.abs(s).max()))
+                zcs.append(int(np.sum(s[:-1] * s[1:] < 0)))
+                rms = math.sqrt(int(np.sum(s * s)) / float(len(s)))
+                rmss.append(math.floor(rms * 1_000_000) / 1_000_000.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "n_samples": pd.Series([AUDIO_SAMPLES] * len(doc_ids), dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "duration_s": pd.Series(
+                        [AUDIO_SAMPLES / float(AUDIO_RATE)] * len(doc_ids), dtype="float64"
+                    ),
+                }
+            )
+
+    return mm.mapInPandas(extract, schema=_AUDIO_FEATURES_SCHEMA)
+
+
+def audio_features_oracle() -> str:
+    """Closed-form hex oracle: sample k is byte k%16 of
+    ``md5(text || '#' || k//16)``, centered at 128."""
+    byte_k = (
+        "CAST(concat('0x', substring(md5(text || '#' || CAST(k // 16 AS VARCHAR)), "
+        "2 * (k % 16) + 1, 2)) AS BIGINT)"
+    )
+    n = AUDIO_SAMPLES
+    return f"""WITH s AS (
+  SELECT doc_id, list_transform(range(0, {n}), k -> {byte_k} - 128) AS w
+  FROM documents
+)
+SELECT doc_id,
+  CAST({n} AS BIGINT) AS n_samples,
+  CAST(list_aggregate(list_transform(w, x -> abs(x)), 'max') AS BIGINT) AS peak,
+  CAST(list_aggregate(list_transform(range(0, {n - 1}), i -> CASE WHEN w[i + 1] * w[i + 2] < 0 THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS zero_crossings,
+  CAST(FLOOR(sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum') / {float(n)!r}) * 1000000) AS DOUBLE) / 1000000.0 AS rms,
+  CAST({AUDIO_SAMPLES} AS DOUBLE) / {float(AUDIO_RATE)!r} AS duration_s
+FROM s"""
+
+
 def video_frame_sample_oracle(stride: int = 2) -> str:
     """Closed-form hex oracle: frame i's bytes are the md5 digest of
     ``text || ':' || i``."""

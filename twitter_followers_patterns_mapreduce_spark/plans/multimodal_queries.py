@@ -51,3 +51,13 @@ def mm_crossmodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_frame_sample(load_table(spark, sf_dir, "documents"), stride=2)
+
+
+@register(
+    "mm_audio_features",
+    oracle=M.audio_features_oracle(),
+    description="audio waveform features (peak / zero-crossings / RMS) over fake 8-bit "
+    "PCM via Arrow mapInPandas, closed-form hex oracle",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.audio_features(load_table(spark, sf_dir, "documents"))
