@@ -1,0 +1,119 @@
+"""Hand-computed goldens for the corpus operators (vocabulary, TF-IDF,
+chunking, redaction) plus the PII presets on synthetic strings."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry"),
+        (3, "apple date"),
+    ]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+def test_vocabulary_counts_and_docfreq(docs):
+    rows = CP.doc_vocabulary(docs, min_count=2, k=10).collect()
+    got = {r["token"]: (r["term_count"], r["doc_freq"]) for r in rows}
+    assert got == {"apple": (3, 2), "cherry": (3, 2), "banana": (2, 2)}
+    # top-k ordering: count desc, token asc
+    assert [r["token"] for r in rows] == ["apple", "cherry", "banana"]
+
+
+def test_vocabulary_min_count_filters(docs):
+    rows = CP.doc_vocabulary(docs, min_count=3, k=10).collect()
+    assert sorted(r["token"] for r in rows) == ["apple", "cherry"]
+
+
+def test_tfidf_golden(docs):
+    # doc 3 = "apple date": tf(date)=1/2, df(date)=1, N=3 → idf=ln(3)
+    # tf(apple)=1/2, df(apple)=2 → idf=ln(1.5); date outranks apple.
+    rows = CP.doc_tfidf_topk(docs, k=2).collect()
+    d3 = sorted((r for r in rows if r["doc_id"] == 3), key=lambda r: r["rank"])
+    assert [r["token"] for r in d3] == ["date", "apple"]
+    assert d3[0]["tfidf"] == math.floor(0.5 * math.log(3.0) * 1e6) / 1e6
+    assert d3[1]["tfidf"] == math.floor(0.5 * math.log(1.5) * 1e6) / 1e6
+
+
+def test_tfidf_rank_is_dense_per_doc(docs):
+    rows = CP.doc_tfidf_topk(docs, k=10).collect()
+    for doc_id in (1, 2, 3):
+        ranks = sorted(r["rank"] for r in rows if r["doc_id"] == doc_id)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+@pytest.mark.parametrize(
+    "text,size,stride,expected",
+    [
+        # shorter than one chunk → exactly one chunk, full text
+        ("abcdef", 10, 5, [(0, 0, "abcdef")]),
+        # len 10, size 6, stride 4 → ceil((10-6)/4)=1 → chunks at 0 and 4
+        ("0123456789", 6, 4, [(0, 0, "012345"), (1, 4, "456789")]),
+        # exact multiple: len 8, size 4, stride 4 → starts 0 and 4
+        ("01234567", 4, 4, [(0, 0, "0123"), (1, 4, "4567")]),
+        # last chunk ragged: len 9, size 4, stride 4 → starts 0, 4, 8
+        ("012345678", 4, 4, [(0, 0, "0123"), (1, 4, "4567"), (2, 8, "8")]),
+    ],
+)
+def test_chunks_boundaries(spark, text, size, stride, expected):
+    df = spark.createDataFrame([(1, text)], schema=DOCS_SCHEMA)
+    rows = sorted(
+        CP.doc_chunks(df, size=size, stride=stride).collect(), key=lambda r: r["chunk_idx"]
+    )
+    got = [(r["chunk_idx"], r["chunk_start"], r["chunk_text"]) for r in rows]
+    assert got == expected
+    assert all(r["chunk_len"] == len(r["chunk_text"]) for r in rows)
+
+
+def test_chunks_cover_text_with_overlap(spark):
+    text = "x" * 1000
+    df = spark.createDataFrame([(1, text)], schema=DOCS_SCHEMA)
+    rows = sorted(CP.doc_chunks(df, size=200, stride=150).collect(), key=lambda r: r["chunk_idx"])
+    # starts advance by stride; union of [start, start+len) covers [0, 1000)
+    assert [r["chunk_start"] for r in rows] == [150 * i for i in range(len(rows))]
+    assert rows[-1]["chunk_start"] + rows[-1]["chunk_len"] == 1000
+    assert all(r["chunk_len"] == 200 for r in rows[:-1])
+
+
+def test_redact_email_preset(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at alice@example.com or bob.smith+x@sub.org today"),
+         (2, "no pii here")],
+        schema=DOCS_SCHEMA,
+    )
+    r = {x["doc_id"]: x for x in CP.redact(df, CP.REDACT_PRESETS["email"]).collect()}
+    assert r[1]["n_redactions"] == 2
+    assert r[1]["clean_text"] == "mail me at [REDACTED] or [REDACTED] today"
+    assert r[2]["n_redactions"] == 0
+    assert r[2]["clean_text"] == "no pii here"
+
+
+def test_redact_phone_and_ssn_presets(spark):
+    df = spark.createDataFrame(
+        [(1, "call +1 (555) 123-4567 now"), (2, "ssn 123-45-6789 leaked")],
+        schema=DOCS_SCHEMA,
+    )
+    phone = {x["doc_id"]: x for x in CP.redact(df, CP.REDACT_PRESETS["phone"]).collect()}
+    assert phone[1]["n_redactions"] == 1
+    assert "555" not in phone[1]["clean_text"]
+    ssn = {x["doc_id"]: x for x in CP.redact(df, CP.REDACT_PRESETS["ssn"]).collect()}
+    assert ssn[2]["n_redactions"] == 1
+    assert ssn[2]["clean_text"] == "ssn [REDACTED] leaked"
+
+
+def test_redact_terms_word_boundary(spark):
+    # "order" redacts, "orders"/"reorder" don't (word-boundary anchors)
+    df = spark.createDataFrame([(1, "order orders reorder customer")], schema=DOCS_SCHEMA)
+    r = CP.doc_redact_terms(df, terms=("customer", "order")).collect()[0]
+    assert r["n_redactions"] == 2
+    assert r["clean_text"] == "[REDACTED] orders reorder [REDACTED]"

@@ -1,0 +1,261 @@
+"""Corpus-level training-data operators over ``documents``: vocabulary
+building, TF-IDF term weighting, fixed-size chunking, and regex
+redaction (PII-scrub machinery).
+
+Extension surface (the reference has no text processing beyond
+split/concat, SURVEY.md §2.6); these are the standard corpus-prep steps
+of an LLM data pipeline.  Like ``operators/text.py``, every operator is
+expressed once and emitted in two dialects — Spark SQL (inside
+whole-stage codegen, zero Python UDFs) and DuckDB (the oracle) — so
+parity is by construction.
+
+Scale notes (100 TB):
+- ``doc_vocabulary`` is one map-side-combinable hash aggregation keyed
+  by token, then a distributed top-k (``orderBy().limit()`` →
+  TakeOrderedAndProject: per-partition heaps, single small merge; no
+  global sort of the vocabulary).
+- ``doc_tfidf_topk`` carries the per-doc token count *through* the
+  explode (scan-side ``size(toks)``) so term frequency needs no second
+  shuffle by doc; document frequency is a second hash-agg keyed by
+  token; the final per-doc top-k window partitions by ``doc_id`` —
+  never a global window.
+- ``doc_chunks`` is embarrassingly parallel (generate + substring, no
+  shuffle at all).
+- ``doc_redact_terms`` is a pure projection (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
+
+# PII-style redaction presets. The synthetic corpus contains no
+# digits/emails (vacuously green oracles are worthless), so the
+# *registered* query redacts corpus words; the presets exercise the
+# same machinery and are covered by unit tests on synthetic strings.
+REDACT_PRESETS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{6,}[0-9]",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def _term_pattern(terms: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(terms) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+def doc_vocabulary(df: DataFrame, min_count: int = 5, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: token → total occurrences + document frequency,
+    kept when seen ≥ ``min_count`` times, top-``k`` by count.
+
+    Plan: stage tokens as their own projection (CollapseProject keeps the
+    multi-referenced array out of the explode lambda), ``explode_outer``
+    (no inferred scan-side ``size>0`` filter re-running the tokenizer —
+    see the staged-projection notes in operators/dedup.py), one hash-agg
+    with map-side partial aggregation, TakeOrderedAndProject for top-k.
+    """
+    toks = df.selectExpr("doc_id", f"{tokens_sql('text', 'spark')} AS toks")
+    exploded = (
+        toks.select("doc_id", F.explode_outer("toks").alias("token"))
+        .where(F.col("token").isNotNull())
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count("*").alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .where(F.col("term_count") >= min_count)
+        .orderBy(F.desc("term_count"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def doc_vocabulary_oracle(min_count: int = 5, k: int = 100) -> str:
+    toks = tokens_sql("text", "duckdb")
+    return f"""
+        SELECT token,
+               count(*) AS term_count,
+               count(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+        GROUP BY token
+        HAVING count(*) >= {min_count}
+        ORDER BY term_count DESC, token ASC
+        LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+def doc_tfidf_topk(df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = occurrences / doc tokens; idf = ln(N / df); the score is
+    floored to 6 dp via exact integer arithmetic (``floor(x*1e6)/1e6``)
+    so Spark and DuckDB agree bit-for-bit, and the per-doc rank breaks
+    ties on the token so row selection is deterministic.
+    """
+    toks = df.selectExpr("doc_id", f"{tokens_sql('text', 'spark')} AS toks")
+    exploded = (
+        toks.selectExpr("doc_id", "size(toks) AS n_toks", "toks")
+        .select("doc_id", "n_toks", F.explode_outer("toks").alias("token"))
+        .where(F.col("token").isNotNull())
+    )
+    tf = exploded.groupBy("doc_id", "n_toks", "token").agg(F.count("*").alias("cnt"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # Global doc count, attached via a BroadcastHashJoin on a
+    # data-derived always-zero key (a literal key would be constant-
+    # folded and a bare crossJoin would plan BroadcastNestedLoopJoin —
+    # this keeps the engine's "no cross-join nodes" invariant intact).
+    n_docs = df.select(F.count("*").alias("n_docs")).selectExpr(
+        "n_docs", "n_docs - n_docs AS _k"
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .withColumn("_k", F.expr("pmod(cnt, 1)"))
+        .join(F.broadcast(n_docs), "_k")
+        .selectExpr(
+            "doc_id",
+            "token",
+            "floor((CAST(cnt AS DOUBLE) / n_toks) * ln(CAST(n_docs AS DOUBLE) / df) * 1e6)"
+            " / 1e6 AS tfidf",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tfidf")
+    )
+
+
+def doc_tfidf_topk_oracle(k: int = 5) -> str:
+    toks = tokens_sql("text", "duckdb")
+    return f"""
+        WITH exploded AS (
+            SELECT doc_id, len({toks}) AS n_toks, unnest({toks}) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, n_toks, token, count(*) AS cnt
+            FROM exploded GROUP BY doc_id, n_toks, token
+        ),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   floor((CAST(cnt AS DOUBLE) / n_toks)
+                         * ln(CAST(n_docs AS DOUBLE) / df) * 1e6) / 1e6 AS tfidf
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, rank, token, tfidf
+        FROM (
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+def doc_chunks(df: DataFrame, size: int = 200, stride: int = 150) -> DataFrame:
+    """Fixed-size character chunks with overlap (training-sample prep).
+
+    Chunk *i* covers ``[i*stride, i*stride + size)``; the count is
+    ``1 + ceil(max(len - size, 0) / stride)`` computed with exact
+    integer arithmetic, so every document yields ≥ 1 chunk and the last
+    chunk reaches the end of the text.  Pure generate + substring — no
+    shuffle, scales linearly.
+    """
+    m = f"(greatest(length(text) - {size}, 0) + {stride - 1}) div {stride}"
+    staged = df.selectExpr("doc_id", "text", f"sequence(0, {m}) AS idxs")
+    return (
+        staged.select("doc_id", "text", F.explode_outer("idxs").alias("chunk_idx"))
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            f"CAST(chunk_idx * {stride} AS BIGINT) AS chunk_start",
+            f"substring(text, chunk_idx * {stride} + 1, {size}) AS chunk_text",
+        )
+        .selectExpr(
+            "doc_id", "chunk_idx", "chunk_start",
+            "CAST(length(chunk_text) AS BIGINT) AS chunk_len", "chunk_text",
+        )
+    )
+
+
+def doc_chunks_oracle(size: int = 200, stride: int = 150) -> str:
+    m = f"(greatest(length(text) - {size}, 0) + {stride - 1}) // {stride}"
+    return f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * {stride} AS BIGINT) AS chunk_start,
+               CAST(length(substring(text, i * {stride} + 1, {size})) AS BIGINT) AS chunk_len,
+               substring(text, i * {stride} + 1, {size}) AS chunk_text
+        FROM (
+            SELECT doc_id, text, unnest(generate_series(0, {m})) AS i
+            FROM documents
+        )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Redaction
+# ---------------------------------------------------------------------------
+
+def redact(df: DataFrame, pattern: str, tag: str = "[REDACTED]",
+           text_col: str = "text") -> DataFrame:
+    """Redact every regex match in ``text_col``; counts matches first.
+
+    ``pattern`` is a raw regex (use :data:`REDACT_PRESETS` for
+    email/phone/SSN).  Spark's ``regexp_replace`` is global by default;
+    the DuckDB oracle must pass the ``'g'`` flag (see
+    :func:`redact_oracle`).
+    """
+    return df.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{_sql_quote(pattern)}', 0)"))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.regexp_replace(F.col(text_col), pattern, tag).alias("clean_text"),
+    )
+
+
+def _sql_quote(pattern: str) -> str:
+    # Spark SQL string literals process backslashes; double them.
+    return pattern.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def doc_redact_terms(df: DataFrame, terms: tuple[str, ...] = ("customer", "supplier", "order"),
+                     tag: str = "[REDACTED]") -> DataFrame:
+    """Registered, non-vacuous form of :func:`redact`: scrub a term set
+    that actually occurs in the corpus (entity-style redaction; the
+    synthetic corpus has no digits/emails, so the PII presets would be
+    vacuously green — they are unit-tested on synthetic strings
+    instead)."""
+    return redact(df, _term_pattern(terms), tag)
+
+
+def doc_redact_terms_oracle(terms: tuple[str, ...] = ("customer", "supplier", "order"),
+                            tag: str = "[REDACTED]") -> str:
+    pat = _term_pattern(terms)
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_redactions,
+               regexp_replace(text, '{pat}', '{tag}', 'g') AS clean_text
+        FROM documents
+    """

@@ -72,3 +72,46 @@ from twitter_followers_patterns_mapreduce_spark.operators import splits as SP  #
 )
 def doc_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.split_summary(load_table(spark, sf_dir, "documents"), holdout_pct=10)
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP  # noqa: E402
+
+
+@register(
+    "doc_vocabulary",
+    oracle=CP.doc_vocabulary_oracle(min_count=5, k=100),
+    description="corpus vocabulary: token counts + doc frequency, min_count filter, "
+    "distributed top-k (TakeOrderedAndProject, never a global sort)",
+)
+def doc_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_vocabulary(load_table(spark, sf_dir, "documents"), min_count=5, k=100)
+
+
+@register(
+    "doc_tfidf_topk",
+    oracle=CP.doc_tfidf_topk_oracle(k=5),
+    description="top-5 TF-IDF terms per doc: tf carried through the explode scan-side, "
+    "df as a second hash-agg, per-doc window (partitioned, never global)",
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "doc_chunks",
+    oracle=CP.doc_chunks_oracle(size=200, stride=150),
+    description="fixed-size character chunking with overlap (training-sample prep); "
+    "pure generate + substring, zero shuffles",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_chunks(load_table(spark, sf_dir, "documents"), size=200, stride=150)
+
+
+@register(
+    "doc_redact_terms",
+    oracle=CP.doc_redact_terms_oracle(),
+    description="regex redaction (PII-scrub machinery) over a term set present in the "
+    "corpus; email/phone/SSN presets unit-tested on synthetic strings",
+)
+def doc_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_redact_terms(load_table(spark, sf_dir, "documents"))
