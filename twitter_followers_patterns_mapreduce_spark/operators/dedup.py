@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
 from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
@@ -120,7 +122,10 @@ def shingled_docs(documents: DataFrame, n_shingle: int = 3) -> DataFrame:
     their own Project)."""
     toks = tokens_sql("text", "spark")
     return (
-        documents.selectExpr("doc_id", f"{toks} AS toks")
+        # fan_out: shingle+md5 per-row cost dominates; without it the
+        # single-row-group local scan pins the whole signature stage to
+        # one task (sources/readers.py::fan_out).
+        fan_out(documents).selectExpr("doc_id", f"{toks} AS toks")
         # equivalent to size(shingles) > 0, but filtering on the TOKEN
         # array: a predicate on `shingles` gets pushed below both
         # projections with the quadratic inline expression substituted
@@ -302,8 +307,10 @@ def _simhash_expr_spark(text: str = "text") -> str:
 
 
 def simhash_table(documents: DataFrame) -> DataFrame:
-    """(doc_id, simhash BIGINT) — embarrassingly parallel, no shuffle."""
-    return documents.selectExpr("doc_id", f"{_simhash_expr_spark()} AS simhash")
+    """(doc_id, simhash BIGINT) — embarrassingly parallel per row; one
+    ``fan_out`` shuffle of the raw docs so the 60-bit × per-token fold
+    uses every core instead of the scan's split count."""
+    return fan_out(documents).selectExpr("doc_id", f"{_simhash_expr_spark()} AS simhash")
 
 
 def simhash_table_oracle() -> str:

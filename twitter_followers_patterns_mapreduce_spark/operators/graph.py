@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
 #: Reference compile-time constants (``countedges/CountEdgesAfterMax.java:34``,
 #: ``approx/Approx2HopCount.java:41``) — here runtime parameters.
 MAX_EDGE_COUNT = 11_316_812
@@ -105,7 +107,13 @@ def two_hop_paths(
     inside the join, matching the reference's early filtering.
     """
     e = filter_max(edges, max_limit)
-    a, b = e.alias("a"), e.alias("b")
+    # Fan out the PROBE side before the expansion: the join emits ~40×
+    # its input, so partitioning must be sized by output work, not
+    # scan bytes (see sources/readers.py::fan_out).  The build side is
+    # left as-is — it collapses into one BroadcastExchange anyway, and
+    # under the sort-merge strategy it gets key-partitioned by its own
+    # exchange.
+    a, b = fan_out(e).alias("a"), e.alias("b")
     cond = F.col("a.dst") == F.col("b.src")
     if exclude_roundtrips:
         cond = cond & (F.col("a.src") != F.col("b.dst"))

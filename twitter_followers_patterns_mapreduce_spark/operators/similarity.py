@@ -30,6 +30,7 @@ from twitter_followers_patterns_mapreduce_spark.functions.vector import (
     norm,
 )
 from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
+from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 
 #: every 50th vector is a "query" — ~10 queries at sf0.01, ~100 at sf0.1.
 QUERY_MOD = 50
@@ -39,7 +40,9 @@ LSH_SIGN_BITS = 6
 def _queries_and_corpus(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Query/corpus split with the vector norm staged per side (``nq`` /
     ``nv``) so per-pair cosine is one dot product, not three."""
-    emb = embeddings.select("vec_id", as_double("embedding").alias("v")).withColumn(
+    # fan_out: the corpus side feeds every per-pair cosine downstream;
+    # partitioning sized by work, not scan bytes (readers.py::fan_out).
+    emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v")).withColumn(
         "nv", norm(F.col("v"))
     )
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
@@ -260,7 +263,7 @@ def embedding_top_pairs(embeddings: DataFrame, top_n: int = 50) -> DataFrame:
     This is the DOCUMENTED exact brute-force baseline (all-pairs —
     O(n²) like any exact top-pairs); ``embedding_top_pairs_lsh`` is the
     equi-join scale path."""
-    emb = embeddings.select("vec_id", as_double("embedding").alias("v")).withColumn(
+    emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v")).withColumn(
         "nv", norm(F.col("v"))
     )
     a, b = emb.alias("a"), emb.alias("b")
@@ -279,7 +282,7 @@ def embedding_top_pairs_lsh(embeddings: DataFrame, top_n: int = 50) -> DataFrame
     no cross product anywhere.  High-cosine pairs land in the same
     bucket with high probability; the oracle applies the identical
     bucket restriction so results are deterministic and comparable."""
-    emb = embeddings.select("vec_id", as_double("embedding").alias("v")).withColumn(
+    emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v")).withColumn(
         "nv", norm(F.col("v"))
     )
     a = emb.select("vec_id", "v", "nv", _sign_bucket(F.col("v")).alias("bucket")).alias("a")

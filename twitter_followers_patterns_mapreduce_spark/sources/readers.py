@@ -107,3 +107,21 @@ def edges_from_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC edge source — columnar alternative to parquet; schema comes
     from the file footer, projected onto (src, dst)."""
     return spark.read.orc(path).select(F.col("src").cast("long"), F.col("dst").cast("long"))
+
+
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition ahead of an expansion-heavy join or a
+    per-row-expensive projection stage.
+
+    Scan partitioning is sized by INPUT bytes
+    (``spark.sql.files.maxPartitionBytes``); a stage whose cost is
+    dominated by output amplification (a 2-hop path join emits ~40×
+    its input) or by heavy per-row expressions (128-permutation
+    minhash) needs partitioning sized by WORK instead.  Locally the
+    single-row-group testdata parquet pins such stages to one task —
+    this one small shuffle of the input unlocks all cores; on a
+    cluster, scans arrive well-split and the same call simply rounds
+    partitioning up to ``defaultParallelism``.
+    """
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
