@@ -117,3 +117,52 @@ def test_redact_terms_word_boundary(spark):
     r = CP.doc_redact_terms(df, terms=("customer", "order")).collect()[0]
     assert r["n_redactions"] == 2
     assert r["clean_text"] == "[REDACTED] orders reorder [REDACTED]"
+
+
+# ---------------------------------------------------------------------------
+# repetition stats + stratified sample
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_goldens(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 unique of 4; top=4/4; bigrams: "a a" ×3 dup ratio 1-1/3
+            (2, "w x y z"),          # all unique, no dup bigrams
+            (3, "a b a b a"),        # uniq 2/5; top 3/5; bigrams: "a b","b a" → 1-2/4
+            (4, "solo"),             # n=1: bigram ratio defined as 0
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    r = {x["doc_id"]: x for x in TX.doc_repetition_stats(df).collect()}
+    assert r[1]["dup_token_ratio"] == 0.75
+    assert r[1]["top_token_ratio"] == 1.0
+    assert r[1]["dup_bigram_ratio"] == round(1 - 1 / 3, 6)
+    assert r[2]["dup_token_ratio"] == 0.0
+    assert r[2]["top_token_ratio"] == 0.25
+    assert r[2]["dup_bigram_ratio"] == 0.0
+    assert r[3]["dup_token_ratio"] == round(1 - 2 / 5, 6)
+    assert r[3]["top_token_ratio"] == round(3 / 5, 6)
+    assert r[3]["dup_bigram_ratio"] == 0.5
+    assert r[4]["dup_bigram_ratio"] == 0.0
+    assert r[4]["top_token_ratio"] == 1.0
+
+
+def test_stratified_sample_deterministic_and_sized(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import splits as SP
+
+    rows = [(i, f"text {i}", ["en", "es", "de"][i % 3], len(f"text {i}")) for i in range(60)]
+    df = spark.createDataFrame(rows, schema="doc_id LONG, text STRING, lang STRING, n_chars LONG")
+    got1 = SP.stratified_sample(df, per_stratum=5).collect()
+    # exactly 5 per stratum, ranks 1..5
+    by_lang = {}
+    for r in got1:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "es", "de"}
+    for lang, rs in by_lang.items():
+        assert sorted(x["sample_rank"] for x in rs) == [1, 2, 3, 4, 5]
+    # deterministic: same membership after a repartition (order-insensitive)
+    got2 = SP.stratified_sample(df.repartition(7), per_stratum=5).collect()
+    key = lambda r: (r["lang"], r["sample_rank"], r["doc_id"])
+    assert sorted(map(key, got1)) == sorted(map(key, got2))

@@ -57,3 +57,37 @@ def split_summary_oracle(holdout_pct: int = 10) -> str:
   COUNT(*) AS n_docs,
   SUM(n_chars) AS sum_chars
 FROM documents GROUP BY 1, 2"""
+
+
+def stratified_sample(documents: DataFrame, per_stratum: int = 20,
+                      stratum: str = "lang") -> DataFrame:
+    """Deterministic per-stratum sample: the ``per_stratum`` docs with
+    the smallest h64(doc_id) in each stratum — a fixed-size training-mix
+    builder with the same rerun/partitioning/growth-stability guarantees
+    as :func:`assign_split` (rank by a content key, never ``rand()``).
+
+    Plan: one partitioned window (never global) over scan-side hashes;
+    at 100 TB the stratum is the shuffle key and each partition keeps a
+    ``per_stratum``-row heap."""
+    from pyspark.sql import Window
+
+    h = F.expr(h64_sql("cast(doc_id as string)", "spark"))
+    w = Window.partitionBy(stratum).orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return (
+        documents.withColumn("_h", h)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= per_stratum)
+        .select(F.col(stratum), "sample_rank", "doc_id", "n_chars")
+    )
+
+
+def stratified_sample_oracle(per_stratum: int = 20, stratum: str = "lang") -> str:
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""SELECT {stratum}, sample_rank, doc_id, n_chars
+FROM (
+  SELECT {stratum}, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY {stratum}
+                            ORDER BY {h} ASC, doc_id ASC) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {per_stratum}"""

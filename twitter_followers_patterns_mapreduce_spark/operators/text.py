@@ -20,6 +20,7 @@ from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
     count_in_set_sql,
     doc_fingerprint_sql,
     lang_id_sql,
+    shingles_sql,
     size_sql,
     tokens_sql,
 )
@@ -214,3 +215,66 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
             f"{h64_sql('text', 'spark')}) AS fingerprint",
         )
     )
+
+
+def repetition_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 — public
+    quality-filter heuristics), all scan-side array expressions:
+
+      * dup_token_ratio  — fraction of token occurrences that repeat an
+        earlier occurrence (1 - unique/total)
+      * top_token_ratio  — share of the most frequent token
+      * dup_bigram_ratio — fraction of bigram occurrences that repeat
+
+    The per-doc top-token count is an O(u·n) nested lambda — bounded by
+    document length, evaluated once per row inside codegen; no shuffle,
+    no explode, so the operator composes with any downstream filter at
+    scan cost.
+
+    Expressions reference a staged ``toks`` column — callers project it
+    first (:func:`doc_repetition_stats` / the oracle's subquery); all
+    ratios are zero-guarded because ANSI-mode division by zero throws."""
+    if dialect == "spark":
+        n = "size(toks)"
+        uniq = "size(array_distinct(toks))"
+        top = "array_max(transform(array_distinct(toks), d -> size(filter(toks, t -> t = d))))"
+        bi_uniq = f"size({shingles_sql('toks', 2, dialect)})"
+    else:
+        n = "len(toks)"
+        uniq = "len(list_distinct(toks))"
+        top = "list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, t -> t = d))))"
+        bi_uniq = f"len({shingles_sql('toks', 2, dialect)})"
+    zero = "CAST(0.0 AS DOUBLE)"
+    pairs = [
+        ("doc_id", "doc_id"),
+        (f"CAST({n} AS BIGINT)", "n_tokens"),
+        (f"CASE WHEN {n} = 0 THEN {zero} "
+         f"ELSE round(1.0 - CAST({uniq} AS DOUBLE) / {n}, 6) END", "dup_token_ratio"),
+        (f"CASE WHEN {n} = 0 THEN {zero} "
+         f"ELSE round(CAST({top} AS DOUBLE) / {n}, 6) END", "top_token_ratio"),
+        (f"CASE WHEN {n} >= 2 THEN round(1.0 - CAST({bi_uniq} AS DOUBLE) / ({n} - 1), 6) "
+         f"ELSE {zero} END", "dup_bigram_ratio"),
+    ]
+    return pairs
+
+
+def doc_repetition_stats(documents: DataFrame) -> DataFrame:
+    """Staged form of ``repetition_select``: tokens projected once (see
+    ``doc_language_id`` for why inlining re-splits the text per
+    reference), ratios over the cheap staged column."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
+    toks = tokens_sql("text", "spark")
+    staged = fan_out(documents).selectExpr(
+        "doc_id", f"coalesce({toks}, array()) AS toks"
+    )
+    pairs = [(e, a) for e, a in repetition_select("spark") if a != "doc_id"]
+    return staged.selectExpr("doc_id", *[f"{e} AS {a}" for e, a in pairs])
+
+
+def repetition_oracle() -> str:
+    """DuckDB mirror — the WITH-staged form of the same expressions."""
+    toks = tokens_sql("text", "duckdb")
+    pairs = [(e, a) for e, a in repetition_select("duckdb") if a != "doc_id"]
+    cols = ",\n  ".join(f"{e} AS {a}" for e, a in pairs)
+    return f"""SELECT doc_id,\n  {cols}\nFROM (SELECT doc_id, {toks} AS toks FROM documents)"""

@@ -115,3 +115,23 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.doc_redact_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=TX.repetition_oracle(),
+    description="Gopher-style repetition signals (dup-token / top-token / dup-bigram "
+    "ratios) — pure scan-side array expressions, no explode, no shuffle",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=SP.stratified_sample_oracle(per_stratum=20),
+    description="deterministic per-lang fixed-size sample ranked by h64(doc_id) — "
+    "training-mix builder, stable under reruns/partitioning/growth",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.stratified_sample(load_table(spark, sf_dir, "documents"), per_stratum=20)
