@@ -170,3 +170,17 @@ def test_asof_join_matches_python_scan(spark, seed):
     )
     got = {r["event_id"]: r["asof_value"] for r in asof_join(df, "purchase", "click").collect()}
     assert got == py_asof(rows, "purchase", "click")
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_twostar_components_match_union_find(spark, seed):
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        connected_components_twostar,
+    )
+
+    edges = random_edges(seed, n_edges=30)
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_twostar(make_edges(spark, edges)).collect()
+    }
+    assert got == py_components(edges)

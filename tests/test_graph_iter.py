@@ -62,3 +62,19 @@ def test_pagerank_sink_node_keeps_base_rank(spark):
     # rank is exactly (1-d) after the first iteration and stays there
     got = {x["id"]: x["pagerank"] for x in GI.pagerank(make_edges(spark, [(3, 1), (1, 2)])).collect()}
     assert got[3] == pytest.approx(0.15, abs=2e-6)
+
+
+def test_twostar_components_goldens(multi_component_edges):
+    r = {
+        x["id"]: x["comp"]
+        for x in GI.connected_components_twostar(multi_component_edges).collect()
+    }
+    assert r == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9, 10: 9}
+
+
+def test_twostar_converges_on_long_chain(spark):
+    # worst case for label propagation (O(diameter) passes); the star
+    # contraction collapses a 12-node chain in O(log n) rounds
+    chain = make_edges(spark, [(i, i + 1) for i in range(1, 12)])
+    r = {x["id"]: x["comp"] for x in GI.connected_components_twostar(chain).collect()}
+    assert r == {i: 1 for i in range(1, 13)}

@@ -218,7 +218,7 @@ def mutual_follow_pairs(edges: DataFrame, max_limit: int | None = None) -> DataF
     surfaced as a first-class query.  Canonicalized a<b so each mutual
     pair appears once; self-join with two equi-conjuncts."""
     e = filter_max(edges, max_limit)
-    a, b = e.alias("a"), e.alias("b")
+    a, b = fan_out(e).alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")))
         .where(F.col("a.src") < F.col("a.dst"))

@@ -174,3 +174,92 @@ r{i + 1} AS (
         + f"""
 SELECT id, CAST(FLOOR(rank * 1000000) AS DOUBLE) / 1000000.0 AS pagerank FROM r{iters}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase star connected components (the power-law scale path)
+# ---------------------------------------------------------------------------
+
+def _canon_pairs(e: DataFrame) -> DataFrame:
+    """Undirected canonical (u, v) with u > v, self-loops dropped."""
+    return (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: connect every neighbor v > u to m = min(N(u) ∪ {u}).
+
+    groupBy+join (not a window): the per-node min gets map-side partial
+    aggregation, so a power-law hub's neighbor list never has to sort
+    or gather on one task — exactly the skew the algorithm targets."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: for each u, link all smaller neighbors (and u itself)
+    to m = min of them."""
+    c = _canon_pairs(e)
+    mins = c.groupBy("u").agg(F.min("v").alias("m"))
+    withm = c.join(mins, "u")
+    return (
+        withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_twostar(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public algorithm).  Returns (id, comp),
+    identical to :func:`connected_components`.
+
+    Where hash-min label propagation needs O(diameter) passes, the star
+    contractions converge in O(log n) — the difference between ~40 and
+    ~6 rounds on a long-chain or power-law web graph; each round is the
+    same two-shuffle join+agg shape, so per-round cost matches and the
+    crossover strictly favors this form once diameter > log n.
+
+    Convergence test: (count, xxhash64-sum) fingerprint of the edge set
+    — one cheap action per round instead of two anti-joins; a collision
+    would stop one round early with probability ~2⁻⁶⁴.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = _canon_pairs(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ).localCheckpoint(eager=True)
+    fp = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_fp = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if fp == (new_fp["n"], new_fp["h"]):
+            break
+        fp = (new_fp["n"], new_fp["h"])
+    # fixed point: every non-root points straight at its component min
+    return nodes.join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("comp")), "id", "left"
+    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))

@@ -216,3 +216,14 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.pagerank(derived_edges(spark, sf_dir), iters=5, damping=0.85)
+
+
+@register(
+    "graph_components_twostar",
+    oracle=GI.connected_components_oracle(_SPARSE_CTE),
+    description="iterative: connected components via large-star/small-star contraction "
+    "(Kiveris et al. SoCC'14) — O(log n) rounds vs O(diameter); same oracle as "
+    "graph_components, same result by construction",
+)
+def graph_components_twostar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.connected_components_twostar(_sparse_edges(spark, sf_dir))
