@@ -166,3 +166,20 @@ def test_stratified_sample_deterministic_and_sized(spark):
     got2 = SP.stratified_sample(df.repartition(7), per_stratum=5).collect()
     key = lambda r: (r["lang"], r["sample_rank"], r["doc_id"])
     assert sorted(map(key, got1)) == sorted(map(key, got2))
+
+
+def test_chunk_dedup_stats_detects_shared_boilerplate(spark):
+    # two docs share an identical 200-char head chunk; doc-level exact
+    # dedup would keep both, chunk-level stats see the duplication
+    boiler = "b" * 200
+    df = spark.createDataFrame(
+        [(1, boiler + "tail-one", "en"), (2, boiler + "tail-two", "en"), (3, "c" * 120, "de")],
+        schema="doc_id LONG, text STRING, lang STRING",
+    )
+    r = {x["lang"]: x for x in CP.chunk_dedup_stats(df, size=200, stride=200).collect()}
+    # en: docs 1,2 → chunks [b*200, tail-one], [b*200, tail-two] → 4 chunks, 3 unique
+    assert r["en"]["n_chunks"] == 4
+    assert r["en"]["n_unique_chunks"] == 3
+    assert r["en"]["dup_chunk_ratio"] == 0.25
+    assert r["de"]["n_chunks"] == 1
+    assert r["de"]["dup_chunk_ratio"] == 0.0

@@ -259,3 +259,50 @@ def doc_redact_terms_oracle(terms: tuple[str, ...] = ("customer", "supplier", "o
                regexp_replace(text, '{pat}', '{tag}', 'g') AS clean_text
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level duplication rate
+# ---------------------------------------------------------------------------
+
+def chunk_dedup_stats(documents: DataFrame, size: int = 200, stride: int = 150) -> DataFrame:
+    """Per-language chunk-duplication rate: how much of the corpus is
+    redundant at training-sample granularity (finer than doc-level
+    dedup — two distinct docs sharing boilerplate paragraphs show up
+    here, not there).
+
+    Plan: chunking is shuffle-free, chunks hash scan-side (md5), one
+    equi-join to recover the language label, one hash-agg.  The
+    distinct-count shuffles on (lang, hash) — at 100 TB swap in
+    ``approx_count_distinct`` for the one-pass sketch form; the exact
+    form is kept here because the oracle must be exact."""
+    ch = doc_chunks(documents, size=size, stride=stride).select(
+        "doc_id", F.md5("chunk_text").alias("h")
+    )
+    labeled = ch.join(documents.select("doc_id", "lang"), "doc_id")
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("h").alias("n_unique_chunks"),
+        )
+        .selectExpr(
+            "lang",
+            "n_chunks",
+            "n_unique_chunks",
+            "round(1.0 - CAST(n_unique_chunks AS DOUBLE) / n_chunks, 6) AS dup_chunk_ratio",
+        )
+    )
+
+
+def chunk_dedup_stats_oracle(size: int = 200, stride: int = 150) -> str:
+    return f"""
+        WITH ch AS ({doc_chunks_oracle(size=size, stride=stride)})
+        SELECT d.lang,
+               count(*) AS n_chunks,
+               count(DISTINCT md5(c.chunk_text)) AS n_unique_chunks,
+               round(1.0 - CAST(count(DISTINCT md5(c.chunk_text)) AS DOUBLE) / count(*), 6)
+                 AS dup_chunk_ratio
+        FROM ch c JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """

@@ -135,3 +135,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.stratified_sample(load_table(spark, sf_dir, "documents"), per_stratum=20)
+
+
+@register(
+    "chunk_dedup_stats",
+    oracle=CP.chunk_dedup_stats_oracle(),
+    description="per-language chunk-level duplication rate — training-sample-granular "
+    "redundancy that doc-level dedup misses",
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
