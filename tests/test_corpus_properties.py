@@ -1,0 +1,127 @@
+"""Property tests (hypothesis) and streaming-composability proofs for
+the corpus operators.
+
+The streaming tests demonstrate the structural claim that stateless
+corpus transforms (chunking, redaction) are streaming-safe as-is: the
+SAME operator function applied to a ``readStream`` DataFrame runs
+unmodified in a micro-batch query and emits exactly the batch result —
+no separate streaming implementation needed (Structured Streaming's
+incrementalization of stateless plans).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+# ---------------------------------------------------------------------------
+# hypothesis: chunk covering/reconstruction invariants
+# ---------------------------------------------------------------------------
+
+texts = st.text(
+    alphabet=st.sampled_from("ab x"), min_size=1, max_size=400
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text=texts, size=st.integers(2, 50), overlap=st.integers(0, 1))
+def test_chunks_cover_and_reconstruct(spark, text, size, overlap):
+    """Every char of the doc appears in some chunk at its exact offset,
+    and stitching chunks at stride offsets reproduces the text."""
+    stride = size - overlap * (size // 2)
+    df = spark.createDataFrame([(1, text)], schema=DOCS_SCHEMA)
+    rows = sorted(
+        CP.doc_chunks(df, size=size, stride=stride).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # coverage: chunk i starts at i*stride; last chunk reaches the end
+    assert rows[0]["chunk_start"] == 0
+    assert rows[-1]["chunk_start"] + rows[-1]["chunk_len"] == len(text)
+    rebuilt = {}
+    for r in rows:
+        for off, ch in enumerate(r["chunk_text"]):
+            pos = r["chunk_start"] + off
+            # overlapping chunks must agree on shared positions
+            assert rebuilt.setdefault(pos, ch) == ch
+    assert "".join(rebuilt[i] for i in range(len(text))) == text
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_vocabulary_matches_counter(spark, docs):
+    """doc_vocabulary ≡ collections.Counter on the same tokenization."""
+    from collections import Counter
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    got = {
+        r["token"]: (r["term_count"], r["doc_freq"])
+        for r in CP.doc_vocabulary(df, min_count=1, k=1000).collect()
+    }
+    tc: Counter = Counter()
+    dfreq: Counter = Counter()
+    for t in docs:
+        toks = [x for x in t.split() if x]
+        tc.update(toks)
+        dfreq.update(set(toks))
+    assert got == {w: (tc[w], dfreq[w]) for w in tc}
+
+
+# ---------------------------------------------------------------------------
+# streaming: stateless corpus ops run unmodified on a stream
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    rows = [
+        (1, "order alpha beta"),
+        (2, "x" * 250),
+        (3, "customer gamma order"),
+        (4, "plain text here"),
+    ]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    df.repartition(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(stream_df, name):
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        run_available_now,
+    )
+
+    run_available_now(stream_df, name, output_mode="append")
+    return name
+
+
+def test_redact_is_streaming_safe(spark, docs_stream_dir):
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    batch = spark.read.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    name = _drain(CP.doc_redact_terms(stream, terms=("customer", "order")), "redact_stream")
+    got = {r["doc_id"]: r for r in spark.table(name).collect()}
+    want = {r["doc_id"]: r for r in CP.doc_redact_terms(batch, terms=("customer", "order")).collect()}
+    assert {k: (v["n_redactions"], v["clean_text"]) for k, v in got.items()} == {
+        k: (v["n_redactions"], v["clean_text"]) for k, v in want.items()
+    }
+    assert got[1]["n_redactions"] == 1 and got[3]["n_redactions"] == 2
+
+
+def test_chunks_are_streaming_safe(spark, docs_stream_dir):
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    batch = spark.read.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    name = _drain(CP.doc_chunks(stream, size=100, stride=80), "chunks_stream")
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_text"])
+    got = sorted(map(key, spark.table(name).collect()))
+    want = sorted(map(key, CP.doc_chunks(batch, size=100, stride=80).collect()))
+    assert got == want and len(got) >= 5  # doc 2 (250 chars) yields 3 chunks
