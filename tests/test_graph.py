@@ -137,3 +137,21 @@ def test_rank_by_degree(sample_edges):
     # deterministic tiebreak: total_deg desc, id asc
     ids = [r["id"] for r in rows]
     assert ids == sorted(ids, key=lambda i: (-dict((r["id"], r["total_deg"]) for r in rows)[i], i))
+
+
+def test_three_hop_count_sample_golden(sample_edges):
+    # Σ over middle edge (y,z) of indeg(y)·outdeg(z) on the README
+    # sample graph = 25 (hand-computed edge by edge)
+    got = G.three_hop_count_exact(sample_edges).collect()[0]["three_hop_count"]
+    assert got == 25
+
+
+def test_three_hop_matches_materialized_walks(spark, sample_edges):
+    # brute-force check: join three edge copies (walks, repeats allowed)
+    e = sample_edges
+    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
+    from pyspark.sql import functions as F
+    walks = a.join(b, F.col("a.dst") == F.col("b.src")).join(
+        c, F.col("b.dst") == F.col("c.src")
+    )
+    assert G.three_hop_count_exact(e).collect()[0]["three_hop_count"] == walks.count()

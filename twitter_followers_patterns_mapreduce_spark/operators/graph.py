@@ -225,3 +225,28 @@ def mutual_follow_pairs(edges: DataFrame, max_limit: int | None = None) -> DataF
         .select(F.col("a.src").alias("u"), F.col("a.dst").alias("v"))
         .distinct()
     )
+
+
+def three_hop_count_exact(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """Extension: exact 3-hop WALK count without materializing paths —
+    the EX degree-product rewrite (``exact/Exact2HopCount.java:102-105``)
+    generalized one hop: every walk x→y→z→w decomposes uniquely by its
+    middle edge (y, z), so the count is Σ_{(y,z)∈E} indeg(y)·outdeg(z).
+
+    Like EX, counts degenerate repeats (walks, not simple paths) —
+    semantics pinned for the oracle.  Plan: one degree aggregation
+    (2|E| narrow rows) joined twice back to the edge table — O(|E|)
+    state, never the O(Σ paths) cube a 3-way self-join would build;
+    the degree side is |V| rows and broadcasts at any realistic scale.
+    """
+    e = filter_max(edges, max_limit)
+    d = degrees(edges, max_limit)
+    return (
+        e.join(d.select(F.col("id").alias("src"), F.col("in_deg").alias("in_y")), "src")
+        .join(d.select(F.col("id").alias("dst"), F.col("out_deg").alias("out_z")), "dst")
+        .agg(
+            F.coalesce(F.sum(F.col("in_y") * F.col("out_z")), F.lit(0))
+            .cast("long")
+            .alias("three_hop_count")
+        )
+    )

@@ -227,3 +227,17 @@ def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_components_twostar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.connected_components_twostar(_sparse_edges(spark, sf_dir))
+
+
+@register(
+    "ex_three_hop_count",
+    oracle=f"""{_E},
+outd AS (SELECT src AS id, COUNT(*) AS o FROM edges GROUP BY src),
+ind  AS (SELECT dst AS id, COUNT(*) AS i FROM edges GROUP BY dst)
+SELECT CAST(COALESCE(SUM(ind.i * outd.o), 0) AS BIGINT) AS three_hop_count
+FROM edges e JOIN ind ON e.src = ind.id JOIN outd ON e.dst = outd.id""",
+    description="extension: exact 3-hop walk count — the EX degree-product rewrite "
+    "generalized (decompose by middle edge); O(|E|) state, no path cube",
+)
+def ex_three_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.three_hop_count_exact(derived_edges(spark, sf_dir))
