@@ -183,3 +183,28 @@ def test_chunk_dedup_stats_detects_shared_boilerplate(spark):
     assert r["en"]["dup_chunk_ratio"] == 0.25
     assert r["de"]["n_chunks"] == 1
     assert r["de"]["dup_chunk_ratio"] == 0.0
+
+
+def test_corpus_training_set_composes(spark):
+    # 6 'en' docs that pass curation (quality needs some length and
+    # diversity; en stopwords so lang-id agrees), two sharing one
+    # identical chunk-sized head; summary must count the shared chunk ONCE
+    base = ("the quick brown fox jumps over a lazy dog and then it runs "
+            "to the old stone bridge where a quiet river bends south ")
+    boiler = ("z" * 50).join([""])  # distinct filler head
+    rows = [(i, base + f"unique tail number {i} of the story", "en") for i in range(4)]
+    rows += [(10, "the " + "shared head " * 30 + "ending one", "en"),
+             (11, "the " + "shared head " * 30 + "ending two", "en")]
+    df = spark.createDataFrame(rows, schema="doc_id LONG, text STRING, lang STRING")
+    out = {r["lang"]: r for r in
+           __import__("twitter_followers_patterns_mapreduce_spark.operators.corpus",
+                      fromlist=["corpus_training_set"]).corpus_training_set(df).collect()}
+    assert "en" in out
+    r = out["en"]
+    assert r["n_docs"] >= 2            # curation kept some docs
+    assert r["n_chunks"] >= r["n_docs"]  # every kept doc yields >= 1 chunk
+    # duplicate-chunk dedup: chunk totals < raw chunk count when the two
+    # shared-head docs both survive (their first chunks are identical)
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import doc_chunks
+    raw = doc_chunks(df).count()
+    assert r["n_chunks"] < raw

@@ -198,7 +198,7 @@ def doc_chunks(df: DataFrame, size: int = 200, stride: int = 150) -> DataFrame:
     )
 
 
-def doc_chunks_oracle(size: int = 200, stride: int = 150) -> str:
+def doc_chunks_oracle(size: int = 200, stride: int = 150, table: str = "documents") -> str:
     m = f"(greatest(length(text) - {size}, 0) + {stride - 1}) // {stride}"
     return f"""
         SELECT doc_id,
@@ -208,7 +208,7 @@ def doc_chunks_oracle(size: int = 200, stride: int = 150) -> str:
                substring(text, i * {stride} + 1, {size}) AS chunk_text
         FROM (
             SELECT doc_id, text, unnest(generate_series(0, {m})) AS i
-            FROM documents
+            FROM {table}
         )
     """
 
@@ -304,5 +304,81 @@ def chunk_dedup_stats_oracle(size: int = 200, stride: int = 150) -> str:
                round(1.0 - CAST(count(DISTINCT md5(c.chunk_text)) AS DOUBLE) / count(*), 6)
                  AS dup_chunk_ratio
         FROM ch c JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-set pipeline
+# ---------------------------------------------------------------------------
+
+def corpus_training_set(documents: DataFrame, size: int = 200, stride: int = 150,
+                        min_quality: float = 0.45) -> DataFrame:
+    """The whole corpus-prep pipeline as ONE lazy DAG: curate (keep-best
+    dedup + quality + language agreement) → chunk → drop duplicate
+    chunks (keep the first (doc_id, chunk_idx) per content hash) →
+    per-language training-set summary.
+
+    This is the flagship composition: four operators, one plan, no
+    intermediate materialization — Catalyst sees every stage, so
+    column pruning reaches the scan and the only shuffles are the
+    curation semi-join, the per-hash dedup window, and the final
+    summary agg.  Deterministic keep-first makes the result (and the
+    oracle) exact."""
+    from pyspark.sql import Window
+
+    from twitter_followers_patterns_mapreduce_spark.operators.text import (
+        curate_documents,
+    )
+
+    kept = curate_documents(documents, min_quality=min_quality).select("doc_id")
+    docs2 = documents.join(kept, "doc_id", "left_semi")
+    ch = doc_chunks(docs2, size=size, stride=stride).withColumn("h", F.md5("chunk_text"))
+    w = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+    uniq = ch.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # lang comes from the base table, NOT from curate_documents — the
+    # curation subtree is expensive (dedup + quality + lang-id) and is
+    # already paid once inside the semi-join; joining it again for one
+    # label column would compute the whole pipeline a second time
+    # (curation keeps only pred_lang == lang docs, so base lang is
+    # identical by construction).
+    return (
+        uniq.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_len").alias("sum_chunk_chars"),
+        )
+    )
+
+
+def corpus_training_set_oracle(size: int = 200, stride: int = 150,
+                               min_quality: float = 0.45) -> str:
+    from twitter_followers_patterns_mapreduce_spark.operators.text import (
+        curate_documents_oracle,
+    )
+
+    return f"""
+        WITH kept AS (SELECT doc_id FROM ({curate_documents_oracle(min_quality)}) k),
+        docs2 AS (
+            SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM kept)
+        ),
+        ch AS (
+            SELECT c.*, md5(c.chunk_text) AS h
+            FROM ({doc_chunks_oracle(size=size, stride=stride, table="docs2")}) c
+        ),
+        uniq AS (
+            SELECT * FROM (
+                SELECT ch.*, row_number() OVER (PARTITION BY h
+                                                ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+                FROM ch
+            ) WHERE rn = 1
+        )
+        SELECT d.lang,
+               count(DISTINCT u.doc_id) AS n_docs,
+               count(*) AS n_chunks,
+               SUM(u.chunk_len) AS sum_chunk_chars
+        FROM uniq u JOIN documents d USING (doc_id)
         GROUP BY d.lang
     """

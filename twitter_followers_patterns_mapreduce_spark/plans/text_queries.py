@@ -145,3 +145,13 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_training_set",
+    oracle=CP.corpus_training_set_oracle(),
+    description="flagship composition: curate -> chunk -> chunk-dedup (deterministic "
+    "keep-first) -> per-lang training-set summary, one lazy DAG",
+)
+def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_training_set(load_table(spark, sf_dir, "documents"))
