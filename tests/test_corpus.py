@@ -208,3 +208,20 @@ def test_corpus_training_set_composes(spark):
     from twitter_followers_patterns_mapreduce_spark.operators.corpus import doc_chunks
     raw = doc_chunks(df).count()
     assert r["n_chunks"] < raw
+
+
+def test_token_chunks_goldens(spark):
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, "x")],
+        schema=DOCS_SCHEMA,
+    )
+    rows = CP.doc_token_chunks(df, window=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["token_start"], r["n_tokens"], r["chunk_text"])
+           for r in rows}
+    # doc 1: 7 tokens, windows at 0 and 3 (ceil((7-4)/3)=1)
+    assert got[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (3, 4, "t3 t4 t5 t6")
+    # doc 2: shorter than one window → single ragged chunk
+    assert got[(2, 0)] == (0, 2, "a b")
+    assert got[(3, 0)] == (0, 1, "x")
+    assert len(got) == 4

@@ -382,3 +382,55 @@ def corpus_training_set_oracle(size: int = 200, stride: int = 150,
         FROM uniq u JOIN documents d USING (doc_id)
         GROUP BY d.lang
     """
+
+
+def doc_token_chunks(df: DataFrame, window: int = 64, stride: int = 48) -> DataFrame:
+    """Token-budget chunking: windows of ``window`` whitespace tokens
+    advancing by ``stride`` — the unit an LLM training sampler actually
+    consumes (char chunks approximate it; token chunks are exact).
+
+    Same shape as :func:`doc_chunks`: stage the token array once,
+    generate window indices with exact integer arithmetic, slice and
+    re-join per window — scan-side only, no shuffle.  NB Spark
+    ``slice(arr, start, LENGTH)`` vs DuckDB ``list_slice(l, begin,
+    END)`` — same logical window spelled per dialect."""
+    toks = tokens_sql("text", "spark")
+    m = f"(greatest(size(toks) - {window}, 0) + {stride - 1}) div {stride}"
+    staged = df.selectExpr("doc_id", f"coalesce({toks}, array()) AS toks").selectExpr(
+        "doc_id", "toks", f"sequence(0, {m}) AS idxs"
+    )
+    return (
+        staged.select("doc_id", "toks", F.explode_outer("idxs").alias("chunk_idx"))
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            f"CAST(chunk_idx * {stride} AS BIGINT) AS token_start",
+            f"slice(toks, chunk_idx * {stride} + 1, {window}) AS win",
+        )
+        .selectExpr(
+            "doc_id",
+            "chunk_idx",
+            "token_start",
+            "CAST(size(win) AS BIGINT) AS n_tokens",
+            "concat_ws(' ', win) AS chunk_text",
+        )
+    )
+
+
+def doc_token_chunks_oracle(window: int = 64, stride: int = 48,
+                            table: str = "documents") -> str:
+    toks = tokens_sql("text", "duckdb")
+    m = f"(greatest(len(toks) - {window}, 0) + {stride - 1}) // {stride}"
+    return f"""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * {stride} AS BIGINT) AS token_start,
+               CAST(len(list_slice(toks, i * {stride} + 1, i * {stride} + {window}))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, i * {stride} + 1, i * {stride} + {window}), ' ')
+                 AS chunk_text
+        FROM (
+            SELECT doc_id, toks, unnest(generate_series(0, {m})) AS i
+            FROM (SELECT doc_id, {toks} AS toks FROM {table})
+        )
+    """

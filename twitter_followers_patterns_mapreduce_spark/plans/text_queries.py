@@ -155,3 +155,13 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.corpus_training_set(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_chunks",
+    oracle=CP.doc_token_chunks_oracle(window=64, stride=48),
+    description="token-budget chunking (64-token windows, stride 48) — the LLM "
+    "sampler unit; scan-side slice + rejoin, zero shuffles",
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_token_chunks(load_table(spark, sf_dir, "documents"), window=64, stride=48)
