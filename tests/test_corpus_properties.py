@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
 
@@ -125,3 +126,30 @@ def test_chunks_are_streaming_safe(spark, docs_stream_dir):
     got = sorted(map(key, spark.table(name).collect()))
     want = sorted(map(key, CP.doc_chunks(batch, size=100, stride=80).collect()))
     assert got == want and len(got) >= 5  # doc 2 (250 chars) yields 3 chunks
+
+
+def test_vocabulary_agg_is_streaming_safe(spark, docs_stream_dir):
+    """Stateful streaming form of the vocabulary aggregation: the same
+    explode+groupBy body runs over micro-batches in complete mode and
+    converges to the batch counts (Structured Streaming keeps the
+    running aggregation state; no separate streaming implementation)."""
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        run_available_now,
+    )
+
+    def vocab_body(df):
+        toks = df.selectExpr("doc_id", f"{tokens_sql('text', 'spark')} AS toks")
+        ex = toks.select(F.explode_outer("toks").alias("token")).where(
+            F.col("token").isNotNull()
+        )
+        return ex.groupBy("token").count()
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        docs_stream_dir
+    )
+    run_available_now(vocab_body(stream), "vocab_stream", output_mode="complete")
+    got = {r["token"]: r["count"] for r in spark.table("vocab_stream").collect()}
+    batch = spark.read.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
+    want = {r["token"]: r["count"] for r in vocab_body(batch).collect()}
+    assert got == want and len(want) >= 5
