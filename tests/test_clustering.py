@@ -1,0 +1,73 @@
+"""Deterministic k-means: differential test against an independent
+NumPy implementation of the same pinned semantics (first-k init,
+mean updates, grid-floored argmin with cid tie-break)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from twitter_followers_patterns_mapreduce_spark.operators import clustering as KM
+
+GRID = 1_000_000_000
+
+
+def np_kmeans(vecs: np.ndarray, k: int, iters: int):
+    """Reference Lloyd with the operator's exact determinism rules."""
+    cents = {c: vecs[c].copy() for c in range(k)}
+
+    def assign():
+        out = {}
+        for vid in range(len(vecs)):
+            best = None
+            for cid in sorted(cents):
+                d = math.floor(float(((vecs[vid] - cents[cid]) ** 2).sum()) * GRID)
+                if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                    best = (d, cid)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        new = {}
+        for cid in set(a.values()):
+            members = np.stack([vecs[v] for v, c in a.items() if c == cid])
+            new[cid] = members.mean(axis=0)
+        cents = new
+    final = assign()
+    return cents, final
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_kmeans_matches_numpy(spark, seed):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(40, KM.DIMS)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>")
+    got = KM.kmeans_fit(df, k=4, iters=2).collect()
+
+    cents, final = np_kmeans(vecs.astype(np.float64), k=4, iters=2)
+    counts = {c: sum(1 for v in final.values() if v == c) for c in set(final.values())}
+
+    by_key = {(r["cid"], r["dim"]): r for r in got}
+    assert {r["cid"] for r in got} == set(cents)
+    for cid, c in cents.items():
+        for dim in range(KM.DIMS):
+            r = by_key[(cid, dim)]
+            assert r["n_members"] == counts[cid]
+            # operator floors to 6dp; numpy mean may differ in the last
+            # ulp (pairwise summation) → compare to 5dp
+            assert abs(r["centroid_val"] - c[dim]) < 1e-5
+
+
+def test_kmeans_singleton_clusters_survive(spark):
+    # two tight groups + the init vectors themselves: every cluster keeps
+    # >= 1 member and member counts total the corpus
+    rows = [(i, [float(i % 2)] * KM.DIMS) for i in range(10)]
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>")
+    got = KM.kmeans_fit(df, k=2, iters=2).collect()
+    per_cid = {r["cid"]: r["n_members"] for r in got}
+    assert sum(per_cid.values()) == 10
+    assert all(n >= 1 for n in per_cid.values())

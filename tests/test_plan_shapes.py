@@ -24,7 +24,14 @@ SF = "/root/testdata/sf0.001"
 #:   * ann_topk_ivf — the |queries| × |centroids| probe-scoring cross,
 #:     both sides broadcast-small (centroids are a dimension table);
 #:     corpus access itself is an equi-join on label
-ALLOWED_BRUTE_FORCE = {"ann_topk_bruteforce", "embedding_top_pairs", "ann_topk_ivf"}
+#:   * embedding_kmeans — Lloyd assignment is the same bounded |V| × k
+#:     cross against the broadcast centroid table (k = 8)
+ALLOWED_BRUTE_FORCE = {
+    "ann_topk_bruteforce",
+    "embedding_top_pairs",
+    "ann_topk_ivf",
+    "embedding_kmeans",
+}
 
 
 def plan_of(spark, name: str) -> str:

@@ -80,3 +80,17 @@ def embedding_top_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_principal_component(load_table(spark, sf_dir, "embeddings"))
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import clustering as KM  # noqa: E402
+
+
+@register(
+    "embedding_kmeans",
+    oracle=KM.kmeans_fit_oracle(k=8, iters=2),
+    description="deterministic Lloyd k-means (fixed init/iters, DECIMAL means, "
+    "grid-floored argmin) — the real IVF coarse-quantizer trainer; oracle = "
+    "unrolled CTE chain",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
