@@ -71,3 +71,23 @@ def test_kmeans_singleton_clusters_survive(spark):
     per_cid = {r["cid"]: r["n_members"] for r in got}
     assert sum(per_cid.values()) == 10
     assert all(n >= 1 for n in per_cid.values())
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """The k-means IVF search must recover a solid fraction of the true
+    brute-force neighbors at sf0.001 (probing 2 of 8 lists)."""
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = {}
+    for r in ann_topk_bruteforce(emb, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in KM.ann_topk_ivf_kmeans(emb, k=5, n_probe=2).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(truth)  # every query answered
+    recall = sum(len(got[q] & truth[q]) for q in truth) / sum(len(truth[q]) for q in truth)
+    assert recall >= 0.3, f"recall@5 {recall:.2f}"

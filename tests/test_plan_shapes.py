@@ -31,6 +31,7 @@ ALLOWED_BRUTE_FORCE = {
     "embedding_top_pairs",
     "ann_topk_ivf",
     "embedding_kmeans",
+    "ann_topk_ivf_kmeans",
 }
 
 

@@ -70,18 +70,26 @@ def _update(assign: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
-    """``iters`` Lloyd update rounds from the deterministic init, then a
-    final assignment; returns the exploded centroid table
-    (cid, dim, centroid_val 6dp, n_members) — flat doubles, no nested
-    arrays in the comparable output."""
+def kmeans_model(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Train the quantizer: returns (centroids (cid, c ARRAY<DOUBLE>),
+    assignment (vec_id, v, cid)) after ``iters`` Lloyd update rounds
+    from the deterministic init plus a final assignment."""
     emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v"))
     cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
     for _ in range(iters):
         cents = _update(_assign(emb, cents))
-    final = _assign(emb, cents)
+    return cents, _assign(emb, cents)
+
+
+def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Exploded comparable form of :func:`kmeans_model`:
+    (cid, dim, centroid_val 6dp, n_members) — flat doubles, no nested
+    arrays in the comparable output."""
+    cents, final = kmeans_model(embeddings, k=k, iters=iters)
     counts = final.groupBy("cid").agg(F.count("*").alias("n_members"))
     out = cents.select("cid", F.posexplode_outer("c").alias("dim", "centroid_val"))
     return out.join(counts, "cid").selectExpr(
@@ -99,8 +107,10 @@ def _dist2_sql(v: str, c: str) -> str:
     )
 
 
-def kmeans_fit_oracle(k: int = 8, iters: int = 2) -> str:
-    """The same fixed-point unrolled as a DuckDB CTE chain."""
+def _kmeans_cte_chain(k: int = 8, iters: int = 2) -> str:
+    """The Lloyd fixed point unrolled as DuckDB CTEs: ``WITH emb, c0,
+    a0, c1, …, a{iters}`` — reused by the fit oracle and the IVF-search
+    oracle."""
     parts = [
         f"""WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -133,8 +143,13 @@ c{i + 1} AS (
   ) GROUP BY cid
 )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def kmeans_fit_oracle(k: int = 8, iters: int = 2) -> str:
+    return (
+        _kmeans_cte_chain(k, iters)
+        + f"""
 SELECT c.cid,
        CAST(i - 1 AS BIGINT) AS dim,
        floor(c.c[i] * 1e6) / 1e6 AS centroid_val,
@@ -144,4 +159,92 @@ FROM c{iters} c,
      (SELECT cid, COUNT(*) AS n_members FROM a{iters} GROUP BY cid) n
 WHERE n.cid = c.cid"""
     )
-    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# IVF search over the trained quantizer (train → assign → probe → search)
+# ---------------------------------------------------------------------------
+
+def ann_topk_ivf_kmeans(embeddings: DataFrame, k: int = 5, n_probe: int = 2,
+                        n_clusters: int = 8, iters: int = 2) -> DataFrame:
+    """End-to-end IVF ANN with the k-means-trained coarse quantizer —
+    closes the loop that ``similarity.ann_topk_ivf`` approximates with
+    the harness ``label`` column.  One lazy DAG: Lloyd training, final
+    corpus assignment, per-query probe selection over the (tiny,
+    broadcast) centroid table, exact cosine top-k inside the probed
+    inverted lists.  Probe ordering compares cosines on a 1e-9-grid
+    floor (cid tie-break) so probe choice never turns on a last ulp.
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.vector import (
+        cosine,
+        cosine_with_norms,
+        norm,
+    )
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import QUERY_MOD
+
+    cents, assign = kmeans_model(embeddings, k=n_clusters, iters=iters)
+    corpus = assign.withColumn("nv", norm(F.col("v")))
+    q = corpus.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    qc = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "nq", "cid",
+        F.floor(cosine(F.col("qv"), F.col("c")) * _GRID).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cid").asc())
+    probes = (
+        qc.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "nq", "cid")
+    )
+    sim = F.round(cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6)
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, (probes["cid"] == corpus["cid"]) & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ann_topk_ivf_kmeans_oracle(k: int = 5, n_probe: int = 2,
+                               n_clusters: int = 8, iters: int = 2) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.vector import (
+        cosine_sql_duckdb,
+    )
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import QUERY_MOD
+
+    cos_c = cosine_sql_duckdb("q.qv", "c.c")
+    cos_v = cosine_sql_duckdb("p.qv", "e.v")
+    return (
+        _kmeans_cte_chain(n_clusters, iters)
+        + f""",
+corpus AS (SELECT vec_id, v, cid FROM a{iters}),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % {QUERY_MOD} = 0
+),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY floor(({cos_c}) * {_GRID}) DESC, c.cid ASC) AS crank
+    FROM q CROSS JOIN c{iters} c
+  ) WHERE crank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id, round({cos_v}, 6) AS sim
+  FROM probes p JOIN corpus e ON p.cid = e.cid AND p.query_id <> e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+FROM ranked WHERE rank <= {k}"""
+    )

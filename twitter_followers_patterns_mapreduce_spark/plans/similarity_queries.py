@@ -94,3 +94,13 @@ from twitter_followers_patterns_mapreduce_spark.operators import clustering as K
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@register(
+    "ann_topk_ivf_kmeans",
+    oracle=KM.ann_topk_ivf_kmeans_oracle(k=5, n_probe=2),
+    description="end-to-end IVF ANN over the k-means-trained quantizer: train -> "
+    "assign -> probe -> exact top-k in probed lists, one DAG",
+)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.ann_topk_ivf_kmeans(load_table(spark, sf_dir, "embeddings"), k=5, n_probe=2)
