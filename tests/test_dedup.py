@@ -118,3 +118,23 @@ def test_salted_broadcast_join_equals_plain_join(spark):
     got = sorted(map(tuple, salted_broadcast_join(fact, dim, "k", n_salts=4).select("k", "x", "name").collect()))
     want = sorted(map(tuple, fact.join(dim, "k").select("k", "x", "name").collect()))
     assert got == want
+
+
+def test_dedup_incremental_statuses(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    rows = [
+        (0, base),                                   # corpus
+        (2, "completely different corpus text about spark shuffles and joins"),
+        (1, base),                                   # new: exact dup of 0
+        (3, base + " tonight"),                      # new: near dup of 0
+        (5, "unrelated new document with its own fresh vocabulary entirely"),  # kept
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in dedup_incremental(df, threshold=0.5).collect()}
+    assert set(got) == {1, 3, 5}  # only NEW (odd) docs are judged
+    assert got[1]["status"] == "exact_dup" and got[1]["near_dup_of"] is None
+    assert got[3]["status"] == "near_dup" and got[3]["near_dup_of"] == 0
+    assert got[3]["jaccard"] >= 0.5
+    assert got[5]["status"] == "kept" and got[5]["jaccard"] is None

@@ -517,3 +517,150 @@ def neardup_clusters_oracle(threshold: float = 0.5) -> str:
 )
 SELECT comp AS cluster, COUNT(*) AS n_docs, MIN(id) AS min_doc, MAX(id) AS max_doc
 FROM labels GROUP BY comp"""
+
+
+# --------------------------------------------------------------------------
+# incremental (batch-vs-corpus) dedup
+# --------------------------------------------------------------------------
+
+def dedup_incremental(documents: DataFrame, threshold: float = 0.5,
+                      n_shingle: int = 3) -> DataFrame:
+    """Ingestion-time dedup: admit a NEW batch against the EXISTING
+    corpus (harness split: odd ``doc_id`` = new, even = existing).
+    Returns one row per new doc — (doc_id, status, near_dup_of,
+    jaccard) with status ∈ exact_dup > near_dup > kept and the best
+    match chosen deterministically (max 6dp jaccard, min corpus id).
+
+    Shapes that matter at 100 TB: the exact check is a semi-join on a
+    scan-side md5; near-dup candidates come from an EQUI-join of the
+    new batch's LSH band keys against the corpus's (band, key) — the
+    natural bucket/partition key of a persisted corpus index, so
+    admission touches only colliding buckets, never the whole corpus.
+    Signatures are computed once over the union and split after."""
+    is_new = F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    new_docs = documents.where(is_new)
+
+    # exact: md5(text) already present in the corpus
+    old_hashes = documents.where(~is_new).select(F.md5("text").alias("h")).distinct()
+    exact = (
+        new_docs.select("doc_id", F.md5("text").alias("h"))
+        .join(old_hashes, "h", "left_semi")
+        .select("doc_id", F.lit(True).alias("is_exact"))
+    )
+
+    # near: new bands ⋈ corpus bands on (band, key), verify exact jaccard
+    sigs = minhash_signatures(documents, n_shingle)
+    bands = sigs.select(
+        "doc_id",
+        F.explode_outer(F.array(*[_band_struct(k) for k in range(LSH_BANDS)])).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    nb = bands.where(is_new).select(F.col("doc_id").alias("new_id"), "band", "key")
+    ob = bands.where(~is_new).select(F.col("doc_id").alias("old_id"), "band", "key")
+    cand = nb.join(ob, ["band", "key"]).select("new_id", "old_id").distinct()
+    sets = sigs.select("doc_id", "shingles", "n_shingles")
+    verified = (
+        cand.join(sets.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("old_id") == F.col("sb.doc_id"))
+        .select(
+            "new_id",
+            "old_id",
+            F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).alias("common"),
+            F.col("sa.n_shingles").alias("na"),
+            F.col("sb.n_shingles").alias("nb"),
+        )
+    )
+    jac = F.round(
+        F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")), 6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        verified.select("new_id", "old_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(
+            best.select(F.col("new_id").alias("doc_id"), "old_id", "jaccard"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("old_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.when(~F.coalesce(F.col("is_exact"), F.lit(False)), F.col("old_id"))
+            .alias("near_dup_of"),
+            F.when(~F.coalesce(F.col("is_exact"), F.lit(False)), F.col("jaccard"))
+            .alias("jaccard"),
+        )
+    )
+
+
+def dedup_incremental_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
+    """DuckDB mirror: same split, same band join, same best-match rule."""
+    sh = _shingle_expr("duckdb", n=n_shingle)
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> {minhash_perm_sql('h', j)})) AS sig{j}"
+        for j in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {k} AS band, {key} AS key FROM sigs".format(
+            k=k,
+            key=" || '-' || ".join(
+                f"CAST(sig{k * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            ),
+        )
+        for k in range(LSH_BANDS)
+    )
+    return f"""WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents
+), sh2 AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), hashed AS (
+  SELECT doc_id, s, n, list_transform(s, s_ -> {h64_sql("s_", "duckdb")}) AS hs FROM sh2
+), sigs AS (
+  SELECT doc_id, s, n,
+    {sig_exprs}
+  FROM hashed
+), bands AS (
+  {band_selects}
+), exact AS (
+  SELECT DISTINCT n.doc_id FROM documents n
+  WHERE n.doc_id % 2 = 1
+    AND md5(n.text) IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+), verified AS (
+  SELECT c.new_id, c.old_id,
+         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (sa.n + sb.n - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+  FROM cand c
+  JOIN sh2 sa ON sa.doc_id = c.new_id
+  JOIN sh2 sb ON sb.doc_id = c.old_id
+), best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           row_number() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, old_id ASC) AS rn
+    FROM verified WHERE jaccard >= {threshold}
+  ) WHERE rn = 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN b.old_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN e.doc_id IS NULL THEN b.old_id END AS near_dup_of,
+       CASE WHEN e.doc_id IS NULL THEN b.jaccard END AS jaccard
+FROM documents n
+LEFT JOIN exact e ON n.doc_id = e.doc_id
+LEFT JOIN best b ON n.doc_id = b.new_id
+WHERE n.doc_id % 2 = 1"""

@@ -90,3 +90,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_incremental",
+    oracle=D.dedup_incremental_oracle(threshold=0.5),
+    description="ingestion-time dedup: new batch (odd ids) admitted against the "
+    "existing corpus (even ids) — exact md5 semi-join + LSH band equi-join "
+    "candidates, deterministic best-match",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_incremental(load_table(spark, sf_dir, "documents"), threshold=0.5)
