@@ -50,14 +50,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` loader: the parquet stores TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read nanos as BIGINT and convert
-    to a microsecond timestamp with INTEGER division (``div`` — a
-    double division would lose precision above 2^53 ns ≈ 104 days).
-    DuckDB truncates nanos→micros the same way, so oracles align."""
+    """``events`` loader, adaptive to the parquet's physical ``ts`` type
+    (the generator has shipped both TIMESTAMP(NANOS) and TIMESTAMP(US)):
+
+    * nanos — Spark's vectorized reader rejects it; read nanos as BIGINT
+      and convert with INTEGER division (``div`` — a double division
+      would lose precision above 2^53 ns ≈ 104 days). DuckDB truncates
+      nanos→micros the same way, so oracles align.
+    * micros — arrives as TIMESTAMP_NTZ; cast to the session-zone
+      timestamp (session tz is pinned UTC in ``session.py``, so the
+      instant is unchanged and downstream ``unix_micros``/``window()``
+      math matches DuckDB's ``epoch_us`` exactly).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = load_table(spark, sf_dir, "events")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def edges_from_csv(spark: SparkSession, path: str) -> DataFrame:
