@@ -33,3 +33,60 @@ def test_split_is_exhaustive_and_exclusive(spark):
     r = SP.assign_split(_docs(spark, range(500)))
     assert r.where(~F.col("split").isin("train", "holdout")).count() == 0
     assert r.count() == 500
+
+
+def _text_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+
+
+def test_contamination_check_detects_copied_ngrams(spark):
+    # find one holdout id and one train id under the real bucket function
+    ids = SP.assign_split(_docs(spark, range(200))).collect()
+    hold_id = next(r["doc_id"] for r in ids if r["split"] == "holdout")
+    train_id = next(r["doc_id"] for r in ids if r["split"] == "train")
+    clean_id = next(r["doc_id"] for r in ids if r["split"] == "holdout" and r["doc_id"] != hold_id)
+
+    leaked = "alpha beta gamma delta epsilon zeta"  # 2 distinct 5-gram shingles
+    docs = _text_docs(
+        spark,
+        [
+            (train_id, f"prefix words here {leaked} and a tail of extra words"),
+            (hold_id, leaked),
+            (clean_id, "one two three four five six seven"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in SP.contamination_check(docs).collect()}
+    assert got[hold_id]["n_shingles"] == 2
+    assert got[hold_id]["n_contaminated"] == 2
+    assert got[hold_id]["contamination_ratio"] == 1.0
+    assert got[clean_id]["n_contaminated"] == 0
+    assert train_id not in got  # train docs are never audited rows
+
+
+def test_contamination_short_docs_drop_out(spark):
+    ids = SP.assign_split(_docs(spark, range(200))).collect()
+    hold_id = next(r["doc_id"] for r in ids if r["split"] == "holdout")
+    docs = _text_docs(spark, [(hold_id, "too short for five grams")])  # 5 tokens → 1 shingle
+    rows = SP.contamination_check(docs).collect()
+    assert len(rows) == 1 and rows[0]["n_shingles"] == 1
+    docs2 = _text_docs(spark, [(hold_id, "only four tokens here")])
+    assert SP.contamination_check(docs2).count() == 0
+
+
+def test_mixture_sample_caps_each_source_at_sqrt(spark):
+    rows = [(i, "x " * 5, "en", "big" if i < 100 else "small", 10) for i in range(110)]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = SP.mixture_sample(docs, stratum="source").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["big"]) == 10  # ceil(sqrt(100))
+    assert len(by_src["small"]) == 4  # ceil(sqrt(10))
+    # deterministic: rerun on shuffled input picks the same doc_ids
+    again = SP.mixture_sample(docs.repartition(7), stratum="source").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}

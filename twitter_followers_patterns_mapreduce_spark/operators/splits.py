@@ -91,3 +91,126 @@ FROM (
   FROM documents
 )
 WHERE sample_rank <= {per_stratum}"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: holdout n-gram overlap with the train split
+# ---------------------------------------------------------------------------
+
+def contamination_check(
+    documents: DataFrame, holdout_pct: int = 10, n_shingle: int = 5
+) -> DataFrame:
+    """Eval-set contamination audit: for every holdout document, the
+    fraction of its distinct ``n_shingle``-word shingles that also occur
+    anywhere in the train split (the GPT-3-style n-gram overlap check;
+    the reference has no text surface at all — extension op).
+
+    Plan shape (100 TB): one scan of ``documents`` feeds both sides of
+    the check — shingles are produced scan-side (explode inside the
+    projection, no pre-shuffle), the train side is reduced to DISTINCT
+    shingles (hash aggregate: this IS the inverted index), and the
+    holdout side left-joins it on the shingle equi-key (AQE splits hot
+    shingles).  Per-doc rollup is one more hash aggregate.  Nothing is
+    ever all-pairs; the join carries |holdout shingles| rows.
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
+        shingles_sql,
+        tokens_sql,
+    )
+
+    sh = shingles_sql(tokens_sql("text", "spark"), n_shingle, "spark")
+    bucket = F.expr(_bucket_sql("doc_id", "spark"))
+    shingled = documents.select(
+        "doc_id",
+        F.when(bucket < holdout_pct, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
+        F.explode(F.expr(sh)).alias("shingle"),
+    )
+    train_index = (
+        shingled.where(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    holdout = shingled.where(F.col("split") == "holdout").select("doc_id", "shingle")
+    return (
+        holdout.join(train_index, on="shingle", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+            (F.count("_hit") / F.count("*")).alias("contamination_ratio"),
+        )
+    )
+
+
+def contamination_check_oracle(holdout_pct: int = 10, n_shingle: int = 5) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
+        shingles_sql,
+        tokens_sql,
+    )
+
+    sh = shingles_sql(tokens_sql("text", "duckdb"), n_shingle, "duckdb")
+    bucket = _bucket_sql("doc_id", "duckdb")
+    split = f"CASE WHEN {bucket} < {holdout_pct} THEN 'holdout' ELSE 'train' END"
+    shingled = f"SELECT doc_id, {split} AS split, UNNEST({sh}) AS shingle FROM documents"
+    return f"""WITH shingled AS ({shingled}),
+train_index AS (SELECT DISTINCT shingle FROM shingled WHERE split = 'train'),
+holdout AS (SELECT doc_id, shingle FROM shingled WHERE split = 'holdout')
+SELECT h.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(t.shingle) AS n_contaminated,
+       COUNT(t.shingle) / COUNT(*) AS contamination_ratio
+FROM holdout h LEFT JOIN train_index t ON h.shingle = t.shingle
+GROUP BY h.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture sampling per source
+# ---------------------------------------------------------------------------
+
+def mixture_sample(documents: DataFrame, stratum: str = "source") -> DataFrame:
+    """α=0.5 temperature sampling of the training mix: each ``stratum``
+    keeps ``ceil(sqrt(n_s))`` documents, flattening the source
+    distribution the way multilingual/multi-source pipelines re-weight
+    head sources down (p_s ∝ n_s^α).  Selection ranks by h64(doc_id) —
+    deterministic under reruns, partitioning, and corpus growth.
+
+    ``sqrt`` is IEEE-754 correctly-rounded in both engines, so the
+    per-source target size is bit-identical cross-engine (``pow`` is
+    NOT, which is why the exponent is hardwired to 0.5).
+
+    Plan: one shuffle by ``stratum``; COUNT and ROW_NUMBER share the
+    same window partition, so the cap is computed in the same stage as
+    the ranking — no second pass over the data.
+    """
+    from pyspark.sql import Window
+
+    h = F.expr(h64_sql("cast(doc_id as string)", "spark"))
+    w = Window.partitionBy(stratum)
+    wr = w.orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return (
+        documents.withColumn("_h", h)
+        .withColumn("n_source", F.count("*").over(w))
+        .withColumn("sample_rank", F.row_number().over(wr))
+        .where(F.col("sample_rank") <= F.ceil(F.sqrt(F.col("n_source"))))
+        .select(
+            F.col(stratum),
+            F.col("n_source"),
+            F.col("sample_rank"),
+            F.col("doc_id"),
+            F.col("n_chars"),
+        )
+    )
+
+
+def mixture_sample_oracle(stratum: str = "source") -> str:
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""SELECT {stratum}, n_source, sample_rank, doc_id, n_chars
+FROM (
+  SELECT {stratum}, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY {stratum}) AS n_source,
+         ROW_NUMBER() OVER (PARTITION BY {stratum}
+                            ORDER BY {h} ASC, doc_id ASC) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= CEIL(SQRT(n_source))"""

@@ -158,6 +158,29 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_contamination_check",
+    oracle=SP.contamination_check_oracle(holdout_pct=10, n_shingle=5),
+    description="eval-set contamination audit: per-holdout-doc fraction of 5-gram "
+    "shingles present anywhere in the train split (GPT-3-style n-gram overlap); "
+    "scan-side shingling, DISTINCT train index, shingle equi-join — never all-pairs",
+)
+def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.contamination_check(
+        load_table(spark, sf_dir, "documents"), holdout_pct=10, n_shingle=5
+    )
+
+
+@register(
+    "doc_mixture_sample",
+    oracle=SP.mixture_sample_oracle(stratum="source"),
+    description="α=0.5 temperature-flattened training mix: each source keeps "
+    "ceil(sqrt(n)) docs ranked by h64(doc_id) — deterministic head-source down-weighting",
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.mixture_sample(load_table(spark, sf_dir, "documents"), stratum="source")
+
+
+@register(
     "doc_token_chunks",
     oracle=CP.doc_token_chunks_oracle(window=64, stride=48),
     description="token-budget chunking (64-token windows, stride 48) — the LLM "
