@@ -155,3 +155,26 @@ def test_three_hop_matches_materialized_walks(spark, sample_edges):
         c, F.col("b.dst") == F.col("c.src")
     )
     assert G.three_hop_count_exact(e).collect()[0]["three_hop_count"] == walks.count()
+
+
+# --- clustering coefficient: hand-computed golden ----------------------------
+
+
+def test_clustering_coefficient_golden(spark):
+    # triangle 1-2-3 plus pendant edge 3-4 (direction and duplicates
+    # must not matter: the operator canonicalizes to undirected pairs)
+    e = make_edges(spark, [(1, 2), (3, 1), (2, 3), (3, 4), (2, 1), (5, 5)])
+    got = {r["v"]: r for r in G.clustering_coefficient(e).collect()}
+    assert set(got) == {1, 2, 3}  # deg-1 node 4 and self-loop node 5 excluded
+    assert got[1]["deg"] == 2 and got[1]["clustering_coeff"] == 1.0
+    assert got[2]["deg"] == 2 and got[2]["clustering_coeff"] == 1.0
+    assert got[3]["deg"] == 3 and got[3]["n_triangles"] == 1
+    assert got[3]["clustering_coeff"] == pytest.approx(1 / 3)
+
+
+def test_clustering_coefficient_triangle_free(spark):
+    # path graph 1-2-3-4: every wedge is open, coefficients all zero
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = G.clustering_coefficient(e).collect()
+    assert {r["v"] for r in rows} == {2, 3}
+    assert all(r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0 for r in rows)

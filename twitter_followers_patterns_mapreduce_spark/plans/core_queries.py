@@ -209,6 +209,29 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_clustering_coefficient",
+    oracle=f"""WITH sparse AS ({_SPARSE_CTE}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM sparse WHERE src <> dst),
+nbrs AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY v),
+wedges AS (SELECT n1.v, n1.n AS x, n2.n AS y
+           FROM nbrs n1 JOIN nbrs n2 ON n1.v = n2.v AND n1.n < n2.n),
+tri AS (SELECT w.v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM wedges w JOIN und u ON w.x = u.a AND w.y = u.b GROUP BY w.v)
+SELECT d.v, d.deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       (2 * COALESCE(t.n_triangles, 0)) / (d.deg * (d.deg - 1)) AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON d.v = t.v
+WHERE d.deg >= 2""",
+    description="extension: per-vertex local clustering coefficient (closed/possible "
+    "wedges) — wedge self-join + semi-join closure over canonical undirected pairs",
+)
+def graph_clustering_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.clustering_coefficient(_sparse_edges(spark, sf_dir))
+
+
+@register(
     "graph_pagerank",
     oracle=GI.pagerank_oracle(EDGES_ORACLE_CTE, iters=5, damping=0.85),
     description="iterative: 5-iteration PageRank, DECIMAL reduction for order-independent "

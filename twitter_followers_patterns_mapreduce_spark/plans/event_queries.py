@@ -130,3 +130,17 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_typed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.typed_json_props(load_events(spark, sf_dir))
+
+
+from twitter_followers_patterns_mapreduce_spark.operators.skew import salted_count  # noqa: E402
+
+
+@register(
+    "events_salted_user_count",
+    oracle="SELECT user_id, CAST(COUNT(*) AS BIGINT) AS count FROM events GROUP BY user_id",
+    description="per-user event counts via explicit two-stage salted aggregation — "
+    "the hot-key fallback for groups AQE cannot split; oracle is the plain GROUP BY, "
+    "proving salt-and-merge is semantics-preserving",
+)
+def events_salted_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return salted_count(load_events(spark, sf_dir), "user_id", n_salts=16)
