@@ -78,3 +78,25 @@ def test_twostar_converges_on_long_chain(spark):
     chain = make_edges(spark, [(i, i + 1) for i in range(1, 12)])
     r = {x["id"]: x["comp"] for x in GI.connected_components_twostar(chain).collect()}
     assert r == {i: 1 for i in range(1, 13)}
+
+
+# --- k-core ------------------------------------------------------------------
+
+
+def test_k_core_triangle_with_tail(spark):
+    from tests.conftest import make_edges
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import k_core
+
+    # triangle 1-2-3 with a tail 3-4-5: the 2-core is exactly the triangle,
+    # and peeling must cascade (4 survives round 1 only while 5 is alive)
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    got = {r["v"]: r["core_deg"] for r in k_core(e, k=2, rounds=8).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_when_k_too_large(spark):
+    from tests.conftest import make_edges
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import k_core
+
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 1)])
+    assert k_core(e, k=3, rounds=4).count() == 0

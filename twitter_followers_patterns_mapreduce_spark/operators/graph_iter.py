@@ -263,3 +263,81 @@ def connected_components_twostar(edges: DataFrame, max_iter: int = 30) -> DataFr
     return nodes.join(
         e.select(F.col("u").alias("id"), F.col("v").alias("comp")), "id", "left"
     ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition by parallel peeling
+# ---------------------------------------------------------------------------
+
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
+    """k-core of the undirected simple graph by synchronous parallel
+    peeling: each round drops EVERY node whose degree within the
+    surviving subgraph is < k, until a fixed point.  Returns
+    (v, core_deg) for the surviving nodes — core_deg is the degree
+    inside the core.
+
+    Semantics are pinned to ``rounds`` synchronous rounds (the oracle
+    unrolls exactly that many); once a round removes nothing the
+    transformation is the identity, so early-stopping at the fixed
+    point is result-identical and the engine does.
+
+    Scale shape per round: re-derive surviving degrees with two
+    equi-joins of the static neighbor view against the alive set (both
+    sides shuffle on the node key; the alive set shrinks monotonically
+    and broadcasts once it fits), one hash aggregate, one filter.
+    ``localCheckpoint`` truncates lineage per round, exactly like the
+    other iterative operators in this module.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    nbrs = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint(eager=False)
+    )
+    alive = nbrs.select("v").distinct().localCheckpoint(eager=True)
+    prev = alive.count()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            nbrs.join(alive, "v")
+            .join(alive.select(F.col("v").alias("n")), "n")
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+            .where(F.col("core_deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+        alive = deg.select("v")
+        cur = deg.count()
+        if cur == prev:
+            break
+        prev = cur
+    return deg.select("v", "core_deg")
+
+
+def k_core_oracle(edges_cte: str, k: int = 2, rounds: int = 8) -> str:
+    """DuckDB oracle: the same synchronous peeling unrolled ``rounds``
+    times as a CTE chain (identity once converged)."""
+    head = f"""WITH s AS ({edges_cte}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM s WHERE src <> dst),
+nbrs AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und),
+alive0 AS (SELECT DISTINCT v FROM nbrs)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f""",
+alive{i + 1} AS (
+  SELECT v, core_deg FROM (
+    SELECT n.v, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM nbrs n
+    JOIN alive{i} a1 ON n.v = a1.v
+    JOIN alive{i} a2 ON n.n = a2.v
+    GROUP BY n.v)
+  WHERE core_deg >= {k})"""
+        )
+    return head + "".join(steps) + f"""
+SELECT v, core_deg FROM alive{rounds}"""

@@ -209,6 +209,16 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_kcore",
+    oracle=GI.k_core_oracle(_SPARSE_CTE, k=2, rounds=8),
+    description="iterative: 2-core via synchronous parallel peeling (drop all deg<k "
+    "nodes per round to a fixed point); oracle = the same peeling unrolled 8 rounds",
+)
+def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.k_core(_sparse_edges(spark, sf_dir), k=2, rounds=8)
+
+
+@register(
     "graph_clustering_coefficient",
     oracle=f"""WITH sparse AS ({_SPARSE_CTE}),
 und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
