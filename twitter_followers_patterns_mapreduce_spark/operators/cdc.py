@@ -1,0 +1,148 @@
+"""Change-data-capture application — MERGE-style upsert/delete as a
+pure DataFrame composition, and incremental maintenance of a
+materialized aggregate.
+
+The reference recomputes everything from the full edge file on every
+run (SURVEY.md §3: each job is a cold scan of ``input/edges.csv``);
+a 100 TB pipeline cannot — it applies deltas.  Vanilla Spark has no
+``MERGE INTO`` (that is a table-format feature: Delta/Iceberg); the
+engine expresses the same semantics as a full-outer join + conditional
+projection, which also IS the scale shape: the delta side is small and
+broadcasts, the base side never rewrites untouched partitions when the
+result is written partition-aligned.
+
+Semantics pinned for the oracle (one delta row per key; op ∈ U/I/D):
+  * op = 'D'        → key dropped from the result
+  * op = 'U' or 'I' → delta row wins over the base row
+  * base key with no delta → carried through unchanged
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame, delta: DataFrame, key: str, payload_cols: list[str]
+) -> DataFrame:
+    """Apply a CDC delta (``key``, ``op``, payload columns) onto
+    ``base``.  Returns the merged table plus ``row_origin``
+    ('base' | 'upsert') for auditability.
+
+    Plan: one full-outer equi-join on the key — Catalyst broadcasts the
+    delta when it is small (the common CDC case), so the base side is
+    never shuffled; with both sides large it is a single sort-merge
+    join.  No window, no distinct, no second pass.
+    """
+    d = delta.select(
+        F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in payload_cols]
+    )
+    joined = base.join(d, on=key, how="full_outer")
+    kept = joined.where(F.col("op").isNull() | (F.col("op") != "D"))
+    return kept.select(
+        F.col(key),
+        *[
+            F.when(F.col("op").isNotNull(), F.col(f"_d_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload_cols
+        ],
+        F.when(F.col("op").isNotNull(), F.lit("upsert"))
+        .otherwise(F.lit("base"))
+        .alias("row_origin"),
+    )
+
+
+#: Deterministic synthetic delta over ``orders`` for the harness run:
+#: every key ≡ 3 (mod 10) is updated (+10% price), every key ≡ 7 is
+#: deleted, and one insert per updated key at key+10_000_000 (outside
+#: the base key space at any harness SF).
+def orders_delta(orders: DataFrame) -> DataFrame:
+    upd = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        F.col("o_orderkey"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+    ins = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice"),
+        F.lit("5-LOW").alias("o_orderpriority"),
+    )
+    dele = orders.where(F.col("o_orderkey") % 10 == 7).select(
+        F.col("o_orderkey"),
+        F.lit("D").alias("op"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+    return upd.unionAll(ins).unionAll(dele)
+
+
+def orders_cdc_merge(orders: DataFrame) -> DataFrame:
+    """Named-query body: apply the synthetic delta to ``orders`` and
+    return the merged table (key, payload, row_origin)."""
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    return merge_upsert(
+        base, orders_delta(orders), "o_orderkey", ["o_totalprice", "o_orderpriority"]
+    )
+
+
+ORDERS_CDC_MERGE_ORACLE = """WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+),
+delta AS (
+  SELECT o_orderkey, 'U' AS op, o_totalprice * 1.1 AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', o_totalprice, '5-LOW'
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, 'D', o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 7
+)
+SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+       CASE WHEN d.op IS NOT NULL THEN d.o_totalprice ELSE b.o_totalprice END
+         AS o_totalprice,
+       CASE WHEN d.op IS NOT NULL THEN d.o_orderpriority ELSE b.o_orderpriority END
+         AS o_orderpriority,
+       CASE WHEN d.op IS NOT NULL THEN 'upsert' ELSE 'base' END AS row_origin
+FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+WHERE d.op IS NULL OR d.op <> 'D'"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of a materialized aggregate (degree view)
+# ---------------------------------------------------------------------------
+
+def degrees_incremental(base_edges: DataFrame, delta_edges: DataFrame) -> DataFrame:
+    """Maintain the per-node degree view under an edge-batch append
+    WITHOUT rescanning the base graph: aggregate ONLY the delta, then
+    merge the two aggregates by summing (degree is a self-maintainable
+    view under inserts — the classic incremental-view-maintenance case).
+
+    In production the base aggregate is read back from its sink (it is
+    |V| rows, not |E|); here it is computed once from ``base_edges`` so
+    the operator stays self-contained.  The merge is a full-outer join
+    on the node id: new nodes appear, untouched nodes carry through.
+    """
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import degrees
+
+    b = degrees(base_edges)
+    d = degrees(delta_edges).select(
+        F.col("id"), F.col("out_deg").alias("d_out"), F.col("in_deg").alias("d_in")
+    )
+    return (
+        b.join(d, on="id", how="full_outer")
+        .select(
+            "id",
+            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("d_out", F.lit(0)))
+            .cast("long")
+            .alias("out_deg"),
+            (F.coalesce("in_deg", F.lit(0)) + F.coalesce("d_in", F.lit(0)))
+            .cast("long")
+            .alias("in_deg"),
+        )
+    )

@@ -12,6 +12,7 @@ SQL — the driver's compare hashes values under sorted column names.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from twitter_followers_patterns_mapreduce_spark.operators import graph as G
 from twitter_followers_patterns_mapreduce_spark.plans.registry import register
@@ -274,3 +275,32 @@ FROM edges e JOIN ind ON e.src = ind.id JOIN outd ON e.dst = outd.id""",
 )
 def ex_three_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.three_hop_count_exact(derived_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance over the degree aggregate
+
+from twitter_followers_patterns_mapreduce_spark.operators import cdc as CDC  # noqa: E402
+
+#: deterministic base/delta partition of the edge set (≈1/5 arrives "late")
+_DELTA_PRED = "(src * 7 + dst) % 5 = 0"
+
+
+@register(
+    "degrees_incremental",
+    oracle=f"""{_E},
+tagged AS (
+  SELECT src AS id, 1 AS out_deg, 0 AS in_deg FROM edges
+  UNION ALL
+  SELECT dst AS id, 0 AS out_deg, 1 AS in_deg FROM edges)
+SELECT id, CAST(SUM(out_deg) AS BIGINT) AS out_deg, CAST(SUM(in_deg) AS BIGINT) AS in_deg
+FROM tagged GROUP BY id""",
+    description="incremental view maintenance: degree aggregate updated from a delta "
+    "edge batch alone (aggregate-merge full-outer join) — oracle is the full recompute, "
+    "proving delta-merge == rescan",
+)
+def degrees_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    base = e.where(~F.expr(_DELTA_PRED))
+    delta = e.where(F.expr(_DELTA_PRED))
+    return CDC.degrees_incremental(base, delta)

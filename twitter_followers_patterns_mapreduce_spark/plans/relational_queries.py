@@ -164,3 +164,17 @@ _PROFILE_COLS = [
 def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [(c, k) for c, k in _PROFILE_COLS if c != "l_shipdate"]
     return ST.column_profile(load_table(spark, sf_dir, "lineitem"), cols)
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import cdc as CDC  # noqa: E402
+
+
+@register(
+    "orders_cdc_merge",
+    oracle=CDC.ORDERS_CDC_MERGE_ORACLE,
+    description="MERGE-style CDC apply (upsert + delete + insert) as one full-outer "
+    "equi-join + conditional projection — the delta broadcasts, the base never "
+    "rewrites untouched rows; vanilla-Spark stand-in for table-format MERGE INTO",
+)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CDC.orders_cdc_merge(load_table(spark, sf_dir, "orders"))
