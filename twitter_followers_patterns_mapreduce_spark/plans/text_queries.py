@@ -188,3 +188,17 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.doc_token_chunks(load_table(spark, sf_dir, "documents"), window=64, stride=48)
+
+
+from twitter_followers_patterns_mapreduce_spark.functions import udtfs as UD  # noqa: E402
+
+
+@register(
+    "doc_sentences_udtf",
+    oracle=UD.DOC_SENTENCES_ORACLE,
+    description="SURVEY §2.8 UDTF surface: '.'-sentence explosion via a Python UDTF "
+    "lateral join — the documented slow path, exact-oracle-checked; hot paths use "
+    "the pure-SQL posexplode form (doc_chunks) instead",
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return UD.doc_sentences(load_table(spark, sf_dir, "documents"))
