@@ -73,6 +73,61 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def zvalue(x, y, bits: int = 16):
+    """Morton/Z-order key: interleave the low ``bits`` bits of two
+    non-negative integer columns (x even positions, y odd) — a pure
+    bitwise Column expression, JVM-side inside whole-stage codegen.
+
+    Values are clamped into ``[0, 2^bits)`` first so outliers cannot
+    fold distant rows onto nearby keys."""
+    from pyspark.sql import functions as F
+
+    cap = (1 << bits) - 1
+    xc = F.least(F.greatest(F.col(x) if isinstance(x, str) else x, F.lit(0)), F.lit(cap))
+    yc = F.least(F.greatest(F.col(y) if isinstance(y, str) else y, F.lit(0)), F.lit(cap))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(xc.bitwiseAND(F.lit(1 << i)).cast("long"), i))
+            .bitwiseOR(F.shiftleft(yc.bitwiseAND(F.lit(1 << i)).cast("long"), i + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the
+    Morton interleave of two filter columns, so each output file covers
+    a small RECTANGLE in (x, y) space instead of a thin stripe.
+
+    Why it matters at 100 TB: parquet readers prune files/row-groups by
+    min-max statistics.  A layout sorted on x alone prunes x-filters
+    but leaves every file's y-range full-width — 2-D box queries scan
+    everything.  Z-order keeps BOTH ranges narrow per file, so a
+    selective (x AND y) predicate skips most files entirely (same idea
+    as Delta/Iceberg ZORDER BY, built from vanilla repartitionByRange +
+    sortWithinPartitions).  Verified by the layout test, which counts
+    stats-intersecting files for a box query under both layouts.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("_z", zvalue(col_x, col_y, bits))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact(spark, path: str, format: str = "parquet", target_files: int = 1) -> int:
     """Small-file compaction: rewrite a directory of part files into
     ``target_files`` files (atomically via a sibling temp dir + rename).
