@@ -77,3 +77,28 @@ def test_json_prop_stats_goldens(tiny_events):
 def test_user_interaction_edges_no_self_loops(tiny_events):
     edges = E.user_interaction_edges(tiny_events).collect()
     assert all(e["src"] != e["dst"] for e in edges)
+
+
+def test_session_window_native_boundary(spark):
+    """An event exactly gap after the previous EXTENDS the session
+    (inclusive merge boundary) — the pinned oracle semantics."""
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        session_window_native,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=29, seconds=59), 7, "click", 2.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=59, seconds=59), 7, "click", 4.0, "{}"),  # +30:00 exactly
+        (4, t0 + dt.timedelta(hours=3), 7, "click", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    got = sorted(session_window_native(df).collect(), key=lambda r: r["session_start"])
+    assert [r["n_events"] for r in got] == [3, 1]
+    assert got[0]["sum_value"] == 7.0
+    assert got[0]["session_end"] == "2024-01-01 01:29:59"  # last event + 30 min

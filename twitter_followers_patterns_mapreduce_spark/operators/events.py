@@ -130,6 +130,54 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM sessioned GROUP BY user_id, session_seq"""
 
 
+def session_window_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions via Spark's NATIVE ``session_window`` operator —
+    the same gap semantics :func:`sessionize` builds from lag+running-sum,
+    expressed as a single groupBy (and the form that carries over to
+    Structured Streaming unchanged, where the window-pair form cannot).
+
+    Boundary pinned for the oracle (and by test): an event exactly
+    ``gap`` after the previous one EXTENDS the session — session_window
+    treats its end as inclusive for merging — so the oracle uses the
+    same strict ``>`` as :data:`SESSIONIZE_ORACLE`.  Session end =
+    last event + gap, truncated to seconds on output.
+    """
+    sw = F.session_window("ts", gap)
+    return (
+        events.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("sw.end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = f"""WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessioned AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+  strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+  strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessioned GROUP BY user_id, session_seq"""
+
+
 def json_prop_stats(events: DataFrame) -> DataFrame:
     """Extract the integer ``k`` from the JSON ``props`` column and
     aggregate per event_type — semi-structured column handling."""

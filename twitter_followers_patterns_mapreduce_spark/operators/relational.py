@@ -294,3 +294,59 @@ SELECT m.o_custkey, month,
     PARTITION BY m.o_custkey ORDER BY month
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_n
 FROM monthly m JOIN top t ON m.o_custkey = t.o_custkey"""
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    region_name: str = "ASIA",
+    year: int = 1996,
+) -> DataFrame:
+    """TPC-H Q5 shape: the 6-way join chain
+    region→nation→customer→orders→lineitem→supplier with the LOCAL
+    constraint c_nationkey = s_nationkey, per-nation revenue.
+
+    This is the classic join-ORDERING stressor: written declaratively,
+    Catalyst collapses the region/nation dim chain into broadcast hash
+    joins on the fact spine (orders⋈lineitem is the only big shuffle)
+    and pushes the region filter through nation before any fact row is
+    touched.  The local-supplier conjunct rides the supplier join as an
+    equi-condition — never a post-join filter over a wider product.
+    """
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        region.where(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.year("o_orderdate") == year)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+def q5_oracle(region_name: str = "ASIA", year: int = 1996) -> str:
+    return f"""SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = '{region_name}' AND year(o_orderdate) = {year}
+GROUP BY n_name"""

@@ -144,3 +144,13 @@ from twitter_followers_patterns_mapreduce_spark.operators.skew import salted_cou
 )
 def events_salted_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(load_events(spark, sf_dir), "user_id", n_salts=16)
+
+
+@register(
+    "events_session_window",
+    oracle=E.SESSION_WINDOW_ORACLE,
+    description="per-user sessions via Spark's native session_window groupBy — gap "
+    "semantics identical to the lag+running-sum form, and the streaming-safe shape",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.session_window_native(load_events(spark, sf_dir))

@@ -178,3 +178,20 @@ from twitter_followers_patterns_mapreduce_spark.operators import cdc as CDC  # n
 )
 def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CDC.orders_cdc_merge(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=R.q5_oracle(region_name="ASIA", year=1996),
+    description="TPC-H Q5 shape: 6-way join chain with the local-supplier equi-conjunct "
+    "— Catalyst broadcast-collapses the dim chain; only orders⋈lineitem shuffles",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q5_local_supplier_volume(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
