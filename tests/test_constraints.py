@@ -1,0 +1,46 @@
+"""Constraint gate: violations are counted exactly, the single-pass
+unpivot keeps one row per check, and referential integrity flags
+orphans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_followers_patterns_mapreduce_spark.operators.constraints import (
+    check_constraints,
+    orders_quality_checks,
+)
+
+
+def test_check_constraints_counts_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (None, 7.0)],
+        schema="k LONG, price DOUBLE",
+    )
+    got = {
+        r["check_name"]: r
+        for r in check_constraints(
+            df,
+            [
+                ("k_not_null", "k IS NULL"),
+                ("price_positive", "price IS NULL OR price <= 0"),
+            ],
+        ).collect()
+    }
+    assert got["k_not_null"]["n_violations"] == 1
+    assert got["k_not_null"]["passed"] is False
+    assert got["price_positive"]["n_violations"] == 2
+    assert all(r["n_rows"] == 4 for r in got.values())
+
+
+def test_referential_check_flags_orphans(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "O", None, "1-URGENT", 5.0)],
+        schema="o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_orderdate TIMESTAMP, o_orderpriority STRING, o_totalprice DOUBLE",
+    )
+    customer = spark.createDataFrame([(99,)], schema="c_custkey LONG")
+    got = {r["check_name"]: r for r in orders_quality_checks(orders, customer).collect()}
+    assert got["o_custkey_references_customer"]["n_violations"] == 1
+    assert got["o_orderdate_in_range"]["n_violations"] == 0  # NULL date: no range claim
+    assert len(got) == 6

@@ -1,0 +1,111 @@
+"""Data-quality constraint checking — the deequ/dbt-test-style
+validation gate a training pipeline runs before a corpus snapshot is
+blessed.
+
+Every declared constraint is evaluated in ONE pass over the table as a
+conditional aggregate (``SUM(CASE WHEN violated ...)``): N constraints
+cost one scan and one 1-row-ish aggregate, never N scans.  Referential
+integrity is the exception by nature — it needs the dimension side —
+and rides a single left-anti-shaped join folded into the same result
+via a union of two tiny aggregates.
+
+Output contract (one row per constraint — narrow, mergeable,
+alert-routable):
+  check_name   — stable identifier, e.g. 'o_totalprice_positive'
+  n_rows       — rows evaluated
+  n_violations — rows failing the predicate
+  passed       — n_violations == 0
+
+The reference has no validation surface at all; its single implicit
+constraint is the MAX id filter (``countedges/CountEdgesAfterMax.java:56``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(df: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+    """Evaluate ``checks`` = [(name, violation_predicate_sql)] in one
+    conditional-aggregate pass.  A row violates a constraint when its
+    predicate evaluates TRUE (nulls count as violations for NOT NULL
+    style predicates written accordingly)."""
+    aggs = [F.count("*").alias("n_rows")]
+    for name, pred in checks:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
+        )
+    wide = df.agg(*aggs)
+    # unpivot the one wide row into (check_name, n_rows, n_violations, passed)
+    names = [name for name, _ in checks]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return wide.selectExpr(
+        "n_rows", f"stack({len(names)}, {stack}) AS (check_name, n_violations)"
+    ).select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+#: Declared constraints for the ``orders`` snapshot — names are stable
+#: identifiers, predicates are VIOLATION conditions in shared SQL.
+ORDERS_CHECKS: list[tuple[str, str]] = [
+    ("o_orderkey_not_null", "o_orderkey IS NULL"),
+    ("o_totalprice_positive", "o_totalprice IS NULL OR o_totalprice <= 0"),
+    ("o_orderstatus_in_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("o_orderdate_in_range",
+     "o_orderdate < TIMESTAMP '1990-01-01 00:00:00' OR o_orderdate > TIMESTAMP '2010-01-01 00:00:00'"),
+    ("o_orderpriority_wellformed", "o_orderpriority NOT RLIKE '^[1-5]-'"),
+]
+
+
+def orders_quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The declared ``orders`` constraint suite plus referential
+    integrity against ``customer`` (every o_custkey resolves) — RI is a
+    broadcast left-anti count unioned into the same narrow contract."""
+    base = check_constraints(orders, ORDERS_CHECKS)
+    n_rows = orders.agg(F.count("*").cast("long").alias("n_rows"))
+    orphans = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_violations"))
+    )
+    ri = (
+        n_rows.crossJoin(orphans)
+        .select(
+            F.lit("o_custkey_references_customer").alias("check_name"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    return base.unionAll(ri)
+
+
+def orders_quality_checks_oracle() -> str:
+    rows = []
+    for name, pred in ORDERS_CHECKS:
+        duck_pred = pred.replace("NOT RLIKE", "!~").replace("RLIKE", "~")
+        if "!~" in duck_pred:
+            col, pat = duck_pred.split(" !~ ")
+            duck_pred = f"NOT regexp_matches({col}, {pat})"
+        rows.append(
+            f"""SELECT '{name}' AS check_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {duck_pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders"""
+        )
+    rows.append(
+        """SELECT 'o_custkey_references_customer' AS check_name,
+  (SELECT COUNT(*) FROM orders) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"""
+    )
+    sql = "\nUNION ALL\n".join(rows)
+    return f"""SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+FROM ({sql})"""

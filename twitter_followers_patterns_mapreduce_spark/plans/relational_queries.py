@@ -195,3 +195,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import constraints as CK  # noqa: E402
+
+
+@register(
+    "orders_quality_checks",
+    oracle=CK.orders_quality_checks_oracle(),
+    description="deequ-style declared-constraint gate: N constraints in ONE "
+    "conditional-aggregate scan (+ broadcast anti-join referential check), one "
+    "narrow alert-routable row per constraint",
+)
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CK.orders_quality_checks(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
