@@ -112,3 +112,32 @@ def test_blocked_top_pairs_handles_more_blocks_than_rows(spark):
     # C(3,2) = 3 pairs, every one present exactly once
     assert len(got) == 3
     assert sorted((r["vec_a"], r["vec_b"]) for r in got) == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_quantize_stats_numpy_differential(spark):
+    import numpy as np
+
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        embedding_quantize_stats,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.uniform(-2, 2, 8).astype(np.float32) for _ in range(5)] + [
+        np.zeros(8, dtype=np.float32)  # zero vector: scale falls back to 1.0
+    ]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        schema="vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {r["vec_id"]: r for r in embedding_quantize_stats(df).collect()}
+    for i, v in enumerate(vecs):
+        vd = v.astype(np.float64)
+        amax = np.abs(vd).max()
+        scale = 127.0 / amax if amax > 0 else 1.0
+        q = np.clip(np.floor(vd * scale + 0.5), -127.0, 127.0)
+        err = np.abs(vd - q / scale)
+        assert got[i]["dim"] == 8
+        assert got[i]["max_abs_err"] == round(float(err.max()), 6)
+        assert abs(got[i]["mean_sq_err"] - float((err * err).sum() / 8)) < 1e-9
+        assert got[i]["n_clipped"] == int((np.abs(q) >= 127.0).sum())
+    assert got[5]["max_abs_err"] == 0.0 and got[5]["scale"] == 1.0

@@ -466,3 +466,68 @@ def label_principal_component(embeddings: DataFrame, n_iter: int = 30) -> DataFr
     return embeddings.select("label", "embedding").groupBy("label").applyInPandas(
         pca_group, schema=schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization fidelity (the PQ-lite storage path)
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_stats(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|,
+    code = floor(x·scale + 0.5) clamped to ±127) with reconstruction
+    fidelity per vector: max abs error, mean squared error, clipped
+    count — the audit a pipeline runs before shipping embeddings at
+    8-bit (4× smaller, ANN-recall-preserving if errors are tiny).
+
+    Pure scan-side higher-order functions (transform/zip_with/aggregate)
+    on one pass — zero shuffles, whole-stage codegen; the sequential
+    index-order fold makes the arithmetic bit-reproducible in DuckDB.
+    """
+    v = as_double("embedding")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > F.lit(0.0), F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    base = embeddings.select("vec_id", v.alias("v"), scale.alias("scale"))
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.least(F.floor(x * F.col("scale") + F.lit(0.5)).cast("double"), F.lit(127.0)),
+            F.lit(-127.0),
+        ),
+    )
+    qd = base.withColumn("q", q)
+    err = F.zip_with(F.col("v"), F.col("q"), lambda a, c: F.abs(a - c / F.col("scale")))
+    ed = qd.select("vec_id", "scale", "q", err.alias("err"), F.size("v").alias("dim"))
+    return ed.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("err"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("err", F.lit(0.0), lambda acc, e: acc + e * e) / F.col("dim"), 9
+        ).alias("mean_sq_err"),
+        F.size(F.filter("q", lambda c: F.abs(c) >= F.lit(127.0))).cast("long").alias("n_clipped"),
+    )
+
+
+EMBEDDING_QUANTIZE_ORACLE = """WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+         THEN 127.0 / list_max(list_transform(v, x -> abs(x))) ELSE 1.0 END AS scale
+  FROM base
+), qd AS (
+  SELECT vec_id, v, scale,
+    list_transform(v, x -> greatest(least(floor(x * scale + 0.5), 127.0), -127.0)) AS q
+  FROM s
+), ed AS (
+  SELECT vec_id, scale, q,
+    list_transform(range(1, len(v) + 1), i -> abs(v[i] - q[i] / scale)) AS err,
+    len(v) AS dim
+  FROM qd
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
+  round(list_max(err), 6) AS max_abs_err,
+  round(list_sum(list_transform(err, e -> e * e)) / dim, 9) AS mean_sq_err,
+  CAST(len(list_filter(q, c -> abs(c) >= 127.0)) AS BIGINT) AS n_clipped
+FROM ed"""

@@ -104,3 +104,13 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.ann_topk_ivf_kmeans(load_table(spark, sf_dir, "embeddings"), k=5, n_probe=2)
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle=S.EMBEDDING_QUANTIZE_ORACLE,
+    description="per-vector int8 quantization fidelity (scale, max abs / mean sq "
+    "reconstruction error, clip count) — scan-side higher-order functions, zero shuffles",
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_quantize_stats(load_table(spark, sf_dir, "embeddings"))
