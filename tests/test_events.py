@@ -102,3 +102,49 @@ def test_session_window_native_boundary(spark):
     assert [r["n_events"] for r in got] == [3, 1]
     assert got[0]["sum_value"] == 7.0
     assert got[0]["session_end"] == "2024-01-01 01:29:59"  # last event + 30 min
+
+
+def test_type_streaks_islands_golden(spark):
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators.events import type_streaks
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["a", "a", "b", "a", "a", "a", "b", "b"]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, ty, 0.0, "{}") for i, ty in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {(r["user_id"], r["event_type"]): r for r in type_streaks(df).collect()}
+    assert got[(1, "a")]["max_streak"] == 3 and got[(1, "a")]["n_runs"] == 2
+    assert got[(1, "b")]["max_streak"] == 2 and got[(1, "b")]["n_runs"] == 2
+
+
+def test_funnel_conversion_golden(spark):
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators.events import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 0: click then purchase 30 min later → converts
+        (0, t0, 0, "click", 0.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=30), 0, "purchase", 1.0, "{}"),
+        # user 10 (same decile as 0): click, purchase 2h later → no
+        (2, t0, 10, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 10, "purchase", 1.0, "{}"),
+        # user 1: purchase BEFORE first click → no
+        (4, t0, 1, "purchase", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        # user 2: purchase only, never clicks → not in funnel at all
+        (6, t0, 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {r["user_decile"]: r for r in funnel_conversion(df).collect()}
+    assert got[0]["n_users"] == 2 and got[0]["n_converted"] == 1
+    assert got[1]["n_users"] == 1 and got[1]["n_converted"] == 0
+    assert 2 not in got

@@ -259,3 +259,114 @@ TYPED_JSON_ORACLE = """SELECT event_type,
   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type"""
+
+
+def type_streaks(events: DataFrame) -> DataFrame:
+    """Longest run of CONSECUTIVE same-type events per (user, type) —
+    the gaps-and-islands window idiom: two row_numbers (global per user
+    vs per (user, type)) differ by a constant within an unbroken run,
+    so their difference is the island key; one more aggregate gets run
+    lengths.  Streak analytics (failed-login runs, repeated-action
+    bursts) with zero self-joins.
+
+    Plan: both row_numbers share ONE window partition (user_id) — a
+    single shuffle + per-partition sort feeds the whole query; islands
+    and maxima are hash aggregates on top.
+    """
+    w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    islands = events.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_user) - F.row_number().over(w_ut)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.max("run_len").cast("long").alias("max_streak"),
+        F.count("*").cast("long").alias("n_runs"),
+    )
+
+
+TYPE_STREAKS_ORACLE = """WITH islands AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+      AS island
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, island, COUNT(*) AS run_len
+  FROM islands GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type,
+  CAST(MAX(run_len) AS BIGINT) AS max_streak,
+  CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY user_id, event_type"""
+
+
+def funnel_conversion(
+    events: DataFrame,
+    first_step: str = "click",
+    convert_step: str = "purchase",
+    window_us: int = 3_600_000_000,
+) -> DataFrame:
+    """First-touch funnel: per user-decile cohort, how many users had a
+    ``first_step`` event and how many converted with a ``convert_step``
+    within ``window_us`` AFTER their FIRST ``first_step``.
+
+    Two hash aggregates and one equi-join, all keyed on user_id — the
+    first-touch aggregate collapses each user to one row BEFORE the
+    join, so the conversion probe joins |users| × |convert events of
+    one type|, never event × event.
+    """
+    firsts = (
+        events.where(F.col("event_type") == first_step)
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    )
+    conv = events.where(F.col("event_type") == convert_step).select(
+        "user_id", F.unix_micros("ts").alias("conv_us")
+    )
+    per_user = (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("user_id", "first_us")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("conv_us") > F.col("first_us"))
+                    & (F.col("conv_us") <= F.col("first_us") + window_us),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).cast("long").alias("user_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(F.sum("converted") / F.count("*"), 6).alias("conversion_rate"),
+        )
+    )
+
+
+FUNNEL_ORACLE = """WITH firsts AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), per_user AS (
+  SELECT f.user_id, f.first_us,
+    MAX(CASE WHEN c.conv_us > f.first_us AND c.conv_us <= f.first_us + 3600000000
+             THEN 1 ELSE 0 END) AS converted
+  FROM firsts f
+  LEFT JOIN (SELECT user_id, epoch_us(ts) AS conv_us FROM events
+             WHERE event_type = 'purchase') c ON f.user_id = c.user_id
+  GROUP BY f.user_id, f.first_us
+)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_decile,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(converted) AS BIGINT) AS n_converted,
+  round(SUM(converted) / COUNT(*), 6) AS conversion_rate
+FROM per_user GROUP BY user_id % 10"""

@@ -154,3 +154,23 @@ def events_salted_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.session_window_native(load_events(spark, sf_dir))
+
+
+@register(
+    "events_type_streaks",
+    oracle=E.TYPE_STREAKS_ORACLE,
+    description="gaps-and-islands: longest consecutive same-type run per (user, type) "
+    "via the double-row_number island key — one window shuffle, zero self-joins",
+)
+def events_type_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.type_streaks(load_events(spark, sf_dir))
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=E.FUNNEL_ORACLE,
+    description="first-touch funnel per user-decile: click -> purchase-within-1h "
+    "conversion; first-touch collapses users before the probe join (never event x event)",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.funnel_conversion(load_events(spark, sf_dir))
