@@ -64,28 +64,21 @@ ORDERS_CHECKS: list[tuple[str, str]] = [
 
 def orders_quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """The declared ``orders`` constraint suite plus referential
-    integrity against ``customer`` (every o_custkey resolves) — RI is a
-    broadcast left-anti count unioned into the same narrow contract."""
-    base = check_constraints(orders, ORDERS_CHECKS)
-    n_rows = orders.agg(F.count("*").cast("long").alias("n_rows"))
-    orphans = (
-        orders.join(
-            F.broadcast(customer.select("c_custkey")),
-            orders["o_custkey"] == F.col("c_custkey"),
-            "left_anti",
-        )
-        .agg(F.count("*").cast("long").alias("n_violations"))
+    integrity against ``customer`` (every o_custkey resolves).
+
+    The RI probe is a broadcast LEFT join against the unique dimension
+    key — row-preserving, so ALL checks (declared + RI-as-null-test)
+    fold into the SAME single conditional-aggregate pass: one scan, one
+    broadcast hash join, one 1-row aggregate, no unions or cross joins.
+    """
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
     )
-    ri = (
-        n_rows.crossJoin(orphans)
-        .select(
-            F.lit("o_custkey_references_customer").alias("check_name"),
-            "n_rows",
-            "n_violations",
-            (F.col("n_violations") == 0).alias("passed"),
-        )
+    return check_constraints(
+        joined, ORDERS_CHECKS + [("o_custkey_references_customer", "c_custkey IS NULL")]
     )
-    return base.unionAll(ri)
 
 
 def orders_quality_checks_oracle() -> str:
