@@ -1,0 +1,93 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+a deterministic synthetic edge generator, the engine's "custom
+connector" surface.
+
+The reference's only source is a CSV on HDFS (``Makefile:10``,
+``exact/Exact2HopCount.java:55-59``); this connector shows the
+idiomatic Spark-4 way to plug a NON-file system into the same edge
+abstraction: implement ``DataSource``/``DataSourceReader``, register
+once per session, and every graph operator runs unchanged on
+``spark.read.format("synthetic_edges")``.
+
+Scale model: ``partitions()`` splits the node-id space into contiguous
+ranges — each executor task generates ONLY its range (no driver
+materialization, no shuffle on read), exactly how a real external
+connector should expose parallelism.  Determinism: edge targets come
+from a per-source splitmix64-style hash of (src, j), so any node range
+regenerates identically on retry — the property Spark requires of a
+re-executable partition read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_MASK = (1 << 64) - 1
+
+
+def _mix(x: int) -> int:
+    """splitmix64 finalizer — public-domain integer hash."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class SyntheticEdgesReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_nodes = int(options.get("n_nodes", 1000))
+        self.out_degree = int(options.get("out_degree", 4))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        step = max(1, (self.n_nodes + self.n_partitions - 1) // self.n_partitions)
+        return [
+            _RangePartition(lo, min(lo + step, self.n_nodes))
+            for lo in range(0, self.n_nodes, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        n, d, seed = self.n_nodes, self.out_degree, self.seed
+        for src in range(partition.lo, partition.hi):
+            for j in range(d):
+                dst = _mix(seed * 0x100000001B3 + src * d + j) % n
+                if dst != src:
+                    yield (src, dst)
+
+
+class SyntheticEdges(DataSource):
+    """``spark.read.format("synthetic_edges")`` after
+    ``spark.dataSource.register(SyntheticEdges)``.
+
+    Options: n_nodes, out_degree, n_partitions, seed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_edges"
+
+    def schema(self) -> str:
+        return "src bigint, dst bigint"
+
+    def reader(self, schema) -> SyntheticEdgesReader:
+        return SyntheticEdgesReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    spark.dataSource.register(SyntheticEdges)
+
+
+def expected_edges(n_nodes: int, out_degree: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Driver-side golden generator — same arithmetic, for tests."""
+    out = []
+    for src in range(n_nodes):
+        for j in range(out_degree):
+            dst = _mix(seed * 0x100000001B3 + src * out_degree + j) % n_nodes
+            if dst != src:
+                out.append((src, dst))
+    return out
