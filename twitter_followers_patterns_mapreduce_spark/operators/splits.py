@@ -118,8 +118,14 @@ def contamination_check(
         tokens_sql,
     )
 
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
     sh = shingles_sql(tokens_sql("text", "spark"), n_shingle, "spark")
     bucket = F.expr(_bucket_sql("doc_id", "spark"))
+    # fan_out: shingling+explode is a heavy projection whose cost is
+    # per-row work, not scan bytes — without it a single-row-group
+    # input pins BOTH branches of the check to one task
+    documents = fan_out(documents)
     shingled = documents.select(
         "doc_id",
         F.when(bucket < holdout_pct, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
