@@ -44,3 +44,19 @@ def test_referential_check_flags_orphans(spark):
     assert got["o_custkey_references_customer"]["n_violations"] == 1
     assert got["o_orderdate_in_range"]["n_violations"] == 0  # NULL date: no range claim
     assert len(got) == 6
+
+
+def test_kanonymity_audit_flags_small_groups(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.constraints import (
+        kanonymity_audit,
+    )
+
+    rows = [(i, "t", "en", "web", 150) for i in range(10)]  # big safe group
+    rows += [(100, "t", "zh", "rare", 999)]  # singleton → flagged
+    rows += [(101, "t", "en", "web", 920), (102, "t", "en", "web", 980)]  # pair → flagged
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {(r["lang"], r["source"], r["chars_bucket"]): r["group_size"]
+           for r in kanonymity_audit(docs, k=5).collect()}
+    assert got == {("zh", "rare", 9): 1, ("en", "web", 9): 2}

@@ -225,3 +225,20 @@ def test_token_chunks_goldens(spark):
     assert got[(2, 0)] == (0, 2, "a b")
     assert got[(3, 0)] == (0, 1, "x")
     assert len(got) == 4
+
+
+def test_oov_rate_against_tiny_vocab(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import doc_oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb", "en", "web", 11),   # aa x3, bb x1
+            (2, "aa zz yy xx", "en", "web", 11),   # aa in vocab, 3 OOV
+        ],
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    # min_count=2: vocab = {aa} only (bb/zz/yy/xx occur once)
+    got = {r["doc_id"]: r for r in doc_oov_rate(docs, min_count=2, k=10).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_oov"] == 1
+    assert got[1]["oov_rate"] == 0.25
+    assert got[2]["n_oov"] == 3 and got[2]["oov_rate"] == 0.75

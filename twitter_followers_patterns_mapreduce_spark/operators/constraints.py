@@ -5,9 +5,9 @@ blessed.
 Every declared constraint is evaluated in ONE pass over the table as a
 conditional aggregate (``SUM(CASE WHEN violated ...)``): N constraints
 cost one scan and one 1-row-ish aggregate, never N scans.  Referential
-integrity is the exception by nature — it needs the dimension side —
-and rides a single left-anti-shaped join folded into the same result
-via a union of two tiny aggregates.
+integrity needs the dimension side, but a broadcast LEFT join against
+the unique dimension key is row-preserving, so even the RI check folds
+into the same single pass as a null-test predicate.
 
 Output contract (one row per constraint — narrow, mergeable,
 alert-routable):
@@ -102,3 +102,37 @@ FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o
     sql = "\nUNION ALL\n".join(rows)
     return f"""SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
 FROM ({sql})"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy gate)
+# ---------------------------------------------------------------------------
+
+def kanonymity_audit(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Re-identification risk audit: group the corpus by its
+    quasi-identifier tuple (lang, source, 100-char length bucket) and
+    surface every group smaller than ``k`` — rows whose QI combination
+    is rare enough to single out an individual document/author.  The
+    privacy twin of the constraint gate: release the snapshot only when
+    this returns zero rows (or after suppressing/generalizing the
+    flagged groups).
+
+    One hash aggregate with map-side partial aggregation; the QI bucket
+    is a scan-side floor-div.  At 100 TB the groupBy key count is the
+    QI-space size (small), not the row count.
+    """
+    bucket = (F.col("n_chars") / 100).cast("long").alias("chars_bucket")
+    return (
+        documents.groupBy("lang", "source", bucket)
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
+def kanonymity_audit_oracle(k: int = 5) -> str:
+    return f"""SELECT lang, source,
+  CAST(n_chars // 100 AS BIGINT) AS chars_bucket,
+  CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY lang, source, n_chars // 100
+HAVING COUNT(*) < {k}"""

@@ -434,3 +434,58 @@ def doc_token_chunks_oracle(window: int = 64, stride: int = 48,
             FROM (SELECT doc_id, {toks} AS toks FROM {table})
         )
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+def doc_oov_rate(df: DataFrame, min_count: int = 5, k: int = 100) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-``k``
+    vocabulary (:func:`doc_vocabulary`) — the tokenizer-health metric a
+    training pipeline tracks per source/snapshot: rising OOV means the
+    vocab (or the corpus) drifted.
+
+    Plan: the vocabulary is a k-row aggregate → broadcast; per-doc
+    tokens explode scan-side and LEFT-join the broadcast vocab; one
+    hash aggregate rolls up (n_tokens, n_oov, oov_rate) per doc.  The
+    corpus is scanned twice (once to build the vocab, once to score) —
+    at 100 TB the vocab side is the thing you persist and reuse, which
+    is why it is a separate operator.
+    """
+    vocab = doc_vocabulary(df, min_count=min_count, k=k).select(
+        "token", F.lit(1).alias("_in_vocab")
+    )
+    toks = df.selectExpr("doc_id", "lang", f"{tokens_sql('text', 'spark')} AS toks")
+    exploded = (
+        toks.select("doc_id", "lang", F.explode_outer("toks").alias("token"))
+        .where(F.col("token").isNotNull())
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)) / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def doc_oov_rate_oracle(min_count: int = 5, k: int = 100) -> str:
+    toks = tokens_sql("text", "duckdb")
+    return f"""WITH vocab AS ({doc_vocabulary_oracle(min_count=min_count, k=k)}),
+exploded AS (
+  SELECT doc_id, lang, unnest({toks}) AS token FROM documents
+)
+SELECT e.doc_id, e.lang,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate
+FROM exploded e LEFT JOIN vocab v ON e.token = v.token
+GROUP BY e.doc_id, e.lang"""

@@ -202,3 +202,26 @@ from twitter_followers_patterns_mapreduce_spark.functions import udtfs as UD  # 
 )
 def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return UD.doc_sentences(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_oov_rate",
+    oracle=CP.doc_oov_rate_oracle(min_count=5, k=100),
+    description="per-doc out-of-vocabulary rate vs the corpus top-100 vocab — "
+    "broadcast vocab left-join over scan-side token explode; tokenizer drift metric",
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_oov_rate(load_table(spark, sf_dir, "documents"), min_count=5, k=100)
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import constraints as CK  # noqa: E402
+
+
+@register(
+    "doc_kanonymity_audit",
+    oracle=CK.kanonymity_audit_oracle(k=5),
+    description="privacy gate: quasi-identifier groups (lang, source, length bucket) "
+    "smaller than k=5 — the re-identification audit run before snapshot release",
+)
+def doc_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CK.kanonymity_audit(load_table(spark, sf_dir, "documents"), k=5)
