@@ -139,5 +139,5 @@ def test_quantize_stats_numpy_differential(spark):
         assert got[i]["dim"] == 8
         assert got[i]["max_abs_err"] == round(float(err.max()), 6)
         assert abs(got[i]["mean_sq_err"] - float((err * err).sum() / 8)) < 1e-9
-        assert got[i]["n_clipped"] == int((np.abs(q) >= 127.0).sum())
+        assert got[i]["n_saturated"] == int((np.abs(q) >= 127.0).sum())
     assert got[5]["max_abs_err"] == 0.0 and got[5]["scale"] == 1.0

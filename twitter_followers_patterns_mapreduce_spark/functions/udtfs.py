@@ -39,14 +39,26 @@ class SplitSentences:
 
 def doc_sentences(documents: DataFrame) -> DataFrame:
     """Per-document sentence rows via the Python UDTF, lateral-joined —
-    (doc_id, sent_idx, sentence)."""
+    (doc_id, sent_idx, sentence).
+
+    The input view gets a per-call unique name (and is dropped once the
+    query is analyzed), so concurrent callers on one SparkSession can
+    never resolve against each other's documents."""
+    import uuid
+
     spark = documents.sparkSession
     spark.udtf.register("split_sentences", SplitSentences)
-    documents.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
-    return spark.sql(
-        """SELECT d.doc_id, s.sent_idx, s.sentence
-FROM _udtf_docs d, LATERAL split_sentences(d.text) s"""
-    )
+    view = f"_udtf_docs_{uuid.uuid4().hex}"
+    documents.select("doc_id", "text").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""SELECT d.doc_id, s.sent_idx, s.sentence
+FROM {view} d, LATERAL split_sentences(d.text) s"""
+        )
+    finally:
+        # spark.sql analyzes eagerly; the returned plan no longer needs
+        # the catalog entry
+        spark.catalog.dropTempView(view)
 
 
 DOC_SENTENCES_ORACLE = """SELECT doc_id,

@@ -34,21 +34,31 @@ def merge_upsert(
     delta when it is small (the common CDC case), so the base side is
     never shuffled; with both sides large it is a single sort-merge
     join.  No window, no distinct, no second pass.
+
+    Every delta-side column is renamed under the reserved ``_d_``
+    prefix before the join, so a base table that itself carries an
+    ``op`` column (CDC-sourced bases often do) can never collide; a
+    base column starting with ``_d_`` is rejected loudly.
     """
+    clash = [c for c in base.columns if c.startswith("_d_")]
+    if clash:
+        raise ValueError(f"base columns collide with the reserved _d_ prefix: {clash}")
     d = delta.select(
-        F.col(key), F.col("op"), *[F.col(c).alias(f"_d_{c}") for c in payload_cols]
+        F.col(key),
+        F.col("op").alias("_d_op"),
+        *[F.col(c).alias(f"_d_{c}") for c in payload_cols],
     )
     joined = base.join(d, on=key, how="full_outer")
-    kept = joined.where(F.col("op").isNull() | (F.col("op") != "D"))
+    kept = joined.where(F.col("_d_op").isNull() | (F.col("_d_op") != "D"))
     return kept.select(
         F.col(key),
         *[
-            F.when(F.col("op").isNotNull(), F.col(f"_d_{c}"))
+            F.when(F.col("_d_op").isNotNull(), F.col(f"_d_{c}"))
             .otherwise(F.col(c))
             .alias(c)
             for c in payload_cols
         ],
-        F.when(F.col("op").isNotNull(), F.lit("upsert"))
+        F.when(F.col("_d_op").isNotNull(), F.lit("upsert"))
         .otherwise(F.lit("base"))
         .alias("row_origin"),
     )

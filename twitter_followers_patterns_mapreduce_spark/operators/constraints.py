@@ -22,15 +22,26 @@ constraint is the MAX id filter (``countedges/CountEdgesAfterMax.java:56``).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def check_constraints(df: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
     """Evaluate ``checks`` = [(name, violation_predicate_sql)] in one
     conditional-aggregate pass.  A row violates a constraint when its
     predicate evaluates TRUE (nulls count as violations for NOT NULL
-    style predicates written accordingly)."""
+    style predicates written accordingly).
+
+    Check names are spliced into generated SQL (as literals and
+    identifiers), so they must be plain identifiers — validated here
+    rather than trusted."""
+    bad = [n for n, _ in checks if not _NAME_RE.match(n)]
+    if bad:
+        raise ValueError(f"check names must be identifiers ([A-Za-z0-9_]): {bad}")
     aggs = [F.count("*").alias("n_rows")]
     for name, pred in checks:
         aggs.append(
@@ -66,13 +77,17 @@ def orders_quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """The declared ``orders`` constraint suite plus referential
     integrity against ``customer`` (every o_custkey resolves).
 
-    The RI probe is a broadcast LEFT join against the unique dimension
-    key — row-preserving, so ALL checks (declared + RI-as-null-test)
-    fold into the SAME single conditional-aggregate pass: one scan, one
+    The RI probe is a broadcast LEFT join against the dimension key —
+    row-preserving, so ALL checks (declared + RI-as-null-test) fold
+    into the SAME single conditional-aggregate pass: one scan, one
     broadcast hash join, one 1-row aggregate, no unions or cross joins.
+    The dimension side is DISTINCT'd first: if the dimension itself
+    carries duplicate keys (exactly the defect class a gate exists to
+    catch), a raw left join would duplicate fact rows and corrupt every
+    other check's counts.
     """
     joined = orders.join(
-        F.broadcast(customer.select("c_custkey")),
+        F.broadcast(customer.select("c_custkey").distinct()),
         orders["o_custkey"] == F.col("c_custkey"),
         "left",
     )

@@ -160,13 +160,13 @@ def session_window_native(events: DataFrame, gap: str = "30 minutes") -> DataFra
 
 
 SESSION_WINDOW_ORACLE = f"""WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sessioned AS (
   SELECT user_id, ts, value,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )

@@ -252,6 +252,26 @@ def three_hop_count_exact(edges: DataFrame, max_limit: int | None = None) -> Dat
     )
 
 
+def undirected_pairs(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple-graph view: distinct (a, b) with
+    a < b, self-loops dropped — ONE definition shared by every
+    undirected operator (clustering coefficient, k-core) so the
+    canonicalization can never drift between them."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+
+
+def neighbor_view(edges: DataFrame) -> DataFrame:
+    """Symmetrized adjacency (v, n) over :func:`undirected_pairs`."""
+    und = undirected_pairs(edges)
+    return und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Extension: per-vertex local clustering coefficient over the
     undirected simple graph — closed wedges / possible wedges,
@@ -273,17 +293,8 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     pre-filtering ``edges`` to a degree-capped subgraph; at the harness
     scale the sparsified fixture keeps Σ deg² bounded.
     """
-    und = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
-    nbrs = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
-        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
-    )
+    und = undirected_pairs(edges)
+    nbrs = neighbor_view(edges)
     deg = nbrs.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
     n1, n2 = nbrs.alias("n1"), nbrs.alias("n2")
     wedges = n1.join(

@@ -288,16 +288,11 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
     ``localCheckpoint`` truncates lineage per round, exactly like the
     other iterative operators in this module.
     """
-    und = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
-    nbrs = (
-        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
-        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
-        .localCheckpoint(eager=False)
-    )
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
+
+    nbrs = neighbor_view(edges).localCheckpoint(eager=False)
     alive = nbrs.select("v").distinct().localCheckpoint(eager=True)
     prev = alive.count()
     deg = None

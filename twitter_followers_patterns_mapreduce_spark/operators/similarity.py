@@ -475,9 +475,13 @@ def label_principal_component(embeddings: DataFrame, n_iter: int = 30) -> DataFr
 def embedding_quantize_stats(embeddings: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization (scale = 127/max|x|,
     code = floor(x·scale + 0.5) clamped to ±127) with reconstruction
-    fidelity per vector: max abs error, mean squared error, clipped
-    count — the audit a pipeline runs before shipping embeddings at
-    8-bit (4× smaller, ANN-recall-preserving if errors are tiny).
+    fidelity per vector: max abs error, mean squared error, SATURATED
+    code count — the audit a pipeline runs before shipping embeddings
+    at 8-bit (4× smaller, ANN-recall-preserving if errors are tiny).
+    With a symmetric per-vector scale the clamp never engages (max
+    |x·scale| = 127 by construction — kept as a guard for callers who
+    pass a global/shared scale); ``n_saturated`` counts codes AT the
+    ±127 rail, ≥1 for every nonzero vector by definition.
 
     Pure scan-side higher-order functions (transform/zip_with/aggregate)
     on one pass — zero shuffles, whole-stage codegen; the sequential
@@ -505,7 +509,7 @@ def embedding_quantize_stats(embeddings: DataFrame) -> DataFrame:
         F.round(
             F.aggregate("err", F.lit(0.0), lambda acc, e: acc + e * e) / F.col("dim"), 9
         ).alias("mean_sq_err"),
-        F.size(F.filter("q", lambda c: F.abs(c) >= F.lit(127.0))).cast("long").alias("n_clipped"),
+        F.size(F.filter("q", lambda c: F.abs(c) >= F.lit(127.0))).cast("long").alias("n_saturated"),
     )
 
 
@@ -529,5 +533,5 @@ EMBEDDING_QUANTIZE_ORACLE = """WITH base AS (
 SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
   round(list_max(err), 6) AS max_abs_err,
   round(list_sum(list_transform(err, e -> e * e)) / dim, 9) AS mean_sq_err,
-  CAST(len(list_filter(q, c -> abs(c) >= 127.0)) AS BIGINT) AS n_clipped
+  CAST(len(list_filter(q, c -> abs(c) >= 127.0)) AS BIGINT) AS n_saturated
 FROM ed"""

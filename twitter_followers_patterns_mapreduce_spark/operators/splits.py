@@ -121,14 +121,15 @@ def contamination_check(
     from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 
     sh = shingles_sql(tokens_sql("text", "spark"), n_shingle, "spark")
-    bucket = F.expr(_bucket_sql("doc_id", "spark"))
     # fan_out: shingling+explode is a heavy projection whose cost is
     # per-row work, not scan bytes — without it a single-row-group
-    # input pins BOTH branches of the check to one task
-    documents = fan_out(documents)
-    shingled = documents.select(
+    # input pins BOTH branches of the check to one task.
+    # assign_split (not a reimplementation) assigns membership, so the
+    # audit can never drift from the split the training run actually
+    # used.
+    shingled = assign_split(fan_out(documents), "doc_id", holdout_pct).select(
         "doc_id",
-        F.when(bucket < holdout_pct, F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
+        "split",
         F.explode(F.expr(sh)).alias("shingle"),
     )
     train_index = (

@@ -110,7 +110,7 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_stats",
     oracle=S.EMBEDDING_QUANTIZE_ORACLE,
     description="per-vector int8 quantization fidelity (scale, max abs / mean sq "
-    "reconstruction error, clip count) — scan-side higher-order functions, zero shuffles",
+    "reconstruction error, saturated-code count) — scan-side higher-order functions, zero shuffles",
 )
 def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_quantize_stats(load_table(spark, sf_dir, "embeddings"))
