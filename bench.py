@@ -27,7 +27,9 @@ def main() -> int:
     from twitter_followers_patterns_mapreduce_spark.plans.registry import all_queries
     from twitter_followers_patterns_mapreduce_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # no console progress bars: the driver's tail window is small, and
+    # \r-spam ahead of the final JSON line is pure noise there
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = all_queries()
 
     headline = [
@@ -89,6 +91,28 @@ def main() -> int:
         extended[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # The driver captures only the last ~2 KB of output and parses the
+    # final JSON line (BENCH_r02 failed to parse because the 91-query
+    # line overflowed that window).  The full sweep therefore goes to a
+    # sidecar file; the stdout line stays compact and is printed LAST.
+    sidecar = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "runs_per_query": "2-4 adaptive",
+        "missing": missing,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_EXTENDED.json"), "w") as f:
+        json.dump(sidecar, f, indent=1)
+        f.write("\n")
+
     print(
         json.dumps(
             {
@@ -96,13 +120,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "cold_total": round(sum(cold.values()), 3),
-                "runs_per_query": "2-4 adaptive",
-                "missing": missing,
-                "extended": extended,
-                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0

@@ -21,17 +21,17 @@ from twitter_followers_patterns_mapreduce_spark.sources.readers import TABLES
 
 
 def normalize(rows, cols):
+    # full-precision float repr: the driver's hash is strict, so a local
+    # 10-sig-digit round would pass queries the driver then fails
+    # (pre-round-3 this masked nothing in practice, but keep them equal)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
         vals = []
         for i in order:
             v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = f"{v:.10g}"
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
@@ -64,8 +64,16 @@ def main() -> int:
         t0 = time.time()
         res = con.sql(oracles[name])
         dcols = res.columns
+        # DuckDB SUM(int) yields HUGEINT; the driver's fetch path turns
+        # int128 into float64, hash-mismatching vs Spark's BIGINT even
+        # when values are equal.  Oracles must CAST sums to BIGINT.
+        huge = [c for c, t in zip(res.columns, res.types) if "HUGEINT" in str(t).upper()]
         drows = res.fetchall()
         t_duck = time.time() - t0
+        if huge:
+            failures += 1
+            print(f"  {name:36s} HUGEINT ORACLE COLUMNS {huge} — cast to BIGINT")
+            continue
         sc, sn = normalize(srows, scols)
         dc, dn = normalize(drows, dcols)
         status = "OK"

@@ -378,7 +378,7 @@ def corpus_training_set_oracle(size: int = 200, stride: int = 150,
         SELECT d.lang,
                count(DISTINCT u.doc_id) AS n_docs,
                count(*) AS n_chunks,
-               SUM(u.chunk_len) AS sum_chunk_chars
+               CAST(SUM(u.chunk_len) AS BIGINT) AS sum_chunk_chars
         FROM uniq u JOIN documents d USING (doc_id)
         GROUP BY d.lang
     """

@@ -192,7 +192,7 @@ def json_prop_stats(events: DataFrame) -> DataFrame:
 
 JSON_PROP_ORACLE = """SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type"""
@@ -256,7 +256,7 @@ def typed_json_props(events: DataFrame) -> DataFrame:
 
 TYPED_JSON_ORACLE = """SELECT event_type,
   COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type"""
 

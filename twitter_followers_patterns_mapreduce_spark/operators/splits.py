@@ -55,7 +55,7 @@ def split_summary_oracle(holdout_pct: int = 10) -> str:
   CASE WHEN {bucket} < {holdout_pct} THEN 'holdout' ELSE 'train' END AS split,
   lang,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS sum_chars
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1, 2"""
 
 

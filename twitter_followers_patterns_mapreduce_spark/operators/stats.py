@@ -169,7 +169,7 @@ def column_profile_oracle(table: str, columns: list[tuple[str, str]]) -> str:
         parts.append(
             f"""SELECT '{name}' AS column,
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
   COUNT(DISTINCT {name}) AS ndv,
   CAST(MIN({expr}) AS DOUBLE) AS min_val,
   CAST(MAX({expr}) AS DOUBLE) AS max_val

@@ -10,6 +10,9 @@ correctness harness.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -24,6 +27,7 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB ANSI SQL; None → driver does rows-only check
     description: str = ""
+    module: str = ""  # short plans-module name, the category key for ordering
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -35,7 +39,10 @@ def register(name: str, oracle: str | None = None, description: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, description=description)
+        module = fn.__module__.rsplit(".", 1)[-1]
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, description=description, module=module
+        )
         return fn
 
     return deco
@@ -62,14 +69,96 @@ def _load_all() -> None:
         __import__(mod)
 
 
+#: Reference-parity queries (SURVEY.md §2.9 jobs + their direct variants).
+#: Always verified first, every round — these are the engine's contract
+#: with the reference and must never rotate out of the driver's
+#: correctness budget.
+CORE_PARITY = (
+    "ce_count_edges",
+    "ce_count_edges_max",
+    "degrees",
+    "ex_two_hop_count",
+    "ap_two_hop_count",
+    "ap_two_hop_paths",
+    "rs_two_hop_paths_noloop",
+    "rs_triangle_count_raw",
+    "rj_triangle_count_raw",
+    "triangle_count",
+    "rank_by_degree",
+    "mutual_follow_pairs",
+    "ex_three_hop_count",
+)
+
+
+def _previously_green() -> set[str]:
+    """Names that hash-matched in any prior CORRECTNESS_r*.json.
+
+    The driver verifies a bounded prefix of ``queries()`` per round
+    (r02 checked exactly the first 50 registered names and stopped
+    mid-module).  Ordering never-yet-verified queries ahead of
+    already-green ones makes the *union* of per-round correctness
+    files converge to full coverage instead of re-checking the same
+    prefix forever.
+    """
+    green: set[str] = set()
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_dir)
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") and row.get("rows_match"):
+                green.add(name)
+    return green
+
+
+def _ordered_names() -> list[str]:
+    """Registry names in verification-priority order.
+
+    1. ``CORE_PARITY`` — pinned first, re-verified every round.
+    2. Never-yet-green queries, round-robin across plan modules (so a
+       budget cut at any depth still touches every category).
+    3. Previously-green queries, same round-robin.
+    """
+    green = _previously_green()
+    pinned = [n for n in CORE_PARITY if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(pinned)]
+
+    def round_robin(names: list[str]) -> list[str]:
+        pools: dict[str, list[str]] = {}
+        for n in names:  # registration order within each module
+            pools.setdefault(_REGISTRY[n].module, []).append(n)
+        out: list[str] = []
+        queues = list(pools.values())
+        while queues:
+            next_queues = []
+            for q in queues:
+                out.append(q.pop(0))
+                if q:
+                    next_queues.append(q)
+            queues = next_queues
+        return out
+
+    fresh = round_robin([n for n in rest if n not in green])
+    seen = round_robin([n for n in rest if n in green])
+    return pinned + fresh + seen
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _ordered_names()
+        if _REGISTRY[name].oracle is not None
+    }
 
 
 def get_spec(name: str) -> QuerySpec:
