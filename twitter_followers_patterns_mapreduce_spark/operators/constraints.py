@@ -39,9 +39,13 @@ def check_constraints(df: DataFrame, checks: list[tuple[str, str]]) -> DataFrame
     Check names are spliced into generated SQL (as literals and
     identifiers), so they must be plain identifiers — validated here
     rather than trusted."""
-    bad = [n for n, _ in checks if not _NAME_RE.match(n)]
+    reserved = {"n_rows", "check_name", "n_violations", "passed"}
+    bad = [n for n, _ in checks if not _NAME_RE.match(n) or n in reserved]
     if bad:
-        raise ValueError(f"check names must be identifiers ([A-Za-z0-9_]): {bad}")
+        raise ValueError(
+            f"check names must be identifiers ([A-Za-z0-9_]) and must not "
+            f"collide with the output columns {sorted(reserved)}: {bad}"
+        )
     aggs = [F.count("*").alias("n_rows")]
     for name, pred in checks:
         aggs.append(

@@ -125,14 +125,17 @@ def nation_revenue_rollup(
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
+    # revenue stays DECIMAL end-to-end: the decimal sum is exact in both
+    # engines, but casting it to DOUBLE at grand-total magnitude differs
+    # by an ulp between Spark and DuckDB — a fixed scale is bit-identical
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"), F.count("*").alias("n_items"))
     )
 
 
 NATION_ROLLUP_ORACLE = """SELECT r_name, n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

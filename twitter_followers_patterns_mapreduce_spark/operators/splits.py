@@ -101,9 +101,12 @@ def contamination_check(
     documents: DataFrame, holdout_pct: int = 10, n_shingle: int = 5
 ) -> DataFrame:
     """Eval-set contamination audit: for every holdout document, the
-    fraction of its distinct ``n_shingle``-word shingles that also occur
-    anywhere in the train split (the GPT-3-style n-gram overlap check;
-    the reference has no text surface at all — extension op).
+    fraction of its ``n_shingle``-word shingle *occurrences* that also
+    occur anywhere in the train split (the GPT-3-style n-gram overlap
+    check; the reference has no text surface at all — extension op).
+    Only the train index is DISTINCT — a shingle repeated in a holdout
+    doc counts once per occurrence, weighting the ratio toward repeated
+    material.
 
     Plan shape (100 TB): one scan of ``documents`` feeds both sides of
     the check — shingles are produced scan-side (explode inside the

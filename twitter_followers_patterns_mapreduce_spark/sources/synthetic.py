@@ -44,6 +44,9 @@ class SyntheticEdgesReader(DataSourceReader):
         self.out_degree = int(options.get("out_degree", 4))
         self.n_partitions = int(options.get("n_partitions", 8))
         self.seed = int(options.get("seed", 42))
+        if self.n_nodes < 1:
+            # Spark rejects a partitionless read; fail with the real reason
+            raise ValueError(f"n_nodes must be >= 1, got {self.n_nodes}")
 
     def partitions(self):
         step = max(1, (self.n_nodes + self.n_partitions - 1) // self.n_partitions)
@@ -53,6 +56,10 @@ class SyntheticEdgesReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
+        # NB per-node degree is an UPPER bound: hashes that land on the
+        # source node are dropped rather than resampled, so a node emits
+        # between out_degree-1 and out_degree edges (resampling would
+        # make retry-determinism depend on the collision history).
         n, d, seed = self.n_nodes, self.out_degree, self.seed
         for src in range(partition.lo, partition.hi):
             for j in range(d):

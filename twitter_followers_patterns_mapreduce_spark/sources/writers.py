@@ -78,8 +78,12 @@ def zvalue(x, y, bits: int = 16):
     non-negative integer columns (x even positions, y odd) — a pure
     bitwise Column expression, JVM-side inside whole-stage codegen.
 
-    Values are clamped into ``[0, 2^bits)`` first so outliers cannot
-    fold distant rows onto nearby keys."""
+    Precondition: inputs should already lie in ``[0, 2^bits)`` (rescale
+    or bucketize wider domains first).  Out-of-range values are clamped
+    onto the boundary cells — every negative x maps to x=0 and every
+    x >= 2^bits to the max cell — which WIDENS those files' min-max
+    stats and erodes pruning; clamping only guards against the key
+    arithmetic overflowing, it does not make wide domains cluster."""
     from pyspark.sql import functions as F
 
     cap = (1 << bits) - 1
