@@ -5,9 +5,13 @@ chains exactly two MapReduce jobs by hand via an HDFS ``Temp`` dir).
 
 Spark-first iteration model: each pass is a declarative join + aggregate
 DAG; the driver loop only decides WHEN to stop, never touches row data.
-``localCheckpoint(eager=True)`` truncates lineage per pass so the plan
+``localCheckpoint(eager=False)`` truncates lineage per pass so the plan
 stays O(1) deep instead of O(iterations) (the Spark analogue of the
 reference's job-chaining materialization, minus HDFS round-trips).
+Checkpoints are lazy throughout: each pass's convergence action (or the
+final sink, for fixed-iteration loops) is what materializes it, so a
+pass costs ONE job — eager checkpointing doubled that with a
+materialize-job before every convergence count.
 
 Scale notes (100 TB):
   * hash-min label propagation converges in O(diameter) passes; for
@@ -51,12 +55,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
     comp = und.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # min neighbor label per node, then fold into the current label
         # and detect movement in the SAME pass — two shuffles and one
-        # action per iteration (a separate compare-join would add both)
+        # action per iteration (a separate compare-join would add both).
+        # Checkpoints are LAZY: the convergence count below is the
+        # action that materializes the pass, so each iteration runs as
+        # ONE job instead of an eager-checkpoint job plus a count job.
         nbr_min = (
             und.join(comp, und["b"] == comp["id"])
             .groupBy(F.col("a").alias("nid"))
@@ -69,7 +76,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("_moved"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new.where(F.col("_moved")).count()
         comp = new.drop("_moved")
@@ -103,12 +110,14 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     regardless of aggregation order.
     """
     e = edges.select("src", "dst").localCheckpoint(eager=False)
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # deg and nodes are re-referenced every iteration — lazy-checkpoint
+    # them so the 5-level plan computes each ONCE instead of per level
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.select("id", F.lit(1.0).cast(_DEC).alias("rank"))
     for _ in range(iters):
@@ -132,7 +141,11 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
                 .cast(_DEC)
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: a fixed-iteration loop has no mid-loop action, so
+            # the final sink materializes the whole chain in one job;
+            # the checkpoint still truncates lineage and caches each
+            # rank stage for the next level's reuse
+            .localCheckpoint(eager=False)
         )
     # 6dp emission via exact integer floor on the decimal — DuckDB's
     # decimal downscale cast TRUNCATES while Spark's ROUNDS, so neither
@@ -248,10 +261,12 @@ def connected_components_twostar(edges: DataFrame, max_iter: int = 30) -> DataFr
     )
     e = _canon_pairs(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     fp = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint agg below is the action that
+        # materializes the round — one job per round, not two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_fp = e.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
@@ -293,17 +308,19 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
     from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
 
     nbrs = neighbor_view(edges).localCheckpoint(eager=False)
-    alive = nbrs.select("v").distinct().localCheckpoint(eager=True)
+    alive = nbrs.select("v").distinct().localCheckpoint(eager=False)
     prev = alive.count()
     deg = None
     for _ in range(rounds):
+        # lazy checkpoint: the survivor count below materializes the
+        # round — one job per round, not an eager job plus a count job
         deg = (
             nbrs.join(alive, "v")
             .join(alive.select(F.col("v").alias("n")), "n")
             .groupBy("v")
             .agg(F.count("*").cast("long").alias("core_deg"))
             .where(F.col("core_deg") >= k)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         alive = deg.select("v")
         cur = deg.count()
