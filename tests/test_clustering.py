@@ -91,3 +91,38 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert set(got) == set(truth)  # every query answered
     recall = sum(len(got[q] & truth[q]) for q in truth) / sum(len(truth[q]) for q in truth)
     assert recall >= 0.3, f"recall@5 {recall:.2f}"
+
+
+def test_semantic_dedup_golden(spark):
+    """Hand-built golden: two near-parallel vectors land in one cluster
+    and the higher id is dropped as a dup of the lower; the orthogonal
+    vectors are kept."""
+    dim = KM.DIMS
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e1_near = [1.0, 0.01] + [0.0] * (dim - 2)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(0, e1), (1, e2), (2, e1_near), (3, [0.0] * (dim - 1) + [1.0])]
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r["vec_id"]: r for r in KM.semantic_dedup(df, threshold=0.9, n_clusters=2, iters=1).collect()}
+    assert len(got) == 4
+    assert got[2]["is_dup"] and got[2]["dup_of"] == 0 and got[2]["sim"] > 0.99
+    assert not got[0]["is_dup"] and got[0]["dup_of"] is None
+    assert not got[1]["is_dup"]
+    assert not got[3]["is_dup"]
+
+
+def test_semantic_dedup_never_drops_everything(spark):
+    """Per cluster, at least the lowest-id member survives (the keeper
+    rule can never empty a cluster)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = KM.semantic_dedup(emb, threshold=0.0, n_clusters=4, iters=1).collect()
+    kept_per_cid = {}
+    for r in out:
+        kept_per_cid.setdefault(r["cid"], 0)
+        if not r["is_dup"]:
+            kept_per_cid[r["cid"]] += 1
+    # threshold=0.0 marks every positive-cosine later vector as dup, the
+    # most aggressive setting — each cluster still keeps >= 1
+    assert all(n >= 1 for n in kept_per_cid.values())

@@ -76,13 +76,20 @@ def kmeans_model(
     """Train the quantizer: returns (centroids (cid, c ARRAY<DOUBLE>),
     assignment (vec_id, v, cid)) after ``iters`` Lloyd update rounds
     from the deterministic init plus a final assignment."""
-    emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v"))
+    emb = fan_out(embeddings).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).localCheckpoint(eager=False)
     cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
     for _ in range(iters):
-        cents = _update(_assign(emb, cents))
-    return cents, _assign(emb, cents)
+        # lazy checkpoint per round: each centroid table is computed
+        # once even though the next round references it k·|V| times in
+        # the assignment cross, and the plan stays O(1) deep
+        cents = _update(_assign(emb, cents)).localCheckpoint(eager=False)
+    # consumers (IVF search, semantic dedup) join the assignment against
+    # itself — checkpoint it so the Lloyd chain never replays per branch
+    return cents, _assign(emb, cents).localCheckpoint(eager=False)
 
 
 def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
@@ -208,6 +215,108 @@ def ann_topk_ivf_kmeans(embeddings: DataFrame, k: int = 5, n_probe: int = 2,
         scored.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   n_clusters: int = 8, iters: int = 2) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023 — public method): k-means-cluster the
+    embeddings, then compare pairs ONLY within a cluster and drop every
+    vector whose cosine to a lower-id cluster-mate reaches ``threshold``.
+
+    Returns one row per vector: (vec_id, cid, is_dup, dup_of, sim) —
+    ``dup_of`` is the lower-id cluster-mate with the highest similarity
+    (grid-floored ordering, id tie-break), NULL when the vector is kept.
+
+    Determinism note: published SemDeDup keeps the cluster member
+    farthest from the centroid per duplicate group; this engine keeps
+    the LOWEST vec_id and marks a vector dup if ANY earlier cluster-mate
+    is near — a relational (join + window) rule with no sequential
+    dependence, so the result is exact and oracle-checkable.  The
+    decision compares ``floor(cos·1e9)`` so it never turns on a last
+    ulp.
+
+    Scale shape (the SemDeDup point): candidate pairs are bounded by
+    Σ|cluster|² instead of n² — the cluster id is the equi-join key, so
+    the comparison is a shuffle hash join per cluster, never a global
+    cross join; AQE splits any megacluster.  Train cost is the k-means
+    DAG (bounded |V|·k cross against broadcast centroids).
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.vector import (
+        cosine_with_norms,
+        norm,
+    )
+
+    _, assign = kmeans_model(embeddings, k=n_clusters, iters=iters)
+    corpus = assign.withColumn("nv", norm(F.col("v")))
+    a = corpus.select(
+        F.col("vec_id").alias("vec_id"), F.col("cid").alias("cid"),
+        F.col("v").alias("av"), F.col("nv").alias("an"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b_id"), F.col("cid").alias("b_cid"),
+        F.col("v").alias("bv"), F.col("nv").alias("bn"),
+    )
+    cos = cosine_with_norms(F.col("av"), F.col("bv"), F.col("an"), F.col("bn"))
+    pairs = (
+        a.join(b, (a["cid"] == b["b_cid"]) & (b["b_id"] < a["vec_id"]))
+        .select("vec_id", "cid", "b_id", F.floor(cos * _GRID).alias("s"))
+        .where(F.col("s") >= int(threshold * _GRID))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("b_id").asc())
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("d_id"),
+            F.col("b_id").alias("dup_of"),
+            (F.col("s") / _GRID).alias("sim"),
+        )
+    )
+    return (
+        corpus.join(best, corpus["vec_id"] == best["d_id"], "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def semantic_dedup_oracle(threshold: float = 0.95, n_clusters: int = 8,
+                          iters: int = 2) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.vector import (
+        cosine_sql_duckdb,
+    )
+
+    cos = cosine_sql_duckdb("a.v", "b.v")
+    thr = int(threshold * _GRID)
+    return (
+        _kmeans_cte_chain(n_clusters, iters)
+        + f""",
+corpus AS (SELECT vec_id, v, cid FROM a{iters}),
+pairs AS (
+  SELECT a.vec_id, a.cid, b.vec_id AS b_id, floor(({cos}) * {_GRID}) AS s
+  FROM corpus a JOIN corpus b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE floor(({cos}) * {_GRID}) >= {thr}
+),
+best AS (
+  SELECT vec_id AS d_id, b_id AS dup_of, s / {_GRID} AS sim FROM (
+    SELECT vec_id, b_id, s,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, b_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT c.vec_id, c.cid,
+       (b.dup_of IS NOT NULL) AS is_dup,
+       b.dup_of,
+       round(b.sim, 6) AS sim
+FROM corpus c LEFT JOIN best b ON c.vec_id = b.d_id"""
     )
 
 

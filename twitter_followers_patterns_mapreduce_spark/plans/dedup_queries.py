@@ -101,3 +101,17 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import clustering as CL  # noqa: E402
+
+
+@register(
+    "dedup_semantic",
+    oracle=CL.semantic_dedup_oracle(threshold=0.3),
+    description="SemDeDup-style semantic dedup: k-means cluster the embeddings, drop "
+    "vectors cosine-near a lower-id cluster-mate — within-cluster equi-join pairs, "
+    "never n^2 (threshold sits in the synthetic corpus's observed tail)",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CL.semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
