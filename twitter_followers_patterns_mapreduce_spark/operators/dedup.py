@@ -203,7 +203,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     shingle-set Jaccard ≥ threshold.  Output (doc_a, doc_b, jaccard)."""
-    sigs = minhash_signatures(documents, n_shingle)
+    # lazy checkpoint: the signature projection (shingles + K permutation
+    # mins) is re-referenced by the band explosion AND both sides of the
+    # exact-jaccard verification join — compute it once, not per branch
+    sigs = minhash_signatures(documents, n_shingle).localCheckpoint(eager=False)
     bands = sigs.select(
         # explode_outer: plain explode makes Catalyst infer size()>0 /
         # isnotnull predicates on the array and push them below the
@@ -549,7 +552,10 @@ def dedup_incremental(documents: DataFrame, threshold: float = 0.5,
     )
 
     # near: new bands ⋈ corpus bands on (band, key), verify exact jaccard
-    sigs = minhash_signatures(documents, n_shingle)
+    # lazy checkpoint: the signature projection (shingles + K permutation
+    # mins) is re-referenced by the band explosion AND both sides of the
+    # exact-jaccard verification join — compute it once, not per branch
+    sigs = minhash_signatures(documents, n_shingle).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         F.explode_outer(F.array(*[_band_struct(k) for k in range(LSH_BANDS)])).alias("bk"),

@@ -130,11 +130,13 @@ def contamination_check(
     # assign_split (not a reimplementation) assigns membership, so the
     # audit can never drift from the split the training run actually
     # used.
+    # lazy checkpoint: train_index and holdout both branch off this
+    # subtree — without it the scan+shingle+explode pass runs twice
     shingled = assign_split(fan_out(documents), "doc_id", holdout_pct).select(
         "doc_id",
         "split",
         F.explode(F.expr(sh)).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)
     train_index = (
         shingled.where(F.col("split") == "train")
         .select("shingle")
