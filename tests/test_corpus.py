@@ -242,3 +242,24 @@ def test_oov_rate_against_tiny_vocab(spark):
     assert got[1]["n_tokens"] == 4 and got[1]["n_oov"] == 1
     assert got[1]["oov_rate"] == 0.25
     assert got[2]["n_oov"] == 3 and got[2]["oov_rate"] == 0.75
+
+
+def test_token_surprisal_golden(spark):
+    """Hand-computed: N=8 tokens → len(bin(8))=4; count(a)=6 → 3 bits of
+    surprisal 1 each; count(b)=count(c)=1 → 3 bits each."""
+    rows = [(1, "a a a a"), (2, "a a b c")]
+    df = spark.createDataFrame(rows, schema="doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in CP.doc_token_surprisal(df).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["sum_bits"] == 4
+    assert got[1]["mean_surprisal_bits"] == 1.0
+    assert got[2]["n_tokens"] == 4 and got[2]["sum_bits"] == 8
+    assert got[2]["mean_surprisal_bits"] == 2.0
+
+
+def test_token_surprisal_rare_scores_above_common(spark):
+    """A doc of one-off tokens must outscore a doc of the corpus's most
+    common token."""
+    rows = [(1, "the the the the the the the the"), (2, "zyx wvu tsr qpo")]
+    df = spark.createDataFrame(rows, schema="doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["mean_surprisal_bits"] for r in CP.doc_token_surprisal(df).collect()}
+    assert got[2] > got[1]

@@ -489,3 +489,83 @@ SELECT e.doc_id, e.lang,
   round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_rate
 FROM exploded e LEFT JOIN vocab v ON e.token = v.token
 GROUP BY e.doc_id, e.lang"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal scoring (deterministic LM-style quality signal)
+# ---------------------------------------------------------------------------
+
+def doc_token_surprisal(df: DataFrame) -> DataFrame:
+    """Per-doc unigram surprisal score — the LM-perplexity-style quality
+    filter (CCNet-family corpus curation uses an LM score per doc; the
+    reference has no text surface at all — extension op), made
+    cross-engine EXACT by measuring surprisal in whole bits:
+
+        surprisal_bits(t) = len(bin(N)) - len(bin(count(t)))
+                          = floor(log2 N) - floor(log2 count(t))
+
+    Integer arithmetic end to end (``bin()`` exists in both engines with
+    identical output), so no libm ``log`` — whose last-ulp behavior is
+    platform- and engine-specific — ever enters the comparable result.
+    Rare tokens score high, boilerplate scores ~0; the per-doc mean is
+    the quality signal (high = novel/rare-heavy, low = repetitive).
+
+    Plan shape (100 TB): tokens explode scan-side (one pass, lazily
+    checkpointed — the exploded view feeds both the count build and the
+    scoring join), unigram counts are ONE hash aggregate with map-side
+    partials, the corpus-total row attaches via a constant-key broadcast
+    equi-join (never a nested-loop cross), scoring is a token equi-join
+    (vocab broadcasts while it fits, shuffle-hash beyond), and the
+    per-doc rollup is one more hash aggregate.  Nothing is all-pairs,
+    nothing is a global sort.
+    """
+    toks = df.selectExpr("doc_id", f"{tokens_sql('text', 'spark')} AS toks")
+    exploded = (
+        toks.select("doc_id", F.explode_outer("toks").alias("token"))
+        .where(F.col("token").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    counts = exploded.groupBy("token").agg(F.count("*").alias("cnt"))
+    # corpus-total row attached via a BroadcastHashJoin on a data-derived
+    # always-zero key — a literal key constant-folds into a
+    # BroadcastNestedLoopJoin (same trick as doc_tfidf_topk above)
+    total = exploded.agg(F.count("*").alias("n_total")).selectExpr(
+        "n_total", "n_total - n_total AS _k"
+    )
+    scored_vocab = (
+        counts.withColumn("_k", F.expr("pmod(cnt, 1)"))
+        .join(F.broadcast(total), "_k")
+        .selectExpr(
+            "token",
+            "CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits",
+        )
+    )
+    return (
+        exploded.join(scored_vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.round(F.sum("bits") / F.count("*"), 6).alias("mean_surprisal_bits"),
+        )
+    )
+
+
+def doc_token_surprisal_oracle() -> str:
+    toks = tokens_sql("text", "duckdb")
+    return f"""WITH exploded AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM exploded GROUP BY token),
+total AS (SELECT COUNT(*) AS n_total FROM exploded),
+scored_vocab AS (
+  SELECT token,
+         CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits
+  FROM counts CROSS JOIN total
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(s.bits) AS BIGINT) AS sum_bits,
+       round(SUM(s.bits) / COUNT(*), 6) AS mean_surprisal_bits
+FROM exploded e JOIN scored_vocab s ON e.token = s.token
+GROUP BY e.doc_id"""

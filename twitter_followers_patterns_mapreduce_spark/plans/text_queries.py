@@ -225,3 +225,14 @@ from twitter_followers_patterns_mapreduce_spark.operators import constraints as 
 )
 def doc_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CK.kanonymity_audit(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "doc_token_surprisal",
+    oracle=CP.doc_token_surprisal_oracle(),
+    description="unigram surprisal quality score in whole bits (len(bin(N)) - "
+    "len(bin(cnt)): integer-exact, no libm log) — the LM-perplexity-style "
+    "curation signal as one explode + two hash aggs + a broadcast vocab join",
+)
+def doc_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_token_surprisal(load_table(spark, sf_dir, "documents"))
