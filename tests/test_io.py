@@ -128,3 +128,24 @@ def test_malformed_csv_lines_become_nulls_not_crashes(spark, tmp_path):
     assert edges.count() == 5  # every line yields a row...
     clean = edges.dropna()
     assert {(r["src"], r["dst"]) for r in clean.collect()} == {(1, 2), (4, 5)}
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from twitter_followers_patterns_mapreduce_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob as _glob
+
+    n_in = len(_glob.glob(f"{src}/part-*"))
+    assert n_in >= 32
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_out == 1
+    files_out = _glob.glob(f"{dst}/part-*")
+    assert len(files_out) == 1
+    # content identical
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b

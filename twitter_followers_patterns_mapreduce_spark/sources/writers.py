@@ -155,3 +155,46 @@ def compact(spark, path: str, format: str = "parquet", target_files: int = 1) ->
     return sum(
         1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite the parquet
+    directory at ``path`` into ``out_path`` with file sizes near
+    ``target_file_bytes``.  Returns the output file count.
+
+    Why it matters at 100 TB: streaming micro-batches, per-partition
+    appends, and over-parallel writes leave thousands of KB-scale files
+    per partition; every subsequent scan then pays a task (plus footer
+    read and open) PER FILE, and the NameNode/listing layer pays the
+    metadata.  Periodic compaction restores scan-sized files — the same
+    maintenance every table format schedules (the reference, writing
+    one part file per reducer, has exactly this problem at scale).
+
+    Shape: file sizes come from a driver-side filesystem listing (cheap
+    metadata, no data read), the target file count from exact integer
+    arithmetic, and the rewrite is ``coalesce(n)`` — a shuffle-FREE
+    merge of existing partitions into fewer write tasks.  ``coalesce``
+    (not ``repartition``): compaction merges, it never needs a
+    row-redistributing shuffle; the tradeoff (uneven output files when
+    input files are uneven) is the standard one every OPTIMIZE
+    implementation makes on its no-shuffle path.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") or name.startswith("part-"):
+            total += f.getLen()
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    spark.read.parquet(path).coalesce(n_files).write.mode(mode).parquet(out_path)
+    return n_files
