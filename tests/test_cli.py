@@ -52,3 +52,27 @@ def test_cli_query_job_rejects_unknown_name(tmp_path):
 
     with _pytest.raises(SystemExit):
         main(["query", "/root/testdata/sf0.001", str(tmp_path / "x"), "--name", "nope"])
+
+
+def test_cli_sql_job_runs_adhoc_sql(spark, tmp_path, capsys):
+    out = str(tmp_path / "sql_out")
+    rc = main(
+        [
+            "sql",
+            "/root/testdata/sf0.001",
+            out,
+            "--sql",
+            "SELECT COUNT(*) AS n FROM edges JOIN region ON 1=1 WHERE src < 100",
+            "--format",
+            "csv",
+        ]
+    )
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip()) >= 1
+
+
+def test_cli_sql_job_requires_sql_text(tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["sql", "/root/testdata/sf0.001", str(tmp_path / "x")])

@@ -29,6 +29,7 @@ JOBS = (
     "rsjoin-triangle",
     "repjoin-triangle",
     "query",  # run any registered named query: input = table dir, --name required
+    "sql",  # run arbitrary SQL over the table dir: --sql required
 )
 
 
@@ -50,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="registered query name for the 'query' job (see plans/registry)",
     )
+    p.add_argument(
+        "--sql",
+        default=None,
+        help="SQL text for the 'sql' job; tables from the input dir plus the "
+        "derived 'edges' view are pre-registered as temp views",
+    )
     args = p.parse_args(argv)
 
     from twitter_followers_patterns_mapreduce_spark.operators import graph as G
@@ -70,6 +77,31 @@ def main(argv: list[str] | None = None) -> int:
             known = ", ".join(sorted(qs))
             p.error(f"--name must be one of: {known}")
         result = qs[args.name](spark, args.input)
+        write_result(result, args.output, format=args.format)
+        print(result.count())
+        return 0
+
+    if args.job == "sql":
+        # ad-hoc SQL over the harness table layout — the declarative
+        # front door the reference never had (its "query language" is
+        # editing job.name in the Makefile, README.md:87).  Every
+        # registered view goes through the same readers as the named
+        # queries, so pushdown/pruning behave identically.
+        import os
+
+        from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+            TABLES,
+            derived_edges,
+            load_table,
+        )
+
+        if not args.sql:
+            p.error("--sql is required for the 'sql' job")
+        for t in TABLES:
+            if os.path.exists(os.path.join(args.input, f"{t}.parquet")):
+                load_table(spark, args.input, t).createOrReplaceTempView(t)
+        derived_edges(spark, args.input).createOrReplaceTempView("edges")
+        result = spark.sql(args.sql)
         write_result(result, args.output, format=args.format)
         print(result.count())
         return 0
