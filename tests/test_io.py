@@ -149,3 +149,23 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_edges_from_csv_malformed_lines_become_nulls_not_crashes(spark, tmp_path):
+    """Reference parity NOTE: the reference throws NumberFormatException /
+    ArrayIndexOutOfBoundsException on malformed lines
+    (countedges/CountEdgesAfterMax.java:52-53) and the whole job dies.
+    The engine's schema'd CSV read is PERMISSIVE: unparseable fields
+    surface as NULLs, and the documented cleanup is one where() — the
+    job survives dirty 100 TB inputs."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import edges_from_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,2\nnot,a,number\n3\n4,5\nx,9\n7,\n")
+    edges = edges_from_csv(spark, str(p))
+    rows = edges.collect()
+    assert len(rows) == 6  # every line yields a row, none kills the job
+    clean = edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    assert sorted((r["src"], r["dst"]) for r in clean.collect()) == [(1, 2), (4, 5)]
