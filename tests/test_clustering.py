@@ -126,3 +126,18 @@ def test_semantic_dedup_never_drops_everything(spark):
     # threshold=0.0 marks every positive-cosine later vector as dup, the
     # most aggressive setting — each cluster still keeps >= 1
     assert all(n >= 1 for n in kept_per_cid.values())
+
+
+def test_semantic_dedup_dup_implies_threshold(spark):
+    """Property: every row flagged dup carries sim >= threshold and a
+    lower dup_of id; every kept row carries NULLs."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    thr = 0.2
+    for r in KM.semantic_dedup(emb, threshold=thr, n_clusters=4, iters=1).collect():
+        if r["is_dup"]:
+            assert r["sim"] >= thr - 1e-9
+            assert r["dup_of"] < r["vec_id"]
+        else:
+            assert r["dup_of"] is None and r["sim"] is None

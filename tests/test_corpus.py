@@ -263,3 +263,17 @@ def test_token_surprisal_rare_scores_above_common(spark):
     df = spark.createDataFrame(rows, schema="doc_id LONG, text STRING")
     got = {r["doc_id"]: r["mean_surprisal_bits"] for r in CP.doc_token_surprisal(df).collect()}
     assert got[2] > got[1]
+
+
+def test_token_surprisal_bounds(spark):
+    """Property: per-token surprisal lies in [0, len(bin(N)) - 1], so the
+    per-doc mean must too; n_tokens sums to the corpus total."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = CP.doc_token_surprisal(docs).collect()
+    n_total = sum(r["n_tokens"] for r in rows)
+    ceiling = len(bin(n_total)) - 2  # bin() prefixes '0b'
+    assert n_total > 0
+    for r in rows:
+        assert 0.0 <= r["mean_surprisal_bits"] <= ceiling
