@@ -353,3 +353,122 @@ JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
 WHERE r_name = '{region_name}' AND year(o_orderdate) = {year}
 GROUP BY n_name"""
+
+
+def q3_shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-06-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-order revenue for
+    one market segment — orders placed before ``date``, lineitems
+    shipped after it — top-``k`` orders by revenue.  (The synthetic
+    ``orders`` has no o_shippriority column; o_orderpriority stands in.)
+
+    Plan: the customer dimension broadcasts and its segment filter
+    prunes the orders side BEFORE the fact shuffle (join order
+    customer→orders→lineitem); revenue reduces in DECIMAL and is
+    emitted as DECIMAL(38,8) — exact, order-independent, bit-identical
+    cross-engine.  Top-k is TakeOrderedAndProject, never a global sort.
+    """
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    d = F.lit(date).cast("timestamp")
+    per_order = (
+        customer.where(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < d)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > d)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(38,8)").alias("revenue"))
+    )
+    from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
+
+    order = [F.col("revenue").desc(), F.col("l_orderkey").asc()]
+    return ranked_top_k(per_order, order, k, anchor="l_orderkey").select(
+        "rank", "l_orderkey", "o_orderdate", "o_orderpriority", "revenue"
+    )
+
+
+def q3_oracle(segment: str = "BUILDING", date: str = "1998-06-15", k: int = 10) -> str:
+    return f"""WITH per_order AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = '{segment}'
+    AND o_orderdate < TIMESTAMP '{date} 00:00:00'
+    AND l_shipdate > TIMESTAMP '{date} 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+  FROM per_order
+)
+SELECT CAST(rank AS INT) AS rank, l_orderkey, o_orderdate, o_orderpriority, revenue
+FROM ranked WHERE rank <= {k}"""
+
+
+def q10_returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1998-01-01",
+    date_hi: str = "1998-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns (``l_returnflag = 'R'``) per customer for a two-quarter
+    order window, top-``k`` customers with their nation.
+
+    Plan: orders carries the date range into the fact shuffle; the
+    return-flag predicate pushes into the lineitem scan; customer and
+    nation broadcast.  DECIMAL(38,8) revenue; TakeOrderedAndProject
+    top-k."""
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    lo, hi = F.lit(date_lo).cast("timestamp"), F.lit(date_hi).cast("timestamp")
+    per_cust = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("decimal(38,8)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
+
+    order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
+    return ranked_top_k(per_cust, order, k, anchor="c_custkey").select(
+        "rank", "c_custkey", "c_name", "n_name", "revenue", "n_items"
+    )
+
+
+def q10_oracle(date_lo: str = "1998-01-01", date_hi: str = "1998-07-01", k: int = 20) -> str:
+    return f"""WITH per_cust AS (
+  SELECT c_custkey, c_name, n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+    COUNT(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{date_hi} 00:00:00'
+  GROUP BY c_custkey, c_name, n_name
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank
+  FROM per_cust
+)
+SELECT CAST(rank AS INT) AS rank, c_custkey, c_name, n_name, revenue, n_items
+FROM ranked WHERE rank <= {k}"""

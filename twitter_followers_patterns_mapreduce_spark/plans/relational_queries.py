@@ -211,3 +211,33 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CK.orders_quality_checks(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=R.q3_oracle(),
+    description="TPC-H Q3 shape: segment-filtered customer broadcast prunes orders "
+    "before the fact shuffle, DECIMAL(38,8)-exact revenue, TakeOrdered top-k",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q3_shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=R.q10_oracle(),
+    description="TPC-H Q10 shape: returned-item revenue per customer over a date "
+    "window — flag predicate pushed to the lineitem scan, dims broadcast, "
+    "DECIMAL(38,8)-exact revenue, TakeOrdered top-k",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q10_returned_items(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
