@@ -76,3 +76,11 @@ def test_cli_sql_job_requires_sql_text(tmp_path):
 
     with _pytest.raises(SystemExit):
         main(["sql", "/root/testdata/sf0.001", str(tmp_path / "x")])
+
+
+def test_cli_compact_job(spark, tmp_path, capsys):
+    src = str(tmp_path / "many")
+    spark.range(0, 1000).repartition(16).write.parquet(src)
+    rc = main(["compact", src, str(tmp_path / "few"), "--target-mb", "1024"])
+    assert rc == 0
+    assert int(capsys.readouterr().out.strip()) == 1

@@ -30,6 +30,7 @@ JOBS = (
     "repjoin-triangle",
     "query",  # run any registered named query: input = table dir, --name required
     "sql",  # run arbitrary SQL over the table dir: --sql required
+    "compact",  # rewrite a parquet dir into target-sized files
 )
 
 
@@ -57,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         help="SQL text for the 'sql' job; tables from the input dir plus the "
         "derived 'edges' view are pre-registered as temp views",
     )
+    p.add_argument(
+        "--target-mb",
+        type=int,
+        default=128,
+        help="target output file size for the 'compact' job (MiB)",
+    )
     args = p.parse_args(argv)
 
     from twitter_followers_patterns_mapreduce_spark.operators import graph as G
@@ -79,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
         result = qs[args.name](spark, args.input)
         write_result(result, args.output, format=args.format)
         print(result.count())
+        return 0
+
+    if args.job == "compact":
+        from twitter_followers_patterns_mapreduce_spark.sources.writers import compact_parquet
+
+        n = compact_parquet(
+            spark, args.input, args.output, target_file_bytes=args.target_mb << 20
+        )
+        print(n)
         return 0
 
     if args.job == "sql":
