@@ -47,3 +47,32 @@ def test_pruned_read_matches_full_filter(spark, split_layout):
     full = spark.read.parquet(split_layout)
     assert pruned.count() == full.where("split = 'holdout'").count()
     assert pruned.count() + full.where("split = 'train'").count() == 500
+
+
+@pytest.fixture(scope="module")
+def year_layout(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("parts") / "orders_by_year")
+    rows = [(i, 1995 + i % 4, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, schema="o_orderkey LONG, o_year INT, o_total DOUBLE")
+    df.write.partitionBy("o_year").parquet(out)
+    return out
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, year_layout):
+    """Runtime counterpart of the static test above: when the filter
+    lives on the DIMENSION side of a join against a partition column,
+    Spark must inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters — reading only the years the filtered dim can
+    reach, decided at runtime.  At 100 TB this is the difference
+    between scanning one partition and scanning the fact table."""
+    fact = spark.read.parquet(year_layout)
+    dim = spark.createDataFrame(
+        [(1995, "keep"), (1996, "drop"), (1997, "drop"), (1998, "drop")],
+        schema="d_year INT, d_tag STRING",
+    )
+    joined = fact.join(dim.where(F.col("d_tag") == "keep"), fact["o_year"] == dim["d_year"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and the join result really only contains the kept year
+    years = {r["o_year"] for r in joined.select("o_year").distinct().collect()}
+    assert years == {1995}
