@@ -141,3 +141,30 @@ def test_semantic_dedup_dup_implies_threshold(spark):
             assert r["dup_of"] < r["vec_id"]
         else:
             assert r["dup_of"] is None and r["sim"] is None
+
+
+def test_semantic_dedup_matches_numpy_on_engine_clusters(spark):
+    """Differential: given the engine's own cluster assignment, the dup
+    verdicts must equal a numpy recomputation of the within-cluster
+    any-earlier-neighbor rule."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, KM.DIMS)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>")
+    thr = 0.15
+    got = {r["vec_id"]: r for r in KM.semantic_dedup(df, threshold=thr, n_clusters=4, iters=1).collect()}
+
+    _, assign = KM.kmeans_model(df, k=4, iters=1)
+    cid = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    v = vecs.astype("float64")
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    for i in range(40):
+        earlier = [j for j in range(i) if cid[j] == cid[i]]
+        sims = {j: float(n[i] @ n[j]) for j in earlier}
+        near = {j: s for j, s in sims.items() if np.floor(s * 1e9) >= int(thr * 1e9)}
+        assert got[i]["is_dup"] == bool(near), f"vec {i}"
+        if near:
+            best = max(near.items(), key=lambda kv: (np.floor(kv[1] * 1e9), -kv[0]))
+            assert got[i]["dup_of"] == best[0], f"vec {i}"
