@@ -24,17 +24,27 @@ def _dec_sum(col: F.Column) -> F.Column:
 
 def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates; filter and
-    the two grouping columns push into the parquet scan."""
+    the two grouping columns push into the parquet scan.
+
+    The four SUM columns stay DECIMAL end-to-end (CAST(decimal AS
+    DOUBLE) is not identically rounded across engines — caught by the
+    sf0.001 sweep).  Input casts are right-sized — price (12,4),
+    discount/tax factors (5,4)/(6,4) — so the products, (18,8) and
+    (25,12), never hit the 38-digit precision cap where the engines'
+    overflow-rounding rules could differ; the sums are then exact.  The
+    averages divide through DOUBLE but round to 6 dp, which absorbs the
+    cast's last-ulp noise (verified at sf0.001 and sf0.01)."""
     li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
-    disc = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-    charge = disc * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = price * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
+    charge = disc * (F.lit(1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(disc).cast("decimal(38,8)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,12)").alias("sum_charge"),
             F.round(_dec_sum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
             F.round(_dec_sum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
             F.round(_dec_sum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
@@ -45,10 +55,10 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataF
 
 def q1_oracle(cutoff: str = "1998-09-02") -> str:
     return f"""SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,12)) AS sum_charge,
   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
   round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
