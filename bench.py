@@ -108,10 +108,15 @@ def main() -> int:
         "extended_total": round(sum(extended.values()), 3),
         "sf": sf,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_EXTENDED.json"), "w") as f:
-        json.dump(sidecar, f, indent=1)
-        f.write("\n")
+    # best-effort: the sidecar is trend data — a write failure must not
+    # swallow the final stdout line the driver parses
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_EXTENDED.json"), "w") as f:
+            json.dump(sidecar, f, indent=1)
+            f.write("\n")
+    except OSError as ex:
+        print(f"bench: sidecar write failed: {ex}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -83,9 +83,10 @@ def main(argv: list[str] | None = None) -> int:
         if not args.name or args.name not in qs:
             known = ", ".join(sorted(qs))
             p.error(f"--name must be one of: {known}")
-        result = qs[args.name](spark, args.input)
+        result = qs[args.name](spark, args.input).persist()
         write_result(result, args.output, format=args.format)
-        print(result.count())
+        print(result.count())  # served from the cache the write populated
+        result.unpersist()
         return 0
 
     if args.job == "compact":
@@ -113,13 +114,27 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.sql:
             p.error("--sql is required for the 'sql' job")
+        from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+
         for t in TABLES:
             if os.path.exists(os.path.join(args.input, f"{t}.parquet")):
-                load_table(spark, args.input, t).createOrReplaceTempView(t)
-        derived_edges(spark, args.input).createOrReplaceTempView("edges")
-        result = spark.sql(args.sql)
+                # events goes through its adaptive loader (nanos vs
+                # micros parquet timestamps) — same reader the named
+                # queries use, so ad-hoc SQL sees identical semantics
+                df = (
+                    load_events(spark, args.input)
+                    if t == "events"
+                    else load_table(spark, args.input, t)
+                )
+                df.createOrReplaceTempView(t)
+        # the derived edge view needs lineitem; register it only when
+        # the backing table exists so partial table dirs still work
+        if os.path.exists(os.path.join(args.input, "lineitem.parquet")):
+            derived_edges(spark, args.input).createOrReplaceTempView("edges")
+        result = spark.sql(args.sql).persist()
         write_result(result, args.output, format=args.format)
-        print(result.count())
+        print(result.count())  # served from the cache the write populated
+        result.unpersist()
         return 0
 
     edges = edges_from_csv(spark, args.input)

@@ -28,14 +28,15 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataF
 
     The four SUM columns stay DECIMAL end-to-end (CAST(decimal AS
     DOUBLE) is not identically rounded across engines — caught by the
-    sf0.001 sweep).  Input casts are right-sized — price (12,4),
-    discount/tax factors (5,4)/(6,4) — so the products, (18,8) and
-    (25,12), never hit the 38-digit precision cap where the engines'
+    sf0.001 sweep).  Input casts are right-sized — price (15,4)
+    (headroom to 10^11), discount/tax factors (5,4)/(6,4) — so the
+    products, (21,8) and
+    (28,12), never hit the 38-digit precision cap where the engines'
     overflow-rounding rules could differ; the sums are then exact.  The
     averages divide through DOUBLE but round to 6 dp, which absorbs the
     cast's last-ulp noise (verified at sf0.001 and sf0.01)."""
     li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
-    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    price = F.col("l_extendedprice").cast("decimal(15,4)")
     disc = price * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
     charge = disc * (F.lit(1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
     return (
@@ -56,9 +57,9 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataF
 def q1_oracle(cutoff: str = "1998-09-02") -> str:
     return f"""SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,12)) AS sum_charge,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(38,4)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,12)) AS sum_charge,
   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
   round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,

@@ -13,6 +13,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -90,20 +91,25 @@ CORE_PARITY = (
 )
 
 
-def _previously_green() -> set[str]:
-    """Names that hash-matched in any prior CORRECTNESS_r*.json.
+def _last_green_round() -> dict[str, int]:
+    """Name → highest round number whose CORRECTNESS_r*.json shows it
+    hash-matched.
 
     The driver verifies a bounded prefix of ``queries()`` per round
     (r02 checked exactly the first 50 registered names and stopped
     mid-module).  Ordering never-yet-verified queries ahead of
     already-green ones makes the *union* of per-round correctness
-    files converge to full coverage instead of re-checking the same
-    prefix forever.
+    files converge to full coverage; ordering the green ones
+    STALEST-FIRST makes every query cycle back into the verified
+    prefix every few rounds, so a regression in a once-green query
+    cannot hide behind an old green row forever.
     """
-    green: set[str] = set()
+    last: dict[str, int] = {}
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo_root = os.path.dirname(pkg_dir)
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -111,8 +117,8 @@ def _previously_green() -> set[str]:
             continue
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match") and row.get("rows_match"):
-                green.add(name)
-    return green
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered_names() -> list[str]:
@@ -121,9 +127,12 @@ def _ordered_names() -> list[str]:
     1. ``CORE_PARITY`` — pinned first, re-verified every round.
     2. Never-yet-green queries, round-robin across plan modules (so a
        budget cut at any depth still touches every category).
-    3. Previously-green queries, same round-robin.
+    3. Previously-green queries, stalest round first (then the same
+       round-robin within a staleness tier) — every query re-enters
+       the driver's bounded prefix within a few rounds, so a
+       regression in a once-green query gets re-caught.
     """
-    green = _previously_green()
+    last_green = _last_green_round()
     pinned = [n for n in CORE_PARITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(pinned)]
 
@@ -142,8 +151,14 @@ def _ordered_names() -> list[str]:
             queues = next_queues
         return out
 
-    fresh = round_robin([n for n in rest if n not in green])
-    seen = round_robin([n for n in rest if n in green])
+    fresh = round_robin([n for n in rest if n not in last_green])
+    seen_by_staleness: dict[int, list[str]] = {}
+    for n in rest:
+        if n in last_green:
+            seen_by_staleness.setdefault(last_green[n], []).append(n)
+    seen: list[str] = []
+    for rnd in sorted(seen_by_staleness):  # oldest green evidence first
+        seen.extend(round_robin(seen_by_staleness[rnd]))
     return pinned + fresh + seen
 
 

@@ -56,10 +56,11 @@ class SyntheticEdgesReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        # NB per-node degree is an UPPER bound: hashes that land on the
-        # source node are dropped rather than resampled, so a node emits
-        # between out_degree-1 and out_degree edges (resampling would
-        # make retry-determinism depend on the collision history).
+        # NB per-node degree is an UPPER bound: each of the d draws is
+        # independent, so any number of them can land on the source node
+        # (dropped, not resampled — resampling would make
+        # retry-determinism depend on collision history) and two draws
+        # can emit the same (src, dst) pair.
         n, d, seed = self.n_nodes, self.out_degree, self.seed
         for src in range(partition.lo, partition.hi):
             for j in range(d):

@@ -168,6 +168,11 @@ def compact_parquet(
     directory at ``path`` into ``out_path`` with file sizes near
     ``target_file_bytes``.  Returns the output file count.
 
+    Complements :func:`compact` above: that one rewrites IN PLACE to a
+    fixed file COUNT (local-FS atomic rename); this one writes to a new
+    location with a byte-size target derived from a filesystem metadata
+    listing, and works on any Hadoop-compatible filesystem.
+
     Why it matters at 100 TB: streaming micro-batches, per-partition
     appends, and over-parallel writes leave thousands of KB-scale files
     per partition; every subsequent scan then pays a task (plus footer
@@ -181,20 +186,30 @@ def compact_parquet(
     arithmetic, and the rewrite is ``coalesce(n)`` — a shuffle-FREE
     merge of existing partitions into fewer write tasks.  ``coalesce``
     (not ``repartition``): compaction merges, it never needs a
-    row-redistributing shuffle; the tradeoff (uneven output files when
-    input files are uneven) is the standard one every OPTIMIZE
-    implementation makes on its no-shuffle path.
+    row-redistributing shuffle.  Two standard no-shuffle tradeoffs:
+    output files are uneven when input files are uneven, and
+    ``coalesce`` can only DECREASE parallelism — when the target count
+    exceeds the read partition count (files already larger than the
+    target) the write keeps the smaller count; splitting oversized
+    files would need a shuffle and is out of scope.  The return value
+    is the ACTUAL output file count from listing ``out_path``.
     """
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(jpath, True)
-    total = 0
-    while it.hasNext():
-        f = it.next()
-        name = f.getPath().getName()
-        if name.endswith(".parquet") or name.startswith("part-"):
-            total += f.getLen()
+
+    def _list_bytes_files(p: str) -> tuple[int, int]:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(jpath, True)
+        total = n = 0
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.endswith(".parquet") or name.startswith("part-"):
+                total += f.getLen()
+                n += 1
+        return total, n
+
+    total, _ = _list_bytes_files(path)
     n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
     spark.read.parquet(path).coalesce(n_files).write.mode(mode).parquet(out_path)
-    return n_files
+    _, n_out = _list_bytes_files(out_path)
+    return n_out
