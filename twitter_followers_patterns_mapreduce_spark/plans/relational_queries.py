@@ -217,7 +217,7 @@ def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=R.q3_oracle(),
     description="TPC-H Q3 shape: segment-filtered customer broadcast prunes orders "
-    "before the fact shuffle, DECIMAL(38,8)-exact revenue, TakeOrdered top-k",
+    "before the fact shuffle, decimal-reduced revenue, TakeOrdered top-k",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.q3_shipping_priority(
@@ -232,7 +232,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=R.q10_oracle(),
     description="TPC-H Q10 shape: returned-item revenue per customer over a date "
     "window — flag predicate pushed to the lineitem scan, dims broadcast, "
-    "DECIMAL(38,8)-exact revenue, TakeOrdered top-k",
+    "decimal-reduced revenue, TakeOrdered top-k",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.q10_returned_items(
