@@ -148,3 +148,17 @@ def test_funnel_conversion_golden(spark):
     assert got[0]["n_users"] == 2 and got[0]["n_converted"] == 1
     assert got[1]["n_users"] == 1 and got[1]["n_converted"] == 0
     assert 2 not in got
+
+
+def test_type_pivot_sparse_cells_are_zero_not_null(spark):
+    """Regression: a declared pivot value with no matching rows must
+    yield 0 (the SQL COUNT FILTER semantics), not Spark pivot's NULL."""
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        user_decile_type_pivot,
+    )
+
+    rows = [(1, "click"), (11, "click"), (2, "view")]
+    df = spark.createDataFrame(rows, schema="user_id LONG, event_type STRING")
+    got = {r["user_decile"]: r for r in user_decile_type_pivot(df).collect()}
+    assert got[1]["click"] == 2 and got[1]["purchase"] == 0
+    assert got[2]["view"] == 1 and got[2]["signup"] == 0

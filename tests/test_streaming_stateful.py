@@ -71,3 +71,46 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path, rows
     closed_batch = {k: v for k, v in batch.items() if k not in open_starts}
     assert got == closed_batch
     assert len(got) == 3  # user1 × 2 closed + user2 × 1 closed
+
+
+def test_sessionize_user_late_event_never_shrinks_session():
+    """Regression: a late (within-watermark) event older than the stored
+    session end must not move the end backwards — the session extent
+    only grows."""
+    import pandas as pd
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.stateful import (
+        _sessionize_user,
+    )
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = False
+            self.updated = None
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+    # open session: start=100s, last=200s, 5 events; late event at 150s
+    state = FakeState((100.0, 200.0, 5))
+    late = pd.DataFrame({"ts": [pd.Timestamp("1970-01-01 00:02:30")]})  # 150 s
+    list(_sessionize_user((1,), [late], state))
+    start, last, n = state.updated
+    assert (start, last, n) == (100.0, 200.0, 6)
+    assert state.timeout == int(200.0 * 1000) + 30 * 60 * 1000

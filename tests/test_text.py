@@ -55,3 +55,22 @@ def test_fingerprint_deterministic_and_fallback(spark):
     assert r[1] == r[2]  # same text → same fingerprint
     assert r[3] is not None  # <3 tokens → h64(text) fallback, non-null
     assert r[1] != r[4]
+
+
+def test_token_stats_and_quality_survive_empty_docs(spark):
+    """Regression: empty / whitespace-only documents (0 tokens, length 0)
+    must not throw ANSI divide-by-zero; ratios read 0."""
+    from twitter_followers_patterns_mapreduce_spark.operators.text import (
+        doc_quality_score,
+        doc_token_stats,
+    )
+
+    rows = [(1, "", "en"), (2, "   ", "en"), (3, "hello world", "en")]
+    df = spark.createDataFrame(rows, schema="doc_id LONG, text STRING, lang STRING")
+    stats = {r["doc_id"]: r for r in doc_token_stats(df).collect()}
+    assert stats[1]["n_tokens"] == 0 and stats[1]["avg_token_len"] == 0.0
+    assert stats[2]["punct_ratio"] == 0.0
+    assert stats[3]["n_tokens"] == 2
+    q = {r["doc_id"]: r["quality_score"] for r in doc_quality_score(df).collect()}
+    assert all(v is not None for v in q.values())
+    assert q[3] > q[1]

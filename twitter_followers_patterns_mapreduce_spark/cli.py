@@ -140,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
     edges = edges_from_csv(spark, args.input)
 
     if args.job == "count-edges":
-        result = G.count_edges(edges, args.max or REFERENCE_MAX_CE)
+        result = G.count_edges(edges, args.max if args.max is not None else REFERENCE_MAX_CE)
     elif args.job == "exact-2hop":
         e = edges
         if args.max is not None:
@@ -151,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.job == "approx-2hop":
         # AP writes the path tuples AND prints the count
         # (approx/Approx2HopCount.java:114,119)
-        paths = G.two_hop_paths(edges, args.max or REFERENCE_MAX_JOIN)
+        paths = G.two_hop_paths(edges, args.max if args.max is not None else REFERENCE_MAX_JOIN)
         write_result(paths, args.output, format=args.format)
         n = paths.count()
         print(n)
@@ -160,7 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         strategy = args.strategy or (
             "broadcast" if args.job == "repjoin-triangle" else "shuffle"
         )
-        result = G.triangle_count_raw(edges, args.max or REFERENCE_MAX_JOIN, strategy)
+        result = G.triangle_count_raw(edges, args.max if args.max is not None else REFERENCE_MAX_JOIN, strategy)
 
     write_result(result, args.output, format=args.format)
     print(result.collect()[0][0])

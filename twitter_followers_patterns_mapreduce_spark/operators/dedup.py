@@ -398,7 +398,7 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def simhash_near_pairs_oracle(max_hamming: int = 8) -> str:
+def simhash_near_pairs_oracle(max_hamming: int = 3) -> str:
     return f"""WITH sim AS ({simhash_table_oracle()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

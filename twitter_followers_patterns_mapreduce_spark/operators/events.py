@@ -159,9 +159,14 @@ def session_window_native(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
-SESSION_WINDOW_ORACLE = f"""WITH flagged AS (
+def session_window_oracle(gap_minutes: int = 30) -> str:
+    """Oracle for :func:`session_window_native`, generated from the SAME
+    gap parameter — a hard-coded interval silently invalidates the pair
+    for any non-default gap."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""WITH flagged AS (
   SELECT user_id, ts, event_id, value,
-    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sessioned AS (
@@ -172,10 +177,14 @@ SESSION_WINDOW_ORACLE = f"""WITH flagged AS (
 )
 SELECT user_id,
   strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
-  strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+  strftime(MAX(ts) + INTERVAL {gap_minutes} MINUTE, '{TS_FMT_DUCK}') AS session_end,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM sessioned GROUP BY user_id, session_seq"""
+
+
+#: default-gap instance kept for existing callers
+SESSION_WINDOW_ORACLE = session_window_oracle(30)
 
 
 def json_prop_stats(events: DataFrame) -> DataFrame:
@@ -222,12 +231,17 @@ def user_decile_type_pivot(events: DataFrame) -> DataFrame:
     plan is a single groupBy with conditional aggregates — no extra
     distinct-scan job, and the 100 TB plan shape is one shuffle."""
     decile = F.pmod(F.col("user_id"), F.lit(10)).cast("long")
-    return (
+    pivoted = (
         events.select(decile.alias("user_decile"), "event_type")
         .groupBy("user_decile")
         .pivot("event_type", list(EVENT_TYPES))
         .count()
     )
+    # Spark's pivot leaves NULL in a declared cell with zero matching
+    # rows (PivotFirst over per-value pre-aggregates); the SQL
+    # COUNT(*) FILTER form yields 0 — fill so sparse data can't diverge
+    # from the oracle (or hand a consumer NULL where 0 is meant)
+    return pivoted.na.fill(0, list(EVENT_TYPES))
 
 
 USER_DECILE_PIVOT_ORACLE = """SELECT user_id % 10 AS user_decile,

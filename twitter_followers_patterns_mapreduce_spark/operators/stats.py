@@ -140,26 +140,30 @@ def column_profile(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
     ``columns`` is [(name, kind)] with kind 'num' (numeric: min/max as
     values) or 'str' (min/max as lengths).  Output one row per column
     so profiles of wide tables stay narrow."""
-    import functools
-
-    rows = []
-    for name, kind in columns:
+    # ONE wide aggregate over a single scan (a per-column df.agg union
+    # re-scanned the table N times — the opposite of the ANALYZE
+    # primitive this claims to be), then stack() unpivots the wide row
+    # into one narrow row per column.  Multiple DISTINCT aggregates
+    # plan as a single scan with an Expand, still one pass over data.
+    aggs = []
+    for i, (name, kind) in enumerate(columns):
         c = F.col(name)
-        if kind == "num":
-            lo, hi = c.cast("double"), c.cast("double")
-        else:
-            lo, hi = F.length(c).cast("double"), F.length(c).cast("double")
-        rows.append(
-            df.agg(
-                F.lit(name).alias("column"),
-                F.count("*").alias("n_rows"),
-                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_nulls"),
-                F.countDistinct(c).alias("ndv"),
-                F.min(lo).alias("min_val"),
-                F.max(hi).alias("max_val"),
-            )
-        )
-    return functools.reduce(lambda a, b: a.unionByName(b), rows)
+        v = c.cast("double") if kind == "num" else F.length(c).cast("double")
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"_nn{i}"),
+            F.countDistinct(c).alias(f"_nd{i}"),
+            F.min(v).alias(f"_mn{i}"),
+            F.max(v).alias(f"_mx{i}"),
+        ]
+    wide = df.agg(F.count("*").alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', _nn{i}, _nd{i}, _mn{i}, _mx{i}"
+        for i, (name, _) in enumerate(columns)
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(columns)}, {stack_args}) AS (column, n_nulls, ndv, min_val, max_val)",
+    ).select("column", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
 
 
 def column_profile_oracle(table: str, columns: list[tuple[str, str]]) -> str:

@@ -46,15 +46,21 @@ def token_stats_select(dialect: str, text: str = "text") -> list[tuple[str, str]
         tok_chars = f"list_aggregate(list_transform({toks}, t -> len(t)), 'sum')"
         punct = f"length(regexp_replace({text}, '[a-zA-Z0-9\\s]', '', 'g'))"
     stop_en = count_in_set_sql(toks, LANG_STOPWORDS["en"], dialect)
+    # greatest(..., 1) zero-guards: ANSI-mode division by zero throws
+    # (Spark 4 default), and empty/whitespace-only docs have 0 tokens
+    # and length 0 — ratios then read 0, identically in both dialects
+    # (same convention as repetition_select below)
+    n1 = f"greatest({n}, 1)"
+    len1 = f"greatest(length({text}), 1)"
     return [
         ("doc_id", "doc_id"),
         (f"CAST({n} AS BIGINT)", "n_tokens"),
         (f"CAST({distinct} AS BIGINT)", "n_unique_tokens"),
         (f"CAST({bpe} AS BIGINT)", "n_bpe_tokens"),
         (f"CAST(length({text}) AS BIGINT)", "n_chars"),
-        (f"round(CAST({tok_chars} AS DOUBLE) / {n}, 6)", "avg_token_len"),
-        (f"round(CAST({punct} AS DOUBLE) / length({text}), 6)", "punct_ratio"),
-        (f"round(CAST({stop_en} AS DOUBLE) / {n}, 6)", "stopword_ratio"),
+        (f"round(CAST({tok_chars} AS DOUBLE) / {n1}, 6)", "avg_token_len"),
+        (f"round(CAST({punct} AS DOUBLE) / {len1}, 6)", "punct_ratio"),
+        (f"round(CAST({stop_en} AS DOUBLE) / {n1}, 6)", "stopword_ratio"),
     ]
 
 
@@ -74,11 +80,15 @@ def quality_score_select(dialect: str, text: str = "text") -> list[tuple[str, st
     stop_en = count_in_set_sql(toks, LANG_STOPWORDS["en"], dialect)
     # NB: every division keeps an explicit DOUBLE operand — Spark parses
     # bare `x/1.0` as DECIMAL division (different rounding than DuckDB).
+    # greatest(..., 1) zero-guards empty/whitespace-only docs (ANSI-mode
+    # division by zero throws; see token_stats_select).
+    n1 = f"greatest({n}, 1)"
+    len1 = f"greatest(length({text}), 1)"
     score = (
         f"round(0.4 * least(1.0, CAST({n} AS DOUBLE) / 200.0)"
-        f" + 0.3 * (CAST({distinct} AS DOUBLE) / {n})"
-        f" + 0.2 * (1.0 - CAST({punct} AS DOUBLE) / length({text}))"
-        f" + 0.1 * (CAST({stop_en} AS DOUBLE) / {n}), 6)"
+        f" + 0.3 * (CAST({distinct} AS DOUBLE) / {n1})"
+        f" + 0.2 * (1.0 - CAST({punct} AS DOUBLE) / {len1})"
+        f" + 0.1 * (CAST({stop_en} AS DOUBLE) / {n1}), 6)"
     )
     return [("doc_id", "doc_id"), (score, "quality_score")]
 

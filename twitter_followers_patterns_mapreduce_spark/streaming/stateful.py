@@ -88,10 +88,18 @@ def _sessionize_user(
 
     closed: list[tuple[float, float, int]] = []
     for s in secs:
-        if n and s - last_sec > SESSION_GAP_SEC:
+        if n == 0:
+            start_sec = last_sec = s
+        elif s - last_sec > SESSION_GAP_SEC:
             closed.append((start_sec, last_sec, n))
-            start_sec, n = s, 0
-        last_sec = s
+            start_sec, last_sec, n = s, s, 0
+        else:
+            # late (within-watermark, cross-batch) events can precede the
+            # stored bounds — a session's extent only ever GROWS.  A bare
+            # `last_sec = s` here once moved the session end backwards,
+            # shrinking duration and re-arming the timeout too early.
+            start_sec = min(start_sec, s)
+            last_sec = max(last_sec, s)
         n += 1
     state.update((start_sec, last_sec, n))
     # expire the open session when the WATERMARK passes last + gap
