@@ -55,3 +55,53 @@ def test_stream_dedup_matches_batch(spark, dup_dir, dup_rows):
     flat = [r for b in dup_rows for r in b]
     batch = spark.createDataFrame(flat, schema=SCHEMA).dropDuplicates(["event_id"])
     assert ids == sorted(r["event_id"] for r in batch.select("event_id").collect())
+
+
+def test_foreach_batch_ingest_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus ingestion: batch 2's near-duplicate of a batch-1
+    doc is rejected, its genuinely-new doc admitted — cross-batch state
+    is the corpus parquet itself."""
+    import time
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup import (
+        ingest_dedup_foreach_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    near = base.replace("day", "night")  # high 3-shingle jaccard vs base
+    fresh = "completely different content about spark engines and parquet files here"
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id LONG, text STRING"
+
+    # batch 1 lands first
+    spark.createDataFrame([(1, base), (2, fresh)], schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(in_dir / "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = ingest_dedup_foreach_batch(spark, stream, corpus, ckpt)
+    q.awaitTermination()
+
+    # batch 2: one near-dup of doc 1, one new doc
+    spark.createDataFrame([(3, near), (4, "fully novel text with nothing shared")],
+                          schema=schema).coalesce(1).write.mode("overwrite").parquet(
+        str(in_dir / "b2")
+    )
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q2 = ingest_dedup_foreach_batch(spark, stream2, corpus, ckpt)
+    q2.awaitTermination()
+    time.sleep(0.2)
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == [1, 2, 4], ids

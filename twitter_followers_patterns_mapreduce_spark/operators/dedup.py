@@ -527,12 +527,16 @@ FROM labels GROUP BY comp"""
 # --------------------------------------------------------------------------
 
 def dedup_incremental(documents: DataFrame, threshold: float = 0.5,
-                      n_shingle: int = 3) -> DataFrame:
+                      n_shingle: int = 3,
+                      new_predicate: F.Column | None = None) -> DataFrame:
     """Ingestion-time dedup: admit a NEW batch against the EXISTING
-    corpus (harness split: odd ``doc_id`` = new, even = existing).
-    Returns one row per new doc — (doc_id, status, near_dup_of,
-    jaccard) with status ∈ exact_dup > near_dup > kept and the best
-    match chosen deterministically (max 6dp jaccard, min corpus id).
+    corpus.  ``new_predicate`` marks the new side; the default is the
+    harness split (odd ``doc_id`` = new, even = existing) — real
+    ingestion (streaming/dedup.py::ingest_dedup_foreach_batch) passes
+    its own tag column.  Returns one row per new doc —
+    (doc_id, status, near_dup_of, jaccard) with status ∈ exact_dup >
+    near_dup > kept and the best match chosen deterministically
+    (max 6dp jaccard, min corpus id).
 
     Shapes that matter at 100 TB: the exact check is a semi-join on a
     scan-side md5; near-dup candidates come from an EQUI-join of the
@@ -540,7 +544,11 @@ def dedup_incremental(documents: DataFrame, threshold: float = 0.5,
     natural bucket/partition key of a persisted corpus index, so
     admission touches only colliding buckets, never the whole corpus.
     Signatures are computed once over the union and split after."""
-    is_new = F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    is_new = (
+        new_predicate
+        if new_predicate is not None
+        else F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    )
     new_docs = documents.where(is_new)
 
     # exact: md5(text) already present in the corpus
@@ -560,8 +568,18 @@ def dedup_incremental(documents: DataFrame, threshold: float = 0.5,
         "doc_id",
         F.explode_outer(F.array(*[_band_struct(k) for k in range(LSH_BANDS)])).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    nb = bands.where(is_new).select(F.col("doc_id").alias("new_id"), "band", "key")
-    ob = bands.where(~is_new).select(F.col("doc_id").alias("old_id"), "band", "key")
+    # membership routed through a doc_id-keyed semi-join: the signature
+    # projection drops any caller-supplied tag column, so evaluating an
+    # arbitrary new_predicate directly on `bands` would only work for
+    # pure doc_id functions (the harness parity split).  The tag frame
+    # is (id, bool)-narrow and broadcasts at batch scale.
+    tag = documents.select("doc_id", is_new.alias("_isnew"))
+    nb = bands.join(tag.where(F.col("_isnew")), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    ob = bands.join(tag.where(~F.col("_isnew")), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("old_id"), "band", "key"
+    )
     cand = nb.join(ob, ["band", "key"]).select("new_id", "old_id").distinct()
     sets = sigs.select("doc_id", "shingles", "n_shingles")
     verified = (
