@@ -112,3 +112,59 @@ def test_stream_static_join_equals_batch(spark, events_dir, event_rows):
         for r in segment_window_stream(batch, segs).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_drops_event_after_window_state_evicted(spark, tmp_path):
+    """Spark's late-data guarantee demonstrated precisely: a late event
+    merging into STILL-LIVE window state is accepted (watermark is an
+    eviction bound, not an input filter), but once the watermark has
+    EVICTED a window's state — the window emitted in a prior batch — a
+    later too-late arrival is dropped: no duplicate window row, count
+    unchanged."""
+    import time
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        EVENT_STREAM_SCHEMA,
+        run_available_now,
+        tumbling_hourly_stream,
+    )
+
+    path = tmp_path / "late_events"
+    path.mkdir()
+    # batch 0: hour-0 event + 03:00 event → watermark after batch = 02:00
+    b1 = [
+        (1, T0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+        (2, T0 + dt.timedelta(hours=3), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(b1, schema=EVENT_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(path / "b1")
+    )
+    time.sleep(1.1)  # file mtime orders the micro-batches
+    # batch 1: fresh event; watermark 02:00 now EVICTS the hour-0 window
+    # (emitted with n=1, state gone)
+    b2 = [(3, T0 + dt.timedelta(hours=3, minutes=10), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(b2, schema=EVENT_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(path / "b2")
+    )
+    time.sleep(1.1)
+    # batch 2: too-late event for the evicted hour-0 window → dropped
+    b3 = [(4, T0 + dt.timedelta(minutes=20), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(b3, schema=EVENT_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(path / "b3")
+    )
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path / "*"))
+    )
+    run_available_now(
+        tumbling_hourly_stream(stream, watermark="1 hour"), "late_drop", "append"
+    )
+    rows = [
+        r
+        for r in spark.table("late_drop").collect()
+        if str(r["window_start"]).startswith("2024-01-01 00:")
+    ]
+    assert len(rows) == 1  # emitted once, never re-emitted for the late row
+    assert rows[0]["n_events"] == 1  # the too-late event (id 4) was dropped
