@@ -65,6 +65,16 @@ def test_q1_filter_pushed_to_scan(spark):
     assert pushed and "l_shipdate" in pushed[0]
 
 
+def test_q10_predicates_push_to_both_scans(spark):
+    """Q10's return-flag predicate must reach the lineitem scan and the
+    date range the orders scan — neither survives as a post-scan
+    Filter over raw rows."""
+    plan = plan_of(spark, "q10_returned_items")
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("l_returnflag" in line for line in pushed)
+    assert any("o_orderdate" in line for line in pushed)
+
+
 def test_rs_rj_join_strategies(spark):
     rs = plan_of(spark, "rs_triangle_count_raw")
     rj = plan_of(spark, "rj_triangle_count_raw")
