@@ -63,6 +63,35 @@ def main() -> int:
     run("degrees", lambda: G.degrees(edges), scalar=False)
     run("components_twostar", lambda: connected_components_twostar(edges), scalar=False)
 
+    # text/dedup families on a 10× replicated corpus: each copy gets a
+    # disjoint doc_id range and a per-copy suffix token so exact dedup
+    # stays meaningful (copies are near-dups, not byte-dups)
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_lsh_pairs,
+    )
+    from twitter_followers_patterns_mapreduce_spark.operators.text import doc_token_stats
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    big = (
+        docs.crossJoin(spark.range(10).select(F.col("id").alias("_copy")))
+        .select(
+            (F.col("doc_id") * 10 + F.col("_copy")).alias("doc_id"),
+            F.concat_ws(" ", "text", F.concat(F.lit("copytag"), F.col("_copy"))).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .localCheckpoint(eager=False)
+    )
+    out["n_docs_10x"] = big.count()
+    run("token_stats_10x", lambda: doc_token_stats(big), scalar=False)
+    run("dedup_exact_10x", lambda: exact_dup_groups(big), scalar=False)
+    run("minhash_lsh_10x", lambda: minhash_lsh_pairs(big, threshold=0.5), scalar=False)
+
     print(json.dumps(out))
     return 0
 
