@@ -53,9 +53,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    comp = und.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
-    ).localCheckpoint(eager=False)
+    # seed with min(id, min neighbor) — the first propagation pass
+    # fused into ONE hash-agg shuffle (the loop's join+agg form costs
+    # two); every later pass then starts from strictly tighter labels
+    comp = (
+        und.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("nbr_min"))
+        .select("id", F.least(F.col("id"), F.col("nbr_min")).alias("comp"))
+        .localCheckpoint(eager=False)
+    )
 
     for _ in range(max_iter):
         # min neighbor label per node, then fold into the current label
