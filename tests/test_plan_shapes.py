@@ -124,3 +124,30 @@ def test_no_inferred_filter_reevaluation(spark):
             if s.startswith(("+- Filter", ":- Filter", "Filter ")) and len(s) > MAX_FILTER_NODE_CHARS:
                 offenders.append((name, f"filter-node-{len(s)}-chars"))
     assert offenders == []
+
+
+def test_auto_strategy_demotes_broadcast_when_threshold_disallows(spark):
+    """'auto' leaves the physical join choice to Catalyst/AQE: with the
+    broadcast threshold disabled the triangle closure plans a shuffle
+    join instead of failing or forcing a broadcast — the graceful
+    fallback the session defaults rely on when the MAX-filtered edge
+    set outgrows the 64 MiB threshold at scale."""
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import (
+        triangle_count_raw,
+    )
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import derived_edges
+
+    edges = derived_edges(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            triangle_count_raw(edges, max_limit=997, strategy="auto")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
