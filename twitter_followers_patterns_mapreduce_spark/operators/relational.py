@@ -120,6 +120,17 @@ CUSTOMERS_WITHOUT_ORDERS_ORACLE = """SELECT c_custkey, c_mktsegment
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
 
+#: year-bounded form registered with the harness: every synthetic
+#: customer has SOME order, so the unfiltered anti-join is a vacuous
+#: 0-row check — restricting the right side to 1995 makes it bind
+#: (~326 rows at sf0.01)
+CUSTOMERS_WITHOUT_ORDERS_1995_ORACLE = """SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')"""
+
 
 def nation_revenue_rollup(
     lineitem: DataFrame,

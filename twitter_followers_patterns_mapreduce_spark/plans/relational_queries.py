@@ -40,13 +40,20 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customers_without_orders",
-    oracle=R.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
-    description="left-anti join (NOT EXISTS) — join-type coverage beyond the reference",
+    oracle=R.CUSTOMERS_WITHOUT_ORDERS_1995_ORACLE,
+    description="left-anti join (NOT EXISTS) against 1995 orders — join-type "
+    "coverage beyond the reference; the year bound makes the anti-join BIND on "
+    "the synthetic data (every customer has some order, so the unfiltered form "
+    "is a vacuous 0-row check)",
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.customers_without_orders(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    orders_1995 = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
+    return R.customers_without_orders(load_table(spark, sf_dir, "customer"), orders_1995)
 
 
 @register(
