@@ -42,7 +42,13 @@ REDACT_PRESETS: dict[str, str] = {
 
 
 def _term_pattern(terms: tuple[str, ...]) -> str:
-    return r"\b(" + "|".join(terms) + r")\b"
+    """Word-boundary alternation over LITERAL terms: each term is
+    regex-escaped, so 'a.b' cannot match 'axb' and a term like 'c++'
+    cannot produce an invalid pattern (both Spark's Java regex and
+    DuckDB's RE2 accept escaped punctuation identically)."""
+    import re as _re
+
+    return r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
 
 
 # ---------------------------------------------------------------------------
