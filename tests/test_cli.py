@@ -84,3 +84,18 @@ def test_cli_compact_job(spark, tmp_path, capsys):
     rc = main(["compact", src, str(tmp_path / "few"), "--target-mb", "1024"])
     assert rc == 0
     assert int(capsys.readouterr().out.strip()) == 1
+
+
+def test_cli_list_prints_all_queries(capsys):
+    rc = main(["list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ce_count_edges" in out and "dedup_semantic" in out
+    assert out.count("\n") >= 90
+
+
+def test_cli_jobs_require_io_args():
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["count-edges"])  # missing input/output

@@ -31,14 +31,22 @@ JOBS = (
     "query",  # run any registered named query: input = table dir, --name required
     "sql",  # run arbitrary SQL over the table dir: --sql required
     "compact",  # rewrite a parquet dir into target-sized files
+    "list",  # print every registered query with its description
 )
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="twitter_followers_patterns_mapreduce_spark", description=__doc__)
     p.add_argument("job", choices=JOBS)
-    p.add_argument("input", help="edge list CSV: one 'src,dst' pair per line, no header")
-    p.add_argument("output", help="output directory for part files")
+    p.add_argument(
+        "input",
+        nargs="?",
+        default=None,
+        help="edge list CSV ('src,dst' per line, no header) or table dir; unused by 'list'",
+    )
+    p.add_argument(
+        "output", nargs="?", default=None, help="output directory for part files"
+    )
     p.add_argument("--max", type=int, default=None, help="MAX node-id cutoff (reference default per job)")
     p.add_argument("--format", default="parquet", choices=("parquet", "csv", "json"))
     p.add_argument(
@@ -65,6 +73,23 @@ def main(argv: list[str] | None = None) -> int:
         help="target output file size for the 'compact' job (MiB)",
     )
     args = p.parse_args(argv)
+
+    if args.job == "list":
+        # no SparkSession: listing must be instant
+        from twitter_followers_patterns_mapreduce_spark.plans.registry import (
+            _REGISTRY,
+            _load_all,
+        )
+
+        _load_all()
+        for name in sorted(_REGISTRY):
+            spec = _REGISTRY[name]
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:36s} [{kind}] {spec.description}")
+        return 0
+
+    if args.input is None or args.output is None:
+        p.error(f"job {args.job!r} requires input and output arguments")
 
     from twitter_followers_patterns_mapreduce_spark.operators import graph as G
     from twitter_followers_patterns_mapreduce_spark.session import get_spark
