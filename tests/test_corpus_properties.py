@@ -153,3 +153,35 @@ def test_vocabulary_agg_is_streaming_safe(spark, docs_stream_dir):
     batch = spark.read.schema(DOCS_SCHEMA).parquet(docs_stream_dir)
     want = {r["token"]: r["count"] for r in vocab_body(batch).collect()}
     assert got == want and len(want) >= 5
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: surprisal equals a pure-Python recomputation
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_token_surprisal_matches_python_oracle(spark, token_lists):
+    """mean_surprisal_bits == avg over tokens of
+    (len(bin(N)) - len(bin(count))) recomputed in pure Python."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    got = {r["doc_id"]: r for r in CP.doc_token_surprisal(df).collect()}
+
+    from collections import Counter
+
+    all_tokens = [t for toks in token_lists for t in toks]
+    counts = Counter(all_tokens)
+    n_total = len(all_tokens)
+    bits = {t: len(bin(n_total)) - len(bin(c)) for t, c in counts.items()}
+    for i, toks in enumerate(token_lists):
+        want_sum = sum(bits[t] for t in toks)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["sum_bits"] == want_sum
+        assert got[i]["mean_surprisal_bits"] == round(want_sum / len(toks), 6)
