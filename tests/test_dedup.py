@@ -138,3 +138,21 @@ def test_dedup_incremental_statuses(spark):
     assert got[3]["status"] == "near_dup" and got[3]["near_dup_of"] == 0
     assert got[3]["jaccard"] >= 0.5
     assert got[5]["status"] == "kept" and got[5]["jaccard"] is None
+
+
+def test_dedup_incremental_tag_route_equals_parity_route(spark):
+    """The new_predicate (tag-column semi-join) path must reproduce the
+    default parity-split exactly when the tag IS the parity — guards the
+    membership-routing refactor."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import dedup_incremental
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    default = sorted(map(tuple, dedup_incremental(docs, threshold=0.5).collect()))
+    tagged = docs.withColumn("_new", F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    via_tag = sorted(
+        map(tuple, dedup_incremental(tagged, threshold=0.5, new_predicate=F.col("_new")).collect())
+    )
+    assert default == via_tag
