@@ -151,3 +151,16 @@ def test_auto_strategy_demotes_broadcast_when_threshold_disallows(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_topk_plans_take_ordered_not_global_window(spark):
+    """rank_by_degree (round-1 weak finding, since fixed): top-k must
+    plan as TakeOrderedAndProject — per-partition heaps + small merge —
+    and the rank window must carry a partition spec, never the
+    move-everything-to-one-task global window."""
+    plan = plan_of(spark, "rank_by_degree")
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    for m in re.finditer(r"Window \[.*?\], \[(.*?)\]", plan):
+        assert m.group(1).strip(), "window without partition spec"
