@@ -178,3 +178,47 @@ def test_clustering_coefficient_triangle_free(spark):
     rows = G.clustering_coefficient(e).collect()
     assert {r["v"] for r in rows} == {2, 3}
     assert all(r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0 for r in rows)
+
+
+# --- extension: follow recommendations / degree histogram / reciprocity ------
+
+
+def test_follow_recommendations_golden(sample_edges):
+    # hand-derived on the README sample: e.g. user 1 follows {2,4};
+    # followees reach 5 twice (via 2 and 4) and 3 once → 5 ranks first.
+    recs = {
+        (r["u"], r["rec_rank"]): (r["v"], r["n_common"])
+        for r in G.follow_recommendations(sample_edges, None, k=2).collect()
+    }
+    assert recs == {
+        (1, 1): (5, 2), (1, 2): (3, 1),
+        (2, 1): (6, 2), (2, 2): (1, 1),
+        (3, 1): (4, 2), (3, 2): (2, 1),
+        (4, 1): (3, 1), (4, 2): (6, 1),
+        (5, 1): (1, 1), (5, 2): (4, 1),
+        (6, 1): (5, 1),
+    }
+
+
+def test_follow_recommendations_excludes_followed_and_self(sample_edges):
+    rows = G.follow_recommendations(sample_edges, None, k=10).collect()
+    followed = {(s, d) for s, d in [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5),
+                                    (5, 6), (6, 4), (3, 6), (2, 5), (5, 3)]}
+    for r in rows:
+        assert (r["u"], r["v"]) not in followed
+        assert r["u"] != r["v"]
+
+
+def test_degree_distribution_golden(sample_edges):
+    hist = {r["total_deg"]: r["n_nodes"] for r in G.degree_distribution(sample_edges).collect()}
+    assert hist == {3: 4, 4: 2}
+
+
+def test_reciprocity_zero_on_sample(sample_edges):
+    row = G.reciprocity_summary(sample_edges).collect()[0]
+    assert (row["n_edges"], row["n_reciprocated"], row["reciprocity_rate"]) == (10, 0, 0.0)
+
+
+def test_reciprocity_full_on_mutual(mutual_edges):
+    row = G.reciprocity_summary(mutual_edges).collect()[0]
+    assert (row["n_edges"], row["n_reciprocated"], row["reciprocity_rate"]) == (2, 2, 1.0)

@@ -10,10 +10,13 @@ order-insensitive values.  Use before committing new queries:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from twitter_followers_patterns_mapreduce_spark.plans.registry import all_oracles, all_queries
 from twitter_followers_patterns_mapreduce_spark.session import get_spark

@@ -317,3 +317,89 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def follow_recommendations(
+    edges: DataFrame, max_limit: int | None = None, k: int = 10
+) -> DataFrame:
+    """Extension: people-you-may-know — for each user u, the top-k
+    accounts v ranked by how many of u's followees already follow v
+    (common-intermediate count over u→z→v), excluding accounts u
+    already follows and u itself.  This is the product query the
+    reference's 2-hop machinery exists to serve (its README motivates
+    2-hop paths as follower-pattern mining) promoted to a ranked
+    recommendation table.
+
+    Plan shape: the AP self equi-join (J1, ``approx/Approx2HopCount.java:94-120``)
+    under the same MAX guardrail → one hash aggregate on (u, v) — the
+    path count collapses BEFORE any further join, so downstream state
+    is O(candidate pairs), not O(paths) → LEFT ANTI equi-join removes
+    already-followed pairs (the reference has no anti-join; SURVEY §2.3
+    join checklist) → per-user top-k via a PARTITIONED window (the
+    user is the shuffle key; never a global sort).  Degenerate u→z→u
+    round-trips are excluded by the F3 theta-conjunct inside the join.
+    """
+    from pyspark.sql import Window
+
+    e = filter_max(edges, max_limit)
+    a, b = fan_out(e).alias("a"), e.alias("b")
+    cand = (
+        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") != F.col("b.dst")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.dst").alias("v"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    fresh = cand.join(
+        e, (cand["u"] == e["src"]) & (cand["v"] == e["dst"]), "left_anti"
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("n_common").desc(), F.col("v").asc()
+    )
+    return (
+        fresh.withColumn("rec_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rec_rank") <= k)
+        .select("u", "rec_rank", "v", "n_common")
+    )
+
+
+def degree_distribution(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """Extension: the degree histogram (n_nodes per total degree) — the
+    power-law profile of the follower graph, i.e. the skew evidence the
+    reference's MAX filter exists to dodge (``README.md:77``).
+
+    Plan: the EX degree aggregate (one shuffle over 2|E| narrow rows)
+    re-aggregated by degree value — a second, much smaller hash
+    aggregate; both stages partial-aggregate map-side."""
+    d = degrees(edges, max_limit)
+    return (
+        d.select((F.col("in_deg") + F.col("out_deg")).alias("total_deg"))
+        .groupBy("total_deg")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+
+
+def reciprocity_summary(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """Extension: one-row reciprocity profile — how many directed edges
+    are reciprocated (v also follows u), and the reciprocity rate.
+    ``mutual_follow_pairs`` enumerates the pairs; this is the scalar
+    health metric over the same structure.
+
+    Plan: mark each edge by probing the REVERSED edge view with a LEFT
+    OUTER equi-join on (src, dst) (edges are distinct so the probe is
+    1:≤1, never row-multiplying), then one global aggregate.  The rate
+    divides two exact BIGINTs in both engines — bit-exact cross-engine.
+    """
+    e = filter_max(edges, max_limit).where(F.col("src") != F.col("dst"))
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_rev")
+    )
+    marked = e.join(rev, ["src", "dst"], "left")
+    return marked.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("_rev").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocated"),
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        (F.col("n_reciprocated") / F.col("n_edges")).alias("reciprocity_rate"),
+    )

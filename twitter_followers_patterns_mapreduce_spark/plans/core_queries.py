@@ -304,3 +304,61 @@ def degrees_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.where(~F.expr(_DELTA_PRED))
     delta = e.where(F.expr(_DELTA_PRED))
     return CDC.degrees_incremental(base, delta)
+
+
+@register(
+    "follow_recommendations",
+    oracle=f"""{_E},
+e AS (SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}),
+cand AS (
+  SELECT a.src AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst
+  GROUP BY a.src, b.dst),
+fresh AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v)),
+ranked AS (
+  SELECT u, CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY n_common DESC, v ASC) AS INT) AS rec_rank,
+         v, n_common
+  FROM fresh)
+SELECT u, rec_rank, v, n_common FROM ranked WHERE rec_rank <= 5""",
+    description="extension: people-you-may-know — per-user top-5 candidates by "
+    "common-intermediate count (AP self-join → (u,v) hash agg → anti-join "
+    "already-followed → partitioned-window top-k)",
+)
+def follow_recommendations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.follow_recommendations(derived_edges(spark, sf_dir), MAX_PATHS, k=5)
+
+
+@register(
+    "degree_distribution",
+    oracle=f"""{_E},
+tagged AS (
+  SELECT src AS id, 1 AS out_deg, 0 AS in_deg FROM edges
+  UNION ALL SELECT dst, 0, 1 FROM edges),
+deg AS (SELECT id, SUM(out_deg) + SUM(in_deg) AS total_deg FROM tagged GROUP BY id)
+SELECT CAST(total_deg AS BIGINT) AS total_deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY total_deg""",
+    description="extension: degree histogram (n_nodes per total degree) — the "
+    "power-law skew profile behind the reference's MAX guardrail; two chained "
+    "hash aggregates, both map-side partial",
+)
+def degree_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degree_distribution(derived_edges(spark, sf_dir))
+
+
+@register(
+    "reciprocity_summary",
+    oracle=f"""{_E},
+e AS (SELECT * FROM edges WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+                THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS reciprocity_rate
+FROM e""",
+    description="extension: one-row reciprocity profile (reciprocated-edge count "
+    "and rate) via a 1:1 reversed-edge probe join + global aggregate",
+)
+def reciprocity_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.reciprocity_summary(derived_edges(spark, sf_dir))
