@@ -140,10 +140,24 @@ def nation_revenue_rollup(
     region: DataFrame,
 ) -> DataFrame:
     """ROLLUP(region, nation) revenue — grouping-sets aggregation; the
-    dimension chain is all broadcast joins."""
+    dimension chain is all broadcast joins.
+
+    Eager aggregation: lineitem collapses to one (orderkey, rev, n) row
+    per order BEFORE the join — a rewrite Catalyst does not perform.
+    The join then probes |orders| rows instead of |lineitem|, and the
+    rollup's Expand (which triples its input) runs over the collapsed
+    set.  Decimal SUM is associative, so summing the per-order partial
+    sums is exactly the direct sum; n_items becomes SUM(n).  Inner-join
+    null-key semantics are unchanged (a null orderkey group drops at
+    the join either way).  ~2× at sf0.1; at 100 TB the agg shuffle on
+    l_orderkey replaces the join shuffle on the same key — no extra
+    exchange, strictly fewer probe rows."""
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("rev"), F.count("*").alias("n")
+    )
     joined = (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        per_order.join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
@@ -152,7 +166,10 @@ def nation_revenue_rollup(
     # docstring for why DOUBLE is the proven comparable format
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("n").cast("long").alias("n_items"),
+        )
     )
 
 
