@@ -222,3 +222,15 @@ def test_reciprocity_zero_on_sample(sample_edges):
 def test_reciprocity_full_on_mutual(mutual_edges):
     row = G.reciprocity_summary(mutual_edges).collect()[0]
     assert (row["n_edges"], row["n_reciprocated"], row["reciprocity_rate"]) == (2, 2, 1.0)
+
+
+def test_audience_overlap_golden(sample_edges):
+    rows = [tuple(r) for r in G.audience_overlap_pairs(sample_edges, None, k=10).collect()]
+    # hand-derived: co-followed pairs with follower-set Jaccard,
+    # ties broken by (a, b) ascending
+    assert rows == [
+        (1, 6, 1, 0.5),
+        (2, 4, 1, 0.5),
+        (3, 5, 1, 1 / 3),
+        (3, 6, 1, 1 / 3),
+    ]

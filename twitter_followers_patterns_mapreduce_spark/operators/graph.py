@@ -403,3 +403,51 @@ def reciprocity_summary(edges: DataFrame, max_limit: int | None = None) -> DataF
         "n_reciprocated",
         (F.col("n_reciprocated") / F.col("n_edges")).alias("reciprocity_rate"),
     )
+
+
+def audience_overlap_pairs(
+    edges: DataFrame, max_limit: int | None = None, k: int = 20
+) -> DataFrame:
+    """Extension: audience overlap — the top-k followee pairs (a, b)
+    ranked by Jaccard similarity of their FOLLOWER sets (who co-follows
+    them), the "accounts like yours" analysis over the same edge table
+    the reference mines for 2-hop patterns.
+
+    Plan shape: the follower side is its own inverted index — a self
+    equi-join on the follower key (a < b kills mirrors) emits one row
+    per co-follow, which collapses immediately into a (a, b) hash-agg
+    count; follower-set sizes come from the degree aggregate (tiny,
+    broadcast) joined twice; Jaccard = shared / (|A| + |B| - shared)
+    divides exact BIGINTs — bit-exact cross-engine.  Global top-k is
+    ``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition
+    heap + driver merge, never a global sort).
+
+    Scale: the co-follow expansion is Σ_f outdeg(f)² — the same
+    power-law exposure as the 2-hop join, with the same published
+    mitigations: the MAX guardrail (reference semantics), AQE skew
+    splitting on hot followers, or pre-capping follower out-degree.
+    """
+    e = filter_max(edges, max_limit)
+    x, y = fan_out(e).alias("x"), e.alias("y")
+    shared = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.dst") < F.col("y.dst")))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    aud = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").cast("long").alias("n_aud"))
+    scored = (
+        shared.join(F.broadcast(aud.select(F.col("id").alias("a"), F.col("n_aud").alias("aud_a"))), "a")
+        .join(F.broadcast(aud.select(F.col("id").alias("b"), F.col("n_aud").alias("aud_b"))), "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("aud_a") + F.col("aud_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(k)

@@ -362,3 +362,24 @@ FROM e""",
 )
 def reciprocity_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.reciprocity_summary(derived_edges(spark, sf_dir))
+
+
+@register(
+    "audience_overlap_pairs",
+    oracle=f"""{_E},
+e AS (SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}),
+shared AS (
+  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY x.dst, y.dst),
+aud AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS n_aud FROM e GROUP BY dst)
+SELECT a, b, n_shared,
+       n_shared / (aa.n_aud + ab.n_aud - n_shared) AS jaccard
+FROM shared JOIN aud aa ON shared.a = aa.id JOIN aud ab ON shared.b = ab.id
+ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""",
+    description="extension: top-20 followee pairs by follower-set Jaccard "
+    "(co-follow inverted-index self-join → (a,b) hash agg → broadcast audience "
+    "sizes → TakeOrdered top-k)",
+)
+def audience_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.audience_overlap_pairs(derived_edges(spark, sf_dir), MAX_PATHS, k=20)
