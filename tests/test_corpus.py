@@ -277,3 +277,27 @@ def test_token_surprisal_bounds(spark):
     assert n_total > 0
     for r in rows:
         assert 0.0 <= r["mean_surprisal_bits"] <= ceiling
+
+
+def test_pack_sequences_golden(spark):
+    # seq_len=5, window=2: doc 1 chunks (2,2,1) tokens, doc 2 chunks (2,1);
+    # exclusive prefixes 0,2,4,5,7 → seq 0 gets doc 1 entirely (5 tokens,
+    # fill 1.0), seq 1 gets doc 2 (3 tokens, fill 0.6)
+    rows = [(1, "a b c d e", "en"), (2, "f g h", "en")]
+    docs = spark.createDataFrame(rows, schema="doc_id LONG, text STRING, lang STRING")
+    got = {
+        (r["lang"], r["seq_id"]): (r["n_docs"], r["n_chunks"], r["n_tokens"], r["fill_ratio"])
+        for r in CP.pack_sequences(docs, seq_len=5, window=2).collect()
+    }
+    assert got == {("en", 0): (1, 3, 5, 1.0), ("en", 1): (1, 2, 3, 0.6)}
+
+
+def test_pack_sequences_partitioned_by_lang(spark):
+    # each lang packs independently: same prefix arithmetic per lang
+    rows = [(1, "a b c", "en"), (2, "x y z", "fr")]
+    docs = spark.createDataFrame(rows, schema="doc_id LONG, text STRING, lang STRING")
+    got = {
+        (r["lang"], r["seq_id"]): r["n_tokens"]
+        for r in CP.pack_sequences(docs, seq_len=4, window=2).collect()
+    }
+    assert got == {("en", 0): 3, ("fr", 0): 3}

@@ -575,3 +575,80 @@ SELECT e.doc_id,
        round(SUM(s.bits) / COUNT(*), 6) AS mean_surprisal_bits
 FROM exploded e JOIN scored_vocab s ON e.token = s.token
 GROUP BY e.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (contiguous fill at chunk granularity)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    documents: DataFrame, seq_len: int = 256, window: int = 64
+) -> DataFrame:
+    """Pack non-overlapping token chunks into fixed-budget training
+    sequences — the "concat corpus, cut every ``seq_len`` tokens" step
+    of an LLM data pipeline, at chunk granularity: chunks stream in the
+    deterministic corpus order (lang, doc_id, chunk_idx) and each chunk
+    joins the sequence its START token offset falls into
+    (``seq_id = floor(exclusive_prefix_tokens / seq_len)``).  Output is
+    the per-sequence manifest: (lang, seq_id, n_docs, n_chunks,
+    n_tokens, fill_ratio) — the table a sampler reads to draw packed
+    batches and the audit for padding waste.
+
+    Plan shape: chunks are scan-side (``doc_token_chunks`` with
+    stride = window → no overlap, no shuffle), one equi-join carries
+    lang, ONE partitioned window (partition lang, order doc_id ×
+    chunk_idx — a defined shuffle key, never a global running sum)
+    computes the exclusive token prefix, one hash aggregate summarizes.
+    fill_ratio divides exact BIGINTs — bit-exact cross-engine.
+
+    Scale note: one partition per lang caps parallelism at |langs| for
+    the window stage; the production extension shards the partition key
+    to (lang, h64(doc_id) % n_shards), trading per-shard boundary waste
+    (< seq_len tokens each) for full parallelism — same plan shape.
+    """
+    from pyspark.sql import Window
+
+    chunks = doc_token_chunks(documents, window=window, stride=window).where(
+        F.col("n_tokens") > 0
+    )
+    with_lang = chunks.join(documents.select("doc_id", "lang"), "doc_id")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = with_lang.withColumn(
+        "seq_id",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(seq_len))
+        .cast("long"),
+    )
+    return seq.groupBy("lang", "seq_id").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.sum("n_tokens").cast("long") / F.lit(seq_len).cast("long")).alias("fill_ratio"),
+    )
+
+
+def pack_sequences_oracle(
+    seq_len: int = 256, window: int = 64, table: str = "documents"
+) -> str:
+    return f"""
+WITH chunks AS (
+  SELECT * FROM ({doc_token_chunks_oracle(window=window, stride=window, table=table)})
+  WHERE n_tokens > 0),
+with_lang AS (
+  SELECT c.*, d.lang FROM chunks c JOIN {table} d USING (doc_id)),
+seq AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {seq_len}
+           AS BIGINT) AS seq_id
+  FROM with_lang)
+SELECT lang, seq_id,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) / {seq_len} AS fill_ratio
+FROM seq GROUP BY lang, seq_id"""

@@ -236,3 +236,14 @@ def doc_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.doc_token_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=CP.pack_sequences_oracle(seq_len=256, window=64),
+    description="training-sequence packing: non-overlapping token chunks stream "
+    "into fixed 256-token sequences by exclusive prefix sum (one partitioned "
+    "window, never global) — per-sequence manifest with fill ratio",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.pack_sequences(load_table(spark, sf_dir, "documents"), seq_len=256, window=64)
