@@ -44,19 +44,25 @@ def _dist2(v: Column, c: Column) -> Column:
 
 def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, cid): nearest centroid per vector — bounded |V| × k
-    cross against the broadcast centroid table, grid-floored argmin."""
+    cross against the broadcast centroid table, grid-floored argmin.
+
+    The argmin is a hash aggregate (``min(struct(d, cid))`` —
+    lexicographic struct ordering IS the (d, cid) tiebreak), not a
+    partitioned window: partial aggregation collapses the k candidate
+    rows map-side, so the shuffle carries |V| rows instead of sorting
+    |V|·k — the difference between an agg and a sort at 100 TB; the
+    vector column rejoins from the checkpointed base (k-free)."""
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
-        "v",
         "cid",
         F.floor(_dist2(F.col("v"), F.col("c")) * _GRID).alias("d"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
     )
+    return emb.join(best, "vec_id").select("vec_id", "v", "cid")
 
 
 def _update(assign: DataFrame) -> DataFrame:
