@@ -234,3 +234,10 @@ def test_audience_overlap_golden(sample_edges):
         (3, 5, 1, 1 / 3),
         (3, 6, 1, 1 / 3),
     ]
+
+
+def test_two_hop_reach_golden(sample_edges):
+    rows = [tuple(r) for r in G.two_hop_reach(sample_edges, None, k=10).collect()]
+    # distinct endpoints, not walk multiplicity: u=1 reaches {3,5} (5 twice
+    # via 2 and 4 counts once); round-trips excluded (u=2 loses y=2)
+    assert rows == [(2, 3), (5, 3), (1, 2), (3, 2), (4, 2), (6, 1)]

@@ -451,3 +451,27 @@ def audience_overlap_pairs(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(k)
+
+
+def two_hop_reach(edges: DataFrame, max_limit: int | None = None, k: int = 20) -> DataFrame:
+    """Extension: top-k users by DISTINCT 2-hop reach — how many unique
+    accounts hear a retweet within two hops (x→z→y, y ≠ x).  The EX
+    degree-product counts walk MULTIPLICITY; reach deduplicates
+    endpoints, which no degree rewrite can express — the query that
+    genuinely requires the AP path join plus a distinct aggregate.
+
+    Plan shape: the capped self equi-join streams into
+    countDistinct(y) per x — Spark plans the distinct as a two-level
+    aggregate (partial (x, y) dedup map-side, then the per-x count), so
+    the shuffle never carries duplicate endpoint pairs; global top-k is
+    TakeOrderedAndProject.  Same Σ indeg·outdeg exposure and MAX
+    guardrail as every path-materializing query (SURVEY §2.3 J1).
+    """
+    e = filter_max(edges, max_limit)
+    a, b = fan_out(e).alias("a"), e.alias("b")
+    reach = (
+        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") != F.col("b.dst")))
+        .groupBy(F.col("a.src").alias("u"))
+        .agg(F.countDistinct(F.col("b.dst")).cast("long").alias("reach"))
+    )
+    return reach.orderBy(F.col("reach").desc(), F.col("u").asc()).limit(k)

@@ -383,3 +383,17 @@ ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20""",
 )
 def audience_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.audience_overlap_pairs(derived_edges(spark, sf_dir), MAX_PATHS, k=20)
+
+
+@register(
+    "two_hop_reach",
+    oracle=f"""{_E},
+e AS (SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS})
+SELECT a.src AS u, CAST(COUNT(DISTINCT b.dst) AS BIGINT) AS reach
+FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst
+GROUP BY a.src ORDER BY reach DESC, u ASC LIMIT 20""",
+    description="extension: top-20 users by distinct 2-hop reach — the AP path join "
+    "into a two-level distinct aggregate (map-side (u,y) dedup), TakeOrdered top-k",
+)
+def two_hop_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.two_hop_reach(derived_edges(spark, sf_dir), MAX_PATHS, k=20)
