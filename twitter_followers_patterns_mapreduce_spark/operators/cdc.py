@@ -140,12 +140,19 @@ def degrees_incremental(base_edges: DataFrame, delta_edges: DataFrame) -> DataFr
     """
     from twitter_followers_patterns_mapreduce_spark.operators.graph import degrees
 
-    b = degrees(base_edges)
-    d = degrees(delta_edges).select(
+    return merge_degrees(degrees(base_edges), degrees(delta_edges))
+
+
+def merge_degrees(base_agg: DataFrame, delta_agg: DataFrame) -> DataFrame:
+    """Merge two (id, out_deg, in_deg) degree AGGREGATES by summing —
+    the reusable half of :func:`degrees_incremental` (the streaming
+    maintainer feeds it the persisted view directly, |V| rows, so the
+    base graph is never re-aggregated)."""
+    d = delta_agg.select(
         F.col("id"), F.col("out_deg").alias("d_out"), F.col("in_deg").alias("d_in")
     )
     return (
-        b.join(d, on="id", how="full_outer")
+        base_agg.join(d, on="id", how="full_outer")
         .select(
             "id",
             (F.coalesce("out_deg", F.lit(0)) + F.coalesce("d_out", F.lit(0)))

@@ -1,0 +1,79 @@
+"""Streaming graph-view maintenance — the reference's edge-file input
+(``Makefile:10`` ``input/edges.csv``) reimagined as an unbounded edge
+arrival stream whose degree view stays continuously fresh.
+
+Pattern: ``foreachBatch`` + incremental view maintenance.  Each
+micro-batch of edge arrivals is aggregated ALONE (|batch| rows) and
+merged into the persisted degree view with the same aggregate-merge
+as the batch operator (``operators/cdc.py::merge_degrees`` — degree is
+self-maintainable under inserts), so per-batch cost is O(|batch| +
+|V|), never a rescan of edge history.
+
+Durability: the view is written to versioned subdirectories
+(``v=<batch_id>``) — the merge reads the previous version while
+writing the next, so there is no read-overwrite race, and a retried
+batch overwrites its own version idempotently (restart-safe together
+with the stream checkpoint).  Production systems replace the version
+dance with an ACID table format (Delta/Iceberg MERGE); vanilla-Spark
+semantics are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_followers_patterns_mapreduce_spark.operators.cdc import merge_degrees
+from twitter_followers_patterns_mapreduce_spark.operators.graph import degrees
+
+_VERSION_RE = re.compile(r"^v=(\d+)$")
+
+
+def edges_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source edge stream: each parquet file under ``path`` becomes
+    a micro-batch of edge arrivals (src, dst)."""
+    return spark.readStream.schema("src LONG, dst LONG").parquet(path)
+
+
+def _latest_version(view_path: str) -> int | None:
+    if not os.path.isdir(view_path):
+        return None
+    versions = [
+        int(m.group(1))
+        for name in os.listdir(view_path)
+        if (m := _VERSION_RE.match(name))
+    ]
+    return max(versions) if versions else None
+
+
+def read_degree_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """The current (id, out_deg, in_deg) view — latest version dir."""
+    v = _latest_version(view_path)
+    if v is None:
+        raise FileNotFoundError(f"no degree view at {view_path}")
+    return spark.read.parquet(f"{view_path}/v={v}")
+
+
+def maintain_degrees_foreach_batch(
+    spark: SparkSession, edge_stream: DataFrame, view_path: str, checkpoint: str
+):
+    """Start the maintenance query: every micro-batch merges into the
+    degree view.  Returns the StreamingQuery."""
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        prev = _latest_version(view_path)
+        delta = degrees(batch)
+        out = delta if prev is None else merge_degrees(
+            spark.read.parquet(f"{view_path}/v={prev}"), delta
+        )
+        out.write.mode("overwrite").parquet(f"{view_path}/v={batch_id}")
+
+    return (
+        edge_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
