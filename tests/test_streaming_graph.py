@@ -71,3 +71,22 @@ def test_streaming_degrees_restart_resumes(spark, edge_stream_dir, tmp_path):
     all_edges = make_edges(spark, [e for b in BATCHES for e in b])
     want = {r["id"]: (r["out_deg"], r["in_deg"]) for r in degrees(all_edges).collect()}
     assert got == want
+
+
+def test_version_helpers_skip_uncommitted_and_self(tmp_path):
+    import os
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.graph import _latest_version
+
+    view = tmp_path / "view"
+    for v, committed in [(0, True), (1, True), (2, False)]:
+        d = view / f"v={v}"
+        os.makedirs(d)
+        (d / "part-0.parquet").write_bytes(b"")
+        if committed:
+            (d / "_SUCCESS").write_bytes(b"")
+    # partial v=2 (crash mid-write, no _SUCCESS) is invisible
+    assert _latest_version(str(view)) == 1
+    # a retried batch 1 merges against its predecessor, not itself
+    assert _latest_version(str(view), below=1) == 0
+    assert _latest_version(str(view), below=0) is None

@@ -30,7 +30,7 @@ def bucket(n: str) -> str:
     if n.startswith(("ce_", "ex_", "ap_", "rs_", "rj_")) or n in (
         "degrees", "triangle_count", "rank_by_degree", "mutual_follow_pairs",
         "follow_recommendations", "degree_distribution", "reciprocity_summary",
-        "audience_overlap_pairs",
+        "audience_overlap_pairs", "two_hop_reach",
     ):
         return GROUPS[0]
     if n.startswith((

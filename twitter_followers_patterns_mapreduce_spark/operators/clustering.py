@@ -13,9 +13,10 @@ last-ulp difference.  The DuckDB oracle is the same fixed-point
 unrolled as a CTE chain.
 
 Scale shape per iteration: one bounded |V| × k cross against the
-broadcast centroid table (the declared IVF probe pattern), one
-partitioned argmin window, one posexplode + hash-agg for the means —
-no global windows, no data-sized cross joins.
+broadcast centroid table (the declared IVF probe pattern), a hash-agg
+argmin (``min(struct(d, cid))``, partial map-side — see ``_assign``),
+one posexplode + hash-agg for the means — no windows, no global sorts,
+no data-sized cross joins.
 """
 
 from __future__ import annotations

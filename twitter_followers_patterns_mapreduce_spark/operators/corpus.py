@@ -617,11 +617,12 @@ def pack_sequences(
         .orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # integer floor-division (div), NOT double '/'+cast: past 2^53
+    # prefix tokens the double rounding could move a chunk across a
+    # sequence boundary the oracle's exact `//` does not
     seq = with_lang.withColumn(
-        "seq_id",
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(seq_len))
-        .cast("long"),
-    )
+        "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("seq_id", F.expr(f"prefix div {seq_len}")).drop("prefix")
     return seq.groupBy("lang", "seq_id").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_chunks"),

@@ -330,22 +330,21 @@ def follow_recommendations(
     2-hop paths as follower-pattern mining) promoted to a ranked
     recommendation table.
 
-    Plan shape: the AP self equi-join (J1, ``approx/Approx2HopCount.java:94-120``)
-    under the same MAX guardrail → one hash aggregate on (u, v) — the
-    path count collapses BEFORE any further join, so downstream state
-    is O(candidate pairs), not O(paths) → LEFT ANTI equi-join removes
-    already-followed pairs (the reference has no anti-join; SURVEY §2.3
-    join checklist) → per-user top-k via a PARTITIONED window (the
-    user is the shuffle key; never a global sort).  Degenerate u→z→u
-    round-trips are excluded by the F3 theta-conjunct inside the join.
+    Plan shape: the AP self equi-join (J1 — :func:`two_hop_paths` with
+    the F3 round-trip conjunct, shared with RS) under the same MAX
+    guardrail → one hash aggregate on (u, v) — the path count collapses
+    BEFORE any further join, so downstream state is O(candidate pairs),
+    not O(paths) → LEFT ANTI equi-join removes already-followed pairs
+    (the reference has no anti-join; SURVEY §2.3 join checklist) →
+    per-user top-k via a PARTITIONED window (the user is the shuffle
+    key; never a global sort).
     """
     from pyspark.sql import Window
 
     e = filter_max(edges, max_limit)
-    a, b = fan_out(e).alias("a"), e.alias("b")
     cand = (
-        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") != F.col("b.dst")))
-        .groupBy(F.col("a.src").alias("u"), F.col("b.dst").alias("v"))
+        two_hop_paths(edges, max_limit, exclude_roundtrips=True)
+        .groupBy(F.col("x").alias("u"), F.col("z").alias("v"))
         .agg(F.count("*").cast("long").alias("n_common"))
     )
     fresh = cand.join(
@@ -435,9 +434,13 @@ def audience_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
     aud = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").cast("long").alias("n_aud"))
+    # no broadcast hint: the audience side is |V| rows — small under the
+    # MAX guardrail (AQE broadcasts it from runtime sizes) but forcing
+    # the hint would OOM an unguarded production graph; let the planner
+    # demote to a shuffle join when |V| outgrows the threshold
     scored = (
-        shared.join(F.broadcast(aud.select(F.col("id").alias("a"), F.col("n_aud").alias("aud_a"))), "a")
-        .join(F.broadcast(aud.select(F.col("id").alias("b"), F.col("n_aud").alias("aud_b"))), "b")
+        shared.join(aud.select(F.col("id").alias("a"), F.col("n_aud").alias("aud_a")), "a")
+        .join(aud.select(F.col("id").alias("b"), F.col("n_aud").alias("aud_b")), "b")
         .select(
             "a",
             "b",
@@ -455,7 +458,7 @@ def audience_overlap_pairs(
 
 def two_hop_reach(edges: DataFrame, max_limit: int | None = None, k: int = 20) -> DataFrame:
     """Extension: top-k users by DISTINCT 2-hop reach — how many unique
-    accounts hear a retweet within two hops (x→z→y, y ≠ x).  The EX
+    accounts hear a retweet within two hops (x→y→z, z ≠ x).  The EX
     degree-product counts walk MULTIPLICITY; reach deduplicates
     endpoints, which no degree rewrite can express — the query that
     genuinely requires the AP path join plus a distinct aggregate.
@@ -467,11 +470,9 @@ def two_hop_reach(edges: DataFrame, max_limit: int | None = None, k: int = 20) -
     TakeOrderedAndProject.  Same Σ indeg·outdeg exposure and MAX
     guardrail as every path-materializing query (SURVEY §2.3 J1).
     """
-    e = filter_max(edges, max_limit)
-    a, b = fan_out(e).alias("a"), e.alias("b")
     reach = (
-        a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") != F.col("b.dst")))
-        .groupBy(F.col("a.src").alias("u"))
-        .agg(F.countDistinct(F.col("b.dst")).cast("long").alias("reach"))
+        two_hop_paths(edges, max_limit, exclude_roundtrips=True)
+        .groupBy(F.col("x").alias("u"))
+        .agg(F.countDistinct(F.col("z")).cast("long").alias("reach"))
     )
     return reach.orderBy(F.col("reach").desc(), F.col("u").asc()).limit(k)

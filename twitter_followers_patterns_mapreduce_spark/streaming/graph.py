@@ -37,14 +37,24 @@ def edges_file_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema("src LONG, dst LONG").parquet(path)
 
 
-def _latest_version(view_path: str) -> int | None:
+def _committed_versions(view_path: str) -> list[int]:
+    """Version dirs whose write COMPLETED (``_SUCCESS`` marker present)
+    — a crash mid-write leaves a partial dir that must be invisible to
+    both readers and the next merge."""
     if not os.path.isdir(view_path):
-        return None
-    versions = [
+        return []
+    return [
         int(m.group(1))
         for name in os.listdir(view_path)
         if (m := _VERSION_RE.match(name))
+        and os.path.exists(os.path.join(view_path, name, "_SUCCESS"))
     ]
+
+
+def _latest_version(view_path: str, below: int | None = None) -> int | None:
+    versions = _committed_versions(view_path)
+    if below is not None:
+        versions = [v for v in versions if v < below]
     return max(versions) if versions else None
 
 
@@ -63,7 +73,11 @@ def maintain_degrees_foreach_batch(
     degree view.  Returns the StreamingQuery."""
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        prev = _latest_version(view_path)
+        # strictly-below: a RETRIED batch (view written, checkpoint not
+        # yet committed, crash, replay with the same batch_id) must merge
+        # against its predecessor, not read-and-overwrite its own output
+        # — that replay is exactly what makes the version idempotent
+        prev = _latest_version(view_path, below=batch_id)
         delta = degrees(batch)
         out = delta if prev is None else merge_degrees(
             spark.read.parquet(f"{view_path}/v={prev}"), delta
