@@ -62,6 +62,12 @@ def main() -> int:
     run("rs_triangle", lambda: G.triangle_count_raw(edges, max_limit, "shuffle"))
     run("degrees", lambda: G.degrees(edges), scalar=False)
     run("components_twostar", lambda: connected_components_twostar(edges), scalar=False)
+    # the Σ deg² expanders, unguarded: ~n·d² candidate rows collapse into
+    # their hash aggregates (recommendations/overlap/reach never carry
+    # the raw path set past the join)
+    run("follow_recs", lambda: G.follow_recommendations(edges, max_limit, k=5), scalar=False)
+    run("audience_overlap", lambda: G.audience_overlap_pairs(edges, max_limit, k=20), scalar=False)
+    run("two_hop_reach", lambda: G.two_hop_reach(edges, max_limit, k=20), scalar=False)
 
     # text/dedup families on a 10× replicated corpus: each copy gets a
     # disjoint doc_id range and a per-copy suffix token so exact dedup
@@ -91,6 +97,10 @@ def main() -> int:
     run("token_stats_10x", lambda: doc_token_stats(big), scalar=False)
     run("dedup_exact_10x", lambda: exact_dup_groups(big), scalar=False)
     run("minhash_lsh_10x", lambda: minhash_lsh_pairs(big, threshold=0.5), scalar=False)
+
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import pack_sequences
+
+    run("pack_sequences_10x", lambda: pack_sequences(big, seq_len=256), scalar=False)
 
     print(json.dumps(out))
     return 0

@@ -512,3 +512,55 @@ def q10_oracle(date_lo: str = "1998-01-01", date_hi: str = "1998-07-01", k: int 
 )
 SELECT CAST(rank AS INT) AS rank, c_custkey, c_name, n_name, revenue, n_items
 FROM ranked WHERE rank <= {k}"""
+
+
+def q18_large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_quantity: int = 250, k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity clears a HAVING threshold, joined back to customer — the
+    aggregated-subquery SEMI-JOIN pattern (SURVEY §2.3 lists no
+    subqueries in the reference; this is the engine-side coverage).
+
+    Plan shape: lineitem aggregates per order FIRST (one hash agg with
+    map-side partials — the same eager-aggregation stance as the
+    rollup), the HAVING filter prunes it to the heavy tail, and that
+    small survivor set drives broadcast joins against orders and
+    customer; top-k is TakeOrderedAndProject with a unique-key
+    tiebreak.  Quantities reduce in DECIMAL (exact, order-independent),
+    emitted as DOUBLE — the proven comparable format.
+    """
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+        .where(F.col("sum_qty") > F.lit(min_quantity))
+    )
+    joined = (
+        orders.join(F.broadcast(per_order), orders["o_orderkey"] == per_order["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+    return joined.orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc()).limit(k)
+
+
+def q18_oracle(min_quantity: int = 250, k: int = 100) -> str:
+    return f"""WITH per_order AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > {min_quantity})
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice AS total_price,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN per_order ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey ASC LIMIT {k}"""

@@ -248,3 +248,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=R.q18_oracle(min_quantity=250, k=100),
+    description="TPC-H Q18 shape: HAVING-filtered per-order aggregate drives "
+    "broadcast semi-pattern joins back to orders/customer; decimal-exact "
+    "quantities, TakeOrdered top-k",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q18_large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
