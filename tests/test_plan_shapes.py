@@ -164,3 +164,17 @@ def test_topk_plans_take_ordered_not_global_window(spark):
 
     for m in re.finditer(r"Window \[.*?\], \[(.*?)\]", plan):
         assert m.group(1).strip(), "window without partition spec"
+
+
+def test_follow_recommendations_plans_anti_join(spark):
+    plan = plan_of(spark, "follow_recommendations")
+    assert "LeftAnti" in plan  # already-followed pairs removed by anti-join
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["audience_overlap_pairs", "two_hop_reach", "q18_large_volume_customers"]
+)
+def test_topk_queries_plan_take_ordered(spark, name):
+    # global top-k must be per-partition heap + merge, never a full sort
+    assert "TakeOrderedAndProject" in plan_of(spark, name)
