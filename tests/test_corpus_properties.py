@@ -185,3 +185,40 @@ def test_token_surprisal_matches_python_oracle(spark, token_lists):
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["sum_bits"] == want_sum
         assert got[i]["mean_surprisal_bits"] == round(want_sum / len(toks), 6)
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    # packing must move every token of every non-empty chunk into exactly
+    # one sequence: per-lang token totals are conserved and sequence ids
+    # start at 0 with no gaps
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import (
+        doc_token_chunks,
+        pack_sequences,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(1 + (i * 7) % 11)), ["en", "fr"][i % 2])
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id LONG, text STRING, lang STRING")
+    packed = pack_sequences(docs, seq_len=16, window=4).collect()
+    chunks = (
+        doc_token_chunks(docs, window=4, stride=4)
+        .where(F.col("n_tokens") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    )
+    want_totals = {r["lang"]: r["total"] for r in chunks}
+    got_totals = {}
+    seq_ids = {}
+    for r in packed:
+        got_totals[r["lang"]] = got_totals.get(r["lang"], 0) + r["n_tokens"]
+        seq_ids.setdefault(r["lang"], set()).add(r["seq_id"])
+        assert r["n_chunks"] >= 1 and r["n_tokens"] >= 1
+    assert got_totals == want_totals
+    for lang, ids in seq_ids.items():
+        assert ids == set(range(len(ids))), f"gapped seq ids for {lang}"

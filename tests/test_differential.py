@@ -184,3 +184,57 @@ def test_twostar_components_match_union_find(spark, seed):
         for r in connected_components_twostar(make_edges(spark, edges)).collect()
     }
     assert got == py_components(edges)
+
+
+# --- follower-pattern extensions vs pure-Python oracles ----------------------
+
+
+def py_follow_recommendations(edges, k):
+    """Per-user top-k (n_common desc, v asc) over 2-hop candidates minus
+    followed/self — mirrors operators/graph.py::follow_recommendations."""
+    out = {}
+    eset = set(edges)
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    recs = {}
+    for u, followees in out.items():
+        counts = {}
+        for z in followees:
+            for v in out.get(z, ()):
+                if v != u and (u, v) not in eset:
+                    counts[v] = counts.get(v, 0) + 1
+        ranked = sorted(counts.items(), key=lambda it: (-it[1], it[0]))[:k]
+        for rank, (v, n) in enumerate(ranked, 1):
+            recs[(u, rank)] = (v, n)
+    return recs
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_follow_recommendations_matches_python(spark, seed):
+    edges = random_edges(seed)
+    got = {
+        (r["u"], r["rec_rank"]): (r["v"], r["n_common"])
+        for r in G.follow_recommendations(make_edges(spark, edges), None, k=3).collect()
+    }
+    assert got == py_follow_recommendations(edges, k=3)
+
+
+def py_two_hop_reach(edges):
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    return {
+        u: len({v for z in fs for v in out.get(z, ()) if v != u})
+        for u, fs in out.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_two_hop_reach_matches_python(spark, seed):
+    edges = random_edges(seed)
+    want = {u: r for u, r in py_two_hop_reach(edges).items() if r > 0}
+    got = {
+        r["u"]: r["reach"]
+        for r in G.two_hop_reach(make_edges(spark, edges), None, k=10_000).collect()
+    }
+    assert got == want
