@@ -238,3 +238,37 @@ def test_two_hop_reach_matches_python(spark, seed):
         for r in G.two_hop_reach(make_edges(spark, edges), None, k=10_000).collect()
     }
     assert got == want
+
+
+def py_assortativity(edges):
+    import math
+
+    out, inn = {}, {}
+    for a, b in edges:
+        out[a] = out.get(a, 0) + 1
+        inn[b] = inn.get(b, 0) + 1
+    xs = [out[a] for a, b in edges]
+    ys = [inn[b] for a, b in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    return (n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_assortativity_matches_python(spark, seed):
+    edges = random_edges(seed)
+    row = G.degree_assortativity(make_edges(spark, edges)).collect()[0]
+    want = py_assortativity(edges)
+    assert row["n"] == len(edges)
+    assert row["assortativity"] == pytest.approx(want, abs=1e-12)
+
+
+def test_assortativity_null_on_regular_cycle(spark):
+    # 3-cycle: every out/in degree is 1 → zero variance → NULL
+    row = G.degree_assortativity(make_edges(spark, [(1, 2), (2, 3), (3, 1)])).collect()[0]
+    assert row["assortativity"] is None

@@ -476,3 +476,48 @@ def two_hop_reach(edges: DataFrame, max_limit: int | None = None, k: int = 20) -
         .agg(F.countDistinct(F.col("z")).cast("long").alias("reach"))
     )
     return reach.orderBy(F.col("reach").desc(), F.col("u").asc()).limit(k)
+
+
+def degree_assortativity(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """Extension: out-degree → in-degree assortativity across directed
+    edges — the Pearson correlation between deg_out(src) and
+    deg_in(dst) over all edges, the one-number answer to "do prolific
+    followers follow popular accounts?" (Twitter graphs are famously
+    DISassortative).
+
+    Cross-engine exactness: every correlation term (n, Σx, Σy, Σxy,
+    Σx², Σy²) is an exact BIGINT sum of integer degrees — the single
+    double-typed expression is the final closed form evaluated once on
+    identical integers, so the result is bit-exact without any DECIMAL
+    machinery.
+
+    Plan shape: one degree aggregate (|V| rows) joined twice onto the
+    edge table — same two broadcast-able equi-joins as
+    :func:`three_hop_count_exact` — then ONE global aggregate with
+    map-side partials.  NULL when the variance of either side is zero
+    (degenerate regular graphs).
+    """
+    e = filter_max(edges, max_limit)
+    d = degrees(edges, max_limit)
+    xy = (
+        e.join(d.select(F.col("id").alias("src"), F.col("out_deg").alias("x")), "src")
+        .join(d.select(F.col("id").alias("dst"), F.col("in_deg").alias("y")), "dst")
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0),
+            num / F.sqrt(varx.cast("double") * vary.cast("double")),
+        ).alias("assortativity"),
+    )

@@ -397,3 +397,31 @@ GROUP BY a.src ORDER BY reach DESC, u ASC LIMIT 20""",
 )
 def two_hop_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.two_hop_reach(derived_edges(spark, sf_dir), MAX_PATHS, k=20)
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""{_E},
+tagged AS (
+  SELECT src AS id, 1 AS out_deg, 0 AS in_deg FROM edges
+  UNION ALL SELECT dst, 0, 1 FROM edges),
+deg AS (SELECT id, CAST(SUM(out_deg) AS BIGINT) AS out_deg, CAST(SUM(in_deg) AS BIGINT) AS in_deg
+        FROM tagged GROUP BY id),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx.out_deg) AS BIGINT) AS sx,
+         CAST(SUM(dy.in_deg) AS BIGINT) AS sy,
+         CAST(SUM(dx.out_deg * dy.in_deg) AS BIGINT) AS sxy,
+         CAST(SUM(dx.out_deg * dx.out_deg) AS BIGINT) AS sxx,
+         CAST(SUM(dy.in_deg * dy.in_deg) AS BIGINT) AS syy
+  FROM edges e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id)
+SELECT n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN (n * sxy - sx * sy) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS assortativity
+FROM s""",
+    description="extension: out→in degree assortativity (Pearson over edges) — "
+    "all correlation terms exact BIGINT sums, one closed-form double at the end",
+)
+def degree_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degree_assortativity(derived_edges(spark, sf_dir))
