@@ -100,3 +100,25 @@ def test_k_core_empty_when_k_too_large(spark):
 
     e = make_edges(spark, [(1, 2), (2, 3), (3, 1)])
     assert k_core(e, k=3, rounds=4).count() == 0
+
+
+# --- BFS distances -----------------------------------------------------------
+
+
+def test_bfs_distances_golden(spark):
+    from tests.conftest import make_edges
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import bfs_distances
+
+    # chain with a shortcut: 1→2→3→4, 1→4, 4→5; 6 unreachable from 1
+    edges = make_edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5), (6, 1)])
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, source=1).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_unreachable_source_alone(spark):
+    from tests.conftest import make_edges
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import bfs_distances
+
+    edges = make_edges(spark, [(2, 3)])
+    got = {r["id"]: r["dist"] for r in bfs_distances(edges, source=1).collect()}
+    assert got == {1: 0}

@@ -359,3 +359,60 @@ alive{i + 1} AS (
         )
     return head + "".join(steps) + f"""
 SELECT v, core_deg FROM alive{rounds}"""
+
+
+# ---------------------------------------------------------------------------
+# Single-source BFS shortest paths (directed)
+# ---------------------------------------------------------------------------
+
+def bfs_distances(edges: DataFrame, source: int, max_iter: int = 30) -> DataFrame:
+    """Directed single-source shortest hop-counts by synchronous
+    frontier expansion — the "how far does a retweet travel" primitive
+    (returns (id, dist) for every node reachable from ``source``).
+
+    Per pass: frontier ⋈ edges on the source endpoint (equi-join; the
+    frontier side is small and broadcasts), DISTINCT the next frontier,
+    LEFT ANTI against the visited set so each node is settled exactly
+    once — BFS's "first arrival is shortest" makes per-pass settling
+    correct with no re-relaxation.  O(diameter) passes like
+    :func:`connected_components`, same lazy-checkpoint discipline
+    (the frontier count is the one action per pass).
+
+    Scale note: the visited set is O(|V reachable|) rows of (id, dist)
+    — aggregate-sized state, never edges; power-law hubs inflate one
+    pass's join fan-out, which AQE skew-splits like every other
+    edge-keyed join in this module.
+    """
+    src_lit = F.lit(source).cast("long")
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        src_lit.alias("id"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=False)
+    frontier = dist.select("id")
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    for i in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(i).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("id")
+    return dist
+
+
+def bfs_distances_oracle(edges_cte: str, source: int, max_iter: int = 30) -> str:
+    """DuckDB oracle: bounded recursive closure, min hop count per node."""
+    return f"""WITH RECURSIVE e AS ({edges_cte}),
+walk(id, d) AS (
+  SELECT CAST({source} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.id = e.src
+  WHERE w.d < {max_iter}
+)
+SELECT id, MIN(d) AS dist FROM walk GROUP BY id"""

@@ -425,3 +425,18 @@ FROM s""",
 )
 def degree_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.degree_assortativity(derived_edges(spark, sf_dir))
+
+
+#: BFS source: smallest node id in the derived view (deterministic)
+_BFS_SOURCE = 0
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=GI.bfs_distances_oracle(EDGES_ORACLE_CTE, source=_BFS_SOURCE),
+    description="iterative: directed single-source BFS hop distances — frontier "
+    "equi-join + distinct + anti-join settle per pass, O(diameter) passes; "
+    "oracle = bounded recursive closure",
+)
+def graph_bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.bfs_distances(derived_edges(spark, sf_dir), source=_BFS_SOURCE)
