@@ -162,3 +162,17 @@ def test_type_pivot_sparse_cells_are_zero_not_null(spark):
     got = {r["user_decile"]: r for r in user_decile_type_pivot(df).collect()}
     assert got[1]["click"] == 2 and got[1]["purchase"] == 0
     assert got[2]["view"] == 1 and got[2]["signup"] == 0
+
+
+def test_gapfill_hourly_dense_spine(tiny_events):
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    out = E.gapfill_hourly(tiny_events).collect()
+    # span is 2 hours (events at minutes 0-70 → hours 0 and 1), 2 types → 4 rows
+    assert len(out) == 4
+    got = {(r.hour.hour, r.event_type): (r.n_events, r.sum_value) for r in out}
+    assert got[(0, "click")] == (4, 27.0)
+    assert got[(0, "view")] == (1, 32.0)
+    assert got[(1, "view")] == (1, 4.0)
+    # the empty (hour 1, click) cell is PRESENT and zero-filled, not absent
+    assert got[(1, "click")] == (0, 0.0)

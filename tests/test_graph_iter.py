@@ -122,3 +122,28 @@ def test_bfs_unreachable_source_alone(spark):
     edges = make_edges(spark, [(2, 3)])
     got = {r["id"]: r["dist"] for r in bfs_distances(edges, source=1).collect()}
     assert got == {1: 0}
+
+
+def test_k_truss_prunes_tail_keeps_clique(spark):
+    # K4 on {1,2,3,4} (every edge in ≥2 triangles) + a pendant triangle
+    # {4,5,6} whose edges sit in exactly 1 triangle + a tail 6-7.
+    # 4-truss (support ≥ 2): exactly the K4; the triangle and tail peel.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = make_edges(spark, k4 + [(4, 5), (5, 6), (6, 4), (6, 7)])
+    out = {(r.a, r.b): r.support for r in GI.k_truss(e, k=4, rounds=3).collect()}
+    assert set(out) == set(k4)
+    assert all(s == 2 for s in out.values())
+
+
+def test_k_truss_3truss_keeps_triangles(spark):
+    # 3-truss (support ≥ 1) keeps every triangle edge, drops the tail
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    out = {(r.a, r.b) for r in GI.k_truss(e, k=3, rounds=2).collect()}
+    assert out == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_k_truss_direction_and_duplicates_ignored(spark):
+    # reciprocal + duplicate edges canonicalize to one undirected edge
+    e = make_edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)])
+    out = {(r.a, r.b) for r in GI.k_truss(e, k=3, rounds=2).collect()}
+    assert out == {(1, 2), (2, 3), (1, 3)}

@@ -32,6 +32,13 @@ ALLOWED_BRUTE_FORCE = {
     "ann_topk_ivf",
     "embedding_kmeans",
     "ann_topk_ivf_kmeans",
+    # bounded DECLARED crosses, not brute force:
+    #   * q22 — the TPC-H scalar-subquery pattern: a 1-row broadcast
+    #     threshold crossed onto customer (cardinality × 1)
+    #   * gapfill — dimension-spine construction: |hours| × |types|,
+    #     both broadcast-small next to the fact table
+    "q22_idle_rich_customers",
+    "events_gapfill_hourly",
 }
 
 

@@ -96,3 +96,116 @@ def test_supplier_part_coverage_keeps_zero_suppliers(spark, lineitem):
     assert r[100] == (2, 2)
     assert r[101] == (1, 1)
     assert r[999] == (0, 0)  # left-outer keeps the supplier with no lineitems
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H shape additions
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def part3(spark):
+    rows = [
+        (10, "widget", "Brand#12", "SMALL", 3, 9.0),
+        (11, "gadget", "Brand#23", "SMALL", 7, 9.0),
+        (12, "gizmo", "Brand#34", "LARGE", 40, 9.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE",
+    )
+
+
+@pytest.fixture(scope="module")
+def supplier3(spark):
+    rows = [(100, "ACME", 1, 50.0), (101, "BadCo", 1, -5.0), (102, "Duo", 2, 10.0)]
+    return spark.createDataFrame(
+        rows, schema="s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    )
+
+
+def test_q2_min_per_part_join_back(lineitem, part3, supplier3):
+    # part 10 appears at prices 100 (supp 100) and 50 (supp 101): only
+    # the min-price row survives the correlated-min join-back
+    out = R.q2_min_cost_supplier(part3, supplier3, lineitem, max_size=10, ptype="SMALL")
+    rows = {(r.p_partkey, r.s_suppkey, r.min_price) for r in out.collect()}
+    assert rows == {(10, 101, 50.0), (11, 100, 200.0)}
+
+
+def test_q12_priority_case_counts(orders, lineitem):
+    out = R.q12_priority_counts(orders, lineitem, year=1995)
+    got = {r.l_linestatus: (r.high_line_count, r.low_line_count) for r in out.collect()}
+    # 1995 lineitems: orders 1 (URGENT, 2 lines, status O) and 2 (HIGH, 1 line, F)
+    assert got == {"O": (2, 0), "F": (1, 0)}
+
+
+def test_q14_promo_ratio_exact(lineitem, part3):
+    out = R.q14_promo_revenue(
+        lineitem, part3, month_lo="1995-06-01", month_hi="1995-07-01"
+    ).collect()[0]
+    # June-1995 lineitems: part 10 (SMALL) 90+25, part 11 (SMALL) 200 — no
+    # PROMO p_type at all → promo share 0
+    assert out.promo_revenue_pct == 0.0
+    assert out.total_revenue == 315.0
+
+
+def test_q16_excludes_negative_balance_suppliers(lineitem, part3, supplier3):
+    out = R.q16_supplier_part_counts(part3, supplier3, lineitem, excl_brand="Brand#99")
+    got = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in out.collect()}
+    # supplier 101 (acctbal<0) is anti-joined away: part 10 keeps only supp 100
+    assert got[("Brand#12", "SMALL", 3)] == 1
+    assert got[("Brand#23", "SMALL", 7)] == 1
+
+
+def test_q22_threshold_and_anti_join(spark, orders):
+    cust = spark.createDataFrame(
+        [(7, 1, 100.0), (8, 1, 1000.0), (9, 2, 1000.0), (10, 2, -50.0)],
+        schema="c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE",
+    )
+    # avg positive balance = (100+1000+1000)/3 = 700; rich = {8, 9};
+    # customer 8 ordered in 1995 → idle rich = {9}
+    out = R.q22_idle_rich_customers(cust, orders, cutoff="1995-01-01").collect()
+    assert [(r.c_nationkey, r.numcust, r.totacctbal) for r in out] == [(2, 1, 1000.0)]
+
+
+def test_customers_lost_yoy_except(spark, customer):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(1995, 1, 1)),
+            (2, 8, dt.datetime(1995, 2, 1)),
+            (3, 8, dt.datetime(1996, 3, 1)),
+        ],
+        schema="o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP",
+    )
+    out = R.customers_lost_yoy(orders, customer, 1995, 1996).collect()
+    # 1995 actives {7, 8} minus 1996 actives {8} → lost {7} (nation 1)
+    assert [(r.c_nationkey, r.n_lost_customers) for r in out] == [(1, 1)]
+
+
+def test_ntile_partitioned_and_deterministic(spark):
+    cust = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(1, 5)] + [(10, 2, 7.0)],
+        schema="c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE",
+    )
+    out = R.customer_balance_ntiles(cust, n=2)
+    got = {(r.c_nationkey, r.decile): (r.n_customers, r.sum_bal) for r in out.collect()}
+    assert got == {(1, 1): (2, 3.0), (1, 2): (2, 7.0), (2, 1): (1, 7.0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionBy" not in plan or "partitionBy" not in plan  # window present
+    # the window must be partitioned — a global ntile would single-task
+    assert "ntile" in plan
+
+
+def test_grouping_sets_three_sets(orders):
+    out = R.orders_grouping_sets(orders).collect()
+    total = [r for r in out if r.g_priority == 1 and r.g_year == 1]
+    assert len(total) == 1 and total[0].n_orders == 3 and total[0].sum_totalprice == 670.0
+    by_year = [r for r in out if r.g_priority == 1 and r.g_year == 0]
+    assert {(r.o_year, r.n_orders) for r in by_year} == {(1995, 3)}
+    by_prio = [r for r in out if r.g_priority == 0 and r.g_year == 1]
+    assert {(r.o_orderpriority, r.n_orders) for r in by_prio} == {
+        ("1-URGENT", 2),
+        ("2-HIGH", 1),
+    }

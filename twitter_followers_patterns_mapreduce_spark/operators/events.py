@@ -384,3 +384,65 @@ SELECT CAST(user_id % 10 AS BIGINT) AS user_decile,
   CAST(SUM(converted) AS BIGINT) AS n_converted,
   round(SUM(converted) / COUNT(*), 6) AS conversion_rate
 FROM per_user GROUP BY user_id % 10"""
+
+
+def gapfill_hourly(events: DataFrame) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine per event type
+    with zero-filled counts — the resample/asfreq primitive every
+    time-series stack needs and plain GROUP BY can't produce (groups
+    with no rows don't exist to group).
+
+    Plan shape: a 1-row global agg pins the corpus's [min, max] hour
+    span; ``sequence()`` + ``explode`` generates the spine rows
+    engine-side (never a driver loop), the distinct type list
+    cross-joins it (broadcast — both sides are dimension-sized), and
+    the observed hourly counts LEFT-join the spine on the (hour, type)
+    equi-key.  At 100 TB the spine is |hours|·|types| rows — tiny next
+    to the fact table — so the only real shuffle is the counts agg;
+    spine⋈counts broadcasts the spine.
+
+    The reference has no temporal surface at all (SURVEY.md §2.5);
+    this extends the event-window family (`tumbling_hourly`)."""
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_hours = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    counts = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return (
+        spine.join(counts, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+GAPFILL_HOURLY_ORACLE = """WITH span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine_hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span
+), spine AS (
+  SELECT h.hour, t.event_type
+  FROM spine_hours h CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour, s.event_type,
+       COALESCE(c.n_events, 0) AS n_events,
+       COALESCE(c.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN counts c ON s.hour = c.hour AND s.event_type = c.event_type"""

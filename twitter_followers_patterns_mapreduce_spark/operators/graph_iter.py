@@ -116,9 +116,13 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     regardless of aggregation order.
     """
     e = edges.select("src", "dst").localCheckpoint(eager=False)
-    # deg and nodes are re-referenced every iteration — lazy-checkpoint
-    # them so the 5-level plan computes each ONCE instead of per level
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(eager=False)
+    # out_deg is a static per-source property: fold it into the edge
+    # table ONCE (one join, before the loop) instead of re-joining deg
+    # on every pass — at scale this halves the loop's join count, and
+    # the widened edge table is the natural artifact to pre-partition
+    # (or bucket) by src so each pass's rank join is co-located
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -128,8 +132,7 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     ranks = nodes.select("id", F.lit(1.0).cast(_DEC).alias("rank"))
     for _ in range(iters):
         contribs = (
-            e.join(ranks, e["src"] == ranks["id"])
-            .join(deg, "src")
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank").cast("double") / F.col("out_deg")).cast(_DEC).alias("contrib"),
@@ -416,3 +419,92 @@ walk(id, d) AS (
   WHERE w.d < {max_iter}
 )
 SELECT id, MIN(d) AS dist FROM walk GROUP BY id"""
+
+
+# ---------------------------------------------------------------------------
+# k-truss: edge-centric cohesion (the edge analogue of k-core)
+# ---------------------------------------------------------------------------
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support within canonical edge set ``e``
+    (columns (a, b), a < b): the number of common neighbors each
+    edge's endpoints share inside ``e``.
+
+    Shape: symmetrize, wedge-join on the shared neighbor z (equi-join
+    — the same two-path join as the reference's 2-hop,
+    ``exact/Exact2HopCount.java:61-69``), close each wedge against the
+    edge set with a LEFT SEMI join, then one hash aggregate.  Never
+    all-pairs; AQE splits hot-z wedges exactly as in triangle_count."""
+    und = e.select("a", "b").union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    u1 = und.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    u2 = und.select(F.col("b").alias("z"), F.col("a").alias("y"))
+    wedges = u1.join(u2, "z").where(F.col("x") < F.col("y")).select(
+        F.col("x").alias("a"), F.col("y").alias("b")
+    )
+    closed = wedges.join(e, ["a", "b"], "left_semi")
+    return closed.groupBy("a", "b").agg(F.count("*").cast("long").alias("support"))
+
+
+def k_truss(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """k-truss of the undirected simple graph by synchronous edge
+    peeling: each round recomputes every surviving edge's triangle
+    support and drops edges with support < k-2, for ``rounds``
+    synchronous rounds (oracle unrolls the same); a final support pass
+    annotates the survivors.  Returns (a, b, support), a < b.
+
+    This is the EDGE-centric cohesion dual of :func:`k_core` — the
+    natural next member of the reference's triangle family
+    (``rsjoin/RSJoinTriangleCount.java``: one support pass is exactly
+    its two chained jobs; the truss iterates that pass to a fixed
+    point).
+
+    Scale: each round is the triangle-count join pipeline over a
+    monotonically shrinking edge set — two shuffles (wedge join, per-
+    edge agg) plus the semi-join; lineage truncated per round via lazy
+    localCheckpoint like every iterative operator here."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = (
+            sup.where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return _edge_support(e).join(e, ["a", "b"], "left_semi")
+
+
+def k_truss_oracle(edges_cte: str, k: int = 3, rounds: int = 3) -> str:
+    """DuckDB oracle: the same synchronous peeling unrolled as a CTE
+    chain, one support CTE per round."""
+
+    def support(src: str) -> str:
+        return f"""(
+  WITH und AS (SELECT a, b FROM {src} UNION ALL SELECT b AS a, a AS b FROM {src})
+  SELECT u1.a AS a, u2.a AS b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+  WHERE EXISTS (SELECT 1 FROM {src} e WHERE e.a = u1.a AND e.b = u2.a)
+  GROUP BY u1.a, u2.a)"""
+
+    head = f"""WITH s AS ({edges_cte}),
+e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM s WHERE src <> dst)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f""",
+e{i + 1} AS (SELECT a, b FROM {support(f'e{i}')} sup WHERE support >= {k - 2})"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT sup.a, sup.b, sup.support FROM {support(f'e{rounds}')} sup
+WHERE EXISTS (SELECT 1 FROM e{rounds} e WHERE e.a = sup.a AND e.b = sup.b)"""
+    )

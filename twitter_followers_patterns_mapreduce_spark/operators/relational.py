@@ -564,3 +564,431 @@ FROM orders
 JOIN per_order ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_price DESC, o_orderkey ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H shape coverage: correlated subquery (Q2), nation-pair
+# volume (Q7), conditional counts (Q12), conditional ratio (Q14),
+# distinct-count with anti-join exclusions (Q16), disjunctive pushdown
+# (Q19), scalar-subquery + anti-join (Q22), EXCEPT set-op, partitioned
+# ntile.  The reference has no relational surface (SURVEY.md §1.1);
+# these pin the classic query SHAPES onto the reduced harness schema.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    max_size: int = 10,
+    ptype: str = "SMALL",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (min cost per part)
+    re-expressed as aggregate + join-back — the standard decorrelation
+    Catalyst itself applies to scalar subqueries.
+
+    ``l_extendedprice`` stands in for ``ps_supplycost`` (no partsupp
+    table in the harness schema).  The min is per part over ALL
+    lineitems; part-attribute filters prune afterwards, exactly like
+    Q2's outer-query predicates.
+
+    Scale: the min-per-part aggregate is a map-side-combinable hash agg
+    on the join key itself, so agg output and join-back co-partition
+    (one shuffle feeds both); supplier is a broadcast dim.  Equality on
+    the min is exact (same double compared to itself)."""
+    mins = lineitem.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    hits = lineitem.join(
+        mins,
+        (lineitem["l_partkey"] == mins["mk"])
+        & (lineitem["l_extendedprice"] == mins["min_price"]),
+    )
+    out = (
+        hits.join(
+            part.where((F.col("p_size") <= max_size) & (F.col("p_type") == ptype)),
+            hits["l_partkey"] == part["p_partkey"],
+        )
+        .join(F.broadcast(supplier), hits["l_suppkey"] == supplier["s_suppkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price")
+        .distinct()
+    )
+    return out.orderBy(
+        F.col("min_price").asc(), F.col("p_partkey").asc(), F.col("s_suppkey").asc()
+    ).limit(k)
+
+
+def q2_oracle(max_size: int = 10, ptype: str = "SMALL", k: int = 100) -> str:
+    """Oracle keeps the CORRELATED form so the two spellings are
+    checked against each other (DuckDB decorrelates internally)."""
+    return f"""SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+       l.l_extendedprice AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= {max_size} AND p.p_type = '{ptype}'
+  AND l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey)
+ORDER BY min_price ASC, p_partkey ASC, s_suppkey ASC LIMIT {k}"""
+
+
+def q7_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n1: str = "NATION_1",
+    n2: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: two-nation shipping volume — the fact table
+    joins BOTH a supplier-side and a customer-side dimension chain,
+    with a symmetric pair predicate across the two chains.
+
+    Scale: nation⋈supplier and nation⋈customer collapse to broadcasts;
+    only lineitem⋈orders shuffles.  The pair predicate lands on the
+    already-joined row (no join-order constraint for Catalyst)."""
+    ns = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sup = supplier.join(F.broadcast(ns), supplier["s_nationkey"] == ns["s_nk"]).select(
+        "s_suppkey", "supp_nation"
+    )
+    cus = customer.join(F.broadcast(nc), customer["c_nationkey"] == nc["c_nk"]).select(
+        "c_custkey", "cust_nation"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    rows = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sup), lineitem["l_suppkey"] == sup["s_suppkey"])
+        .join(cus, orders["o_custkey"] == cus["c_custkey"])
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            rev.alias("volume"),
+        )
+    )
+    return rows.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        F.sum("volume").cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+def q7_oracle(n1: str = "NATION_1", n2: str = "NATION_2") -> str:
+    return f"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) *
+                (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{n1}' AND nc.n_name = '{n2}')
+   OR (ns.n_name = '{n2}' AND nc.n_name = '{n1}')
+GROUP BY 1, 2, 3"""
+
+
+def q12_priority_counts(orders: DataFrame, lineitem: DataFrame, year: int = 1997) -> DataFrame:
+    """TPC-H Q12 shape: join then conditional CASE counts per group
+    (``l_linestatus`` stands in for the absent ``l_shipmode``)."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(F.year("l_shipdate") == year)
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q12_oracle(year: int = 1997) -> str:
+    return f"""SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = {year}
+GROUP BY l_linestatus"""
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame, part: DataFrame, month_lo: str = "1997-09-01", month_hi: str = "1997-10-01"
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional-ratio aggregate over a broadcast
+    join — promo revenue share for one month, one output row.
+
+    Both numerator and denominator reduce in DECIMAL (exact), the final
+    ratio is one IEEE double division rounded to 6dp."""
+    rev = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(month_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(month_hi).cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+    total = F.sum(rev.cast(DEC))
+    return joined.agg(
+        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6).alias(
+            "promo_revenue_pct"
+        ),
+        promo.cast("double").alias("promo_revenue"),
+        total.cast("double").alias("total_revenue"),
+    )
+
+
+def q14_oracle(month_lo: str = "1997-09-01", month_hi: str = "1997-10-01") -> str:
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(15,4)) * "
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))"
+    )
+    return f"""SELECT
+  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {rev}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              / CAST(SUM(CAST({rev} AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue_pct,
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    AS promo_revenue,
+  CAST(SUM(CAST({rev} AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{month_lo} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{month_hi} 00:00:00'"""
+
+
+def q16_supplier_part_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    excl_brand: str = "Brand#45",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    group, with an anti-join exclusion list (suppliers in bad standing
+    — ``s_acctbal < 0`` stands in for the comment-pattern complaint
+    filter).
+
+    Scale: the exclusion list is tiny → broadcast LEFT ANTI join; the
+    distinct-count is a two-level hash agg (distinct on the grouped
+    pair first, then count) — Spark plans exactly that via partial
+    aggregation, no row explosion."""
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.join(F.broadcast(bad), lineitem["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part.where(F.col("p_brand") != excl_brand),
+              lineitem["l_partkey"] == part["p_partkey"])
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(k)
+    )
+
+
+def q16_oracle(excl_brand: str = "Brand#45", k: int = 100) -> str:
+    return f"""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{excl_brand}'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC LIMIT {k}"""
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunct-groups join predicate — the
+    classic disjunctive-pushdown test.  Catalyst extracts the common
+    ``l_partkey = p_partkey`` equi-conjunct (so the join stays hash,
+    never nested-loop) and pushes the per-branch brand/size conjuncts
+    into the part scan as an OR filter."""
+    rev = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)")
+    )
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .where(branch)
+        .agg(F.sum(rev.cast(DEC)).cast("double").alias("revenue"),
+             F.count("*").alias("n_lineitems"))
+    )
+
+
+def q19_oracle() -> str:
+    rev = (
+        "CAST(CAST(l_extendedprice AS DECIMAL(15,4)) * "
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(18,4))"
+    )
+    return f"""SELECT CAST(SUM({rev}) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def q22_idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row
+    cross join) + NOT EXISTS anti-join — customers richer than the
+    positive-balance average with no orders on/after ``cutoff``,
+    rolled up per nation.
+
+    The average is computed as exact DECIMAL sum → one double division
+    (identical IEEE op in both engines), so the threshold — and hence
+    set membership — is bit-deterministic."""
+    thresh = customer.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
+    ).select("o_custkey")
+    rich = customer.crossJoin(F.broadcast(thresh)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+    )
+
+
+def q22_oracle(cutoff: str = "1999-01-01") -> str:
+    return f"""SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{cutoff} 00:00:00')
+GROUP BY c_nationkey"""
+
+
+def customers_lost_yoy(
+    orders: DataFrame, customer: DataFrame, year_a: int = 1995, year_b: int = 1996
+) -> DataFrame:
+    """EXCEPT set-op shape: customers active in ``year_a`` but not in
+    ``year_b`` (the churn complement of ``repeat_customers_yoy``),
+    counted per nation.
+
+    ``subtract`` is EXCEPT DISTINCT — planned as a left-anti join over
+    distinct keys, the same shuffle shape as any anti-join; no sort."""
+    active = lambda y: (
+        orders.where(F.year("o_orderdate") == y).select("o_custkey").distinct()
+    )
+    lost = active(year_a).subtract(active(year_b))
+    return (
+        lost.join(customer, lost["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_lost_customers"))
+    )
+
+
+def customers_lost_yoy_oracle(year_a: int = 1995, year_b: int = 1996) -> str:
+    return f"""WITH lost AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {year_a}
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = {year_b})
+SELECT c_nationkey, COUNT(*) AS n_lost_customers
+FROM lost JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey"""
+
+
+def customer_balance_ntiles(customer: DataFrame, n: int = 10) -> DataFrame:
+    """Partitioned NTILE deciles: per-nation balance deciles with
+    exact-decimal per-decile mass.  The window is partitioned by
+    nation (never global — a bare ``Window.orderBy`` is the
+    single-partition sort this engine bans); ties broken by custkey so
+    the tile assignment is total-order deterministic."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    tiled = customer.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(n).over(w).alias("decile"),
+    )
+    return tiled.groupBy("c_nationkey", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_bal"),
+    )
+
+
+def customer_balance_ntiles_oracle(n: int = 10) -> str:
+    return f"""SELECT c_nationkey, decile, COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         NTILE({n}) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer)
+GROUP BY c_nationkey, decile"""
+
+
+def orders_grouping_sets(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS — the general form behind the rollup/cube pair
+    already covered (``orders_priority_year_cube``): exactly the three
+    sets ((priority), (year), ()) with ``grouping()`` flags, planned
+    as a single Expand + hash agg (one scan, one shuffle).
+
+    Uses the Spark 4 ``DataFrame.groupingSets`` API directly — the
+    DataFrame spelling of ``GROUP BY GROUPING SETS``."""
+    base = orders.select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        "o_totalprice",
+    )
+    return base.groupingSets(
+        [["o_orderpriority"], ["o_year"], []],
+        F.col("o_orderpriority"),
+        F.col("o_year"),
+    ).agg(
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping("o_year").cast("int").alias("g_year"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_totalprice"),
+    )
+
+
+def orders_grouping_sets_oracle() -> str:
+    return """SELECT o_orderpriority,
+       CAST(o_year AS BIGINT) AS o_year,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_year) AS INT) AS g_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
+FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year, o_totalprice FROM orders)
+GROUP BY GROUPING SETS ((o_orderpriority), (o_year), ())"""

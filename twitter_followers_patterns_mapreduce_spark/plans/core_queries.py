@@ -440,3 +440,23 @@ _BFS_SOURCE = 0
 )
 def graph_bfs_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.bfs_distances(derived_edges(spark, sf_dir), source=_BFS_SOURCE)
+
+
+#: the truss runs on the MAX_PATHS-filtered graph (dense enough for real
+#: triangle structure — the sparse CC graph 4-trusses to ~3 edges, a
+#: vacuous check) with k=4 so the support threshold (k-2=2) actually
+#: prunes; 3 rounds reach the fixed point at sf0.01 (FIXTURES.md §1.5).
+_TRUSS_CTE = f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}"
+
+
+@register(
+    "graph_ktruss",
+    oracle=GI.k_truss_oracle(_TRUSS_CTE, k=4, rounds=3),
+    description="iterative: 4-truss via synchronous edge peeling — each round is the "
+    "triangle-support join pipeline (wedge equi-join + semi-join closure) over the "
+    "shrinking edge set; oracle = same peeling unrolled",
+)
+def graph_ktruss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
+    return GI.k_truss(e, k=4, rounds=3)

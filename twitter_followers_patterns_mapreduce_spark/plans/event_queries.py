@@ -174,3 +174,13 @@ def events_type_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.funnel_conversion(load_events(spark, sf_dir))
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle=E.GAPFILL_HOURLY_ORACLE,
+    description="time-series gap fill: dense hourly spine per event type generated "
+    "engine-side (sequence+explode), zero-filled counts via broadcast spine left-join",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.gapfill_hourly(load_events(spark, sf_dir))

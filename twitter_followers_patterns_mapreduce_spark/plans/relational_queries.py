@@ -263,3 +263,132 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H shape coverage
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=R.q2_oracle(),
+    description="TPC-H Q2 shape: correlated min-per-part scalar subquery, decorrelated "
+    "to agg + join-back (co-partitioned on the join key); oracle keeps the correlated "
+    "spelling so both forms check each other",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q2_min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle=R.q7_oracle(),
+    description="TPC-H Q7 shape: symmetric nation-pair volume via dual dimension "
+    "chains (both broadcast); only lineitem⋈orders shuffles",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q7_nation_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q12_priority_counts",
+    oracle=R.q12_oracle(),
+    description="TPC-H Q12 shape: year-filtered join then CASE conditional counts "
+    "per linestatus",
+)
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q12_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=R.q14_oracle(),
+    description="TPC-H Q14 shape: conditional-ratio aggregate (promo revenue share) "
+    "over a broadcast part join, one output row, exact decimal reduction",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q14_promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle=R.q16_oracle(),
+    description="TPC-H Q16 shape: COUNT(DISTINCT supplier) per part-attribute group "
+    "with broadcast anti-join supplier exclusion; deterministic top-k",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q16_supplier_part_counts(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=R.q19_oracle(),
+    description="TPC-H Q19 shape: OR-of-conjunct-groups predicate — equi-conjunct "
+    "extracted so the join stays hash; branch filters pushed into the part scan",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q19_disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=R.q22_oracle(),
+    description="TPC-H Q22 shape: broadcast scalar-subquery threshold + anti-join "
+    "against recent orders, per-nation rollup; bit-deterministic threshold",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q22_idle_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_lost_yoy",
+    oracle=R.customers_lost_yoy_oracle(),
+    description="EXCEPT set-op: customers active in 1995 but not 1996 (churn), "
+    "per-nation counts — planned as distinct + left-anti join",
+)
+def customers_lost_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_lost_yoy(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "customer_balance_ntiles",
+    oracle=R.customer_balance_ntiles_oracle(),
+    description="partitioned NTILE deciles per nation (never a global window), "
+    "total-order tie-break, exact per-decile decimal mass",
+)
+def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_balance_ntiles(load_table(spark, sf_dir, "customer"))
+
+
+@register(
+    "orders_grouping_sets",
+    oracle=R.orders_grouping_sets_oracle(),
+    description="GROUPING SETS ((priority),(year),()) via the Spark 4 DataFrame "
+    "groupingSets API — one Expand + single hash agg, grouping() flags emitted",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_grouping_sets(load_table(spark, sf_dir, "orders"))
