@@ -141,3 +141,30 @@ def test_quantize_stats_numpy_differential(spark):
         assert abs(got[i]["mean_sq_err"] - float((err * err).sum() / 8)) < 1e-9
         assert got[i]["n_saturated"] == int((np.abs(q) >= 127.0).sum())
     assert got[5]["max_abs_err"] == 0.0 and got[5]["scale"] == 1.0
+
+
+def test_pq_topk_matches_bruteforce_after_rerank(spark):
+    """With rerank covering the whole corpus, SQ8 + exact rerank must
+    equal the exact brute-force answer — quantization error can reorder
+    the shortlist but never the reranked top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, schema=SCHEMA)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.ann_topk_bruteforce(emb, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.ann_topk_pq(emb, k=5, rerank=59).collect()
+    }
+    assert pq == exact
+
+
+def test_pq_codes_are_saturating_integers(emb):
+    out = S.ann_topk_pq(emb, k=3, rerank=3).collect()
+    # identical vector still ranks first after int8 round-trip
+    top = [r for r in out if r.query_id == 0 and r.rank == 1]
+    assert top and top[0].neighbor_id == 1 and top[0].sim == 1.0

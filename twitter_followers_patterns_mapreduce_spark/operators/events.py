@@ -446,3 +446,43 @@ SELECT s.hour, s.event_type,
        COALESCE(c.n_events, 0) AS n_events,
        COALESCE(c.sum_value, 0.0) AS sum_value
 FROM spine s LEFT JOIN counts c ON s.hour = c.hour AND s.event_type = c.event_type"""
+
+
+def value_moving_1h(events: DataFrame) -> DataFrame:
+    """Trailing 1-hour per-user moving aggregate via a RANGE window
+    frame — the time-interval frame ROWS BETWEEN cannot express (rows
+    at irregular timestamps; the frame is defined by VALUE distance,
+    not row count).
+
+    Plan shape: one shuffle on user_id, one per-partition sort by the
+    epoch-seconds order key; the RANGE frame is evaluated by a sliding
+    aggregate over the sorted run.  Partitioned by user (never a
+    global window); the sum reduces in DECIMAL so the emitted value is
+    order-exact cross-engine."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("*").over(w),
+            6,
+        ).alias("avg_1h"),
+    )
+
+
+VALUE_MOVING_1H_ORACLE = """SELECT event_id, user_id, ts,
+  COUNT(*) OVER w AS n_1h,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w, 6) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""

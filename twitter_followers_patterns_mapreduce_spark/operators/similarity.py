@@ -27,6 +27,7 @@ from twitter_followers_patterns_mapreduce_spark.functions.vector import (
     cosine,
     cosine_sql_duckdb,
     cosine_with_norms,
+    dot,
     norm,
 )
 from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
@@ -535,3 +536,128 @@ SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
   round(list_sum(list_transform(err, e -> e * e)) / dim, 9) AS mean_sq_err,
   CAST(len(list_filter(q, c -> abs(c) >= 127.0)) AS BIGINT) AS n_saturated
 FROM ed"""
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized ANN (scalar-quantization candidates + exact rerank)
+# ---------------------------------------------------------------------------
+
+def _int8_codes(v: F.Column, scale: F.Column) -> F.Column:
+    """Symmetric int8 codes (same arithmetic as
+    :func:`embedding_quantize_stats`): floor(x·scale + 0.5) clamped to
+    ±127, kept as exact small integers in DOUBLE so the downstream dot
+    product is a plain zip_with fold."""
+    return F.transform(
+        v,
+        lambda x: F.greatest(
+            F.least(F.floor(x * scale + F.lit(0.5)).cast("double"), F.lit(127.0)),
+            F.lit(-127.0),
+        ),
+    )
+
+
+def ann_topk_pq(embeddings: DataFrame, k: int = 5, rerank: int = 20) -> DataFrame:
+    """Two-stage quantized ANN: (1) candidate generation scores every
+    query/corpus pair on INT8 codes — at scale the corpus's code table
+    is 4× smaller than float32 (16× smaller than the staged doubles),
+    so the scan stage is memory-bandwidth-bound on a quarter of the
+    bytes; (2) only the top-``rerank`` candidates per query are
+    re-scored with exact full-precision cosine, and the final top-``k``
+    comes from that rerank.  This is the scalar-quantization (SQ8)
+    retrieval pattern used by FAISS-style systems, expressed as pure
+    DataFrame algebra.
+
+    Determinism: codes are exact small integers (|code| ≤ 127, dot ≤
+    127²·dim ≪ 2⁵³), the zip_with/aggregate fold runs in index order,
+    and both rank windows break ties by neighbor_id — so the result is
+    reproducible bit-for-bit in the DuckDB oracle.
+
+    Scale: stage 1 is the brute-force shape (broadcast queries × corpus
+    scan) on the compressed representation; stage 2's exact join
+    touches |queries|·rerank rows — dimension-sized.  The staged
+    ``codes`` column is the artifact a real deployment materializes
+    once and scans instead of the raw vectors."""
+    emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = F.when(amax > F.lit(0.0), F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    coded = emb.select(
+        "vec_id",
+        "v",
+        scale.alias("scale"),
+        norm(F.col("v")).alias("nv"),
+    ).withColumn("codes", _int8_codes(F.col("v"), F.col("scale")))
+
+    q = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("scale").alias("q_scale"),
+        F.col("nv").alias("nq"),
+        F.col("codes").alias("q_codes"),
+    )
+    c = coded.select("vec_id", "v", "nv", F.col("scale").alias("c_scale"), "codes")
+
+    # stage 1: int8 dot → approximate cosine (descale, then true-norm
+    # normalize); the full-precision columns ride along untouched
+    adot = dot(F.col("q_codes"), F.col("codes"))
+    approx = (adot / (F.col("q_scale") * F.col("c_scale"))) / (F.col("nq") * F.col("nv"))
+    cands = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qv", "nq",
+            F.col("vec_id").alias("neighbor_id"), "v", "nv",
+            approx.alias("approx_sim"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cands.withColumn("crank", F.row_number().over(w1)).where(
+        F.col("crank") <= rerank
+    )
+
+    # stage 2: exact cosine on the shortlist only
+    sim = F.round(cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6)
+    rescored = shortlist.select("query_id", "neighbor_id", sim.alias("sim"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ann_topk_pq_oracle(k: int = 5, rerank: int = 20) -> str:
+    cos = cosine_sql_duckdb("s.qv", "s.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), coded AS (
+  SELECT vec_id, v,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+         THEN 127.0 / list_max(list_transform(v, x -> abs(x))) ELSE 1.0 END AS scale,
+    sqrt(list_dot_product(v, v)) AS nv
+  FROM emb
+), coded2 AS (
+  SELECT vec_id, v, scale, nv,
+    list_transform(v, x -> greatest(least(floor(x * scale + 0.5), 127.0), -127.0)) AS codes
+  FROM coded
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, scale AS q_scale, nv AS nq, codes AS q_codes
+  FROM coded2 WHERE vec_id % {QUERY_MOD} = 0
+), cands AS (
+  SELECT q.query_id, q.qv, q.nq, c.vec_id AS neighbor_id, c.v, c.nv,
+    (list_dot_product(q.q_codes, c.codes) / (q.q_scale * c.scale)) / (q.nq * c.nv)
+      AS approx_sim
+  FROM q JOIN coded2 c ON q.query_id <> c.vec_id
+), shortlist AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx_sim DESC, neighbor_id ASC) AS crank
+    FROM cands) WHERE crank <= {rerank}
+), rescored AS (
+  SELECT query_id, neighbor_id, round({cos}, 6) AS sim FROM shortlist s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM rescored) WHERE rank <= {k}"""

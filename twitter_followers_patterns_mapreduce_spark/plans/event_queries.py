@@ -184,3 +184,13 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.gapfill_hourly(load_events(spark, sf_dir))
+
+
+@register(
+    "events_value_moving_1h",
+    oracle=E.VALUE_MOVING_1H_ORACLE,
+    description="trailing 1h moving sum/avg per user via a RANGE window frame on "
+    "epoch seconds (value-distance frame, partitioned — never global); decimal-exact",
+)
+def events_value_moving_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.value_moving_1h(load_events(spark, sf_dir))

@@ -114,3 +114,13 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_quantize_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_topk_pq",
+    oracle=S.ann_topk_pq_oracle(k=5, rerank=20),
+    description="SQ8 two-stage ANN: int8-code candidate scoring (4x smaller scan at "
+    "scale) -> exact-cosine rerank of the per-query shortlist; bit-deterministic",
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_topk_pq(load_table(spark, sf_dir, "embeddings"), k=5, rerank=20)
