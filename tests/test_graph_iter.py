@@ -147,3 +147,22 @@ def test_k_truss_direction_and_duplicates_ignored(spark):
     e = make_edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)])
     out = {(r.a, r.b) for r in GI.k_truss(e, k=3, rounds=2).collect()}
     assert out == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_landmark_closeness_star_golden(spark):
+    # star: 0 -> {1,2,3}, 20 -> 0; landmarks (mod 20) = {0, 20}
+    e = make_edges(spark, [(0, 1), (0, 2), (0, 3), (20, 0)])
+    out = {r.landmark: r for r in GI.landmark_closeness(e, mod=20, max_depth=4).collect()}
+    assert out[0].n_d1 == 3 and out[0].n_reached == 3
+    assert out[0].closeness == 3.0  # three nodes at distance 1
+    # landmark 20: 0 at d1, {1,2,3} at d2 → closeness 1 + 3/2 = 2.5
+    assert out[20].n_d1 == 1 and out[20].n_d2 == 3
+    assert out[20].closeness == 2.5
+
+
+def test_landmark_closeness_depth_bound(spark):
+    # chain 0->1->2->3->4->5: depth cap 4 reaches only 4 nodes
+    e = make_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    out = {r.landmark: r for r in GI.landmark_closeness(e, mod=20, max_depth=4).collect()}
+    assert out[0].n_reached == 4
+    assert out[0].closeness == round(1 + 1 / 2 + 1 / 3 + 1 / 4, 6)

@@ -486,3 +486,37 @@ VALUE_MOVING_1H_ORACLE = """SELECT event_id, user_id, ts,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""
+
+
+def variant_prop_deciles(events: DataFrame) -> DataFrame:
+    """Semi-structured access through the Spark 4 VARIANT type:
+    ``parse_json`` ingests ``props`` ONCE into the binary variant
+    encoding (no declared schema — the schema-free dual of
+    :func:`typed_json_props`), ``variant_get`` does typed path access.
+
+    At scale this is the open-table-format "shredding" story: variant
+    columns store parsed binary (no per-query JSON re-parse), and typed
+    ``variant_get`` paths can push into the scan.  Aggregation buckets
+    k into deciles — count + exact sum per (event_type, k decile)."""
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy(
+            "event_type", (F.col("k") - F.col("k") % 10).cast("long").alias("k_decile")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
+VARIANT_PROP_DECILES_ORACLE = """SELECT event_type,
+  CAST(k - (k % 10) AS BIGINT) AS k_decile,
+  COUNT(*) AS n_events,
+  CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+WHERE k IS NOT NULL
+GROUP BY 1, 2"""

@@ -508,3 +508,111 @@ e{i + 1} AS (SELECT a, b FROM {support(f'e{i}')} sup WHERE support >= {k - 2})""
 SELECT sup.a, sup.b, sup.support FROM {support(f'e{rounds}')} sup
 WHERE EXISTS (SELECT 1 FROM e{rounds} e WHERE e.a = sup.a AND e.b = sup.b)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Landmark closeness: multi-source BFS in one pipeline
+# ---------------------------------------------------------------------------
+
+def landmark_closeness(edges: DataFrame, mod: int = 20, max_depth: int = 4) -> DataFrame:
+    """Landmark-based closeness centrality: run BFS from EVERY landmark
+    (deterministic sample ``id % mod == 0``) simultaneously — the state
+    is keyed by (landmark, node), so one synchronized frontier
+    expansion serves all sources in the same jobs (|L| sequential BFS
+    runs would cost |L|× the passes; this costs |L|× the state).  The
+    landmark/sampled-sources formulation is the standard scale
+    workaround for exact all-pairs closeness being O(|V|·|E|).
+
+    Depth is capped at ``max_depth`` (bounded-horizon closeness — the
+    oracle unrolls the same bound).  Per landmark the output is the
+    reach histogram n_d1..n_d{max_depth} plus the closeness score
+    Σ n_d/d computed EXACTLY: integer numerator Σ n_d·(LCM/d) over the
+    per-depth counts, one final double division by LCM — no
+    order-dependent float summation anywhere.
+
+    Returns (landmark, n_d1.., n_reached, closeness)."""
+    import math
+
+    lcm = math.lcm(*range(1, max_depth + 1))
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    lm = nodes.where(F.col("id") % mod == 0)
+    # settled state: (landmark, id, dist); seed = each landmark at itself
+    dist = lm.select(
+        F.col("id").alias("landmark"), F.col("id"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=False)
+    frontier = dist.select("landmark", "id")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("landmark", F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, ["landmark", "id"], "left_anti")
+            .select("landmark", "id", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("landmark", "id")
+    hist = (
+        dist.where(F.col("dist") > 0)
+        .groupBy("landmark", "dist")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_depth = [
+        F.sum(F.when(F.col("dist") == d, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias(f"n_d{d}")
+        for d in range(1, max_depth + 1)
+    ]
+    numer = sum(
+        (F.col(f"n_d{d}") * (lcm // d) for d in range(1, max_depth + 1)),
+        start=F.lit(0),
+    )
+    return (
+        hist.groupBy("landmark")
+        .agg(*per_depth)
+        .select(
+            "landmark",
+            *[f"n_d{d}" for d in range(1, max_depth + 1)],
+            sum((F.col(f"n_d{d}") for d in range(1, max_depth + 1)), start=F.lit(0))
+            .cast("long")
+            .alias("n_reached"),
+            F.round(numer.cast("double") / F.lit(float(lcm)), 6).alias("closeness"),
+        )
+    )
+
+
+def landmark_closeness_oracle(edges_cte: str, mod: int = 20, max_depth: int = 4) -> str:
+    import math
+
+    lcm = math.lcm(*range(1, max_depth + 1))
+    per_depth = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN dist = {d} THEN n ELSE 0 END) AS BIGINT) AS n_d{d}"
+        for d in range(1, max_depth + 1)
+    )
+    numer = " + ".join(
+        f"SUM(CASE WHEN dist = {d} THEN n ELSE 0 END) * {lcm // d}"
+        for d in range(1, max_depth + 1)
+    )
+    total = " + ".join(
+        f"SUM(CASE WHEN dist = {d} THEN n ELSE 0 END)" for d in range(1, max_depth + 1)
+    )
+    return f"""WITH RECURSIVE e AS ({edges_cte}),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+lm AS (SELECT id AS landmark FROM nodes WHERE id % {mod} = 0),
+walk(landmark, id, d) AS (
+  SELECT landmark, landmark, CAST(0 AS BIGINT) FROM lm
+  UNION
+  SELECT w.landmark, e.dst, w.d + 1 FROM walk w JOIN e ON w.id = e.src
+  WHERE w.d < {max_depth}
+),
+settled AS (SELECT landmark, id, MIN(d) AS dist FROM walk GROUP BY landmark, id),
+hist AS (SELECT landmark, dist, CAST(COUNT(*) AS BIGINT) AS n
+         FROM settled WHERE dist > 0 GROUP BY landmark, dist)
+SELECT landmark,
+  {per_depth},
+  CAST({total} AS BIGINT) AS n_reached,
+  round(CAST({numer} AS DOUBLE) / {float(lcm)}, 6) AS closeness
+FROM hist GROUP BY landmark"""

@@ -460,3 +460,19 @@ def graph_ktruss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
     return GI.k_truss(e, k=4, rounds=3)
+
+
+@register(
+    "graph_landmark_closeness",
+    oracle=GI.landmark_closeness_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}",
+        mod=20,
+        max_depth=4,
+    ),
+    description="landmark closeness: multi-source BFS keyed by (landmark, node) — all "
+    "sources share each frontier pass; bounded horizon, integer-exact LCM closeness",
+)
+def graph_landmark_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
+    return GI.landmark_closeness(e, mod=20, max_depth=4)

@@ -194,3 +194,13 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_value_moving_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.value_moving_1h(load_events(spark, sf_dir))
+
+
+@register(
+    "events_variant_deciles",
+    oracle=E.VARIANT_PROP_DECILES_ORACLE,
+    description="Spark 4 VARIANT path: parse_json once into binary variant, typed "
+    "variant_get access, decile rollup — the schema-free dual of events_typed_json",
+)
+def events_variant_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.variant_prop_deciles(load_events(spark, sf_dir))
