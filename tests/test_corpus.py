@@ -301,3 +301,16 @@ def test_pack_sequences_partitioned_by_lang(spark):
         for r in CP.pack_sequences(docs, seq_len=4, window=2).collect()
     }
     assert got == {("en", 0): 3, ("fr", 0): 3}
+
+
+def test_bpe_pair_counts_golden(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(1, "aba ab X 7 a", "en", "s", 12), (2, "ab", "en", "s", 2)],
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    out = [(r.pair, r.n_occurrences) for r in CP.bpe_pair_counts(docs, k=10).collect()]
+    # words: aba(1), ab(2 — once per doc; 'X' lowercases to x len-1 skip,
+    # '7' non-letter skip, 'a' len-1 skip) → pairs: ab:1+2=3, ba:1
+    assert out == [("ab", 3), ("ba", 1)]

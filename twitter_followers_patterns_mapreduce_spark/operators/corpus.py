@@ -653,3 +653,58 @@ SELECT lang, seq_id,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(SUM(n_tokens) AS BIGINT) / {seq_len} AS fill_ratio
 FROM seq GROUP BY lang, seq_id"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fit: BPE merge-candidate statistics
+# ---------------------------------------------------------------------------
+
+def bpe_pair_counts(df: DataFrame, k: int = 50) -> DataFrame:
+    """The first BPE training iteration's core statistic: corpus-wide
+    frequencies of ADJACENT CHARACTER PAIRS inside lower-cased word
+    pre-tokens — the candidates the first merge rule would be chosen
+    from (Sennrich et al. 2016).
+
+    Scale shape — the trick real BPE trainers use: aggregate the corpus
+    to its distinct-word VOCABULARY first (one hash agg over exploded
+    words), then explode character pairs over the vocab only, weighting
+    each pair by the word's corpus count.  Pair generation cost is
+    O(|vocab|·word_len), independent of corpus size; the corpus-sized
+    work is a single word-count agg.  Top-k is TakeOrdered, never a
+    global sort."""
+    toks = tokens_sql("lower(text)", "spark")
+    words = (
+        df.selectExpr(f"explode(filter({toks}, t -> t rlike '^[a-z]+$')) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    # length-1 words have no pairs — filter BEFORE sequence(): Spark's
+    # sequence(1, 0) auto-steps DOWNWARD to [1, 0] instead of yielding
+    # an empty array, which would fabricate junk pairs
+    pairs = words.where(F.length("w") >= 2).selectExpr(
+        "n",
+        "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_oracle(k: int = 50) -> str:
+    toks = tokens_sql("lower(text)", "duckdb")
+    return f"""WITH words AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT unnest(list_filter({toks}, t -> regexp_full_match(t, '[a-z]+'))) AS w
+    FROM documents) GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, CAST(i AS INT), 2)))
+           AS pair,
+         n
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC LIMIT {k}"""

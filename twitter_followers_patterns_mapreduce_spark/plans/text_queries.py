@@ -247,3 +247,14 @@ def doc_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.pack_sequences(load_table(spark, sf_dir, "documents"), seq_len=256, window=64)
+
+
+@register(
+    "corpus_bpe_pair_counts",
+    oracle=CP.bpe_pair_counts_oracle(k=50),
+    description="tokenizer fit: first-BPE-iteration adjacent char-pair frequencies — "
+    "corpus reduces to its distinct-word vocab first, pairs explode over vocab only "
+    "(O(|vocab|) pair generation, corpus-size-independent)",
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
