@@ -192,10 +192,11 @@ def test_ntile_partitioned_and_deterministic(spark):
     out = R.customer_balance_ntiles(cust, n=2)
     got = {(r.c_nationkey, r.decile): (r.n_customers, r.sum_bal) for r in out.collect()}
     assert got == {(1, 1): (2, 3.0), (1, 2): (2, 7.0), (2, 1): (1, 7.0)}
+    # the window must be PARTITIONED by nation — a bare global ntile is
+    # the single-task sort this engine bans
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionBy" not in plan or "partitionBy" not in plan  # window present
-    # the window must be partitioned — a global ntile would single-task
     assert "ntile" in plan
+    assert "windowspecdefinition(c_nationkey" in plan
 
 
 def test_grouping_sets_three_sets(orders):

@@ -398,8 +398,11 @@ def gapfill_hourly(events: DataFrame) -> DataFrame:
     cross-joins it (broadcast — both sides are dimension-sized), and
     the observed hourly counts LEFT-join the spine on the (hour, type)
     equi-key.  At 100 TB the spine is |hours|·|types| rows — tiny next
-    to the fact table — so the only real shuffle is the counts agg;
-    spine⋈counts broadcasts the spine.
+    to the fact table — so the only real shuffle is the counts agg.
+    NB in the LEFT join it is the COUNTS side that broadcasts (Spark
+    cannot build the preserved left side of a left-outer broadcast hash
+    join) — fine, since the counts aggregate is itself bounded by
+    |hours|·|types|.
 
     The reference has no temporal surface at all (SURVEY.md §2.5);
     this extends the event-window family (`tumbling_hourly`)."""
@@ -478,13 +481,18 @@ def value_moving_1h(events: DataFrame) -> DataFrame:
     )
 
 
+#: NB the order key must FLOOR to whole seconds exactly like Spark's
+#: ``ts.cast("long")`` — ``CAST(epoch(ts) AS BIGINT)`` ROUNDS fractional
+#: seconds (the epoch-vs-epoch_us trap at the top of this module), which
+#: shifts the RANGE-frame key for sub-second timestamps and flips frame
+#: membership at the 3599s boundary.  epoch_us // 1_000_000 floors.
 VALUE_MOVING_1H_ORACLE = """SELECT event_id, user_id, ts,
   COUNT(*) OVER w AS n_1h,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
         / COUNT(*) OVER w, 6) AS avg_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""
 
 

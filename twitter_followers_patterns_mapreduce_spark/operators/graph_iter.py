@@ -477,7 +477,9 @@ def k_truss(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
-    return _edge_support(e).join(e, ["a", "b"], "left_semi")
+    # _edge_support's wedges are already semi-joined against e, so its
+    # output is a subset of e — no extra membership join needed
+    return _edge_support(e)
 
 
 def k_truss_oracle(edges_cte: str, k: int = 3, rounds: int = 3) -> str:
@@ -505,8 +507,7 @@ e{i + 1} AS (SELECT a, b FROM {support(f'e{i}')} sup WHERE support >= {k - 2})""
         head
         + "".join(steps)
         + f"""
-SELECT sup.a, sup.b, sup.support FROM {support(f'e{rounds}')} sup
-WHERE EXISTS (SELECT 1 FROM e{rounds} e WHERE e.a = sup.a AND e.b = sup.b)"""
+SELECT sup.a, sup.b, sup.support FROM {support(f'e{rounds}')} sup"""
     )
 
 

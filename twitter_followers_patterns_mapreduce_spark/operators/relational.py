@@ -646,8 +646,12 @@ def q7_nation_volume(
     joins BOTH a supplier-side and a customer-side dimension chain,
     with a symmetric pair predicate across the two chains.
 
-    Scale: nation⋈supplier and nation⋈customer collapse to broadcasts;
-    only lineitem⋈orders shuffles.  The pair predicate lands on the
+    Scale: the nation dim broadcasts into both chains, and the
+    supplier chain broadcasts into the fact (suppliers are the small
+    dimension); customer is NOT broadcast-hinted — at warehouse scale
+    it is a large dimension, so orders⋈customer is a legitimate
+    shuffle join alongside lineitem⋈orders (AQE may still demote it to
+    broadcast at small SF).  The pair predicate lands on the
     already-joined row (no join-order constraint for Catalyst)."""
     ns = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     nc = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))

@@ -573,52 +573,66 @@ def ann_topk_pq(embeddings: DataFrame, k: int = 5, rerank: int = 20) -> DataFram
     reproducible bit-for-bit in the DuckDB oracle.
 
     Scale: stage 1 is the brute-force shape (broadcast queries × corpus
-    scan) on the compressed representation; stage 2's exact join
-    touches |queries|·rerank rows — dimension-sized.  The staged
-    ``codes`` column is the artifact a real deployment materializes
-    once and scans instead of the raw vectors."""
+    scan) on the compressed representation ONLY — candidate rows carry
+    (query_id, neighbor_id, approx_sim), never the float vectors, so
+    the rank shuffle moves narrow rows; stage 2 joins the
+    |queries|·rerank shortlist back to the coded table for the exact
+    vectors.  The staged ``codes`` column is the artifact a real
+    deployment materializes once and scans instead of the raw
+    vectors."""
     emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v"))
     amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
     scale = F.when(amax > F.lit(0.0), F.lit(127.0) / amax).otherwise(F.lit(1.0))
-    coded = emb.select(
-        "vec_id",
-        "v",
-        scale.alias("scale"),
-        norm(F.col("v")).alias("nv"),
-    ).withColumn("codes", _int8_codes(F.col("v"), F.col("scale")))
+    # lazy checkpoint: three branches read this (stage-1 query/corpus
+    # sides, stage-2 exact join) — compute the codes once
+    coded = (
+        emb.select(
+            "vec_id",
+            "v",
+            scale.alias("scale"),
+            norm(F.col("v")).alias("nv"),
+        )
+        .withColumn("codes", _int8_codes(F.col("v"), F.col("scale")))
+        .localCheckpoint(eager=False)
+    )
 
-    q = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    # stage 1: int8 dot → approximate cosine (descale, then true-norm
+    # normalize).  Code columns only — no float vectors on candidate rows.
+    q1 = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
         F.col("scale").alias("q_scale"),
         F.col("nv").alias("nq"),
         F.col("codes").alias("q_codes"),
     )
-    c = coded.select("vec_id", "v", "nv", F.col("scale").alias("c_scale"), "codes")
-
-    # stage 1: int8 dot → approximate cosine (descale, then true-norm
-    # normalize); the full-precision columns ride along untouched
+    c1 = coded.select("vec_id", F.col("scale").alias("c_scale"), "nv", "codes")
     adot = dot(F.col("q_codes"), F.col("codes"))
     approx = (adot / (F.col("q_scale") * F.col("c_scale"))) / (F.col("nq") * F.col("nv"))
     cands = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id", "qv", "nq",
-            F.col("vec_id").alias("neighbor_id"), "v", "nv",
-            approx.alias("approx_sim"),
-        )
+        F.broadcast(q1)
+        .join(c1, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), approx.alias("approx_sim"))
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("neighbor_id").asc()
     )
-    shortlist = cands.withColumn("crank", F.row_number().over(w1)).where(
-        F.col("crank") <= rerank
+    shortlist = (
+        cands.withColumn("crank", F.row_number().over(w1))
+        .where(F.col("crank") <= rerank)
+        .select("query_id", "neighbor_id")
     )
 
-    # stage 2: exact cosine on the shortlist only
+    # stage 2: join the shortlist back to the coded table for the exact
+    # vectors (corpus side equi-join on vec_id; query side broadcast)
+    qx = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    cx = coded.select(F.col("vec_id").alias("neighbor_id"), "v", "nv")
     sim = F.round(cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6)
-    rescored = shortlist.select("query_id", "neighbor_id", sim.alias("sim"))
+    rescored = (
+        shortlist.join(cx, "neighbor_id")
+        .join(F.broadcast(qx), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w2))

@@ -180,7 +180,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gapfill_hourly",
     oracle=E.GAPFILL_HOURLY_ORACLE,
     description="time-series gap fill: dense hourly spine per event type generated "
-    "engine-side (sequence+explode), zero-filled counts via broadcast spine left-join",
+    "engine-side (sequence+explode), zero-filled via a left join whose both sides "
+    "are |hours|x|types|-bounded (counts side broadcasts)",
 )
 def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.gapfill_hourly(load_events(spark, sf_dir))

@@ -288,7 +288,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_volume",
     oracle=R.q7_oracle(),
     description="TPC-H Q7 shape: symmetric nation-pair volume via dual dimension "
-    "chains (both broadcast); only lineitem⋈orders shuffles",
+    "chains — nation+supplier broadcast, customer stays a shuffle join (large dim)",
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.q7_nation_volume(
