@@ -205,3 +205,44 @@ def events_value_moving_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_variant_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.variant_prop_deciles(load_events(spark, sf_dir))
+
+
+@register(
+    "events_tumbling_hourly_streamed",
+    oracle=E.TUMBLING_HOURLY_ORACLE,
+    description="the tumbling-hourly aggregate executed as a REAL Structured Streaming "
+    "query (file source -> watermarked window agg -> memory sink, availableNow trigger) "
+    "— stream == batch == oracle, the exactly-once incremental-ingest path under the "
+    "same correctness gate as every batch query",
+)
+def events_tumbling_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the stream to completion (availableNow drains all currently
+    available files), then returns the memory-sink table.  Re-invocation
+    safe: the terminated query's name is reused and the memory sink
+    re-registers the temp view.
+
+    Cites the same reference jobs as the batch form — the reference has
+    no streaming at all (SURVEY.md §2.5); this is the engine's
+    incremental execution of the identical logical aggregate."""
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+        tumbling_hourly_stream,
+    )
+
+    import hashlib
+    import os
+    import tempfile
+
+    # FileStreamSource monitors a DIRECTORY (a bare file path is
+    # rejected); the harness table is a single parquet file, so stage a
+    # per-sf_dir symlink dir — no data copied, deterministic location
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = tumbling_hourly_stream(events_file_stream(spark, d))
+    run_available_now(stream, "events_tumbling_hourly_streamed_sink", output_mode="complete")
+    return spark.table("events_tumbling_hourly_streamed_sink")
