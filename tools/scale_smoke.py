@@ -98,9 +98,28 @@ def main() -> int:
     run("dedup_exact_10x", lambda: exact_dup_groups(big), scalar=False)
     run("minhash_lsh_10x", lambda: minhash_lsh_pairs(big, threshold=0.5), scalar=False)
 
-    from twitter_followers_patterns_mapreduce_spark.operators.corpus import pack_sequences
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import (
+        bpe_pair_counts,
+        pack_sequences,
+    )
 
     run("pack_sequences_10x", lambda: pack_sequences(big, seq_len=256), scalar=False)
+    run("bpe_pairs_10x", lambda: bpe_pair_counts(big, k=50), scalar=False)
+
+    # round-3 iterative graph additions on the full synthetic graph:
+    # truss support passes are triangle-count-shaped per round; landmark
+    # BFS state is |landmarks|x|reached|
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        k_truss,
+        landmark_closeness,
+    )
+
+    run("ktruss_r2", lambda: k_truss(edges, k=4, rounds=2), scalar=False)
+    run(
+        "landmark_closeness",
+        lambda: landmark_closeness(edges, mod=max(1, n_nodes // 20), max_depth=3),
+        scalar=False,
+    )
 
     print(json.dumps(out))
     return 0
