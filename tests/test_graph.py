@@ -241,3 +241,29 @@ def test_two_hop_reach_golden(sample_edges):
     # distinct endpoints, not walk multiplicity: u=1 reaches {3,5} (5 twice
     # via 2 and 4 counts once); round-trips excluded (u=2 loses y=2)
     assert rows == [(2, 3), (5, 3), (1, 2), (3, 2), (4, 2), (6, 1)]
+
+
+def test_triangle_count_oriented_sample_graph(sample_edges):
+    # undirected triangles on the README sample: {1,2,3}, {4,5,6},
+    # {3,5,6}, {2,3,5} — counted ONCE each (directed raw would be 6 for
+    # the two cycles; orientation sees undirected structure)
+    from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+
+    out = G.triangle_count_oriented(sample_edges).collect()
+    assert out[0].n_triangles == 4
+
+
+def test_triangle_count_oriented_k4(spark):
+    from tests.conftest import make_edges
+    from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+
+    k4 = make_edges(spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)])
+    assert G.triangle_count_oriented(k4).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_sampled_full_p1_equals_raw(sample_edges):
+    # p=1 keeps every edge: sampled == raw and the estimate is exact
+    from twitter_followers_patterns_mapreduce_spark.operators import graph as G
+
+    out = G.triangle_count_sampled(sample_edges, p=1).collect()[0]
+    assert out.sampled_raw == 6 and out.estimated_raw == 6

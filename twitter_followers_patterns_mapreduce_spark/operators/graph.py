@@ -521,3 +521,112 @@ def degree_assortativity(edges: DataFrame, max_limit: int | None = None) -> Data
             num / F.sqrt(varx.cast("double") * vary.cast("double")),
         ).alias("assortativity"),
     )
+
+
+def triangle_count_oriented(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
+    """UNDIRECTED triangle count by degree-ordered orientation — the
+    standard scalable upgrade over the reference's path⋈edge pipeline
+    (``rsjoin/RSJoinTriangleCount.java``): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, build
+    wedges only from ORIENTED out-edges, and close each wedge against
+    the oriented edge set.  Every triangle has exactly one vertex whose
+    two triangle edges both point away under this total order, so each
+    triangle is counted exactly ONCE (no ÷3, no ÷6) — and on power-law
+    graphs the oriented out-degree is bounded by O(√|E|) per node where
+    the raw out-degree is unbounded, which caps the wedge join's
+    fan-out (the hub problem the reference dodges with its MAX cutoff).
+
+    Returns one row (n_triangles BIGINT)."""
+    e = filter_max(edges, max_limit)
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id")))
+    deg = nbrs.groupBy("id").agg(F.count("*").alias("deg"))
+    # total-order key (deg, id) packed into one BIGINT — ids in this
+    # engine are < 2^31 (reference parses 32-bit ints,
+    # countedges/CountEdgesAfterMax.java:52-53)
+    key = (F.col("deg") * F.lit(1 << 32) + F.col("id")).alias("k")
+    keyed = deg.select("id", key)
+    ka = keyed.select(F.col("id").alias("a"), F.col("k").alias("ka"))
+    kb = keyed.select(F.col("id").alias("b"), F.col("k").alias("kb"))
+    withk = und.join(ka, "a").join(kb, "b")
+    oriented = withk.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.greatest("ka", "kb").alias("kv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = o1.join(o2, "u").where(F.col("k1") < F.col("k2")).select(
+        F.col("v1").alias("u2"), F.col("v2").alias("v2x")
+    )
+    closing = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2x"))
+    closed = wedges.join(closing, ["u2", "v2x"], "left_semi")
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def triangle_count_oriented_oracle(edges_cte: str) -> str:
+    return f"""WITH s AS ({edges_cte}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM s WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS deg FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) GROUP BY id),
+keyed AS (SELECT id, deg * 4294967296 + id AS k FROM deg),
+oriented AS (
+  SELECT CASE WHEN ka.k < kb.k THEN u.a ELSE u.b END AS u,
+         CASE WHEN ka.k < kb.k THEN u.b ELSE u.a END AS v,
+         GREATEST(ka.k, kb.k) AS kv
+  FROM und u JOIN keyed ka ON u.a = ka.id JOIN keyed kb ON u.b = kb.id),
+wedges AS (
+  SELECT o1.v AS u2, o2.v AS v2x
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.kv < o2.kv)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM wedges w
+WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = w.u2 AND o.v = w.v2x)"""
+
+
+def triangle_count_sampled(
+    edges: DataFrame, max_limit: int | None = None, p: int = 4
+) -> DataFrame:
+    """DOULION-style sampled triangle estimate (Tsourakakis et al.,
+    KDD'09): keep each edge with probability 1/p via a DETERMINISTIC
+    content hash (never ``rand()`` — reruns, retries, and the oracle
+    all see the identical sampled graph), count raw directed triangles
+    on the sampled graph with the reference pipeline, scale by p³.
+
+    This is the sampling upgrade of the reference's own approximation
+    lever (the AP job approximates by a MAX node-id cutoff,
+    ``approx/Approx2HopCount.java:41``): DOULION keeps the whole graph
+    topology in expectation instead of truncating it.  Emits the
+    sampled raw count and the p³-scaled estimate."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    e = filter_max(edges, max_limit)
+    h = h64_sql("concat(cast(src as string), ',', cast(dst as string))", "spark")
+    sampled = e.where(F.expr(f"({h}) % {p} = 0"))
+    raw = triangle_count_raw(sampled, max_limit=None, strategy="auto")
+    return raw.select(
+        F.col("triangle_count_raw").alias("sampled_raw"),
+        (F.col("triangle_count_raw") * F.lit(p**3)).cast("long").alias("estimated_raw"),
+    )
+
+
+def triangle_count_sampled_oracle(edges_cte: str, p: int = 4) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("concat(CAST(src AS VARCHAR), ',', CAST(dst AS VARCHAR))", "duckdb")
+    return f"""WITH s AS ({edges_cte}),
+sampled AS (SELECT * FROM s WHERE ({h}) % {p} = 0),
+paths AS (
+  SELECT e1.src AS x, e1.dst AS z, e2.dst AS y
+  FROM sampled e1 JOIN sampled e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src),
+closed AS (
+  SELECT 1 FROM paths p2
+  WHERE EXISTS (SELECT 1 FROM sampled e WHERE e.src = p2.y AND e.dst = p2.x))
+SELECT CAST(COUNT(*) AS BIGINT) AS sampled_raw,
+       CAST(COUNT(*) * {p ** 3} AS BIGINT) AS estimated_raw
+FROM closed"""

@@ -476,3 +476,29 @@ def graph_landmark_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
     return GI.landmark_closeness(e, mod=20, max_depth=4)
+
+
+@register(
+    "triangle_count_oriented",
+    oracle=G.triangle_count_oriented_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI}"
+    ),
+    description="undirected triangles by degree-ordered orientation — each triangle "
+    "counted exactly once from its lowest-(deg,id) vertex; oriented out-degree is "
+    "O(sqrt(|E|))-bounded, capping wedge fan-out on power-law hubs",
+)
+def triangle_count_oriented_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count_oriented(derived_edges(spark, sf_dir), MAX_TRI)
+
+
+@register(
+    "triangle_count_sampled",
+    oracle=G.triangle_count_sampled_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI}", p=4
+    ),
+    description="DOULION sampled triangle estimate: deterministic 1/4 edge sample "
+    "(content hash, never rand()), reference pipeline on the sample, p^3 scale-up — "
+    "the sampling upgrade of the reference's MAX-cutoff approximation",
+)
+def triangle_count_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count_sampled(derived_edges(spark, sf_dir), MAX_TRI, p=4)
