@@ -553,9 +553,17 @@ def triangle_count_oriented(edges: DataFrame, max_limit: int | None = None) -> D
     ka = keyed.select(F.col("id").alias("a"), F.col("k").alias("ka"))
     kb = keyed.select(F.col("id").alias("b"), F.col("k").alias("kb"))
     withk = und.join(ka, "a").join(kb, "b")
+    # coalesce(-1) never fires (a/b are non-null) but marks the CASE
+    # outputs NON-NULLABLE, so the downstream joins can't infer an
+    # isnotnull(CASE …) filter that re-evaluates the orientation per row
+    # (the inferred-filter trap pinned by tests/test_plan_shapes.py)
     oriented = withk.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.coalesce(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")), F.lit(-1)
+        ).alias("u"),
+        F.coalesce(
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")), F.lit(-1)
+        ).alias("v"),
         F.greatest("ka", "kb").alias("kv"),
     )
     o1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
