@@ -210,3 +210,21 @@ def test_grouping_sets_three_sets(orders):
         ("1-URGENT", 2),
         ("2-HIGH", 1),
     }
+
+
+def test_extremes_witness_tie_broken_by_orderkey(spark):
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (5, 1, dt.datetime(1995, 1, 1), "1-URGENT", 100.0),
+            (2, 1, dt.datetime(1995, 6, 1), "1-URGENT", 100.0),  # price tie
+            (9, 1, dt.datetime(1995, 3, 1), "1-URGENT", 50.0),
+        ],
+        schema="o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP, "
+        "o_orderpriority STRING, o_totalprice DOUBLE",
+    )
+    out = R.orders_extremes_by_priority(orders).collect()[0]
+    # tie at 100.0 → larger orderkey wins max, smaller... min is the 50.0 row
+    assert out.priciest_orderkey == 5 and out.cheapest_orderkey == 9
+    assert out.first_order == "1995-01-01" and out.last_order == "1995-06-01"

@@ -996,3 +996,43 @@ def orders_grouping_sets_oracle() -> str:
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_totalprice
 FROM (SELECT o_orderpriority, year(o_orderdate) AS o_year, o_totalprice FROM orders)
 GROUP BY GROUPING SETS ((o_orderpriority), (o_year), ())"""
+
+
+def orders_extremes_by_priority(orders: DataFrame) -> DataFrame:
+    """Arg-extreme aggregates (``max_by``/``min_by`` — DuckDB
+    ``arg_max``/``arg_min``): per priority, WHICH order carries the
+    extreme price, plus the date span — the "fetch the witness row's
+    key without a self-join or window" aggregate family.
+
+    Determinism: arg-extremes are tie-arbitrary in both engines, so the
+    ordering value is a FIXED-WIDTH string total-order key
+    (zero-padded price at 2dp ++ zero-padded orderkey) — same string,
+    same comparison, same witness in any engine or partitioning.
+    o_totalprice < 10^12 and fits 2dp exactly (money), so the encoding
+    is order-isomorphic to (price, orderkey)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "max_by(o_orderkey, format_string('%015.2f|%012d', o_totalprice, o_orderkey))"
+        ).alias("priciest_orderkey"),
+        F.expr(
+            "min_by(o_orderkey, format_string('%015.2f|%012d', o_totalprice, o_orderkey))"
+        ).alias("cheapest_orderkey"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORDERS_EXTREMES_ORACLE = """SELECT o_orderpriority,
+  arg_max(o_orderkey, printf('%015.2f|%012d', o_totalprice, o_orderkey))
+    AS priciest_orderkey,
+  arg_min(o_orderkey, printf('%015.2f|%012d', o_totalprice, o_orderkey))
+    AS cheapest_orderkey,
+  MAX(o_totalprice) AS max_price,
+  MIN(o_totalprice) AS min_price,
+  strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+  strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority"""

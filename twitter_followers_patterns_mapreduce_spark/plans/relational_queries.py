@@ -392,3 +392,14 @@ def customer_balance_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_grouping_sets(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "orders_extremes_by_priority",
+    oracle=R.ORDERS_EXTREMES_ORACLE,
+    description="arg-extreme aggregates (max_by/min_by vs arg_max/arg_min): witness "
+    "orderkeys for the price extremes per priority — tie-proof via a fixed-width "
+    "string total-order key, no self-join or window",
+)
+def orders_extremes_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_extremes_by_priority(load_table(spark, sf_dir, "orders"))
