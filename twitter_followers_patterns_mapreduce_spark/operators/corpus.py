@@ -708,3 +708,53 @@ def bpe_pair_counts_oracle(k: int = 50) -> str:
 SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
 FROM pairs GROUP BY pair
 ORDER BY n_occurrences DESC, pair ASC LIMIT {k}"""
+
+
+def corpus_token_budget(df: DataFrame) -> DataFrame:
+    """The mixture report a training run starts from: per (source,
+    lang) document/token/char mass and each cell's share of the total
+    token budget — the table DoReMi-style mixture reweighting and
+    epoch planning consume.
+
+    One scan computes per-cell integer masses (map-side combinable hash
+    agg); the grand total joins back as a broadcast 1-row aggregate.
+    Shares are one bigint/bigint IEEE division rounded to 6dp — exact
+    cross-engine, no float accumulation anywhere."""
+    toks = tokens_sql("text", "spark")
+    cells = (
+        df.selectExpr(
+            "source",
+            "lang",
+            "n_chars",
+            f"CAST(size({toks}) AS BIGINT) AS n_tokens",
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    total = cells.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double"), 6)
+        .alias("token_share"),
+    )
+
+
+def corpus_token_budget_oracle() -> str:
+    toks = tokens_sql("text", "duckdb")
+    return f"""WITH cells AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({toks})) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source, lang
+), total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM cells)
+SELECT source, lang, n_docs, n_tokens, n_chars,
+       round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS token_share
+FROM cells CROSS JOIN total"""

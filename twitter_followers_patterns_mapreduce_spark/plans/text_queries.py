@@ -258,3 +258,13 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "corpus_token_budget",
+    oracle=CP.corpus_token_budget_oracle(),
+    description="mixture report: per (source, lang) doc/token/char mass + share of the "
+    "total token budget (broadcast 1-row total; one bigint/bigint division, exact)",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_token_budget(load_table(spark, sf_dir, "documents"))
