@@ -176,3 +176,29 @@ def test_gapfill_hourly_dense_spine(tiny_events):
     assert got[(1, "view")] == (1, 4.0)
     # the empty (hour 1, click) cell is PRESENT and zero-filled, not absent
     assert got[(1, "click")] == (0, 0.0)
+
+
+def test_hourly_anomaly_spike_scores_high(spark):
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    # 23 quiet hours (1 event each) then a 10-event spike in hour 23
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 10 if h == 23 else 1
+        for i in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, h, 5 + i), 7, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    out = {r.hour.hour: r for r in E.hourly_anomaly_zscores(ev, min_hours=12).collect()}
+    assert out[23].n_events == 10
+    # flat history has zero variance → quiet hours emit NULL z by design
+    assert all(out[h].zscore is None for h in range(23))
+    # the spike hour is the only scored one, and it scores high
+    assert out[23].zscore > 3
+    assert out[0].n_hours == 1 and out[23].n_hours == 24

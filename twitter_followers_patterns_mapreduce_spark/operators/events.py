@@ -528,3 +528,67 @@ VARIANT_PROP_DECILES_ORACLE = """SELECT event_type,
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
 WHERE k IS NOT NULL
 GROUP BY 1, 2"""
+
+
+def hourly_anomaly_zscores(events: DataFrame, trail: int = 24, min_hours: int = 12) -> DataFrame:
+    """Per-type hourly anomaly scores over the GAP-FILLED series: each
+    hour's event count z-scored against its trailing ``trail``-hour
+    window (population stddev).  Composes :func:`gapfill_hourly` —
+    without the dense spine, silent hours are missing rows and a quiet
+    anomaly can never score.
+
+    Exactness: counts are integers, so the window's Σx and Σx² are
+    exact LONG sums; mean/variance/z are then a fixed expression tree
+    of IEEE double ops on identical integers in both engines (no float
+    accumulation), emitted at 6 dp.  Hours with fewer than
+    ``min_hours`` of history or zero variance emit NULL z.
+
+    Scale: one window shuffle partitioned by event_type over the
+    |hours|x|types| spine — dimension-sized regardless of fact-table
+    size; the heavy lifting happened in the gapfill counts agg."""
+    filled = gapfill_hourly(events)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(trail - 1), Window.currentRow)
+    )
+    sx = F.sum("n_events").over(w).cast("long")
+    sxx = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("long")
+    cnt = F.count("*").over(w).cast("long")
+    mean = sx.cast("double") / cnt.cast("double")
+    var = sxx.cast("double") / cnt.cast("double") - mean * mean
+    z = F.when(
+        (cnt >= min_hours) & (var > 0),
+        F.round((F.col("n_events").cast("double") - mean) / F.sqrt(var), 6),
+    )
+    return filled.select(
+        "hour",
+        "event_type",
+        "n_events",
+        cnt.alias("n_hours"),
+        F.round(mean, 6).alias("trailing_mean"),
+        z.alias("zscore"),
+    )
+
+
+def hourly_anomaly_oracle(trail: int = 24, min_hours: int = 12) -> str:
+    return f"""WITH filled AS ({GAPFILL_HOURLY_ORACLE}),
+win AS (
+  SELECT hour, event_type, n_events,
+    CAST(SUM(n_events) OVER w AS BIGINT) AS sx,
+    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS sxx,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n_hours
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {trail - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT hour, event_type, n_events, n_hours,
+  round(CAST(sx AS DOUBLE) / n_hours, 6) AS trailing_mean,
+  CASE WHEN n_hours >= {min_hours}
+        AND CAST(sxx AS DOUBLE) / n_hours
+            - (CAST(sx AS DOUBLE) / n_hours) * (CAST(sx AS DOUBLE) / n_hours) > 0
+       THEN round((CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n_hours)
+                  / sqrt(CAST(sxx AS DOUBLE) / n_hours
+                         - (CAST(sx AS DOUBLE) / n_hours) * (CAST(sx AS DOUBLE) / n_hours)), 6)
+  END AS zscore
+FROM win"""

@@ -246,3 +246,14 @@ def events_tumbling_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFra
     stream = tumbling_hourly_stream(events_file_stream(spark, d))
     run_available_now(stream, "events_tumbling_hourly_streamed_sink", output_mode="complete")
     return spark.table("events_tumbling_hourly_streamed_sink")
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle=E.hourly_anomaly_oracle(),
+    description="hourly anomaly z-scores over the gap-filled series (trailing 24h "
+    "window, integer-exact sums -> fixed IEEE expression tree); silent hours score "
+    "because the spine makes them rows",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.hourly_anomaly_zscores(load_events(spark, sf_dir))
