@@ -202,3 +202,35 @@ def test_hourly_anomaly_spike_scores_high(spark):
     # the spike hour is the only scored one, and it scores high
     assert out[23].zscore > 3
     assert out[0].n_hours == 1 and out[23].n_hours == 24
+
+
+def test_retention_cohorts_golden(spark):
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    mon1 = dt.datetime(2024, 1, 1)   # Monday
+    mon2 = dt.datetime(2024, 1, 8)
+    mon3 = dt.datetime(2024, 1, 15)
+    rows = [
+        # cohort week1: users 1, 2; user 1 returns weeks 2 and 3, user 2 never
+        (1, mon1, 1, "click", 0.0, "{}"),
+        (2, mon2 + dt.timedelta(days=2), 1, "click", 0.0, "{}"),
+        (3, mon3, 1, "click", 0.0, "{}"),
+        (4, mon1 + dt.timedelta(days=3), 2, "view", 0.0, "{}"),
+        # cohort week2: user 3
+        (5, mon2, 3, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in E.retention_cohorts(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(got) == 4

@@ -592,3 +592,67 @@ SELECT hour, event_type, n_events, n_hours,
                          - (CAST(sx AS DOUBLE) / n_hours) * (CAST(sx AS DOUBLE) / n_hours)), 6)
   END AS zscore
 FROM win"""
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, then
+    for each (cohort_week, week_offset) the count of distinct users
+    active again that week — the classic product-analytics retention
+    triangle, with retention as an exact bigint/bigint share.
+
+    Shape: two hash aggregations and one join, never event×event —
+    (1) first week per user (min-agg on user), (2) distinct
+    (user, week) activity, (3) activity ⋈ first-week on user (the
+    cohort side is user-keyed and co-partitions with activity), then
+    the (cohort, offset) rollup.  Week truncation is ISO-Monday in both
+    engines (verified); offsets are exact integer day arithmetic."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        events.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .distinct()
+    )
+    joined = active.join(first, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+    )
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cells = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        cells.join(cohort_sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+RETENTION_COHORTS_ORACLE = """WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), joined AS (
+  SELECT a.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT) AS week_offset
+  FROM active a JOIN first f USING (user_id)
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY cohort_week
+), cells AS (
+  SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY cohort_week, week_offset
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       c.week_offset, c.n_active, s.cohort_size,
+       round(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)"""

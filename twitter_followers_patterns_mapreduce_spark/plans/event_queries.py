@@ -257,3 +257,14 @@ def events_tumbling_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hourly_anomaly_zscores(load_events(spark, sf_dir))
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=E.RETENTION_COHORTS_ORACLE,
+    description="weekly cohort retention triangle: first-seen week per user + distinct "
+    "(user, week) activity + user-keyed join — two hash aggs, never event x event; "
+    "exact integer week offsets, bigint/bigint retention share",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.retention_cohorts(load_events(spark, sf_dir))
