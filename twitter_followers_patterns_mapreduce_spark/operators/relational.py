@@ -1036,3 +1036,73 @@ ORDERS_EXTREMES_ORACLE = """SELECT o_orderpriority,
   strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
   COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority"""
+
+
+def nation_revenue_pareto(
+    orders: DataFrame, customer: DataFrame, share: str = "0.8"
+) -> DataFrame:
+    """Revenue-concentration (Pareto) analysis: per nation, how many of
+    its customers account for ``share`` of its order revenue — the
+    cumulative-distribution window pattern (partitioned by nation,
+    never a global ordered window).
+
+    Exactness: per-customer and per-nation revenues reduce in DECIMAL;
+    the cumulative window sum is DECIMAL (order fixed by (revenue desc,
+    custkey)); the threshold is DECIMAL·DECIMAL — every comparison is
+    exact, so the cutoff row is the same in any engine or partitioning.
+    A customer is needed while the revenue BEFORE them is still under
+    the threshold."""
+    rev = F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    per_cust = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(rev)
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), F.col("c_custkey").asc()
+    )
+    wn = Window.partitionBy("c_nationkey")
+    cum_before = F.sum("rev").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = per_cust.select(
+        "c_nationkey",
+        "rev",
+        F.coalesce(cum_before, F.lit(0).cast(DEC)).alias("cum_before"),
+        F.sum("rev").over(wn).alias("total"),
+    )
+    needed = F.col("cum_before") < F.expr(f"CAST({share} AS DECIMAL(2,1))") * F.col("total")
+    return staged.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(needed, 1).otherwise(0)).cast("long").alias("n_top_customers"),
+        F.round(
+            F.sum(F.when(needed, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("top_share_of_customers"),
+        F.max(F.col("total").cast("double")).alias("nation_revenue"),
+    )
+
+
+def nation_revenue_pareto_oracle(share: str = "0.8") -> str:
+    return f"""WITH per_cust AS (
+  SELECT c_nationkey, c_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_custkey
+), staged AS (
+  SELECT c_nationkey, rev,
+    COALESCE(SUM(rev) OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, c_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS DECIMAL(18,4))) AS cum_before,
+    SUM(rev) OVER (PARTITION BY c_nationkey) AS total
+  FROM per_cust
+)
+SELECT c_nationkey,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CASE WHEN cum_before < CAST({share} AS DECIMAL(2,1)) * total
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_top_customers,
+  round(CAST(SUM(CASE WHEN cum_before < CAST({share} AS DECIMAL(2,1)) * total
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS top_share_of_customers,
+  MAX(CAST(total AS DOUBLE)) AS nation_revenue
+FROM staged GROUP BY c_nationkey"""

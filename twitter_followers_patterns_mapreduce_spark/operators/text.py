@@ -288,3 +288,45 @@ def repetition_oracle() -> str:
     pairs = [(e, a) for e, a in repetition_select("duckdb") if a != "doc_id"]
     cols = ",\n  ".join(f"{e} AS {a}" for e, a in pairs)
     return f"""SELECT doc_id,\n  {cols}\nFROM (SELECT doc_id, {toks} AS toks FROM documents)"""
+
+
+def lang_confusion_matrix(documents: DataFrame) -> DataFrame:
+    """Label-quality audit: the (labeled_lang, pred_lang) confusion
+    matrix of the lang-ID heuristic with per-cell share of the labeled
+    row — the table that decides whether to trust provided labels or
+    the classifier before building per-language corpora.
+
+    Composes :func:`doc_language_id` (one scan, staged scores) with two
+    hash aggregations; the row-total attaches by a labeled_lang
+    equi-join (dimension-sized, broadcast)."""
+    pred = doc_language_id(documents)
+    cells = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = pred.groupBy("labeled_lang").agg(F.count("*").alias("n_labeled"))
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        "n_labeled",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_labeled").cast("double"), 6
+        ).alias("share_of_label"),
+        (F.col("labeled_lang") == F.col("pred_lang")).alias("agree"),
+    )
+
+
+def lang_confusion_matrix_oracle() -> str:
+    sel = ", ".join(f"{expr} AS {name}" for expr, name in lang_id_select("duckdb"))
+    return f"""WITH pred AS (
+  SELECT {sel} FROM documents
+), cells AS (
+  SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+), totals AS (
+  SELECT labeled_lang, COUNT(*) AS n_labeled FROM pred GROUP BY 1
+)
+SELECT c.labeled_lang, c.pred_lang, c.n_docs, t.n_labeled,
+  round(CAST(c.n_docs AS DOUBLE) / CAST(t.n_labeled AS DOUBLE), 6) AS share_of_label,
+  c.labeled_lang = c.pred_lang AS agree
+FROM cells c JOIN totals t USING (labeled_lang)"""

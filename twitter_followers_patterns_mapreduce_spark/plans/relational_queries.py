@@ -403,3 +403,15 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_extremes_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_extremes_by_priority(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "nation_revenue_pareto",
+    oracle=R.nation_revenue_pareto_oracle(),
+    description="Pareto concentration: customers needed for 80% of each nation's "
+    "revenue — partitioned cumulative decimal window, exact threshold comparisons",
+)
+def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.nation_revenue_pareto(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )

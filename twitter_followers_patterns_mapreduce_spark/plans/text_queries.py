@@ -268,3 +268,13 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.corpus_token_budget(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_lang_confusion",
+    oracle=TX.lang_confusion_matrix_oracle(),
+    description="label-quality audit: (labeled, predicted) language confusion matrix "
+    "with per-label shares — lang-ID scan + two hash aggs + broadcast row totals",
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_confusion_matrix(load_table(spark, sf_dir, "documents"))
