@@ -656,3 +656,49 @@ SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
        c.week_offset, c.n_active, s.cohort_size,
        round(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
 FROM cells c JOIN sizes s USING (cohort_week)"""
+
+
+def type_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and probabilities of (event_type → next
+    event_type) — the sequence-model statistic behind next-action
+    prediction and funnel diagnostics.
+
+    One partitioned LEAD window per user (total order by (ts,
+    event_id)), one hash agg; row probabilities are exact
+    bigint/bigint divisions attached by a broadcast per-source-type
+    total join."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    steps = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    cells = steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n_transitions"))
+    totals = steps.groupBy("from_type").agg(F.count("*").alias("n_from"))
+    return cells.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_from").cast("double"), 6
+        ).alias("p_transition"),
+    )
+
+
+TYPE_TRANSITION_ORACLE = """WITH steps AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+), filtered AS (SELECT * FROM steps WHERE to_type IS NOT NULL),
+cells AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions FROM filtered GROUP BY 1, 2
+), totals AS (SELECT from_type, COUNT(*) AS n_from FROM filtered GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
+  round(CAST(c.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p_transition
+FROM cells c JOIN totals t USING (from_type)"""

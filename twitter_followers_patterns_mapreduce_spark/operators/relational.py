@@ -1106,3 +1106,75 @@ SELECT c_nationkey,
     AS top_share_of_customers,
   MAX(CAST(total AS DOUBLE)) AS nation_revenue
 FROM staged GROUP BY c_nationkey"""
+
+
+def brand_affinity_pairs(
+    lineitem: DataFrame, part: DataFrame, k: int = 50
+) -> DataFrame:
+    """Market-basket affinity: brand pairs co-occurring in the same
+    order, with support and lift — frequent-itemset analysis at the
+    pair level, the relational core of recommendation mining.
+
+    Scale shape: baskets collapse to DISTINCT (order, brand) first
+    (broadcast part dim, one hash agg), so the pair self-join is
+    order-keyed with per-order fan-out bounded by basket size² — never
+    order×order; at 100 TB the join key is the basket id exactly like
+    the reference's 2-hop center-node join, and AQE splits outlier
+    baskets.  Lift = support·N / (cnt_a·cnt_b): exact bigints, one
+    IEEE division, 6 dp."""
+    items = (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("support"))
+    )
+    brand_counts = items.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    # N attaches lazily via the zero-key BroadcastHashJoin idiom — an
+    # eager .count() here would be a driver-side action at plan-build
+    # time AND re-run the items subquery twice
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    ).selectExpr("n_orders", "n_orders - n_orders AS _k")
+    ca = brand_counts.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    cb = brand_counts.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    lift = F.round(
+        (F.col("support") * F.col("n_orders")).cast("double")
+        / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .withColumn("_k", F.expr("pmod(support, 1)"))
+        .join(F.broadcast(n_orders), "_k")
+        .select("brand_a", "brand_b", "support", "cnt_a", "cnt_b", lift.alias("lift"))
+        .orderBy(F.col("support").desc(), F.col("brand_a").asc(), F.col("brand_b").asc())
+        .limit(k)
+    )
+
+
+def brand_affinity_oracle(k: int = 50) -> str:
+    return f"""WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), counts AS (SELECT p_brand, COUNT(*) AS cnt FROM items GROUP BY p_brand),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT p.brand_a, p.brand_b, p.support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+  round(CAST(p.support * n.n_orders AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE), 6)
+    AS lift
+FROM pairs p
+JOIN counts ca ON p.brand_a = ca.p_brand
+JOIN counts cb ON p.brand_b = cb.p_brand
+CROSS JOIN n
+ORDER BY support DESC, brand_a ASC, brand_b ASC LIMIT {k}"""

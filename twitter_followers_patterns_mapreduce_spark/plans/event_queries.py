@@ -268,3 +268,13 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.retention_cohorts(load_events(spark, sf_dir))
+
+
+@register(
+    "events_type_transitions",
+    oracle=E.TYPE_TRANSITION_ORACLE,
+    description="first-order Markov transition matrix over per-user event sequences "
+    "(partitioned LEAD window + hash agg); exact bigint/bigint row probabilities",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.type_transition_matrix(load_events(spark, sf_dir))

@@ -415,3 +415,16 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.nation_revenue_pareto(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
     )
+
+
+@register(
+    "brand_affinity_pairs",
+    oracle=R.brand_affinity_oracle(k=50),
+    description="market-basket brand affinity: basket-keyed pair self-join over "
+    "DISTINCT (order, brand) items — never order x order; exact-integer support, "
+    "lift via zero-key broadcast N",
+)
+def brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.brand_affinity_pairs(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
