@@ -228,3 +228,44 @@ def test_extremes_witness_tie_broken_by_orderkey(spark):
     # tie at 100.0 → larger orderkey wins max, smaller... min is the 50.0 row
     assert out.priciest_orderkey == 5 and out.cheapest_orderkey == 9
     assert out.first_order == "1995-01-01" and out.last_order == "1995-06-01"
+
+
+def test_pareto_cutoff_golden(spark):
+    import datetime as dt
+
+    # nation 1: revenues 70, 20, 10 → 80% of 100 needs the top TWO
+    # (70 < 80, 70+20 ≥ 80); nation 2: single customer needs itself
+    orders = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(1995, 1, 1), "1-URGENT", 70.0),
+            (2, 8, dt.datetime(1995, 1, 2), "1-URGENT", 20.0),
+            (3, 9, dt.datetime(1995, 1, 3), "1-URGENT", 10.0),
+            (4, 10, dt.datetime(1995, 1, 4), "1-URGENT", 5.0),
+        ],
+        schema="o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP, "
+        "o_orderpriority STRING, o_totalprice DOUBLE",
+    )
+    cust = spark.createDataFrame(
+        [(7, 1), (8, 1), (9, 1), (10, 2)], schema="c_custkey LONG, c_nationkey INT"
+    )
+    got = {r.c_nationkey: r for r in R.nation_revenue_pareto(orders, cust).collect()}
+    assert got[1].n_customers == 3 and got[1].n_top_customers == 2
+    assert got[1].nation_revenue == 100.0
+    assert got[2].n_top_customers == 1
+
+
+def test_brand_affinity_counts_each_basket_once(spark, part3):
+    li = spark.createDataFrame(
+        # order 1 holds brands 12 and 23 (23 twice — still ONE item);
+        # order 2 holds 12 only
+        [(1, 10), (1, 11), (1, 11), (2, 10)],
+        schema="l_orderkey LONG, l_partkey LONG",
+    )
+    out = R.brand_affinity_pairs(li, part3, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.brand_a, r.brand_b, r.support, r.cnt_a, r.cnt_b) == (
+        "Brand#12", "Brand#23", 1, 2, 1,
+    )
+    # lift = support·N / (cnt_a·cnt_b) = 1·2/(2·1) = 1.0
+    assert r.lift == 1.0
