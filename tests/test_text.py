@@ -74,3 +74,16 @@ def test_token_stats_and_quality_survive_empty_docs(spark):
     q = {r["doc_id"]: r["quality_score"] for r in doc_quality_score(df).collect()}
     assert all(v is not None for v in q.values())
     assert q[3] > q[1]
+
+
+def test_curation_funnel_monotone_and_matches_curate(spark):
+    """Funnel stages are monotone non-increasing and the final stage
+    equals curate_documents' row count (semantics identical by
+    construction — pinned here)."""
+    from twitter_followers_patterns_mapreduce_spark.operators import text as TX
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    funnel = {r.stage: r.n_docs for r in TX.curation_funnel(docs).collect()}
+    assert funnel["raw"] >= funnel["exact_dedup"] >= funnel["quality"] >= funnel["lang_agreement"]
+    assert funnel["lang_agreement"] == TX.curate_documents(docs).count()

@@ -330,3 +330,95 @@ SELECT c.labeled_lang, c.pred_lang, c.n_docs, t.n_labeled,
   round(CAST(c.n_docs AS DOUBLE) / CAST(t.n_labeled AS DOUBLE), 6) AS share_of_label,
   c.labeled_lang = c.pred_lang AS agree
 FROM cells c JOIN totals t USING (labeled_lang)"""
+
+
+def curation_funnel(documents: DataFrame, min_quality: float = 0.45) -> DataFrame:
+    """Pipeline observability: the survivorship funnel of the curation
+    stages — raw docs → exact-dedup keepers → + quality gate → + language
+    agreement — one labeled row per stage with absolute and
+    relative-to-raw counts.  This is the per-run report a data team
+    reads before shipping a corpus snapshot: WHERE documents die.
+
+    Stage semantics exactly mirror :func:`curate_documents` (same
+    keeper rule, same thresholds) so stage 3's count is by construction
+    the curated-corpus size; each stage is CUMULATIVE (applied on top
+    of the previous ones).  Four 1-row aggregates unioned — the
+    quality/lang/keeper subtrees are the curation plan's own, computed
+    once each (no per-stage rescans of the heavy ops)."""
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        exact_dedup_keep_best,
+    )
+
+    quality = apply_select(documents, quality_score_select("spark"))
+    langs = doc_language_id(documents)
+    keepers = exact_dedup_keep_best(documents).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    staged = (
+        documents.select("doc_id", "lang")
+        .join(quality.select("doc_id", "quality_score"), "doc_id")
+        .join(langs.select("doc_id", "pred_lang"), "doc_id")
+        .join(keepers.withColumn("is_keeper", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_keeper"), F.lit(0)).alias("is_keeper"),
+            (F.col("quality_score") >= min_quality).cast("int").alias("q_ok"),
+            (F.col("pred_lang") == F.col("lang")).cast("int").alias("l_ok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    agg = staged.agg(
+        F.count("*").alias("n0"),
+        F.sum("is_keeper").alias("n1"),
+        F.sum(F.col("is_keeper") * F.col("q_ok")).alias("n2"),
+        F.sum(F.col("is_keeper") * F.col("q_ok") * F.col("l_ok")).alias("n3"),
+    )
+    stacked = agg.selectExpr(
+        "n0",
+        "stack(4, 0, 'raw', n0, 1, 'exact_dedup', n1, 2, 'quality', n2, "
+        "3, 'lang_agreement', n3) AS (stage_idx, stage, n_docs)"
+    )
+    return stacked.select(
+        "stage_idx",
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs").cast("double") / F.col("n0").cast("double"), 6).alias(
+            "survival_rate"
+        ),
+    )
+
+
+def curation_funnel_oracle(min_quality: float = 0.45) -> str:
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        exact_dedup_keep_best_oracle,
+    )
+
+    q = select_sql("documents", quality_score_select("duckdb"))
+    lg = select_sql("documents", lang_id_select("duckdb"))
+    return f"""WITH q AS ({q}),
+lg AS ({lg}),
+keepers AS ({exact_dedup_keep_best_oracle()}),
+staged AS (
+  SELECT d.doc_id,
+    CASE WHEN EXISTS (SELECT 1 FROM keepers k WHERE k.keeper_id = d.doc_id)
+         THEN 1 ELSE 0 END AS is_keeper,
+    CASE WHEN q.quality_score >= {min_quality} THEN 1 ELSE 0 END AS q_ok,
+    CASE WHEN lg.pred_lang = d.lang THEN 1 ELSE 0 END AS l_ok
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN lg ON lg.doc_id = d.doc_id
+), agg AS (
+  SELECT COUNT(*) AS n0,
+         CAST(SUM(is_keeper) AS BIGINT) AS n1,
+         CAST(SUM(is_keeper * q_ok) AS BIGINT) AS n2,
+         CAST(SUM(is_keeper * q_ok * l_ok) AS BIGINT) AS n3
+  FROM staged
+)
+SELECT stage_idx, stage, n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS survival_rate
+FROM (
+  SELECT n0, 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs FROM agg
+  UNION ALL SELECT n0, 1, 'exact_dedup', n1 FROM agg
+  UNION ALL SELECT n0, 2, 'quality', n2 FROM agg
+  UNION ALL SELECT n0, 3, 'lang_agreement', n3 FROM agg
+)"""

@@ -278,3 +278,14 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lang_confusion_matrix(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_curation_funnel",
+    oracle=TX.curation_funnel_oracle(),
+    description="curation survivorship funnel: raw -> exact-dedup -> +quality -> "
+    "+lang-agreement counts with survival rates — one pass over the staged flags, "
+    "stage semantics identical to curate_documents by construction",
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.curation_funnel(load_table(spark, sf_dir, "documents"))
