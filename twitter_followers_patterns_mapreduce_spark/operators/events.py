@@ -702,3 +702,69 @@ cells AS (
 SELECT c.from_type, c.to_type, c.n_transitions, t.n_from,
   round(CAST(c.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p_transition
 FROM cells c JOIN totals t USING (from_type)"""
+
+
+def temporal_edges(events: DataFrame, modulus: int = 997) -> DataFrame:
+    """Timestamped interaction edges: the :func:`user_interaction_edges`
+    derivation with the FIRST observation time retained per (src, dst)
+    — the input a temporal-motif count needs (a plain edge set cannot
+    say whether hop 2 happened after hop 1)."""
+    w = Window.partitionBy(F.col("user_id") % 16).orderBy("ts", "event_id")
+    src = (F.col("user_id") % modulus).cast("long")
+    dst = (F.lead(F.col("user_id")).over(w) % modulus).cast("long")
+    return (
+        events.select(src.alias("src"), dst.alias("dst"), F.unix_micros("ts").alias("ts_us"))
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.min("ts_us").alias("ts_us"))
+    )
+
+
+def temporal_two_hop_count(
+    events: DataFrame, window_us: int = 4 * 3600 * 1_000_000
+) -> DataFrame:
+    """Time-respecting 2-hop path count (temporal motif, Paranjape et
+    al. WSDM'17): paths x→z→y where the second edge is observed AFTER
+    the first and within ``window_us`` — the temporal upgrade of the
+    reference's core 2-hop join (``exact/Exact2HopCount.java:61-69``):
+    same center-node equi-join, plus the time-ordering theta conjunct
+    evaluated inside it (exactly how the RS variant's x≠z round-trip
+    filter rides the join, SURVEY.md F3).
+
+    Scale: identical shuffle shape to ``two_hop_paths`` — the time
+    conjunct prunes join output, never expands it; AQE splits hot
+    center nodes the same way.  Integer microsecond arithmetic, no
+    timestamp comparisons cross the engine boundary."""
+    e = temporal_edges(events).localCheckpoint(eager=False)
+    e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"), F.col("ts_us").alias("t1"))
+    e2 = e.select(F.col("src").alias("z"), F.col("dst").alias("y"), F.col("ts_us").alias("t2"))
+    paths = e1.join(e2, "z").where(
+        (F.col("y") != F.col("x"))
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.lit(window_us))
+    )
+    return paths.agg(
+        F.count("*").cast("long").alias("n_temporal_two_hops"),
+        F.countDistinct("z").cast("long").alias("n_active_intermediaries"),
+    )
+
+
+def temporal_two_hop_oracle(window_us: int = 4 * 3600 * 1_000_000) -> str:
+    return f"""WITH raw AS (
+  SELECT user_id % 997 AS src,
+         LEAD(user_id % 997) OVER (PARTITION BY user_id % 16
+                                   ORDER BY ts ASC, event_id ASC) AS dst,
+         epoch_us(ts) AS ts_us
+  FROM events
+), e AS (
+  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+         MIN(ts_us) AS ts_us
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+  GROUP BY src, dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_temporal_two_hops,
+       CAST(COUNT(DISTINCT e1.dst) AS BIGINT) AS n_active_intermediaries
+FROM e e1 JOIN e e2 ON e1.dst = e2.src
+WHERE e2.dst <> e1.src
+  AND e2.ts_us > e1.ts_us
+  AND e2.ts_us <= e1.ts_us + {window_us}"""

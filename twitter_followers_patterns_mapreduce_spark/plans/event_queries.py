@@ -278,3 +278,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.type_transition_matrix(load_events(spark, sf_dir))
+
+
+@register(
+    "events_temporal_two_hop",
+    oracle=E.temporal_two_hop_oracle(),
+    description="time-respecting 2-hop count (temporal motif): the reference's core "
+    "2-hop join plus a time-ordering conjunct inside it — hop 2 observed after hop 1 "
+    "within 4h; integer-microsecond arithmetic",
+)
+def events_temporal_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.temporal_two_hop_count(load_events(spark, sf_dir))
