@@ -617,3 +617,87 @@ SELECT landmark,
   CAST({total} AS BIGINT) AS n_reached,
   round(CAST({numer} AS DOUBLE) / {float(lcm)}, 6) AS closeness
 FROM hist GROUP BY landmark"""
+
+
+def pagerank_personalized(
+    edges: DataFrame, mod: int = 20, iters: int = 4, damping: float = 0.85
+) -> DataFrame:
+    """Personalized PageRank: identical fixed-point to :func:`pagerank`
+    but the teleport mass returns to a SOURCE SET (ids ≡ 0 mod
+    ``mod``) instead of every node — the random-walk-with-restart
+    relevance score behind who-to-follow and related-entity ranking
+    (vs global importance).
+
+    rank = (1-d)·1[v ∈ S] + d·Σ rank(u)/out_deg(u); un-normalized like
+    the global form, dangling mass dropped, DECIMAL reduction so the
+    unrolled-CTE oracle is bit-exact.  Same per-pass join shape and
+    lazy-checkpoint discipline as :func:`pagerank` (out_deg folded into
+    the edge table once)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = F.when(F.col("id") % mod == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = nodes.select("id", seed.cast(_DEC).alias("rank"))
+    for _ in range(iters):
+        contribs = e_deg.join(ranks, e_deg["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"),
+            (F.col("rank").cast("double") / F.col("out_deg")).cast(_DEC).alias("contrib"),
+        )
+        sums = contribs.groupBy("id").agg(F.sum("contrib").alias("mass"))
+        ranks = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.when(F.col("id") % mod == 0, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
+                    + F.lit(damping) * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
+                )
+                .cast(_DEC)
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "id",
+        (F.floor(F.col("rank") * 1_000_000).cast("double") / F.lit(1_000_000.0)).alias(
+            "ppr"
+        ),
+    )
+
+
+def pagerank_personalized_oracle(
+    edges_cte: str, mod: int = 20, iters: int = 4, damping: float = 0.85
+) -> str:
+    head = f"""WITH e AS ({edges_cte}),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+r0 AS (SELECT id, CAST(CASE WHEN id % {mod} = 0 THEN 1.0 ELSE 0.0 END
+                       AS DECIMAL(28,12)) AS rank FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f""",
+r{i + 1} AS (
+  SELECT n.id,
+    CAST(CASE WHEN n.id % {mod} = 0 THEN CAST({1.0 - damping!r} AS DOUBLE)
+              ELSE 0.0 END +
+         CAST({damping!r} AS DOUBLE) * COALESCE(CAST(c.mass AS DOUBLE), 0.0)
+         AS DECIMAL(28,12)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id,
+           SUM(CAST(CAST(r.rank AS DOUBLE) / d.out_deg AS DECIMAL(28,12))) AS mass
+    FROM e JOIN r{i} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) c ON n.id = c.id)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT id, CAST(FLOOR(rank * 1000000) AS DOUBLE) / 1000000.0 AS ppr FROM r{iters}"""
+    )

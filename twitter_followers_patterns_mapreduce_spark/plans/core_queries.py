@@ -502,3 +502,14 @@ def triangle_count_oriented_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def triangle_count_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count_sampled(derived_edges(spark, sf_dir), MAX_TRI, p=4)
+
+
+@register(
+    "graph_pagerank_personalized",
+    oracle=GI.pagerank_personalized_oracle(_SPARSE_CTE, mod=20, iters=4),
+    description="personalized PageRank: teleport mass restricted to the landmark "
+    "source set (random-walk-with-restart relevance, vs global importance) — same "
+    "decimal-exact per-pass pipeline as graph_pagerank",
+)
+def graph_pagerank_personalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.pagerank_personalized(_sparse_edges(spark, sf_dir), mod=20, iters=4)
