@@ -314,3 +314,22 @@ def test_bpe_pair_counts_golden(spark):
     # words: aba(1), ab(2 — once per doc; 'X' lowercases to x len-1 skip,
     # '7' non-letter skip, 'a' len-1 skip) → pairs: ab:1+2=3, ba:1
     assert out == [("ab", 3), ("ba", 1)]
+
+
+def test_token_budget_shares_sum_to_one(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web", 13),
+            (2, "uno dos", "es", "web", 7),
+            (3, "a b c d e", "en", "books", 9),
+        ],
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    rows = CP.corpus_token_budget(docs).collect()
+    got = {(r.source, r.lang): (r.n_docs, r.n_tokens, r.token_share) for r in rows}
+    assert got[("web", "en")] == (1, 3, 0.3)
+    assert got[("web", "es")] == (1, 2, 0.2)
+    assert got[("books", "en")] == (1, 5, 0.5)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9

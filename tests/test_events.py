@@ -234,3 +234,54 @@ def test_retention_cohorts_golden(spark):
     assert got[("2024-01-01", 2)] == (1, 2, 0.5)
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(got) == 4
+
+
+def test_temporal_two_hop_time_ordering(spark):
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    # same partition bucket (user_ids ≡ 0 mod 16): walk 16→32→48→16
+    # produces edges (16,32)@t0, (32,48)@t1, (48,16)@t2
+    rows = [
+        (1, t0, 16, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 32, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=20), 48, "click", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=30), 16, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    # paths 16→32→48 and 32→48→16 respect time; 48→16→32 would need the
+    # (16,32) edge AFTER t2 — it is earlier, so only 2 paths
+    out = E.temporal_two_hop_count(ev).collect()[0]
+    assert out.n_temporal_two_hops == 2
+    # shrinking the window below 10 min kills both
+    assert E.temporal_two_hop_count(ev, window_us=1).collect()[0].n_temporal_two_hops == 0
+
+
+def test_type_transitions_golden(spark):
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "a", 0.0, "{}"),
+        (4, t0, 2, "a", 0.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "b", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+           for r in E.type_transition_matrix(ev).collect()}
+    # from a: →b twice (both users); from b: →a once (user 1 only)
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 2

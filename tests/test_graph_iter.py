@@ -166,3 +166,23 @@ def test_landmark_closeness_depth_bound(spark):
     out = {r.landmark: r for r in GI.landmark_closeness(e, mod=20, max_depth=4).collect()}
     assert out[0].n_reached == 4
     assert out[0].closeness == round(1 + 1 / 2 + 1 / 3 + 1 / 4, 6)
+
+
+def test_personalized_pagerank_seeds_only(spark):
+    # chain 20 -> 1 -> 2; source set (mod 20) = {0?, 20} → only 20 seeds.
+    # iter 1: r(20)=0.15, r(1)=0.85·(1/1)·? seed r0: 20=1, others 0 →
+    # after i1: r(1)=0.85·1=0.85, r(2)=0.85·0=0, r(20)=0.15
+    e = make_edges(spark, [(20, 1), (1, 2)])
+    out = {r.id: r.ppr for r in GI.pagerank_personalized(e, mod=20, iters=1).collect()}
+    assert out[20] == 0.15 and out[1] == 0.85 and out[2] == 0.0
+    # a non-seed node never receives teleport mass directly
+    out2 = {r.id: r.ppr for r in GI.pagerank_personalized(e, mod=20, iters=2).collect()}
+    assert out2[2] == round(0.85 * 0.85, 6)
+
+
+def test_pagerank_global_equals_personalized_with_all_seeds(spark):
+    # mod=1 makes every node a source → exactly the global formulation
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+    glob = {r.id: r.pagerank for r in GI.pagerank(e, iters=3).collect()}
+    pers = {r.id: r.ppr for r in GI.pagerank_personalized(e, mod=1, iters=3).collect()}
+    assert glob == pers

@@ -87,3 +87,21 @@ def test_curation_funnel_monotone_and_matches_curate(spark):
     funnel = {r.stage: r.n_docs for r in TX.curation_funnel(docs).collect()}
     assert funnel["raw"] >= funnel["exact_dedup"] >= funnel["quality"] >= funnel["lang_agreement"]
     assert funnel["lang_agreement"] == TX.curate_documents(docs).count()
+
+
+def test_lang_confusion_diagonal_and_shares(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in is", "en", "s", 10),   # clearly English
+            (2, "el la de que los una", "es", "s", 10),  # clearly Spanish
+            (3, "zqx wvv qqq", "en", "s", 10),           # no stopwords → und
+        ],
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    got = {(r.labeled_lang, r.pred_lang): r for r in TX.lang_confusion_matrix(docs).collect()}
+    assert got[("en", "en")].n_docs == 1 and got[("en", "en")].agree
+    assert got[("es", "es")].n_docs == 1
+    assert got[("en", "und")].n_docs == 1 and not got[("en", "und")].agree
+    assert got[("en", "en")].share_of_label == 0.5 and got[("en", "und")].share_of_label == 0.5

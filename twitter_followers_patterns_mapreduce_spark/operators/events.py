@@ -211,15 +211,12 @@ def user_interaction_edges(events: DataFrame, modulus: int = 997) -> DataFrame:
     """Derive a user-interaction edge table from the event stream
     (consecutive events by the same user_id bucket → edge), feeding the
     graph operators — demonstrates the edge-table abstraction is source-
-    agnostic exactly like the reference's CSV input."""
-    w = Window.partitionBy(F.col("user_id") % 16).orderBy("ts", "event_id")
-    src = (F.col("user_id") % modulus).cast("long")
-    dst = (F.lead(F.col("user_id")).over(w) % modulus).cast("long")
-    return (
-        events.select(src.alias("src"), dst.alias("dst"))
-        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    agnostic exactly like the reference's CSV input.
+
+    Thin view over :func:`temporal_edges` (single source of truth for
+    the derivation): dropping the first-seen timestamp leaves exactly
+    the distinct edge set."""
+    return temporal_edges(events, modulus).select("src", "dst")
 
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -553,7 +550,11 @@ def hourly_anomaly_zscores(events: DataFrame, trail: int = 24, min_hours: int = 
         .rowsBetween(-(trail - 1), Window.currentRow)
     )
     sx = F.sum("n_events").over(w).cast("long")
-    sxx = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("long")
+    # square in DECIMAL: n_events * n_events in BIGINT silently wraps in
+    # Spark (and errors in DuckDB) once an hour exceeds ~3.0e9 events —
+    # decimal(19,0)^2 -> decimal(38,0), exact at any realistic count
+    sq = (F.col("n_events").cast("decimal(19,0)") * F.col("n_events").cast("decimal(19,0)"))
+    sxx = F.sum(sq).over(w)
     cnt = F.count("*").over(w).cast("long")
     mean = sx.cast("double") / cnt.cast("double")
     var = sxx.cast("double") / cnt.cast("double") - mean * mean
@@ -576,7 +577,7 @@ def hourly_anomaly_oracle(trail: int = 24, min_hours: int = 12) -> str:
 win AS (
   SELECT hour, event_type, n_events,
     CAST(SUM(n_events) OVER w AS BIGINT) AS sx,
-    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS sxx,
+    SUM(CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0))) OVER w AS sxx,
     CAST(COUNT(*) OVER w AS BIGINT) AS n_hours
   FROM filled
   WINDOW w AS (PARTITION BY event_type ORDER BY hour

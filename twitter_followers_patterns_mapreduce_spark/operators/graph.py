@@ -565,7 +565,10 @@ def triangle_count_oriented(edges: DataFrame, max_limit: int | None = None) -> D
             F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")), F.lit(-1)
         ).alias("v"),
         F.greatest("ka", "kb").alias("kv"),
-    )
+    # lazy checkpoint: o1, o2, and the closing probe all read this —
+    # without it the distinct + degree agg + key joins execute three
+    # times (the module's standard reuse discipline)
+    ).localCheckpoint(eager=False)
     o1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
     o2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
     wedges = o1.join(o2, "u").where(F.col("k1") < F.col("k2")).select(

@@ -106,21 +106,30 @@ walk(id, r) AS (
 SELECT id, MIN(r) AS comp FROM walk GROUP BY id"""
 
 
-def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
-    """Fixed-iteration textbook PageRank (un-normalized form:
-    ``rank = (1-d) + d * Σ rank(u)/out_deg(u)``; dangling mass is
-    dropped — semantics pinned for the oracle, documented here).
+def _pagerank_fixpoint(
+    edges: DataFrame,
+    iters: int,
+    damping: float,
+    seed_expr,
+    teleport_expr,
+    out_name: str,
+) -> DataFrame:
+    """Shared fixed-point loop for the PageRank family:
+    rank₀ = seed_expr; rankᵢ₊₁ = teleport_expr + d·Σ rank(u)/out_deg(u)
+    (un-normalized; dangling mass dropped — semantics pinned for the
+    oracles).  ``seed_expr``/``teleport_expr`` are Column factories
+    taking the node-id Column, so the global and personalized variants
+    are one loop with two expressions swapped — a dangling-mass or
+    checkpointing fix lands in both at once.
 
-    Returns (id, pagerank DOUBLE rounded via DECIMAL(18,6)) — the
-    reduction runs in DECIMAL so Spark and DuckDB agree bit-for-bit
-    regardless of aggregation order.
-    """
+    Scale: out_deg is a static per-source property, folded into the
+    edge table ONCE before the loop (halves the per-pass join count;
+    the widened table is the natural artifact to bucket by src).
+    Checkpoints are lazy — the final sink materializes the whole chain
+    in one job; the rank reduction runs in DECIMAL so the result is
+    bit-identical under any partitioning, which is what makes the
+    unrolled-CTE oracles exact."""
     e = edges.select("src", "dst").localCheckpoint(eager=False)
-    # out_deg is a static per-source property: fold it into the edge
-    # table ONCE (one join, before the loop) instead of re-joining deg
-    # on every pass — at scale this halves the loop's join count, and
-    # the widened edge table is the natural artifact to pre-partition
-    # (or bucket) by src so each pass's rank join is co-located
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     e_deg = e.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
@@ -129,14 +138,11 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
         .distinct()
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.select("id", F.lit(1.0).cast(_DEC).alias("rank"))
+    ranks = nodes.select("id", seed_expr(F.col("id")).cast(_DEC).alias("rank"))
     for _ in range(iters):
-        contribs = (
-            e_deg.join(ranks, e_deg["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank").cast("double") / F.col("out_deg")).cast(_DEC).alias("contrib"),
-            )
+        contribs = e_deg.join(ranks, e_deg["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"),
+            (F.col("rank").cast("double") / F.col("out_deg")).cast(_DEC).alias("contrib"),
         )
         sums = contribs.groupBy("id").agg(F.sum("contrib").alias("mass"))
         ranks = (
@@ -144,44 +150,62 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
             .select(
                 "id",
                 (
-                    F.lit(1.0 - damping)
+                    teleport_expr(F.col("id"))
                     + F.lit(damping) * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
                 )
                 .cast(_DEC)
                 .alias("rank"),
             )
-            # lazy: a fixed-iteration loop has no mid-loop action, so
-            # the final sink materializes the whole chain in one job;
-            # the checkpoint still truncates lineage and caches each
-            # rank stage for the next level's reuse
             .localCheckpoint(eager=False)
         )
     # 6dp emission via exact integer floor on the decimal — DuckDB's
     # decimal downscale cast TRUNCATES while Spark's ROUNDS, so neither
-    # is used: floor(rank*1e6) is exact in both, and BIGINT/1e6 division
-    # is the same IEEE op on identical inputs.
+    # is used: floor(rank*1e6) is exact in both.
     return ranks.select(
         "id",
         (F.floor(F.col("rank") * 1_000_000).cast("double") / F.lit(1_000_000.0)).alias(
-            "pagerank"
+            out_name
         ),
     )
 
 
-def pagerank_oracle(edges_cte: str, iters: int = 5, damping: float = 0.85) -> str:
-    """DuckDB oracle: the same fixed-point unrolled as a CTE chain —
-    identical decimal reduction, identical IEEE double per-edge ops."""
+def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration textbook PageRank (un-normalized form:
+    ``rank = (1-d) + d * Σ rank(u)/out_deg(u)``; dangling mass is
+    dropped).  Returns (id, pagerank DOUBLE, floored at 6dp)."""
+    return _pagerank_fixpoint(
+        edges,
+        iters,
+        damping,
+        seed_expr=lambda _id: F.lit(1.0),
+        teleport_expr=lambda _id: F.lit(1.0 - damping),
+        out_name="pagerank",
+    )
+
+
+def _pagerank_fixpoint_oracle(
+    edges_cte: str,
+    iters: int,
+    damping: float,
+    seed_sql: str,
+    teleport_sql: str,
+    out_name: str,
+) -> str:
+    """DuckDB oracle generator shared by the PageRank family: the same
+    fixed-point unrolled as a CTE chain — identical decimal reduction,
+    identical IEEE double per-edge ops; ``seed_sql``/``teleport_sql``
+    are expressions over the node id column ``{id}``."""
     head = f"""WITH e AS ({edges_cte}),
 deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
 nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-r0 AS (SELECT id, CAST(1.0 AS DECIMAL(28,12)) AS rank FROM nodes)"""
+r0 AS (SELECT id, CAST({seed_sql.format(id='id')} AS DECIMAL(28,12)) AS rank FROM nodes)"""
     steps = []
     for i in range(iters):
         steps.append(
             f""",
 r{i + 1} AS (
   SELECT n.id,
-    CAST(CAST({1.0 - damping!r} AS DOUBLE) +
+    CAST({teleport_sql.format(id='n.id')} +
          CAST({damping!r} AS DOUBLE) * COALESCE(CAST(c.mass AS DOUBLE), 0.0)
          AS DECIMAL(28,12)) AS rank
   FROM nodes n LEFT JOIN (
@@ -194,7 +218,18 @@ r{i + 1} AS (
         head
         + "".join(steps)
         + f"""
-SELECT id, CAST(FLOOR(rank * 1000000) AS DOUBLE) / 1000000.0 AS pagerank FROM r{iters}"""
+SELECT id, CAST(FLOOR(rank * 1000000) AS DOUBLE) / 1000000.0 AS {out_name} FROM r{iters}"""
+    )
+
+
+def pagerank_oracle(edges_cte: str, iters: int = 5, damping: float = 0.85) -> str:
+    return _pagerank_fixpoint_oracle(
+        edges_cte,
+        iters,
+        damping,
+        seed_sql="1.0",
+        teleport_sql=f"CAST({1.0 - damping!r} AS DOUBLE)",
+        out_name="pagerank",
     )
 
 
@@ -630,74 +665,31 @@ def pagerank_personalized(
 
     rank = (1-d)·1[v ∈ S] + d·Σ rank(u)/out_deg(u); un-normalized like
     the global form, dangling mass dropped, DECIMAL reduction so the
-    unrolled-CTE oracle is bit-exact.  Same per-pass join shape and
-    lazy-checkpoint discipline as :func:`pagerank` (out_deg folded into
-    the edge table once)."""
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    seed = F.when(F.col("id") % mod == 0, F.lit(1.0)).otherwise(F.lit(0.0))
-    ranks = nodes.select("id", seed.cast(_DEC).alias("rank"))
-    for _ in range(iters):
-        contribs = e_deg.join(ranks, e_deg["src"] == ranks["id"]).select(
-            F.col("dst").alias("id"),
-            (F.col("rank").cast("double") / F.col("out_deg")).cast(_DEC).alias("contrib"),
-        )
-        sums = contribs.groupBy("id").agg(F.sum("contrib").alias("mass"))
-        ranks = (
-            nodes.join(sums, "id", "left")
-            .select(
-                "id",
-                (
-                    F.when(F.col("id") % mod == 0, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
-                    + F.lit(damping) * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
-                )
-                .cast(_DEC)
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks.select(
-        "id",
-        (F.floor(F.col("rank") * 1_000_000).cast("double") / F.lit(1_000_000.0)).alias(
-            "ppr"
+    unrolled-CTE oracle is bit-exact.  One shared fixed-point loop with
+    :func:`pagerank` — only the seed and teleport expressions differ."""
+    return _pagerank_fixpoint(
+        edges,
+        iters,
+        damping,
+        seed_expr=lambda i: F.when(i % mod == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        teleport_expr=lambda i: F.when(i % mod == 0, F.lit(1.0 - damping)).otherwise(
+            F.lit(0.0)
         ),
+        out_name="ppr",
     )
 
 
 def pagerank_personalized_oracle(
     edges_cte: str, mod: int = 20, iters: int = 4, damping: float = 0.85
 ) -> str:
-    head = f"""WITH e AS ({edges_cte}),
-deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
-nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-r0 AS (SELECT id, CAST(CASE WHEN id % {mod} = 0 THEN 1.0 ELSE 0.0 END
-                       AS DECIMAL(28,12)) AS rank FROM nodes)"""
-    steps = []
-    for i in range(iters):
-        steps.append(
-            f""",
-r{i + 1} AS (
-  SELECT n.id,
-    CAST(CASE WHEN n.id % {mod} = 0 THEN CAST({1.0 - damping!r} AS DOUBLE)
-              ELSE 0.0 END +
-         CAST({damping!r} AS DOUBLE) * COALESCE(CAST(c.mass AS DOUBLE), 0.0)
-         AS DECIMAL(28,12)) AS rank
-  FROM nodes n LEFT JOIN (
-    SELECT e.dst AS id,
-           SUM(CAST(CAST(r.rank AS DOUBLE) / d.out_deg AS DECIMAL(28,12))) AS mass
-    FROM e JOIN r{i} r ON e.src = r.id JOIN deg d ON e.src = d.src
-    GROUP BY e.dst) c ON n.id = c.id)"""
-        )
-    return (
-        head
-        + "".join(steps)
-        + f"""
-SELECT id, CAST(FLOOR(rank * 1000000) AS DOUBLE) / 1000000.0 AS ppr FROM r{iters}"""
+    return _pagerank_fixpoint_oracle(
+        edges_cte,
+        iters,
+        damping,
+        seed_sql=f"CASE WHEN {{id}} % {mod} = 0 THEN 1.0 ELSE 0.0 END",
+        teleport_sql=(
+            f"CASE WHEN {{id}} % {mod} = 0 THEN CAST({1.0 - damping!r} AS DOUBLE)"
+            " ELSE 0.0 END"
+        ),
+        out_name="ppr",
     )

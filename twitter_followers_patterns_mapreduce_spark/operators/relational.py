@@ -1122,10 +1122,13 @@ def brand_affinity_pairs(
     the reference's 2-hop center-node join, and AQE splits outlier
     baskets.  Lift = support·N / (cnt_a·cnt_b): exact bigints, one
     IEEE division, 6 dp."""
+    # lazy checkpoint: the pair join reads items twice and the brand /
+    # order totals twice more — five consumers, one computation
     items = (
         lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))

@@ -241,8 +241,15 @@ def events_tumbling_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFra
     d = os.path.join(tempfile.gettempdir(), f"spark_stream_events_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    # lexists (NOT exists): a dangling symlink from a moved sf_dir must
+    # be replaced, not re-created (exists follows the link and lies);
+    # the except guards the concurrent-runs race on the same tag
+    if os.path.lexists(link):
+        os.unlink(link)
+    try:
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
     stream = tumbling_hourly_stream(events_file_stream(spark, d))
     run_available_now(stream, "events_tumbling_hourly_streamed_sink", output_mode="complete")
     return spark.table("events_tumbling_hourly_streamed_sink")

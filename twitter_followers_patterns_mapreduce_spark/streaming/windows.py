@@ -35,16 +35,13 @@ EVENT_STREAM_SCHEMA = T.StructType(
 )
 
 
-def events_file_stream(spark: SparkSession, path: str, base_path: str | None = None) -> DataFrame:
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source event stream: each parquet file under ``path`` becomes
-    a micro-batch (the standard incremental-ingest pattern).
-
-    ``base_path``: set when ``path`` globs a single FILE (the source
-    infers basePath from the glob and requires it to be a directory)."""
-    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
-    if base_path is not None:
-        reader = reader.option("basePath", base_path)
-    return reader.parquet(path)
+    a micro-batch (the standard incremental-ingest pattern).  ``path``
+    must be a DIRECTORY (FileStreamSource monitors it for new files —
+    single-file inputs need a staging dir, see
+    events_tumbling_hourly_streamed)."""
+    return spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(path)
 
 
 def _tumbling_agg(events: DataFrame) -> DataFrame:
