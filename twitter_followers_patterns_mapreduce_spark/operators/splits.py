@@ -123,29 +123,41 @@ def contamination_check(
 
     from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
     sh = shingles_sql(tokens_sql("text", "spark"), n_shingle, "spark")
-    # fan_out: shingling+explode is a heavy projection whose cost is
-    # per-row work, not scan bytes — without it a single-row-group
-    # input pins BOTH branches of the check to one task.
+    # Shingles are hashed to 60-bit BIGINTs BEFORE anything is
+    # materialized or joined: the join key is 8 bytes instead of a
+    # ~40-byte n-word string, and the checkpointed rows are
+    # (doc_id, split, array<bigint>) — one row per DOC, not per
+    # shingle.  (Round-3 checkpointed the post-explode string rows,
+    # |docs|×|shingles| wide rows — a measured 4-7× regression.)
+    sh64 = f"transform({sh}, s -> {h64_sql('s', 'spark')})"
+    # fan_out: shingling is a heavy projection whose cost is per-row
+    # work, not scan bytes — without it a single-row-group input pins
+    # BOTH branches of the check to one task.
     # assign_split (not a reimplementation) assigns membership, so the
     # audit can never drift from the split the training run actually
     # used.
     # lazy checkpoint: train_index and holdout both branch off this
-    # subtree — without it the scan+shingle+explode pass runs twice
+    # subtree — without it the scan+tokenize+shingle+md5 pass runs twice
     shingled = assign_split(fan_out(documents), "doc_id", holdout_pct).select(
         "doc_id",
         "split",
-        F.explode(F.expr(sh)).alias("shingle"),
+        F.expr(sh64).alias("sh64s"),
     ).localCheckpoint(eager=False)
+    exploded = shingled.select(
+        "doc_id", "split", F.explode("sh64s").alias("sh64")
+    )
     train_index = (
-        shingled.where(F.col("split") == "train")
-        .select("shingle")
+        exploded.where(F.col("split") == "train")
+        .select("sh64")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    holdout = shingled.where(F.col("split") == "holdout").select("doc_id", "shingle")
+    holdout = exploded.where(F.col("split") == "holdout").select("doc_id", "sh64")
     return (
-        holdout.join(train_index, on="shingle", how="left")
+        holdout.join(train_index, on="sh64", how="left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -161,18 +173,21 @@ def contamination_check_oracle(holdout_pct: int = 10, n_shingle: int = 5) -> str
         tokens_sql,
     )
 
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
     sh = shingles_sql(tokens_sql("text", "duckdb"), n_shingle, "duckdb")
+    sh64 = f"list_transform({sh}, s -> {h64_sql('s', 'duckdb')})"
     bucket = _bucket_sql("doc_id", "duckdb")
     split = f"CASE WHEN {bucket} < {holdout_pct} THEN 'holdout' ELSE 'train' END"
-    shingled = f"SELECT doc_id, {split} AS split, UNNEST({sh}) AS shingle FROM documents"
+    shingled = f"SELECT doc_id, {split} AS split, UNNEST({sh64}) AS sh64 FROM documents"
     return f"""WITH shingled AS ({shingled}),
-train_index AS (SELECT DISTINCT shingle FROM shingled WHERE split = 'train'),
-holdout AS (SELECT doc_id, shingle FROM shingled WHERE split = 'holdout')
+train_index AS (SELECT DISTINCT sh64 FROM shingled WHERE split = 'train'),
+holdout AS (SELECT doc_id, sh64 FROM shingled WHERE split = 'holdout')
 SELECT h.doc_id,
        COUNT(*) AS n_shingles,
-       COUNT(t.shingle) AS n_contaminated,
-       COUNT(t.shingle) / COUNT(*) AS contamination_ratio
-FROM holdout h LEFT JOIN train_index t ON h.shingle = t.shingle
+       COUNT(t.sh64) AS n_contaminated,
+       COUNT(t.sh64) / COUNT(*) AS contamination_ratio
+FROM holdout h LEFT JOIN train_index t ON h.sh64 = t.sh64
 GROUP BY h.doc_id"""
 
 

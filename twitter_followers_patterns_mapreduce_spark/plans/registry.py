@@ -91,6 +91,32 @@ CORE_PARITY = (
 )
 
 
+#: The 51 queries that had zero driver-green evidence entering round 4
+#: (VERDICT.md r3 §"Next round" item 1).  Within the never-green tier
+#: these go FIRST, ahead of queries registered in round 4 or later —
+#: the oldest unverified claims are the riskiest, and a new query
+#: waiting one extra round is cheaper than an old one waiting four.
+FRESH_BACKLOG = (
+    "graph_bfs_distances", "q12_priority_counts", "doc_kanonymity_audit",
+    "dedup_ngram_jaccard", "embedding_top_pairs_lsh", "events_asof_purchase_click",
+    "graph_ktruss", "q14_promo_revenue", "doc_token_surprisal",
+    "dedup_neardup_clusters", "embedding_label_pca", "events_range_attribution",
+    "graph_landmark_closeness", "q16_supplier_part_counts", "corpus_pack_sequences",
+    "dedup_incremental", "embedding_kmeans", "events_sketch_summary",
+    "triangle_count_oriented", "q19_disjunctive_revenue", "corpus_bpe_pair_counts",
+    "dedup_semantic", "ann_topk_ivf_kmeans", "events_type_pivot",
+    "triangle_count_sampled", "q22_idle_rich_customers", "corpus_token_budget",
+    "embedding_quantize_stats", "events_typed_json", "graph_pagerank_personalized",
+    "customers_lost_yoy", "doc_lang_confusion", "ann_topk_pq",
+    "events_salted_user_count", "customer_balance_ntiles", "doc_curation_funnel",
+    "events_session_window", "orders_grouping_sets", "events_type_streaks",
+    "orders_extremes_by_priority", "events_funnel_conversion", "nation_revenue_pareto",
+    "events_gapfill_hourly", "brand_affinity_pairs", "events_value_moving_1h",
+    "events_variant_deciles", "events_tumbling_hourly_streamed", "events_hourly_anomaly",
+    "events_retention_cohorts", "events_type_transitions", "events_temporal_two_hop",
+)
+
+
 def _last_green_round() -> dict[str, int]:
     """Name → highest round number whose CORRECTNESS_r*.json shows it
     hash-matched.
@@ -124,16 +150,24 @@ def _last_green_round() -> dict[str, int]:
 def _ordered_names() -> list[str]:
     """Registry names in verification-priority order.
 
-    1. ``CORE_PARITY`` — pinned first, re-verified every round.
-    2. Never-yet-green queries, round-robin across plan modules (so a
-       budget cut at any depth still touches every category).
+    1. Never-yet-green queries, round-robin across plan modules (so a
+       budget cut at any depth still touches every category).  These
+       lead even ahead of ``CORE_PARITY``: a query with ZERO driver
+       evidence is strictly riskier than a core query green in every
+       prior round, and the driver's per-round budget (50) is smaller
+       than the fresh backlog — spending 13 slots re-proving r1-r3
+       greens would leave fresh queries unverified for extra rounds.
+    2. ``CORE_PARITY`` — the reference-contract queries; once the
+       fresh backlog drains below the budget these are re-verified
+       every round again.
     3. Previously-green queries, stalest round first (then the same
        round-robin within a staleness tier) — every query re-enters
        the driver's bounded prefix within a few rounds, so a
        regression in a once-green query gets re-caught.
     """
     last_green = _last_green_round()
-    pinned = [n for n in CORE_PARITY if n in _REGISTRY]
+    pinned = [n for n in CORE_PARITY if n in _REGISTRY and n in last_green]
+    # A core-parity query with no green evidence yet sorts with `fresh`.
     rest = [n for n in _REGISTRY if n not in set(pinned)]
 
     def round_robin(names: list[str]) -> list[str]:
@@ -151,7 +185,11 @@ def _ordered_names() -> list[str]:
             queues = next_queues
         return out
 
-    fresh = round_robin([n for n in rest if n not in last_green])
+    fresh_all = [n for n in rest if n not in last_green]
+    backlog = set(FRESH_BACKLOG)
+    fresh = round_robin([n for n in fresh_all if n in backlog]) + round_robin(
+        [n for n in fresh_all if n not in backlog]
+    )
     seen_by_staleness: dict[int, list[str]] = {}
     for n in rest:
         if n in last_green:
@@ -159,7 +197,7 @@ def _ordered_names() -> list[str]:
     seen: list[str] = []
     for rnd in sorted(seen_by_staleness):  # oldest green evidence first
         seen.extend(round_robin(seen_by_staleness[rnd]))
-    return pinned + fresh + seen
+    return fresh + pinned + seen
 
 
 def all_queries() -> dict[str, QueryFn]:
