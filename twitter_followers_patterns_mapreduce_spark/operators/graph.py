@@ -545,10 +545,14 @@ def triangle_count_oriented(edges: DataFrame, max_limit: int | None = None) -> D
     )
     nbrs = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id")))
     deg = nbrs.groupBy("id").agg(F.count("*").alias("deg"))
-    # total-order key (deg, id) packed into one BIGINT — ids in this
-    # engine are < 2^31 (reference parses 32-bit ints,
-    # countedges/CountEdgesAfterMax.java:52-53)
-    key = (F.col("deg") * F.lit(1 << 32) + F.col("id")).alias("k")
+    # total-order key: the (deg, id) STRUCT, compared lexicographically
+    # (both engines order structs field-by-field).  A packed
+    # deg*2^32+id BIGINT would silently mis-orient edges for id >= 2^32
+    # or deg >= 2^31 — fine for the reference's 32-bit-parsed ids but
+    # not for other edge sources (e.g. derived event edges), so the
+    # struct form is the safe general key at identical cost (the
+    # comparison stays inside whole-stage codegen).
+    key = F.struct(F.col("deg"), F.col("id")).alias("k")
     keyed = deg.select("id", key)
     ka = keyed.select(F.col("id").alias("a"), F.col("k").alias("ka"))
     kb = keyed.select(F.col("id").alias("b"), F.col("k").alias("kb"))
@@ -564,7 +568,10 @@ def triangle_count_oriented(edges: DataFrame, max_limit: int | None = None) -> D
         F.coalesce(
             F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")), F.lit(-1)
         ).alias("v"),
-        F.greatest("ka", "kb").alias("kv"),
+        # kv = the key of the HIGHER endpoint (the wedge-ordering key);
+        # spelled as a CASE rather than greatest() so it stays valid for
+        # struct-typed keys in both engines
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
     # lazy checkpoint: o1, o2, and the closing probe all read this —
     # without it the distinct + degree agg + key joins execute three
     # times (the module's standard reuse discipline)
@@ -585,11 +592,11 @@ und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
         FROM s WHERE src <> dst),
 deg AS (SELECT id, COUNT(*) AS deg FROM (
           SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) GROUP BY id),
-keyed AS (SELECT id, deg * 4294967296 + id AS k FROM deg),
+keyed AS (SELECT id, row(deg, id) AS k FROM deg),
 oriented AS (
   SELECT CASE WHEN ka.k < kb.k THEN u.a ELSE u.b END AS u,
          CASE WHEN ka.k < kb.k THEN u.b ELSE u.a END AS v,
-         GREATEST(ka.k, kb.k) AS kv
+         CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS kv
   FROM und u JOIN keyed ka ON u.a = ka.id JOIN keyed kb ON u.b = kb.id),
 wedges AS (
   SELECT o1.v AS u2, o2.v AS v2x

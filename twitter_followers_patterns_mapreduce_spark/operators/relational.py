@@ -810,11 +810,16 @@ def q16_supplier_part_counts(
 
 
 def q16_oracle(excl_brand: str = "Brand#45", k: int = 100) -> str:
+    # NOT EXISTS, not NOT IN: under three-valued logic a NULL s_suppkey
+    # in the subquery would zero out a NOT IN while the DataFrame side's
+    # LEFT ANTI join just ignores NULLs — NOT EXISTS matches anti-join
+    # semantics exactly (same spelling as the q22 oracle).
     return f"""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> '{excl_brand}'
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC LIMIT {k}"""
 
@@ -1051,7 +1056,9 @@ def nation_revenue_pareto(
     custkey)); the threshold is DECIMAL·DECIMAL — every comparison is
     exact, so the cutoff row is the same in any engine or partitioning.
     A customer is needed while the revenue BEFORE them is still under
-    the threshold."""
+    the threshold.  ``share`` is pinned to DECIMAL(6,4) on both engines
+    so up to four fractional digits are honored exactly (a narrower
+    cast silently rounded "0.85" to 0.8)."""
     rev = F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
     per_cust = (
         orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
@@ -1071,7 +1078,7 @@ def nation_revenue_pareto(
         F.coalesce(cum_before, F.lit(0).cast(DEC)).alias("cum_before"),
         F.sum("rev").over(wn).alias("total"),
     )
-    needed = F.col("cum_before") < F.expr(f"CAST({share} AS DECIMAL(2,1))") * F.col("total")
+    needed = F.col("cum_before") < F.expr(f"CAST({share} AS DECIMAL(6,4))") * F.col("total")
     return staged.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"),
         F.sum(F.when(needed, 1).otherwise(0)).cast("long").alias("n_top_customers"),
@@ -1099,9 +1106,9 @@ def nation_revenue_pareto_oracle(share: str = "0.8") -> str:
 )
 SELECT c_nationkey,
   COUNT(*) AS n_customers,
-  CAST(SUM(CASE WHEN cum_before < CAST({share} AS DECIMAL(2,1)) * total
+  CAST(SUM(CASE WHEN cum_before < CAST({share} AS DECIMAL(6,4)) * total
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_customers,
-  round(CAST(SUM(CASE WHEN cum_before < CAST({share} AS DECIMAL(2,1)) * total
+  round(CAST(SUM(CASE WHEN cum_before < CAST({share} AS DECIMAL(6,4)) * total
                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
     AS top_share_of_customers,
   MAX(CAST(total AS DOUBLE)) AS nation_revenue
