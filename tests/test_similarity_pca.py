@@ -24,13 +24,14 @@ def labeled_vecs(spark):
     return spark.createDataFrame(rows, schema="label LONG, embedding ARRAY<FLOAT>")
 
 
-def _eigh_pc(mat: np.ndarray) -> np.ndarray:
+def _eigh_pc(mat: np.ndarray) -> tuple[np.ndarray, float]:
     x = mat - mat.mean(axis=0)
     cov = (x.T @ x) / (len(x) - 1)
     w, v = np.linalg.eigh(cov)
     pc = v[:, -1]
     j = int(np.argmax(np.abs(pc)))
-    return -pc if pc[j] < 0 else pc
+    explained = float(w[-1] / w.sum())
+    return (-pc if pc[j] < 0 else pc), explained
 
 
 def test_pca_matches_numpy_eigh(labeled_vecs, spark):
@@ -38,12 +39,62 @@ def test_pca_matches_numpy_eigh(labeled_vecs, spark):
     pdf = labeled_vecs.toPandas()
     for label in (0, 1):
         mat = np.vstack(pdf[pdf["label"] == label]["embedding"].to_numpy())
-        pc = _eigh_pc(mat)
+        pc, explained = _eigh_pc(mat)
         r = got[label]
         assert r["n_vecs"] == 40
         for i in range(3):
             assert r[f"pc_dim{i}"] == pytest.approx(float(pc[i]), abs=1e-4)
-        assert 0.5 < r["explained_ratio"] <= 1.0  # one dominant direction
+        # explained_ratio pinned against the eigen-solve itself, not
+        # just a sanity band — this is the rows-only query's oracle
+        assert r["explained_ratio"] == pytest.approx(explained, rel=1e-4)
+
+
+def _power_iter_pc(mat: np.ndarray, n_iter: int = 30) -> tuple[np.ndarray, float]:
+    """Independent replica of the operator's SPEC (n_iter power steps
+    from all-ones, largest-|coord|-positive sign, Rayleigh ratio) —
+    what the result must equal even when the spectrum is degenerate."""
+    x = mat - mat.mean(axis=0)
+    cov = (x.T @ x) / max(len(x) - 1, 1)
+    v = np.ones(cov.shape[0])
+    for _ in range(n_iter):
+        v = cov @ v
+        n = np.linalg.norm(v)
+        if n == 0.0:
+            break
+        v = v / n
+    j = int(np.argmax(np.abs(v)))
+    if v[j] < 0:
+        v = -v
+    lam = float(v @ cov @ v)
+    total = float(np.trace(cov))
+    return v, (lam / total if total > 0 else 0.0)
+
+
+def test_pca_matches_numpy_on_harness_table(spark):
+    """Differential on the REAL embeddings table (all labels) — the
+    check the driver can't run (needs numpy).  The harness embeddings
+    are near-isotropic (top eigen-gap ≈ 1.02-1.2), so a fixed-iteration
+    power method provably cannot match ``eigh``'s top eigenvector there;
+    the tight assertion is against the spec replica, and ``eigh``
+    contributes the Rayleigh UPPER bound (explained_ratio can never
+    exceed λ1/trace) plus the exact match on the synthetic
+    strong-gap fixture above."""
+    from tests.conftest import SF_DIR_MED
+
+    emb = spark.read.parquet(f"{SF_DIR_MED}/embeddings.parquet")
+    got = {r["label"]: r for r in label_principal_component(emb).collect()}
+    pdf = emb.select("label", "embedding").toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.vstack(grp["embedding"].to_numpy()).astype(np.float64)
+        pc, explained = _power_iter_pc(mat)
+        x = mat - mat.mean(axis=0)
+        w = np.linalg.eigh((x.T @ x) / (len(x) - 1))[0]
+        r = got[label]
+        assert r["n_vecs"] == len(mat)
+        assert r["explained_ratio"] == pytest.approx(explained, rel=1e-6)
+        for i in range(3):
+            assert r[f"pc_dim{i}"] == pytest.approx(float(pc[i]), abs=1e-6)
+        assert r["explained_ratio"] <= float(w[-1] / w.sum()) * (1 + 1e-9)
 
 
 def test_pca_invariant_to_partitioning(labeled_vecs):

@@ -134,6 +134,38 @@ def sketch_summary(events: DataFrame) -> DataFrame:
     )
 
 
+def sketch_summary_checked(events: DataFrame) -> DataFrame:
+    """:func:`sketch_summary` in fully ORACLE-CHECKABLE form.  Sketch
+    VALUES are engine-specific (HLL register layout, t-digest centroid
+    placement differ per implementation), but the sketch SPEC is not:
+    "approx within rel-ε of exact" is a deterministic boolean both
+    engines agree on — the oracle asserts TRUE, so a sketch gone wild
+    hash-mismatches at the driver instead of hiding behind a rows-only
+    check.  Bounds: 5% for HLL (rsd 0.01, observed ≤0.7% at sf0.1) and
+    1% for approx_percentile (accuracy 10k, observed ≤0.1%)."""
+    s = sketch_summary(events)
+    users_err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    p50_err = F.abs(F.col("approx_p50") - F.col("exact_p50"))
+    return s.select(
+        "event_type",
+        "exact_users",
+        "exact_p50",
+        (users_err <= 0.05 * F.col("exact_users")).alias("approx_users_ok"),
+        (p50_err <= F.greatest(0.01 * F.abs(F.col("exact_p50")), F.lit(1e-9))).alias(
+            "approx_p50_ok"
+        ),
+    )
+
+
+def sketch_summary_checked_oracle() -> str:
+    return """SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  quantile_cont(value, 0.5) AS exact_p50,
+  TRUE AS approx_users_ok,
+  TRUE AS approx_p50_ok
+FROM events GROUP BY event_type"""
+
+
 def column_profile(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
     """Table-stats collector (the ANALYZE primitive): one scan, one
     partial-aggregated reduce producing per-column min/max/nulls/ndv.

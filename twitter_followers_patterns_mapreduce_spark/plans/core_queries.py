@@ -50,6 +50,50 @@ def ce_count_edges_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.count_edges(derived_edges(spark, sf_dir), MAX_TRI)
 
 
+def _csv_edges_oracle() -> str:
+    """Oracle over the MATERIALIZED CSV (``read_csv``, not the parquet
+    CTE) — the whole point is proving the S1 text-scan path, so the
+    oracle must read the same bytes the Spark plan reads.  The sf0.01
+    CSV is materialized eagerly at import so the oracle is runnable
+    regardless of whether the driver executes SQL before Spark."""
+    import os
+
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+        materialize_edges_csv,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+        path = materialize_edges_csv(sf_dir)
+    else:  # pragma: no cover — driver containers always ship sf0.01
+        path = "/root/repo/.cache/edges_csv/sf0.01/edges.csv"
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS edge_count\n"
+        f"FROM read_csv('{path}', header=false,\n"
+        f"              columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})\n"
+        f"WHERE src < {MAX_TRI} AND dst < {MAX_TRI}"
+    )
+
+
+@register(
+    "ce_count_edges_csv",
+    oracle=_csv_edges_oracle(),
+    description="CE on the reference's NATIVE csv input (S1 text scan, binding MAX)",
+)
+def ce_count_edges_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CE job on its actual input format: a headerless ``src,dst``
+    CSV scanned with an explicit schema (``sources/readers.py``
+    ``edges_from_csv``; reference ``countedges/CountEdgesAfterMax.java:80``
+    reads the same lines via TextInputFormat).  The MAX filter pushes
+    into the CSV scan (Spark CSV source supports predicate pushdown)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+        edges_from_csv,
+        materialize_edges_csv,
+    )
+
+    return G.count_edges(edges_from_csv(spark, materialize_edges_csv(sf_dir)), MAX_TRI)
+
+
 @register(
     "degrees",
     oracle=f"""{_E},

@@ -103,13 +103,13 @@ from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # 
 
 @register(
     "events_sketch_summary",
-    oracle=None,  # sketch internals are engine-specific: rows-only harness check;
-    # error bounds vs the exact companion columns are pinned in tests/test_stats.py
-    description="HLL++ distinct-users and approx_percentile sketches next to their "
-    "exact companions, per event_type — mergeable constant-memory 100 TB path",
+    oracle=ST.sketch_summary_checked_oracle(),
+    description="HLL++ distinct-users and approx_percentile sketches per event_type, "
+    "oracle-checked: exact companions hash-compared, sketch values certified via "
+    "error-bound booleans the oracle asserts TRUE (mergeable constant-memory 100 TB path)",
 )
 def events_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ST.sketch_summary(load_events(spark, sf_dir))
+    return ST.sketch_summary_checked(load_events(spark, sf_dir))
 
 
 @register(

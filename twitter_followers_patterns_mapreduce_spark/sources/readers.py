@@ -107,6 +107,41 @@ def derived_edges(spark: SparkSession, sf_dir: str, modulus: int = EDGE_MODULUS)
     )
 
 
+def materialize_edges_csv(sf_dir: str) -> str:
+    """Materialize the derived edge view as a headerless ``src,dst``
+    CSV — the reference's NATIVE input format (``Makefile:10``
+    ``local.input=input/edges.csv``) — so the CSV scan path (S1) can be
+    exercised end-to-end under the DuckDB oracle, not only on the
+    parquet-derived view.
+
+    Deterministic (ORDER BY src, dst over the same DISTINCT edge
+    derivation as :data:`EDGES_ORACLE_CTE`), cached under the repo's
+    ``.cache/`` keyed by sf-dir name, regenerated only when the source
+    parquet is newer.  Written via tmp+rename so a concurrent reader
+    never sees a half-written file."""
+    import os
+
+    import duckdb
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(repo_root, ".cache", "edges_csv", name)
+    path = os.path.join(out_dir, "edges.csv")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(src):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    derivation = EDGES_ORACLE_CTE.replace("FROM lineitem", f"FROM '{src}'")
+    tmp = path + ".tmp"
+    con = duckdb.connect()
+    try:
+        con.sql(f"COPY ({derivation} ORDER BY src, dst) TO '{tmp}' (HEADER false)")
+    finally:
+        con.close()
+    os.replace(tmp, path)
+    return path
+
+
 def edges_from_json(spark: SparkSession, path: str) -> DataFrame:
     """JSON-lines edge source (``{"src": 1, "dst": 2}`` per line) with
     the same explicit schema as the CSV path — no inference pass."""
