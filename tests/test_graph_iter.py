@@ -94,6 +94,20 @@ def test_k_core_triangle_with_tail(spark):
     assert got == {1: 2, 2: 2, 3: 2}
 
 
+def test_k_core_k3_cascading_peel(spark):
+    from tests.conftest import make_edges
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import k_core
+
+    # K4 {1,2,3,4} plus a chain that unravels over MULTIPLE rounds at
+    # k=3: deg(6)=2 peels in round 1, dropping deg(5) 3→2 which peels
+    # in round 2 — pins that the loop re-derives degrees per round
+    # rather than peeling once, at a second k
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = make_edges(spark, k4 + [(5, 1), (5, 2), (5, 6), (6, 7)])
+    got = {r["v"]: r["core_deg"] for r in k_core(e, k=3, rounds=8).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_k_core_empty_when_k_too_large(spark):
     from tests.conftest import make_edges
     from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import k_core
@@ -140,6 +154,21 @@ def test_k_truss_3truss_keeps_triangles(spark):
     e = make_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
     out = {(r.a, r.b) for r in GI.k_truss(e, k=3, rounds=2).collect()}
     assert out == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_k_truss_k5_cascading_peel(spark):
+    # K5 {1..5} (every edge support 3) with a K4 {4,5,6,7} glued on the
+    # 4-5 edge.  At k=5 (support >= 3) the K4-only edges carry support 2
+    # and peel in round 1; the recompute must then find the shared 4-5
+    # edge STILL at support 3 inside the K5 — a second-k golden where
+    # the surviving support differs between round 0 (4-5 has 5 common
+    # neighbors) and the fixed point (3).
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    k4_extra = [(4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
+    e = make_edges(spark, k5 + k4_extra)
+    out = {(r.a, r.b): r.support for r in GI.k_truss(e, k=5, rounds=3).collect()}
+    assert set(out) == set(k5)
+    assert all(s == 3 for s in out.values())
 
 
 def test_k_truss_direction_and_duplicates_ignored(spark):

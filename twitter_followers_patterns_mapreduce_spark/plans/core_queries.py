@@ -264,6 +264,28 @@ def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_kcore_k16",
+    # k=16 on the dense src/dst<200 subgraph (degrees 11-35, median 23):
+    # a 3-round cascade peels 14 nodes and a 186-node core survives —
+    # a BINDING second-k check of the peeling loop with a NON-EMPTY
+    # fixed point (the sparse graph's 3-core is empty, the dense
+    # graph's 3-core is everything, and k>=17 here unravels the whole
+    # subgraph; neither extreme exercises the loop).
+    oracle=GI.k_core_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}",
+        k=16,
+        rounds=8,
+    ),
+    description="16-core at a second, binding k — pins the peeling loop's "
+    "k-generality under the driver's gate, not only in unit goldens",
+)
+def graph_kcore_k16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
+    return GI.k_core(e, k=16, rounds=8)
+
+
+@register(
     "graph_clustering_coefficient",
     oracle=f"""WITH sparse AS ({_SPARSE_CTE}),
 und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -504,6 +526,18 @@ def graph_ktruss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
     return GI.k_truss(e, k=4, rounds=3)
+
+
+@register(
+    "graph_ktruss_k5",
+    oracle=GI.k_truss_oracle(_TRUSS_CTE, k=5, rounds=3),
+    description="5-truss at a second k (support >= 3) — pins the edge-peeling "
+    "loop's k-generality under the driver's gate",
+)
+def graph_ktruss_k5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
+    return GI.k_truss(e, k=5, rounds=3)
 
 
 @register(
