@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 from twitter_followers_patterns_mapreduce_spark.functions.textfns import (
     LANG_STOPWORDS,
     bpe_ish_tokens_sql,
@@ -124,11 +125,16 @@ def apply_select(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
 
 
 def doc_token_stats(documents: DataFrame) -> DataFrame:
-    return apply_select(documents, token_stats_select("spark"))
+    # fan_out: the projection is heavy per-row work (tokenize + regex +
+    # array folds), and a single-row-group documents parquet otherwise
+    # pins it to ONE task — measured 16s for 50k docs at sf1 vs ~1s
+    # fanned out (the scan bytes are trivial; the WORK needs splitting)
+    return apply_select(fan_out(documents), token_stats_select("spark"))
 
 
 def doc_quality_score(documents: DataFrame) -> DataFrame:
-    return apply_select(documents, quality_score_select("spark"))
+    # fan_out: same per-row-work rationale as doc_token_stats
+    return apply_select(fan_out(documents), quality_score_select("spark"))
 
 
 def doc_language_id(documents: DataFrame) -> DataFrame:
@@ -141,7 +147,10 @@ def doc_language_id(documents: DataFrame) -> DataFrame:
     from twitter_followers_patterns_mapreduce_spark.functions.textfns import LANG_PRIORITY
 
     toks = tokens_sql("text", "spark")
-    staged = documents.selectExpr("doc_id", "lang AS labeled_lang", f"{toks} AS __toks")
+    # fan_out: same per-row-work rationale as doc_token_stats
+    staged = fan_out(documents).selectExpr(
+        "doc_id", "lang AS labeled_lang", f"{toks} AS __toks"
+    )
     scored = staged.selectExpr(
         "doc_id",
         "labeled_lang",
@@ -171,7 +180,7 @@ def curate_documents(documents: DataFrame, min_quality: float = 0.45) -> DataFra
         exact_dedup_keep_best,
     )
 
-    quality = apply_select(documents, quality_score_select("spark"))
+    quality = doc_quality_score(documents)
     langs = doc_language_id(documents)
     keepers = exact_dedup_keep_best(documents).select(
         F.col("keeper_id").alias("doc_id")
@@ -217,7 +226,9 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
     return (
-        documents.selectExpr("doc_id", "text", f"{tokens_sql('text', 'spark')} AS toks")
+        # fan_out: same per-row-work rationale as doc_token_stats
+        fan_out(documents)
+        .selectExpr("doc_id", "text", f"{tokens_sql('text', 'spark')} AS toks")
         .selectExpr("doc_id", "text", f"{shingles_sql('toks', 3, 'spark')} AS sh")
         .selectExpr(
             "doc_id",
@@ -349,7 +360,7 @@ def curation_funnel(documents: DataFrame, min_quality: float = 0.45) -> DataFram
         exact_dedup_keep_best,
     )
 
-    quality = apply_select(documents, quality_score_select("spark"))
+    quality = doc_quality_score(documents)
     langs = doc_language_id(documents)
     keepers = exact_dedup_keep_best(documents).select(
         F.col("keeper_id").alias("doc_id")
