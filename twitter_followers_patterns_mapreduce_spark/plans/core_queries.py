@@ -50,35 +50,19 @@ def ce_count_edges_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.count_edges(derived_edges(spark, sf_dir), MAX_TRI)
 
 
-def _csv_edges_oracle() -> str:
-    """Oracle over the MATERIALIZED CSV (``read_csv``, not the parquet
-    CTE) — the whole point is proving the S1 text-scan path, so the
-    oracle must read the same bytes the Spark plan reads.  The sf0.01
-    CSV is materialized eagerly at import so the oracle is runnable
-    regardless of whether the driver executes SQL before Spark."""
-    import os
-
-    from twitter_followers_patterns_mapreduce_spark.sources.readers import (
-        materialize_edges_csv,
-    )
-
-    sf_dir = "/root/testdata/sf0.01"
-    if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
-        path = materialize_edges_csv(sf_dir)
-    else:  # pragma: no cover — driver containers always ship sf0.01
-        path = "/root/repo/.cache/edges_csv/sf0.01/edges.csv"
-    return (
-        f"SELECT CAST(COUNT(*) AS BIGINT) AS edge_count\n"
-        f"FROM read_csv('{path}', header=false,\n"
-        f"              columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})\n"
-        f"WHERE src < {MAX_TRI} AND dst < {MAX_TRI}"
-    )
-
-
 @register(
     "ce_count_edges_csv",
-    oracle=_csv_edges_oracle(),
-    description="CE on the reference's NATIVE csv input (S1 text scan, binding MAX)",
+    # Oracle reads the DERIVATION from the parquet views, never the
+    # materialized CSV: it stays valid at every sf the replica gate
+    # runs (an earlier read_csv('<sf0.01 path>') oracle broke the
+    # sf0.001 sweep), and it is independent of the CSV writer — a
+    # materialization bug shows up as a Spark-vs-oracle mismatch
+    # instead of being mirrored on both sides.
+    oracle=f"""{_E}
+SELECT CAST(COUNT(*) AS BIGINT) AS edge_count
+FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI}""",
+    description="CE on the reference's NATIVE csv input (S1 text scan, binding MAX); "
+    "oracle is the parquet derivation the CSV was materialized from",
 )
 def ce_count_edges_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CE job on its actual input format: a headerless ``src,dst``
