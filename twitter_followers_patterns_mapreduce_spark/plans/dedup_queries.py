@@ -115,3 +115,16 @@ from twitter_followers_patterns_mapreduce_spark.operators import clustering as C
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@register(
+    "dedup_semantic_k32",
+    oracle=CL.semantic_dedup_oracle(threshold=0.3, n_clusters=32),
+    description="SemDeDup at k=32 — the SCALE KNOB under the driver's gate: "
+    "candidate volume is n^2/k, so k grows with the corpus (SemDeDup uses 11k "
+    "clusters at 100M vectors; measured at sf1, k=128 is 10x faster than k=8)",
+)
+def dedup_semantic_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CL.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=32
+    )
