@@ -207,6 +207,31 @@ def events_variant_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.variant_prop_deciles(load_events(spark, sf_dir))
 
 
+def _staged_events_dir(sf_dir: str) -> str:
+    """Directory staging for FileStreamSource (it monitors a DIRECTORY;
+    a bare file path is rejected): a per-sf_dir symlink dir pointing at
+    the harness events parquet — no data copied, deterministic
+    location."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"spark_stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    # lexists (NOT exists): a dangling symlink from a moved sf_dir must
+    # be replaced, not re-created (exists follows the link and lies);
+    # the except guards the concurrent-runs race on the same tag
+    if os.path.lexists(link):
+        os.unlink(link)
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    return d
+
+
 @register(
     "events_tumbling_hourly_streamed",
     oracle=E.TUMBLING_HOURLY_ORACLE,
@@ -230,29 +255,46 @@ def events_tumbling_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFra
         tumbling_hourly_stream,
     )
 
-    import hashlib
-    import os
-    import tempfile
-
-    # FileStreamSource monitors a DIRECTORY (a bare file path is
-    # rejected); the harness table is a single parquet file, so stage a
-    # per-sf_dir symlink dir — no data copied, deterministic location
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"spark_stream_events_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    # lexists (NOT exists): a dangling symlink from a moved sf_dir must
-    # be replaced, not re-created (exists follows the link and lies);
-    # the except guards the concurrent-runs race on the same tag
-    if os.path.lexists(link):
-        os.unlink(link)
-    try:
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    except FileExistsError:
-        pass
-    stream = tumbling_hourly_stream(events_file_stream(spark, d))
+    stream = tumbling_hourly_stream(events_file_stream(spark, _staged_events_dir(sf_dir)))
     run_available_now(stream, "events_tumbling_hourly_streamed_sink", output_mode="complete")
     return spark.table("events_tumbling_hourly_streamed_sink")
+
+
+@register(
+    "events_segment_hourly_streamed",
+    oracle=f"""WITH dim AS (
+  SELECT DISTINCT user_id, CAST(user_id % 4 AS BIGINT) AS segment FROM events)
+SELECT strftime(date_trunc('hour', e.ts), '{E.TS_FMT_DUCK}') AS window_start,
+  d.segment,
+  COUNT(*) AS n_events
+FROM events e JOIN dim d USING (user_id)
+GROUP BY 1, 2""",
+    description="stream-STATIC broadcast join under the oracle gate: the event "
+    "stream enriched with a static user->segment dim per micro-batch, then "
+    "watermarked hourly windows per segment — the second real Structured "
+    "Streaming query (file source -> join -> window agg -> memory sink)",
+)
+def events_segment_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join form (``streaming/windows.py``
+    ``segment_window_stream``): the static dim is derived
+    deterministically from the same events table (user_id % 4), so the
+    oracle is pure ANSI SQL over the registered views."""
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+        segment_window_stream,
+    )
+    from pyspark.sql import functions as F
+
+    dim = (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 4).cast("long"))
+    )
+    stream = segment_window_stream(events_file_stream(spark, _staged_events_dir(sf_dir)), dim)
+    run_available_now(stream, "events_segment_hourly_streamed_sink", output_mode="complete")
+    return spark.table("events_segment_hourly_streamed_sink")
 
 
 @register(
