@@ -72,7 +72,7 @@ def main() -> int:
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
             per_run.append(round(time.time() - t0, 3))
-            if len(per_run) >= 2 and min(per_run) <= 3.0:
+            if len(per_run) >= 2 and min(per_run) <= 2.0:
                 break
         cold[name] = per_run[0]
         times[name] = min(per_run)

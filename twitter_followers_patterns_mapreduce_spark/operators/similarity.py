@@ -426,14 +426,18 @@ def label_principal_component(embeddings: DataFrame, n_iter: int = 30) -> DataFr
     partitioning, so agreement across runs is ~1e-9, not bitwise).
     Output:
     (label, n_vecs, explained_ratio, pc_dim0, pc_dim1, pc_dim2).
-    No SQL oracle (not ANSI-expressible); differential-tested against
-    numpy.linalg.eigh in tests/test_similarity_pca.py.
+    Oracle-checked after all: :func:`label_principal_component_oracle`
+    unrolls the same iteration as a DuckDB CTE chain (float64 both
+    sides, round(6) outputs); numpy differential tests remain in
+    tests/test_similarity_pca.py.
     """
     import numpy as np
     import pandas as pd
 
     def pca_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.vstack(pdf["embedding"].to_numpy())
+        # float64 from the start: the SQL oracle computes in DOUBLE, and
+        # a float32 covariance diverges at ~1e-7 — above round(6) noise
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         x = x - x.mean(axis=0)
         cov = (x.T @ x) / max(len(x) - 1, 1)
         v = np.ones(cov.shape[0])
@@ -449,14 +453,17 @@ def label_principal_component(embeddings: DataFrame, n_iter: int = 30) -> DataFr
             v = -v
         lam = float(v @ cov @ v)
         total = float(np.trace(cov))
+        # round(6): the oracle replays the identical iteration in SQL,
+        # where summation ORDER differs from BLAS — trajectories agree
+        # to ~1e-12, and rounding makes the compared doubles bit-equal
         return pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "n_vecs": [len(x)],
-                "explained_ratio": [lam / total if total > 0 else 0.0],
-                "pc_dim0": [float(v[0])],
-                "pc_dim1": [float(v[1])],
-                "pc_dim2": [float(v[2])],
+                "explained_ratio": [round(lam / total, 6) if total > 0 else 0.0],
+                "pc_dim0": [round(float(v[0]), 6)],
+                "pc_dim1": [round(float(v[1]), 6)],
+                "pc_dim2": [round(float(v[2]), 6)],
             }
         )
 
@@ -467,6 +474,78 @@ def label_principal_component(embeddings: DataFrame, n_iter: int = 30) -> DataFr
     return embeddings.select("label", "embedding").groupBy("label").applyInPandas(
         pca_group, schema=schema
     )
+
+
+def label_principal_component_oracle(n_iter: int = 30, dim: int = 64) -> str:
+    """DuckDB oracle for :func:`label_principal_component`: the SAME
+    power iteration unrolled as a CTE chain (the k-means-oracle
+    technique) — per-label covariance from an exploded self-join, then
+    ``n_iter`` × (matrix-vector product, L2 normalize), sign fix,
+    Rayleigh quotient.  The chain CTEs are MATERIALIZED: DuckDB inlines
+    plain CTEs, and each mv{k} is referenced twice — un-materialized,
+    the 30-step chain inlines exponentially (observed as "too many
+    open files" on the parquet view).  Everything is float64 on both sides and the
+    outputs are round(6), so the iterative ``applyInPandas`` escape
+    hatch is held to the exact same hash gate as the relational
+    queries (it was the engine's last rows-only query)."""
+    head = f"""WITH xs AS MATERIALIZED (
+  SELECT label, vec_id, CAST(i AS INTEGER) AS i,
+         CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+  FROM embeddings, range({dim}) t(i)
+),
+mu AS (SELECT label, i, AVG(x) AS mu FROM xs GROUP BY 1, 2),
+nv AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM xs GROUP BY 1),
+c AS MATERIALIZED (
+  SELECT xs.label, xs.vec_id, xs.i, xs.x - mu.mu AS v
+  FROM xs JOIN mu ON xs.label = mu.label AND xs.i = mu.i
+),
+cov AS MATERIALIZED (
+  SELECT a.label, a.i, b.i AS j,
+         SUM(a.v * b.v) / GREATEST(MAX(nv.n) - 1, 1) AS val
+  FROM c a
+  JOIN c b ON a.label = b.label AND a.vec_id = b.vec_id
+  JOIN nv ON nv.label = a.label
+  GROUP BY 1, 2, 3
+),
+v0 AS (SELECT DISTINCT label, i, 1.0 AS val FROM cov)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f""",
+mv{k} AS MATERIALIZED (
+  SELECT c.label, c.i, SUM(c.val * v.val) AS val
+  FROM cov c JOIN v{k - 1} v ON c.label = v.label AND c.j = v.i
+  GROUP BY 1, 2),
+nz{k} AS (SELECT label, SQRT(SUM(val * val)) AS nrm FROM mv{k} GROUP BY 1),
+v{k} AS MATERIALIZED (SELECT m.label, m.i, m.val / n.nrm AS val
+         FROM mv{k} m JOIN nz{k} n USING (label))""")
+    tail = f""",
+sgn AS (
+  SELECT label, CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s FROM (
+    SELECT label, val,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY ABS(val) DESC, i ASC) AS rn
+    FROM v{n_iter})
+  WHERE rn = 1),
+vf AS (SELECT v.label, v.i, v.val * s.s AS val FROM v{n_iter} v JOIN sgn s USING (label)),
+lam AS (
+  SELECT c.label, SUM(va.val * c.val * vb.val) AS lam
+  FROM cov c
+  JOIN vf va ON va.label = c.label AND va.i = c.i
+  JOIN vf vb ON vb.label = c.label AND vb.i = c.j
+  GROUP BY 1),
+tr AS (SELECT label, SUM(val) AS tr FROM cov WHERE i = j GROUP BY 1)
+SELECT CAST(nv.label AS BIGINT) AS label,
+  CAST(nv.n AS BIGINT) AS n_vecs,
+  CASE WHEN tr.tr > 0 THEN round(lam.lam / tr.tr, 6) ELSE 0.0 END AS explained_ratio,
+  round(MAX(CASE WHEN vf.i = 0 THEN vf.val END), 6) AS pc_dim0,
+  round(MAX(CASE WHEN vf.i = 1 THEN vf.val END), 6) AS pc_dim1,
+  round(MAX(CASE WHEN vf.i = 2 THEN vf.val END), 6) AS pc_dim2
+FROM nv
+JOIN lam ON lam.label = nv.label
+JOIN tr ON tr.label = nv.label
+JOIN vf ON vf.label = nv.label
+GROUP BY 1, 2, lam.lam, tr.tr"""
+    return head + "".join(steps) + tail
 
 
 # ---------------------------------------------------------------------------

@@ -73,10 +73,15 @@ def embedding_top_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_pca",
-    oracle=None,  # iterative per-group eigen-solve: not ANSI-expressible; rows-only
-    # harness check, numpy.linalg.eigh differential test in tests/test_similarity_pca.py
+    # The iterative eigen-solve IS oracle-checkable after all: the power
+    # iteration unrolls into a CTE chain exactly like the k-means
+    # oracle, float64 on both sides, round(6) outputs — the engine's
+    # last rows-only query graduated to the full hash gate (numpy.eigh
+    # differential remains in tests/test_similarity_pca.py).
+    oracle=S.label_principal_component_oracle(),
     description="per-label top principal component via applyInPandas power iteration — "
-    "the grouped-Pandas escape hatch for genuinely non-relational semantics",
+    "the grouped-Pandas escape hatch for genuinely non-relational semantics, held to "
+    "the full hash gate via an unrolled power-iteration oracle",
 )
 def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_principal_component(load_table(spark, sf_dir, "embeddings"))
