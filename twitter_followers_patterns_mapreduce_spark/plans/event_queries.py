@@ -298,6 +298,56 @@ def events_segment_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "events_attribution_streamed",
+    oracle=f"""WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, p.purchase_id,
+  strftime(c.click_ts, '{E.TS_FMT_DUCK}') AS click_ts,
+  strftime(p.purchase_ts, '{E.TS_FMT_DUCK}') AS purchase_ts,
+  p.purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+  AND p.purchase_ts >= c.click_ts
+  AND p.purchase_ts < c.click_ts + INTERVAL 4 HOUR""",
+    description="stream-STREAM interval join under the oracle gate: click and purchase "
+    "streams joined on user_id within [click_ts, click_ts+4h), watermarked state on "
+    "both sides — the third real Structured Streaming query class",
+)
+def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_range_attribution``'s semantics class
+    (``streaming/joins.py``; stream==batch pinned additionally in
+    tests/test_streaming_joins.py).  Inner interval joins emit matches
+    as soon as both rows arrive — the watermark bounds state retention,
+    not emission — so availableNow drains to the complete batch
+    answer."""
+    from twitter_followers_patterns_mapreduce_spark.streaming.joins import (
+        attribution_stream_join,
+    )
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    d = _staged_events_dir(sf_dir)
+    clicks = events_file_stream(spark, d).where(F.col("event_type") == "click")
+    purchases = events_file_stream(spark, d).where(F.col("event_type") == "purchase")
+    joined = attribution_stream_join(clicks, purchases)
+    run_available_now(joined, "events_attribution_streamed_sink", output_mode="append")
+    return spark.table("events_attribution_streamed_sink").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", E.TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("purchase_ts", E.TS_FMT_SPARK).alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+@register(
     "events_hourly_anomaly",
     oracle=E.hourly_anomaly_oracle(),
     description="hourly anomaly z-scores over the gap-filled series (trailing 24h "
