@@ -169,3 +169,26 @@ def test_edges_from_csv_malformed_lines_become_nulls_not_crashes(spark, tmp_path
     assert len(rows) == 6  # every line yields a row, none kills the job
     clean = edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     assert sorted((r["src"], r["dst"]) for r in clean.collect()) == [(1, 2), (4, 5)]
+
+
+def test_materialized_edges_csv_matches_derivation(spark):
+    """The staged CSV (ce_count_edges_csv's input) must contain exactly
+    the derived edge view — materialization is cached by mtime, so a
+    stale or truncated file would silently skew the S1 parity query."""
+    from tests.conftest import SF_DIR
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+        derived_edges,
+        edges_from_csv,
+        materialize_edges_csv,
+    )
+
+    path = materialize_edges_csv(SF_DIR)
+    got = sorted((r["src"], r["dst"]) for r in edges_from_csv(spark, path).collect())
+    want = sorted((r["src"], r["dst"]) for r in derived_edges(spark, SF_DIR).collect())
+    assert got == want
+    # idempotent: second call reuses the cached file (same mtime)
+    import os
+
+    m1 = os.path.getmtime(path)
+    assert materialize_edges_csv(SF_DIR) == path
+    assert os.path.getmtime(path) == m1
