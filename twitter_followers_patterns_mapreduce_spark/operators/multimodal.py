@@ -113,6 +113,77 @@ def image_byte_stats_oracle() -> str:
 FROM documents"""
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("p00", T.LongType()),
+        T.StructField("p01", T.LongType()),
+        T.StructField("p10", T.LongType()),
+        T.StructField("p11", T.LongType()),
+    ]
+)
+
+
+def image_resize_pool(documents: DataFrame) -> DataFrame:
+    """Codec-free RESIZE over the binary column: interpret the 16-byte
+    payload as a 4×4 grayscale grid and 2×2 average-pool it to 2×2
+    (integer floor mean — exact, no float).  This is the resize slot of
+    a real multimodal pipeline with the numpy math real and the decode
+    step factored out (the container ships no codec; a decoded image is
+    exactly such an HxW array).  Arrow ``mapInPandas``, vectorized
+    reshape/pool per batch — no per-row Python in the JVM boundary."""
+    mm = with_fake_image(documents)
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            grids = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["image"]]
+            ).reshape(-1, 4, 4).astype(np.int64)
+            pooled = (
+                grids.reshape(-1, 2, 2, 2, 2).sum(axis=(2, 4)) // 4
+            )  # (n, 2, 2) floor means
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": np.full(len(pdf), 2, dtype=np.int32),
+                    "out_height": np.full(len(pdf), 2, dtype=np.int32),
+                    "p00": pooled[:, 0, 0],
+                    "p01": pooled[:, 0, 1],
+                    "p10": pooled[:, 1, 0],
+                    "p11": pooled[:, 1, 1],
+                }
+            )
+
+    return mm.mapInPandas(pool, schema=_RESIZE_SCHEMA)
+
+
+def image_resize_pool_oracle() -> str:
+    """Closed-form oracle: payload byte i is hex pair i of md5(text);
+    pooled cell (r, c) floor-averages bytes (2r, 2c), (2r, 2c+1),
+    (2r+1, 2c), (2r+1, 2c+1) of the 4×4 row-major grid."""
+
+    def byte(i: int) -> str:
+        return f"CAST(concat('0x', substring(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
+
+    def cell(r: int, c: int) -> str:
+        idx = [4 * (2 * r) + 2 * c, 4 * (2 * r) + 2 * c + 1,
+               4 * (2 * r + 1) + 2 * c, 4 * (2 * r + 1) + 2 * c + 1]
+        return "(" + " + ".join(byte(i) for i in idx) + ") // 4"
+
+    return f"""SELECT doc_id,
+  CAST(2 AS INT) AS out_width,
+  CAST(2 AS INT) AS out_height,
+  {cell(0, 0)} AS p00,
+  {cell(0, 1)} AS p01,
+  {cell(1, 0)} AS p10,
+  {cell(1, 1)} AS p11
+FROM documents"""
+
+
 def decode_image(mm: DataFrame) -> DataFrame:
     """Decode the binary column into pixel arrays.
 

@@ -44,6 +44,16 @@ def mm_crossmodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_resize_pool",
+    oracle=M.image_resize_pool_oracle(),
+    description="codec-free image RESIZE: 4x4 grayscale grid average-pooled to 2x2 "
+    "with exact integer math via Arrow mapInPandas, closed-form hex oracle",
+)
+def mm_image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.image_resize_pool(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "mm_video_frame_sample",
     oracle=M.video_frame_sample_oracle(stride=2),
     description="video frame sampling: metadata-driven byte slicing fan-out via Arrow "
