@@ -766,3 +766,125 @@ def corpus_token_budget_oracle() -> str:
 SELECT source, lang, n_docs, n_tokens, n_chars,
        round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS token_share
 FROM cells CROSS JOIN total"""
+
+
+#: Denominator of the deterministic keep-rate used by
+#: :func:`corpus_domain_mixture` (rate = threshold / DENOM).
+MIXTURE_DENOM = 1_000_000
+
+
+def corpus_domain_mixture(documents: DataFrame) -> DataFrame:
+    """Deterministic domain-mixture resampling — the "data recipe" step
+    of an LLM pipeline: each source domain gets a target weight and is
+    downsampled to ``weight / max_weight`` of its rows, so the kept
+    corpus follows the recipe instead of the crawl's accidental mix.
+
+    Membership is a pure function of the row key (same h64-bucket
+    machinery as ``operators/splits.py``): a doc's keep/drop decision
+    survives reruns, repartitioning, and corpus growth — ``rand()``
+    sampling has none of those guarantees.  Weights here derive from
+    the source id (``(n % 3) + 1`` ∈ {1,2,3}) so the oracle is
+    self-contained; production callers pass a broadcastable weight dim
+    table instead.
+
+    Plan shape (100 TB): weight lookup and bucket hash are scan-side
+    projections (zero shuffles), the verdict aggregate is one map-side
+    combinable hash agg keyed by the low-cardinality ``source``.
+    Writing the kept rows is the same scan with ``bucket < threshold``
+    pushed down — no second pass over the corpus.
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    src_num = F.regexp_replace(F.col("source"), "^src", "").cast("int")
+    weight = (src_num % 3) + 1
+    threshold = (
+        F.when(weight == 3, F.lit(MIXTURE_DENOM))
+        .when(weight == 2, F.lit(666_666))
+        .otherwise(F.lit(333_333))
+    )
+    bucket = F.expr(h64_sql("cast(doc_id as string)", "spark")) % MIXTURE_DENOM
+    flagged = documents.select(
+        "source",
+        weight.alias("target_weight"),
+        (bucket < threshold).cast("int").alias("kept"),
+        "n_chars",
+    )
+    return flagged.groupBy("source").agg(
+        F.max("target_weight").alias("target_weight"),
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        F.round(F.sum("kept") / F.count("*"), 6).alias("achieved_rate"),
+    )
+
+
+def corpus_domain_mixture_oracle() -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""WITH flagged AS (
+  SELECT source,
+         (CAST(regexp_replace(source, '^src', '') AS INT) % 3) + 1 AS target_weight,
+         CASE WHEN ({h} % {MIXTURE_DENOM}) <
+              (CASE (CAST(regexp_replace(source, '^src', '') AS INT) % 3) + 1
+                 WHEN 3 THEN {MIXTURE_DENOM} WHEN 2 THEN 666666 ELSE 333333 END)
+              THEN 1 ELSE 0 END AS kept,
+         n_chars
+  FROM documents
+)
+SELECT source,
+       MAX(target_weight) AS target_weight,
+       COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars,
+       ROUND(SUM(kept)::DOUBLE / COUNT(*), 6) AS achieved_rate
+FROM flagged GROUP BY source"""
+
+
+def corpus_export_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic global shuffle for training export: every doc gets a
+    shard by content hash (never by input order or partition id), and
+    the audit emits per-shard balance stats — row count, byte mass,
+    distinct-source spread, and the shard's hash range.
+
+    A training run wants (a) stable shard membership across reruns,
+    (b) shards of near-equal byte mass, and (c) every shard mixing all
+    source domains (hash sharding gives this for free; range-by-source
+    sharding would not).  This is the audit a 100 TB export runs before
+    ``df.repartitionByRange(n, "shard", "sort_key").write.partitionBy("shard")``.
+
+    Plan shape: shard id and hash are scan-side projections; the audit
+    is one hash agg keyed by the ``n_shards``-cardinality shard id
+    (map-side combinable).  No windows, no joins.
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = F.expr(h64_sql("cast(doc_id as string)", "spark"))
+    shard = (h % n_shards).alias("shard")
+    return (
+        documents.select(shard, h.alias("h"), "source", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )
+
+
+def corpus_export_shards_oracle(n_shards: int = 8) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""WITH sharded AS (
+  SELECT ({h}) % {n_shards} AS shard, {h} AS h, source, n_chars FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT source) AS n_sources,
+       MIN(h) AS min_hash,
+       MAX(h) AS max_hash
+FROM sharded GROUP BY shard"""

@@ -754,3 +754,86 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM rescored) WHERE rank <= {k}"""
+
+
+def ann_recall_at_k(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Recall@k of the sign-LSH index against brute-force ground truth —
+    the "measure, don't guess" audit for the approximate path: per query
+    vector, how many of the exact top-k cosine neighbors the LSH bucket
+    probe actually returned.
+
+    The reference's Rep-join chapter teaches the strategy swap
+    (``README.md:79-81``); this operator closes the loop by *quantifying*
+    what the cheap strategy trades away, the way an ANN deployment
+    tracks recall before widening probes.
+
+    Plan shape (100 TB): ground truth is only ever computed for the
+    query SAMPLE (``vec_id % QUERY_MOD``, |Q| ≪ |C|), so the exact side
+    stays a broadcast-query × corpus scan, the LSH side the usual bucket
+    equi-join; the comparison itself is a tiny (|Q|·k rows) equi-join
+    and one hash aggregate.  ``localCheckpoint`` shares the truth
+    subtree between the hit-join and the per-query denominator instead
+    of rerunning the exact scan twice.
+    """
+    truth = (
+        ann_topk_bruteforce(embeddings, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    approx = ann_topk_lsh(embeddings, k=k).select("query_id", "neighbor_id")
+    per_q = (
+        approx.join(
+            truth.withColumn("_t", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_approx"), F.count("_t").alias("n_hits"))
+    )
+    denom = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    return denom.join(per_q, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def ann_recall_at_k_oracle(k: int = 5) -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(LSH_SIGN_BITS)
+    )
+    cos = cosine_sql_duckdb("q.qv", "c.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, v, {bucket_terms} AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id % {QUERY_MOD} = 0
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM (SELECT q.query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS sim
+          FROM q JOIN emb c ON q.query_id <> c.vec_id)
+  ) WHERE rank <= {k}
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM (SELECT q.query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS sim
+          FROM q JOIN emb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id)
+  ) WHERE rank <= {k}
+), per_q AS (
+  SELECT a.query_id, COUNT(*) AS n_approx, COUNT(t.neighbor_id) AS n_hits
+  FROM approx a LEFT JOIN truth t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1
+)
+SELECT d.query_id,
+       d.n_truth,
+       COALESCE(p.n_approx, 0) AS n_approx,
+       COALESCE(p.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(p.n_hits, 0)::DOUBLE / {k}, 6) AS recall_at_k
+FROM (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1) d
+LEFT JOIN per_q p ON d.query_id = p.query_id"""

@@ -129,3 +129,13 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_pq(load_table(spark, sf_dir, "embeddings"), k=5, rerank=20)
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=S.ann_recall_at_k_oracle(k=5),
+    description="recall@5 of the sign-LSH probe vs brute-force ground truth, "
+    "per query vector — the ANN quality audit (truth only on the query sample)",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_recall_at_k(load_table(spark, sf_dir, "embeddings"), k=5)

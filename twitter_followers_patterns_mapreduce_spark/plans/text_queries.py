@@ -289,3 +289,23 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_domain_mixture",
+    oracle=CP.corpus_domain_mixture_oracle(),
+    description="deterministic domain-mixture resampling: per-source target weight -> "
+    "h64-bucket keep rate; per-source kept counts/chars vs achieved rate",
+)
+def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_domain_mixture(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_export_shards",
+    oracle=CP.corpus_export_shards_oracle(n_shards=8),
+    description="deterministic hash-sharded export audit: per-shard row count, "
+    "byte mass, source spread, hash range (pre-repartitionByRange check)",
+)
+def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_export_shards(load_table(spark, sf_dir, "documents"), n_shards=8)
