@@ -108,9 +108,10 @@ def test_sessionize_user_late_event_never_shrinks_session():
             self.timeout = ms
 
     # open session: start=100s, last=200s, 5 events; late event at 150s
-    state = FakeState((100.0, 200.0, 5))
+    # (state is integer epoch-µs)
+    state = FakeState((100_000_000, 200_000_000, 5))
     late = pd.DataFrame({"ts": [pd.Timestamp("1970-01-01 00:02:30")]})  # 150 s
     list(_sessionize_user((1,), [late], state))
     start, last, n = state.updated
-    assert (start, last, n) == (100.0, 200.0, 6)
-    assert state.timeout == int(200.0 * 1000) + 30 * 60 * 1000
+    assert (start, last, n) == (100_000_000, 200_000_000, 6)
+    assert state.timeout == 200_000 + 30 * 60 * 1000

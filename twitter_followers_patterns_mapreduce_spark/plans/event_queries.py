@@ -388,3 +388,68 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_temporal_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.temporal_two_hop_count(load_events(spark, sf_dir))
+
+
+@register(
+    "events_sessionized_streamed",
+    oracle=f"""WITH seq AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > {E.SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM seq
+), sess AS (
+  SELECT user_id, session_seq,
+         MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events
+  FROM numbered GROUP BY 1, 2
+), wm AS (
+  SELECT epoch_ms(MAX(ts)) * 1000 - 3600000000 AS cutoff_us FROM events
+), emitted AS (
+  SELECT * FROM (
+    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY session_seq DESC) AS rn
+    FROM sess s
+  ), wm
+  WHERE rn > 1 OR end_us <= cutoff_us
+)
+SELECT user_id,
+       strftime(make_timestamp(start_us), '{E.TS_FMT_DUCK}') AS session_start,
+       n_events,
+       (end_us - start_us) // 1000000 AS duration_sec
+FROM emitted""",
+    description="custom STATEFUL streaming operator under the oracle gate: per-user "
+    "inactivity-gap sessionization via applyInPandasWithState (event-time timeout, "
+    "integer-microsecond state) — emits gap-closed sessions plus trailing sessions "
+    "the final watermark expires",
+)
+def events_sessionized_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandasWithState`` escape hatch (SURVEY.md §2.7/§2.8)
+    proven against ANSI SQL: the oracle replays the same gap semantics
+    with lag+running-sum windows, then keeps exactly what the stream
+    emits by end-of-input — every session except each user's trailing
+    one, which is emitted only if the final watermark
+    (``floor_ms(max ts) − 30 min``) passed its ``last_event + 30 min``
+    event-time timeout.  Pinned empirically at sf0.001/sf0.01 (945 and
+    matching row hashes); a tie exactly on the ms boundary would be
+    sensitive to Spark's strict-vs-inclusive timeout comparison — no
+    such tie exists in the harness data."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.stateful import sessionize_stream
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+    )
+
+    stream = sessionize_stream(events_file_stream(spark, _staged_events_dir(sf_dir)))
+    run_available_now(stream, "events_sessionized_streamed_sink", output_mode="append")
+    return spark.table("events_sessionized_streamed_sink").select(
+        "user_id",
+        F.date_format("session_start", E.TS_FMT_SPARK).alias("session_start"),
+        "n_events",
+        "duration_sec",
+    )

@@ -42,23 +42,31 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-#: state per user: open session (start, last event) as epoch seconds
+#: state per user: open session (start, last event) as epoch MICROSECONDS.
+#: Integer µs, never float seconds: float64 epoch seconds quantize at
+#: ~0.5 µs for current epochs, so real microsecond timestamps round to
+#: ns-unaligned values that fail Arrow's safe cast to timestamp[us]
+#: (and would silently corrupt session bounds even where the cast
+#: happened to pass).
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_sec", T.DoubleType()),
-        T.StructField("last_sec", T.DoubleType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
     ]
 )
 
+_US = 1_000_000
+GAP_US = SESSION_GAP_SEC * _US
 
-def _emit(user_id: int, sessions: list[tuple[float, float, int]]) -> pd.DataFrame:
+
+def _emit(user_id: int, sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": [user_id] * len(sessions),
-            "session_start": [pd.Timestamp(s[0], unit="s") for s in sessions],
+            "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
             "n_events": [s[2] for s in sessions],
-            "duration_sec": [int(s[1] - s[0]) for s in sessions],
+            "duration_sec": [(s[1] - s[0]) // _US for s in sessions],
         }
     )
 
@@ -70,40 +78,40 @@ def _sessionize_user(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        start_sec, last_sec, n = state.get
+        start_us, last_us, n = state.get
         state.remove()
-        yield _emit(user_id, [(start_sec, last_sec, n)])
+        yield _emit(user_id, [(start_us, last_us, n)])
         return
 
     ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
-    # Timestamp.timestamp() is unit-agnostic (Arrow may hand back
-    # datetime64[us] or [ns] depending on version — an astype('int64')
-    # would silently change scale)
-    secs = [pd.Timestamp(t).timestamp() for t in ts]
+    # Timestamp.value is ns regardless of the frame's physical unit
+    # (Arrow may hand back datetime64[us] or [ns] depending on version —
+    # an astype('int64') would silently change scale); // 1000 → exact µs
+    micros = [pd.Timestamp(t).value // 1000 for t in ts]
     if state.exists:
-        start_sec, last_sec, n = state.get
+        start_us, last_us, n = state.get
     else:
-        start_sec = last_sec = secs[0]
+        start_us = last_us = micros[0]
         n = 0
 
-    closed: list[tuple[float, float, int]] = []
-    for s in secs:
+    closed: list[tuple[int, int, int]] = []
+    for s in micros:
         if n == 0:
-            start_sec = last_sec = s
-        elif s - last_sec > SESSION_GAP_SEC:
-            closed.append((start_sec, last_sec, n))
-            start_sec, last_sec, n = s, s, 0
+            start_us = last_us = s
+        elif s - last_us > GAP_US:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = s, s, 0
         else:
             # late (within-watermark, cross-batch) events can precede the
             # stored bounds — a session's extent only ever GROWS.  A bare
-            # `last_sec = s` here once moved the session end backwards,
+            # `last_us = s` here once moved the session end backwards,
             # shrinking duration and re-arming the timeout too early.
-            start_sec = min(start_sec, s)
-            last_sec = max(last_sec, s)
+            start_us = min(start_us, s)
+            last_us = max(last_us, s)
         n += 1
-    state.update((start_sec, last_sec, n))
+    state.update((start_us, last_us, n))
     # expire the open session when the WATERMARK passes last + gap
-    state.setTimeoutTimestamp(int(last_sec * 1000) + SESSION_GAP_SEC * 1000)
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SEC * 1000)
 
     if closed:
         yield _emit(user_id, closed)
