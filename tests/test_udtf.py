@@ -23,3 +23,32 @@ def test_udtf_sentences_golden(spark):
         (1, 1, "Second one"),
         (1, 3, "Third"),
     ]
+
+
+def test_grouped_agg_pandas_udafs(spark):
+    """§2.8 UDAF surface: Series→scalar pandas_udf in groupBy().agg —
+    exact median / MAD per group vs hand values."""
+    from twitter_followers_patterns_mapreduce_spark.functions.udafs import (
+        count_udaf,
+        mad_udaf,
+        median_udaf,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.5), ("a", 3.5), ("a", 7.0), ("b", 5.0)],
+        schema="grp STRING, v DOUBLE",
+    )
+    out = {
+        r["grp"]: r
+        for r in df.groupBy("grp")
+        .agg(
+            count_udaf("v").alias("n"),
+            median_udaf("v").alias("med"),
+            mad_udaf("v").alias("mad"),
+        )
+        .collect()
+    }
+    assert out["a"]["n"] == 4 and out["a"]["med"] == 3.0
+    # |x - 3.0| = [2.0, 0.5, 0.5, 4.0] → median = 1.25
+    assert out["a"]["mad"] == 1.25
+    assert out["b"]["n"] == 1 and out["b"]["med"] == 5.0 and out["b"]["mad"] == 0.0

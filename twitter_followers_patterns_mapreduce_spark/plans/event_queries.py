@@ -453,3 +453,34 @@ def events_sessionized_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "duration_sec",
     )
+
+
+@register(
+    "events_value_mad",
+    oracle="""SELECT event_type,
+  COUNT(*) AS n_events,
+  median(value) AS median_value,
+  mad(value) AS mad_value
+FROM events GROUP BY event_type""",
+    description="grouped-agg pandas UDAF (Series->scalar, Arrow-batched) under the "
+    "hash gate: exact per-type median and median-absolute-deviation of event value "
+    "— the robust-dispersion stat Spark has no builtin for",
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.functions.udafs import (
+        count_udaf,
+        mad_udaf,
+        median_udaf,
+    )
+
+    return (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            # count must itself be a UDAF here: Spark rejects mixing
+            # grouped-agg pandas UDFs with non-pandas aggregates
+            count_udaf("value").alias("n_events"),
+            median_udaf("value").alias("median_value"),
+            mad_udaf("value").alias("mad_value"),
+        )
+    )
