@@ -107,15 +107,13 @@ def _numpy_assortativity(pairs):
 def test_assortativity_matches_reference_formula(spark):
     pairs = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (5, 6), (6, 4), (3, 6), (2, 5), (5, 3)]
     row = G.degree_assortativity(make_edges(spark, pairs)).collect()[0]
-    assert row["n_edges"] == 10
-    assert row["assortativity"] == round(_numpy_assortativity(pairs), 6)
+    assert row["n"] == 10
+    assert row["assortativity"] == pytest.approx(_numpy_assortativity(pairs), abs=1e-12)
     assert -1.0 <= row["assortativity"] <= 1.0
 
 
-def test_assortativity_perfect_correlation(spark):
-    """A pure 2-cycle: every edge sees out-deg 1 → zero variance → NaN
-    guard territory; a star graph instead gives a well-defined value."""
-    # star: hub 1 → leaves; every edge has x=3, y=1 → zero variance on
-    # both axes → correlation undefined → engine returns NULL/NaN.
+def test_assortativity_zero_variance_is_null(spark):
+    """Star graph: every edge has x=3, y=1 → zero variance on both axes
+    → correlation undefined → the operator's variance guard yields NULL."""
     row = G.degree_assortativity(make_edges(spark, [(1, 2), (1, 3), (1, 4)])).collect()[0]
-    assert row["assortativity"] is None or math.isnan(row["assortativity"])
+    assert row["assortativity"] is None

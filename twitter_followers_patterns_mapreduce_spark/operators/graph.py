@@ -648,72 +648,3 @@ closed AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS sampled_raw,
        CAST(COUNT(*) * {p ** 3} AS BIGINT) AS estimated_raw
 FROM closed"""
-
-
-def degree_assortativity(edges: DataFrame, max_limit: int | None = None) -> DataFrame:
-    """Extension: out-in degree assortativity of the follower graph —
-    the Pearson correlation, across directed edges u→v, between
-    out-degree(u) and in-degree(v).  The canonical "do hubs follow
-    hubs?" statistic for a follower network (Newman 2002), computed on
-    the same edge view the reference's jobs scan.
-
-    Numerics: the correlation is assembled from EXACT integer sufficient
-    statistics (Σx, Σy, Σxy, Σx², Σy² as BIGINT sums, widened to
-    DECIMAL(38,0) for the n·Σxy−ΣxΣy products so no intermediate ever
-    rounds), with a single double division+sqrt at the end — both
-    engines therefore compute the identical IEEE value, unlike a
-    ``corr()`` call whose streaming update order is engine-private.
-
-    Plan shape (100 TB): two hash aggs produce the degree tables
-    (|V| rows each), re-joined to edges on their natural keys (AQE
-    handles power-law hubs); the final reduction is a 1-row aggregate
-    with map-side partials.  No windows, no driver loops.
-    """
-    e = filter_max(edges, max_limit)
-    out_deg = e.groupBy("src").agg(F.count("*").alias("x"))
-    in_deg = e.groupBy("dst").agg(F.count("*").alias("y"))
-    per_edge = e.join(out_deg, "src").join(in_deg, "dst")
-    sums = per_edge.agg(
-        F.count("*").alias("n_edges"),
-        F.sum("x").alias("sum_x"),
-        F.sum("y").alias("sum_y"),
-        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
-        F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
-        F.sum(F.col("y") * F.col("y")).alias("sum_yy"),
-    )
-    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    num = d("n_edges") * d("sum_xy") - d("sum_x") * d("sum_y")
-    var_x = d("n_edges") * d("sum_xx") - d("sum_x") * d("sum_x")
-    var_y = d("n_edges") * d("sum_yy") - d("sum_y") * d("sum_y")
-    # try_divide: a zero-variance degree sequence (star graph) makes the
-    # denominator 0 — correlation is undefined there; NULL, not an ANSI
-    # DIVIDE_BY_ZERO error.
-    r = F.try_divide(
-        num.cast("double"), F.sqrt(var_x.cast("double") * var_y.cast("double"))
-    )
-    return sums.select(
-        "n_edges",
-        "sum_xy",
-        F.round(r, 6).alias("assortativity"),
-    )
-
-
-def degree_assortativity_oracle(edges_cte: str, max_limit: int | None = None) -> str:
-    where = f"WHERE src < {max_limit} AND dst < {max_limit}" if max_limit is not None else ""
-    return f"""WITH edges AS ({edges_cte}),
-e AS (SELECT src, dst FROM edges {where}),
-od AS (SELECT src, COUNT(*) AS x FROM e GROUP BY src),
-id AS (SELECT dst, COUNT(*) AS y FROM e GROUP BY dst),
-sums AS (
-  SELECT COUNT(*) AS n_edges,
-         CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
-         CAST(SUM(x * y) AS BIGINT) AS sum_xy,
-         CAST(SUM(x * x) AS BIGINT) AS sum_xx, CAST(SUM(y * y) AS BIGINT) AS sum_yy
-  FROM e JOIN od USING (src) JOIN id USING (dst)
-)
-SELECT n_edges, sum_xy,
-       ROUND(CAST(CAST(n_edges AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y AS DOUBLE)
-             / sqrt(CAST(CAST(n_edges AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x AS DOUBLE)
-                    * CAST(CAST(n_edges AS HUGEINT) * sum_yy - CAST(sum_y AS HUGEINT) * sum_y AS DOUBLE)),
-             6) AS assortativity
-FROM sums"""

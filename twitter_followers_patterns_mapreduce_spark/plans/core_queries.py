@@ -575,13 +575,3 @@ def triangle_count_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_pagerank_personalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.pagerank_personalized(_sparse_edges(spark, sf_dir), mod=20, iters=4)
-
-
-@register(
-    "graph_degree_assortativity",
-    oracle=G.degree_assortativity_oracle(EDGES_ORACLE_CTE),
-    description="out-in degree assortativity (do hubs follow hubs?) from exact "
-    "integer sufficient statistics — one double division at the end",
-)
-def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.degree_assortativity(derived_edges(spark, sf_dir))
