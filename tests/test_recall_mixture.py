@@ -117,3 +117,25 @@ def test_assortativity_zero_variance_is_null(spark):
     → correlation undefined → the operator's variance guard yields NULL."""
     row = G.degree_assortativity(make_edges(spark, [(1, 2), (1, 3), (1, 4)])).collect()[0]
     assert row["assortativity"] is None
+
+
+def test_domain_mixture_weighted_dim_table(spark, docs):
+    """Production form: weights from a broadcast dim table; unknown
+    sources drop (n_kept = 0), weight == max keeps everything, and the
+    dim-driven result for the same weights matches the derived form."""
+    weights = spark.createDataFrame(
+        [("src1", 2), ("src2", 3)], schema="source STRING, target_weight INT"
+    )
+    out = {
+        r["source"]: r
+        for r in CP.corpus_domain_mixture_weighted(docs, weights).collect()
+    }
+    assert out["src2"]["n_kept"] == out["src2"]["n_docs"]      # max weight → keep all
+    assert out["src3"]["target_weight"] == 0                   # not in dim
+    assert out["src3"]["n_kept"] == 0                          # dropped, visibly
+    # same weights as the derived form → identical keeps for src1/src2
+    derived = {
+        r["source"]: r["n_kept"] for r in CP.corpus_domain_mixture(docs).collect()
+    }
+    assert out["src1"]["n_kept"] == derived["src1"]
+    assert out["src2"]["n_kept"] == derived["src2"]

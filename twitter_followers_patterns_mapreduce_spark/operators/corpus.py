@@ -888,3 +888,43 @@ SELECT shard,
        MIN(h) AS min_hash,
        MAX(h) AS max_hash
 FROM sharded GROUP BY shard"""
+
+
+def corpus_domain_mixture_weighted(
+    documents: DataFrame, weights: DataFrame, max_weight: int | None = None
+) -> DataFrame:
+    """Production form of :func:`corpus_domain_mixture`: target weights
+    come from a caller-supplied ``(source, target_weight)`` dim table
+    instead of being derived from the source id.  The dim broadcasts
+    (domains are 10s–1000s of rows at any corpus size); unknown sources
+    keep weight 0 → dropped, which the audit surfaces as n_kept = 0
+    rather than hiding the rows.
+
+    Same determinism contract: keep iff
+    ``h64(doc_id) % DENOM < target_weight * DENOM / max_weight``.
+    """
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    if max_weight is None:
+        max_weight = weights.agg(F.max("target_weight")).collect()[0][0]
+    bucket = F.expr(h64_sql("cast(doc_id as string)", "spark")) % MIXTURE_DENOM
+    w = F.coalesce(F.col("target_weight"), F.lit(0))
+    threshold = F.floor(w * MIXTURE_DENOM / max_weight).cast("long")
+    flagged = (
+        documents.join(F.broadcast(weights), "source", "left")
+        .select(
+            "source",
+            w.alias("target_weight"),
+            (bucket < threshold).cast("int").alias("kept"),
+            "n_chars",
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.max("target_weight").alias("target_weight"),
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        F.round(F.sum("kept") / F.count("*"), 6).alias("achieved_rate"),
+    )
