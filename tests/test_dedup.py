@@ -156,3 +156,24 @@ def test_dedup_incremental_tag_route_equals_parity_route(spark):
         map(tuple, dedup_incremental(tagged, threshold=0.5, new_predicate=F.col("_new")).collect())
     )
     assert default == via_tag
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc quoted wholesale inside a long one: containment 1.0
+    with the short side named `contained_doc`, while symmetric Jaccard
+    stays below any useful threshold (the case this operator exists for)."""
+    rows = [
+        (1, "one two three four"),  # 2 tri-shingles, both inside doc 2
+        (2, "zero one two three four five six seven eight nine ten eleven"),
+        (3, "unrelated filler text entirely"),
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    out = D.containment_pairs(docs, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["contained_doc"] == 1
+    assert r["containment"] == 1.0
+    assert r["n_common"] == 2
+    # same pair under symmetric Jaccard: 2 common / (2 + 10 - 2) = 0.2
+    assert D.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0

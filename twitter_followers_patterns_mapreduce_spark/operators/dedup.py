@@ -688,3 +688,75 @@ FROM documents n
 LEFT JOIN exact e ON n.doc_id = e.doc_id
 LEFT JOIN best b ON n.doc_id = b.new_id
 WHERE n.doc_id % 2 = 1"""
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = 0.6, n_shingle: int = 3
+) -> DataFrame:
+    """Asymmetric containment near-dup: ``|A∩B| / min(|A|, |B|)`` over
+    distinct n-gram shingle sets — the doc-INSIDE-doc detector.  A short
+    document quoted wholesale inside a long one scores ~1.0 here while
+    symmetric Jaccard (``ngram_jaccard_pairs``) divides by the union and
+    stays low; training corpora dedup on BOTH signals (quote-inclusion
+    and wrapper pages are containment cases, not Jaccard cases).
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (postings
+    grouped per shingle, in-posting pair expansion, one shuffle);
+    ``contained_doc`` names the smaller side so downstream keep/drop
+    policies know which doc is the subset.  Exact but quadratic in
+    posting-list length — the LSH bands remain the candidate-generation
+    scale path, with this as the verifier on candidates only.
+    """
+    sh = shingled_docs(documents, n_shingle).withColumnRenamed("shingles", "s")
+    sized = sh.select("doc_id", F.size("s").alias("n"), "s")
+    postings = sized.select("doc_id", "n", F.explode_outer("s").alias("g"))
+    buckets = (
+        postings.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb))))"
+    )
+    common = (
+        buckets.selectExpr(f"explode({pair_expr}) AS p")
+        .groupBy(
+            F.col("p.da").alias("da"),
+            F.col("p.db").alias("db"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    cont = F.col("common").cast("double") / F.least(F.col("na"), F.col("nb"))
+    return common.where(cont >= threshold).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.col("common").alias("n_common"),
+        F.when(F.col("na") <= F.col("nb"), F.col("da")).otherwise(F.col("db")).alias(
+            "contained_doc"
+        ),
+        F.round(cont, 6).alias("containment"),
+    )
+
+
+def containment_pairs_oracle(threshold: float = 0.6, n_shingle: int = 3) -> str:
+    sh = _shingle_expr("duckdb", n=n_shingle)
+    return f"""WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents
+), sized AS (
+  SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0
+), postings AS (
+  SELECT doc_id, n, unnest(s) AS g FROM sized
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb, COUNT(*) AS common
+  FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT da AS doc_a, db AS doc_b,
+       common AS n_common,
+       CASE WHEN na <= nb THEN da ELSE db END AS contained_doc,
+       round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
+FROM pairs
+WHERE CAST(common AS DOUBLE) / least(na, nb) >= {threshold}"""

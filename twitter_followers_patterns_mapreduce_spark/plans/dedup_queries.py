@@ -128,3 +128,13 @@ def dedup_semantic_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.3, n_clusters=32
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=D.containment_pairs_oracle(threshold=0.6),
+    description="asymmetric containment pairs |A∩B|/min(|A|,|B|) — the doc-inside-doc "
+    "detector symmetric Jaccard misses; same inverted-index plan, names the contained side",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
