@@ -285,3 +285,34 @@ def test_type_transitions_golden(spark):
     assert got[("a", "b")] == (2, 1.0)
     assert got[("b", "a")] == (1, 1.0)
     assert len(got) == 2
+
+
+def test_hourly_anomaly_robust_flags_spike_not_constant(spark):
+    """Planted spike → |modified z| > 3.5 flags exactly that hour;
+    a constant series has MAD 0 → NULL score, never a division error."""
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        hourly_anomaly_robust,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        # type "a": alternating 2/3-per-hour baseline (MAD 0.5 — a flat
+        # baseline would give MAD 0 and mask everything), 50 in hour 12;
+        # type "b": exactly 1/hour (the MAD-0 degenerate case)
+        for _ in range(50 if h == 12 else 2 + (h % 2)):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=1), 1, "a", 1.0, "{}"))
+            eid += 1
+        rows.append((eid, t0 + dt.timedelta(hours=h, minutes=2), 2, "b", 1.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    out = hourly_anomaly_robust(ev).collect()
+    a_flagged = [r["hour"] for r in out if r["event_type"] == "a" and r["is_outlier"]]
+    assert len(a_flagged) == 1 and a_flagged[0].hour == 12
+    b_rows = [r for r in out if r["event_type"] == "b"]
+    assert all(r["robust_z"] is None and not r["is_outlier"] for r in b_rows)

@@ -769,3 +769,63 @@ FROM e e1 JOIN e e2 ON e1.dst = e2.src
 WHERE e2.dst <> e1.src
   AND e2.ts_us > e1.ts_us
   AND e2.ts_us <= e1.ts_us + {window_us}"""
+
+
+def hourly_anomaly_robust(events: DataFrame, z_cut: float = 3.5) -> DataFrame:
+    """Robust (median/MAD) outlier detection over the gap-filled hourly
+    series — the Iglewicz–Hoaglin modified z-score
+    ``0.6745·(x − median) / MAD`` per event type, flagging hours above
+    ``z_cut``.  The companion to :func:`hourly_anomaly_zscores`: a mean/
+    stddev z-score is dragged toward the outliers it is hunting (one
+    flash-crowd hour inflates σ and masks the next one); median and MAD
+    have a 50% breakdown point, so the detector stays calibrated on
+    spiky traffic.
+
+    Exercises the grouped-agg pandas UDAF surface
+    (``functions/udafs.py``) in a composed plan: gapfill → per-type
+    UDAF aggregate (|types| rows) → broadcast join back → scan-side
+    score.  The whole-group Arrow batch is per TYPE over the dense
+    |hours| spine — dimension-sized, never fact-table-sized.  Hours
+    with MAD = 0 emit NULL score (degenerate constant series).
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.udafs import (
+        mad_udaf,
+        median_udaf,
+    )
+
+    filled = gapfill_hourly(events)
+    stats = filled.groupBy("event_type").agg(
+        median_udaf("n_events").alias("type_median"),
+        mad_udaf("n_events").alias("type_mad"),
+    )
+    x = F.col("n_events").cast("double")
+    z = F.lit(0.6745) * (x - F.col("type_median")) / F.col("type_mad")
+    return filled.join(F.broadcast(stats), "event_type").select(
+        "hour",
+        "event_type",
+        "n_events",
+        "type_median",
+        "type_mad",
+        F.when(F.col("type_mad") > 0, F.round(z, 6)).alias("robust_z"),
+        F.when(F.col("type_mad") > 0, F.abs(z) > z_cut)
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
+
+
+def hourly_anomaly_robust_oracle(z_cut: float = 3.5) -> str:
+    return f"""WITH filled AS ({GAPFILL_HOURLY_ORACLE}),
+stats AS (
+  SELECT event_type,
+         median(n_events) AS type_median,
+         mad(n_events) AS type_mad
+  FROM filled GROUP BY event_type
+)
+SELECT f.hour, f.event_type, f.n_events, s.type_median, s.type_mad,
+       CASE WHEN s.type_mad > 0
+            THEN round(0.6745 * (CAST(f.n_events AS DOUBLE) - s.type_median) / s.type_mad, 6)
+       END AS robust_z,
+       CASE WHEN s.type_mad > 0
+            THEN abs(0.6745 * (CAST(f.n_events AS DOUBLE) - s.type_median) / s.type_mad) > {z_cut}
+            ELSE FALSE END AS is_outlier
+FROM filled f JOIN stats s USING (event_type)"""

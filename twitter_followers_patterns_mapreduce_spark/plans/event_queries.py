@@ -484,3 +484,14 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             mad_udaf("value").alias("mad_value"),
         )
     )
+
+
+@register(
+    "events_hourly_anomaly_robust",
+    oracle=E.hourly_anomaly_robust_oracle(z_cut=3.5),
+    description="median/MAD modified z-score outliers over the gap-filled hourly "
+    "series (Iglewicz-Hoaglin, 50% breakdown) — composes the pandas-UDAF stats "
+    "with a broadcast join back; the robust companion to events_hourly_anomaly",
+)
+def events_hourly_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.hourly_anomaly_robust(load_events(spark, sf_dir), z_cut=3.5)
