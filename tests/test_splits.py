@@ -90,3 +90,42 @@ def test_mixture_sample_caps_each_source_at_sqrt(spark):
     # deterministic: rerun on shuffled input picks the same doc_ids
     again = SP.mixture_sample(docs.repartition(7), stratum="source").collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+
+
+def test_split_drift_ks_detects_planted_shift(spark):
+    """KS audit: a healthy hash split over one distribution is below the
+    critical value; identical distributions give a small ks_stat and
+    drifted=False. Planted drift (holdout lengths shifted +1000) pushes
+    KS to 1.0 and flips the verdict."""
+    from twitter_followers_patterns_mapreduce_spark.operators.splits import (
+        assign_split,
+        split_drift_ks,
+    )
+
+    rows = [(i, f"t{i}", "en", "src0", 100 + (i % 50)) for i in range(2000)]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    # 50/50 split: enough holdout mass that discretization wobble of a
+    # HEALTHY split sits well under the critical value (at 10% the same
+    # fixture lands at p≈0.015 and legitimately trips the 5% test —
+    # small-holdout KS audits need the matching n-dependent critical
+    # value taken seriously, which is exactly why the query emits it)
+    healthy = split_drift_ks(docs, holdout_pct=50).collect()[0]
+    assert healthy["n_train"] + healthy["n_holdout"] == 2000
+    assert not healthy["drifted"]
+    assert 0.0 <= healthy["ks_stat"] <= healthy["ks_crit_5pct"]
+
+    # plant drift: shift n_chars by +1000 exactly for the rows the split
+    # assigns to holdout -> the two CDFs never overlap -> KS = 1.0
+    from pyspark.sql import functions as F
+
+    shifted = assign_split(docs, "doc_id", 10).withColumn(
+        "n_chars",
+        F.when(F.col("split") == "holdout", F.col("n_chars") + 1000).otherwise(
+            F.col("n_chars")
+        ),
+    ).drop("split")
+    drifted = split_drift_ks(shifted, holdout_pct=10).collect()[0]
+    assert drifted["ks_stat"] == 1.0
+    assert drifted["drifted"]

@@ -241,3 +241,95 @@ FROM (
   FROM documents
 )
 WHERE sample_rank <= CEIL(SQRT(n_source))"""
+
+
+def split_drift_ks(documents: DataFrame, holdout_pct: int = 10) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift audit between the train and
+    holdout splits over ``n_chars``: KS = max_x |F_train(x) - F_holdout(x)|,
+    the 5% critical value ``1.358 * sqrt((n1+n2)/(n1*n2))``, and the drift
+    verdict.  A correct hash split should NOT drift - this is the standing
+    monitor that catches a broken split function, a skewed ingest, or
+    upstream distribution shift before a model trains on it.
+
+    Exactness: both CDFs are ratios of exact BIGINT cumulative counts;
+    the max runs over the finite set of observed values, so both engines
+    evaluate identical doubles (round(6) emitted).
+
+    Plan shape (100 TB): one hash agg collapses the corpus to
+    (n_chars -> per-split counts) - a DIMENSION-sized histogram (distinct
+    document lengths), which is why the cumulative window may order
+    globally: it runs on the collapsed histogram, never on documents;
+    the totals attach back via a broadcast 1-row cross.
+    """
+    from pyspark.sql import Window
+
+    split_col = assign_split(documents, "doc_id", holdout_pct)
+    hist = split_col.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("c_train"),
+        F.sum(F.when(F.col("split") == "holdout", 1).otherwise(0)).alias("c_hold"),
+    )
+    # partitionBy(lit): the cumulative scan is DELIBERATELY single-
+    # partition (it runs on the dimension-sized histogram); the constant
+    # key keeps the window partition defined instead of tripping
+    # WindowExec's no-partition warning (same device as rank_by_degree).
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        F.sum("c_train").over(w).alias("cum_train"),
+        F.sum("c_hold").over(w).alias("cum_hold"),
+    )
+    totals = cum.agg(
+        F.max("cum_train").cast("long").alias("n_train"),
+        F.max("cum_hold").cast("long").alias("n_holdout"),
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    diff = F.abs(
+        F.col("cum_train").cast("double") / F.col("n_train").cast("double")
+        - F.col("cum_hold").cast("double") / F.col("n_holdout").cast("double")
+    )
+    ks = F.max(diff)
+    n1 = F.max("n_train").cast("double")
+    n2 = F.max("n_holdout").cast("double")
+    crit = F.lit(1.358) * F.sqrt((n1 + n2) / (n1 * n2))
+    return joined.agg(
+        F.max("n_train").alias("n_train"),
+        F.max("n_holdout").alias("n_holdout"),
+        F.round(ks, 6).alias("ks_stat"),
+        F.round(crit, 6).alias("ks_crit_5pct"),
+        (ks > crit).alias("drifted"),
+    )
+
+
+def split_drift_ks_oracle(holdout_pct: int = 10) -> str:
+    bucket = _bucket_sql("doc_id", "duckdb")
+    return f"""WITH tagged AS (
+  SELECT n_chars,
+         CASE WHEN {bucket} < {holdout_pct} THEN 'holdout' ELSE 'train' END AS split
+  FROM documents
+), hist AS (
+  SELECT n_chars,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+         SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS c_hold
+  FROM tagged GROUP BY n_chars
+), cum AS (
+  SELECT SUM(c_train) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_train,
+         SUM(c_hold) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_hold
+  FROM hist
+), tot AS (
+  SELECT CAST(MAX(cum_train) AS BIGINT) AS n_train,
+         CAST(MAX(cum_hold) AS BIGINT) AS n_holdout FROM cum
+)
+SELECT t.n_train, t.n_holdout,
+       round(MAX(ABS(CAST(cum_train AS DOUBLE) / t.n_train
+                     - CAST(cum_hold AS DOUBLE) / t.n_holdout)), 6) AS ks_stat,
+       round(1.358 * sqrt((CAST(t.n_train AS DOUBLE) + t.n_holdout)
+                          / (CAST(t.n_train AS DOUBLE) * t.n_holdout)), 6) AS ks_crit_5pct,
+       MAX(ABS(CAST(cum_train AS DOUBLE) / t.n_train
+               - CAST(cum_hold AS DOUBLE) / t.n_holdout))
+         > 1.358 * sqrt((CAST(t.n_train AS DOUBLE) + t.n_holdout)
+                        / (CAST(t.n_train AS DOUBLE) * t.n_holdout)) AS drifted
+FROM cum, tot t
+GROUP BY t.n_train, t.n_holdout"""

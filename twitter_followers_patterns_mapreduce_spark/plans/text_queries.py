@@ -309,3 +309,14 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.corpus_export_shards(load_table(spark, sf_dir, "documents"), n_shards=8)
+
+
+@register(
+    "doc_split_drift_ks",
+    oracle=SP.split_drift_ks_oracle(holdout_pct=10),
+    description="two-sample KS drift audit train vs holdout over n_chars: exact "
+    "cumulative-count CDFs on the collapsed length histogram, 5% critical value, "
+    "drift verdict — the standing split-health monitor",
+)
+def doc_split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.split_drift_ks(load_table(spark, sf_dir, "documents"), holdout_pct=10)
