@@ -168,3 +168,27 @@ def test_stream_drops_event_after_window_state_evicted(spark, tmp_path):
     ]
     assert len(rows) == 1  # emitted once, never re-emitted for the late row
     assert rows[0]["n_events"] == 1  # the too-late event (id 4) was dropped
+
+
+def test_staged_events_dir_relative_path_resolves(tmp_path):
+    """Regression: a RELATIVE sf_dir must still stage a resolvable
+    symlink — the relative form once produced a dangling link that
+    FileStreamSource read as an empty directory (zero-row stream)."""
+    import os
+
+    from twitter_followers_patterns_mapreduce_spark.plans.event_queries import (
+        _staged_events_dir,
+    )
+
+    os.makedirs(tmp_path / "sfX", exist_ok=True)
+    (tmp_path / "sfX" / "events.parquet").write_bytes(b"stub")
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        d = _staged_events_dir("sfX")  # relative on purpose
+    finally:
+        os.chdir(cwd)
+    link = os.path.join(d, "events.parquet")
+    assert os.path.islink(link)
+    assert os.path.isabs(os.readlink(link))
+    assert os.path.exists(link)  # resolves regardless of cwd

@@ -216,6 +216,11 @@ def _staged_events_dir(sf_dir: str) -> str:
     import os
     import tempfile
 
+    # abspath BEFORE hashing/linking: a relative sf_dir would produce a
+    # symlink that resolves relative to the /tmp staging dir — dangling,
+    # which FileStreamSource treats as an EMPTY directory and the stream
+    # silently emits zero rows (caught by the sf1 growth run).
+    sf_dir = os.path.abspath(sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"spark_stream_events_{tag}")
     os.makedirs(d, exist_ok=True)
