@@ -40,6 +40,7 @@ ALLOWED_BRUTE_FORCE = {
     "q22_idle_rich_customers",
     "events_gapfill_hourly",
     "events_hourly_anomaly",  # composes gapfill → same bounded spine cross
+    "events_hourly_anomaly_robust",  # ditto — gapfill spine under the UDAF stats
     #   * ann_topk_pq — stage-1 candidate scan is the declared
     #     brute-force shape (on int8 codes: the point is 4× fewer bytes
     #     at scale, not fewer pairs); stage-2 rerank is shortlist-sized

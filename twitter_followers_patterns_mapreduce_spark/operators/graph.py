@@ -648,3 +648,101 @@ closed AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS sampled_raw,
        CAST(COUNT(*) * {p ** 3} AS BIGINT) AS estimated_raw
 FROM closed"""
+
+
+def link_prediction_scores(
+    edges: DataFrame, max_limit: int | None = None, k: int = 200
+) -> DataFrame:
+    """Extension: link-prediction scores for non-adjacent user pairs —
+    common-neighbor count, Jaccard, and Adamic–Adar over the undirected
+    follow graph, top-k by common-neighbor count.  The natural "who
+    should follow whom" companion to :func:`follow_recommendations`
+    (the reference's README motivates its 2-hop jobs as exactly this
+    kind of follower-pattern mining, ``README.md:9-14``).
+
+    Plan shape (100 TB): candidate pairs come from WEDGE enumeration —
+    the same z-centered self equi-join as the 2-hop jobs (J1), so only
+    pairs with ≥1 common neighbor ever exist (never all-pairs); the
+    per-z fan-out is deg(z)², the published cap being degree-threshold
+    or salting on hot hubs.  Degrees broadcast twice (|V|-sized dim);
+    the rank key is the INTEGER triple (n_common, u, v) so top-k never
+    tie-breaks on a float.  Scores: Jaccard = c/(du+dv−c) from exact
+    ints; Adamic–Adar = Σ 1/ln(deg z) over deg≥2 common neighbors,
+    identical per-term doubles on any engine, round(6) on emit.
+    """
+    from pyspark.sql import Window
+
+    nbrs = neighbor_view(filter_max(edges, max_limit))
+    deg = nbrs.groupBy("v").agg(F.count("*").cast("long").alias("deg"))
+    za = nbrs.select(F.col("n").alias("z"), F.col("v").alias("u"))
+    zb = nbrs.select(F.col("n").alias("z"), F.col("v").alias("v"))
+    wedges = za.join(zb, "z").where(F.col("u") < F.col("v"))
+    zdeg = deg.select(F.col("v").alias("z"), F.col("deg").alias("z_deg"))
+    pairs = (
+        wedges.join(F.broadcast(zdeg), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(
+                F.when(F.col("z_deg") >= 2, F.lit(1.0) / F.log(F.col("z_deg")))
+            ).alias("aa_raw"),
+        )
+    )
+    # drop already-adjacent pairs: link prediction scores NEW links
+    und = undirected_pairs(filter_max(edges, max_limit))
+    fresh = pairs.join(
+        und,
+        (pairs["u"] == und["a"]) & (pairs["v"] == und["b"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("dv"))
+    scored = (
+        fresh.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(F.coalesce(F.col("aa_raw"), F.lit(0.0)), 6).alias("adamic_adar"),
+        )
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n_common").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("rank", "u", "v", "n_common", "jaccard", "adamic_adar")
+    )
+
+
+def link_prediction_oracle(edges_cte: str, k: int = 200) -> str:
+    return f"""WITH s AS ({edges_cte}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM s WHERE src <> dst),
+nbrs AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY v),
+pairs AS (
+  SELECT za.v AS u, zb.v AS v2, CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(CASE WHEN zd.deg >= 2 THEN 1.0 / ln(zd.deg) END) AS aa_raw
+  FROM nbrs za JOIN nbrs zb ON za.n = zb.n AND za.v < zb.v
+  JOIN deg zd ON za.n = zd.v
+  GROUP BY 1, 2),
+fresh AS (
+  SELECT * FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE a = p.u AND b = p.v2))
+SELECT rank, u, v, n_common, jaccard, adamic_adar FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY f.n_common DESC, f.u ASC, f.v2 ASC)
+              AS INT) AS rank,
+         f.u, f.v2 AS v, f.n_common,
+         round(CAST(f.n_common AS DOUBLE)
+               / CAST(du.deg + dv.deg - f.n_common AS DOUBLE), 6) AS jaccard,
+         round(COALESCE(f.aa_raw, 0.0), 6) AS adamic_adar
+  FROM fresh f JOIN deg du ON f.u = du.v JOIN deg dv ON f.v2 = dv.v)
+WHERE rank <= {k}"""

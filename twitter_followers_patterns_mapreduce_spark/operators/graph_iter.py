@@ -693,3 +693,77 @@ def pagerank_personalized_oracle(
         ),
         out_name="ppr",
     )
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation (LPA)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, the deterministic synchronous variant): labels start
+    as node ids; each round every node adopts its neighbors' most
+    frequent label, ties broken by the smallest label.  Exactly
+    ``rounds`` rounds on both engines — synchronous LPA can oscillate
+    on bipartite structures, so the round count IS the semantic, which
+    is what makes a cross-engine oracle possible (the oracle unrolls
+    the identical rounds).  Returns (v, label).
+
+    Scale shape per round: one equi-join of the static neighbor view
+    against the |V|-sized label table (shuffle on the node key), one
+    (v, label) hash count, one per-v argmax — spelled as max_by over
+    the (count, −label) struct, a HASH aggregate, not a window sort.
+    Labels table localCheckpoints per round to keep lineage O(1).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
+
+    nbrs = neighbor_view(edges).localCheckpoint(eager=False)
+    labels = nbrs.select("v").distinct().select(
+        "v", F.col("v").cast("long").alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        counted = (
+            nbrs.join(
+                labels.select(F.col("v").alias("n"), "label"), "n"
+            )
+            .groupBy("v", "label")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        # argmax by (cnt desc, label asc) as ONE hash agg: max_by over
+        # the lexicographic (cnt, -label) struct — no window, no sort
+        labels = (
+            counted.groupBy("v")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("v", "label")
+
+
+def label_propagation_oracle(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB oracle: the same synchronous rounds unrolled as a CTE
+    chain, argmax via a (count desc, label asc) row_number."""
+    head = f"""WITH s AS ({edges_cte}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM s WHERE src <> dst),
+nbrs AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und),
+lab0 AS (SELECT DISTINCT v, CAST(v AS BIGINT) AS label FROM nbrs)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f""",
+lab{i + 1} AS (
+  SELECT v, label FROM (
+    SELECT n.v, l.label,
+           ROW_NUMBER() OVER (PARTITION BY n.v
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM nbrs n JOIN lab{i} l ON n.n = l.v
+    GROUP BY n.v, l.label)
+  WHERE rn = 1)"""
+        )
+    return head + "".join(steps) + f"""
+SELECT v, label FROM lab{rounds}"""

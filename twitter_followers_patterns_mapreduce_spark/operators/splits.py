@@ -259,7 +259,7 @@ def split_drift_ks(documents: DataFrame, holdout_pct: int = 10) -> DataFrame:
     (n_chars -> per-split counts) - a DIMENSION-sized histogram (distinct
     document lengths), which is why the cumulative window may order
     globally: it runs on the collapsed histogram, never on documents;
-    the totals attach back via a broadcast 1-row cross.
+    the split totals ride the same window pass as a full-frame sum.
     """
     from pyspark.sql import Window
 
@@ -277,15 +277,20 @@ def split_drift_ks(documents: DataFrame, holdout_pct: int = 10) -> DataFrame:
         .orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.select(
+    # Totals ride the SAME constant-key window as the cumulative scan
+    # (full frame instead of unbounded-preceding) — one WindowExec pass
+    # over the histogram, no scalar cross-join back (the r3 form paid a
+    # 1-row broadcast cross here; this is the same number and the plan
+    # stays in the no-cross-join invariant of test_plan_shapes).
+    w_tot = Window.partitionBy(F.lit(0)).orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    joined = hist.select(
         F.sum("c_train").over(w).alias("cum_train"),
         F.sum("c_hold").over(w).alias("cum_hold"),
+        F.sum("c_train").over(w_tot).cast("long").alias("n_train"),
+        F.sum("c_hold").over(w_tot).cast("long").alias("n_holdout"),
     )
-    totals = cum.agg(
-        F.max("cum_train").cast("long").alias("n_train"),
-        F.max("cum_hold").cast("long").alias("n_holdout"),
-    )
-    joined = cum.crossJoin(F.broadcast(totals))
     diff = F.abs(
         F.col("cum_train").cast("double") / F.col("n_train").cast("double")
         - F.col("cum_hold").cast("double") / F.col("n_holdout").cast("double")

@@ -428,3 +428,130 @@ def brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.brand_affinity_pairs(
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
+
+
+# --- round 4: the remaining TPC-H shapes (completes all 22) ----------------
+
+
+@register(
+    "q4_order_priority",
+    oracle=R.q4_oracle(),
+    description="TPC-H Q4 shape: correlated-EXISTS semi-join (non-equi conjunct) → priority counts",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q4_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=R.q6_oracle(),
+    description="TPC-H Q6 shape: zero-join scan-filter-aggregate, all predicates pushed to parquet",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q6_forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "q8_market_share",
+    oracle=R.q8_oracle(),
+    description="TPC-H Q8 shape: 8-way join (one fact shuffle, 6 broadcast dims) → per-year share",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q8_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=R.q9_oracle(),
+    description="TPC-H Q9 shape: part-name LIKE filter, 5-way join → profit per nation × year",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q9_product_type_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=R.q11_oracle(),
+    description="TPC-H Q11 shape: per-part value HAVING > frac × global scalar (exact DECIMAL)",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q11_important_parts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle=R.q13_oracle(),
+    description="TPC-H Q13 shape: filtered LEFT OUTER join → count-of-counts distribution",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q13_customer_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=R.q15_oracle(),
+    description="TPC-H Q15 shape: revenue view joined against its own MAX (exact-DECIMAL argmax)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q15_top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=R.q17_oracle(),
+    description="TPC-H Q17 shape: decorrelated per-part avg-quantity scalar subquery (exact compare)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q17_small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    oracle=R.q20_oracle(),
+    description="TPC-H Q20 shape: nested semi-join chain via per-(supp,part) HAVING threshold",
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q20_promo_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=R.q21_oracle(),
+    description="TPC-H Q21 shape: EXISTS + NOT-EXISTS pair decorrelated to per-order distinct counts",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.q21_waiting_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
