@@ -267,3 +267,26 @@ def test_triangle_count_sampled_full_p1_equals_raw(sample_edges):
 
     out = G.triangle_count_sampled(sample_edges, p=1).collect()[0]
     assert out.sampled_raw == 6 and out.estimated_raw == 6
+
+
+def test_link_prediction_scores_square(spark):
+    # 4-cycle 1-2-3-4: non-adjacent diagonals (1,3) and (2,4) each share
+    # two degree-2 common neighbors → n_common=2, jaccard=2/(2+2-2)=1.0,
+    # adamic_adar = 2/ln(2); adjacent pairs must NOT appear
+    from math import log
+
+    from tests.conftest import make_edges
+
+    edges = make_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    rows = G.link_prediction_scores(edges, k=10).collect()
+    got = {(r["u"], r["v"]): r for r in rows}
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in rows:
+        assert r["n_common"] == 2
+        assert r["jaccard"] == 1.0
+        assert r["adamic_adar"] == round(2 / log(2), 6)
+    # deterministic integer-keyed ranking: (n_common desc, u, v)
+    assert [(r["rank"], r["u"], r["v"]) for r in sorted(rows, key=lambda r: r["rank"])] == [
+        (1, 1, 3),
+        (2, 2, 4),
+    ]

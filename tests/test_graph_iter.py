@@ -215,3 +215,62 @@ def test_pagerank_global_equals_personalized_with_all_seeds(spark):
     glob = {r.id: r.pagerank for r in GI.pagerank(e, iters=3).collect()}
     pers = {r.id: r.ppr for r in GI.pagerank_personalized(e, mod=1, iters=3).collect()}
     assert glob == pers
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (synchronous LPA)
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge: after a few synchronous
+    # rounds each triangle converges to its smallest member's label
+    edges = make_edges(
+        spark, [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    )
+    r = {x["v"]: x["label"] for x in GI.label_propagation(edges, rounds=4).collect()}
+    assert r[1] == r[2] == r[3] == 1
+    assert r[4] == r[5] == r[6]
+
+
+def test_label_propagation_tiebreak_smallest_label(spark):
+    # node 3's neighbors {1, 2} start with distinct labels at equal
+    # count — round 1 must adopt the SMALLEST (label 1), the pinned
+    # deterministic tie-break of the synchronous variant
+    edges = make_edges(spark, [(1, 3), (2, 3)])
+    r = {x["v"]: x["label"] for x in GI.label_propagation(edges, rounds=1).collect()}
+    assert r[3] == 1
+    # 1 and 2 each see only neighbor 3 → both adopt 3 in round one
+    assert r[1] == 3 and r[2] == 3
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_star_and_chain(spark):
+    # star 1→{2,3,4} plus edge 5→1: after 1 round auth counts in-edges
+    # weighted by hub=1 and hub counts the auth mass a node points at
+    edges = make_edges(spark, [(1, 2), (1, 3), (1, 4), (5, 1)])
+    r = {x["v"]: (x["hub"], x["auth"]) for x in GI.hits(edges, iters=1).collect()}
+    # auth_1: 2,3,4 ← one in-edge each = 1; 1 ← one in-edge = 1; 5 ← none
+    # hub_1:  1 → auths(2,3,4) = 3; 5 → auth(1) = 1; leaves hub 0
+    assert r == {1: (3, 1), 2: (0, 1), 3: (0, 1), 4: (0, 1), 5: (1, 0)}
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 2), (2, 4)]
+    n = 4
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in pairs:
+        A[s - 1, d - 1] = 1
+    hub = np.ones(n, dtype=np.int64)
+    for _ in range(3):
+        auth = A.T @ hub
+        hub = A @ auth
+    edges = make_edges(spark, pairs)
+    r = {x["v"]: (x["hub"], x["auth"]) for x in GI.hits(edges, iters=3).collect()}
+    assert r == {i + 1: (int(hub[i]), int(auth[i])) for i in range(n)}

@@ -767,3 +767,101 @@ lab{i + 1} AS (
         )
     return head + "".join(steps) + f"""
 SELECT v, label FROM lab{rounds}"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999)
+# ---------------------------------------------------------------------------
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs/authorities on the DIRECTED follow graph — the natural
+    companion analysis to the reference's follower-pattern jobs
+    (``README.md:9-14`` motivates them as mining influence patterns):
+    a high-authority account is followed by good hubs, a good hub
+    follows high authorities.
+
+    INTEGER-EXACT fixed-iteration form: hub/auth start at 1; each
+    iteration is auth(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} auth(v),
+    UNNORMALIZED — after k rounds auth(v) is exactly the number of
+    alternating-direction walks of the matching length ending at v, a
+    BIGINT both engines agree on bit-for-bit (normalizing per round
+    would put a float division inside the fixpoint, compounding
+    rounding cross-engine; ranking is normalization-invariant).
+    Overflow guard: values grow like (max-degree)^iters — the default 3
+    rounds on a ≤1e6-degree graph stays far inside int64.
+
+    Scale shape per round: two shuffles (one per direction), each an
+    equi-join of the static deduped edge list against the |V|-sized
+    score table followed by a hash re-agg on the other endpoint; the
+    edge list localCheckpoints once, scores stay |V|-sized throughout.
+    Returns (v, hub, auth) for every node incident to an edge.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.select("v", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    # Inside the loop scores stay SPARSE (nodes absent from the agg
+    # have score 0, and 0 contributes nothing to the next sum — the
+    # inner joins drop them for free); the dense zero-filled view is
+    # materialized ONCE on emit, so each round is exactly two
+    # join+reagg shuffles, not four.
+    for _ in range(iters):
+        auth = (
+            e.join(hub.select(F.col("v").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
+            .localCheckpoint(eager=False)
+        )
+        hub = (
+            e.join(auth.select(F.col("v").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("auth").cast("long").alias("hub"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(hub, "v", "left")
+        .join(auth, "v", "left")
+        .select(
+            "v",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
+def hits_oracle(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle: the identical integer fixpoint unrolled as CTEs."""
+    head = f"""WITH s AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+hub0 AS (SELECT v, CAST(1 AS BIGINT) AS hub FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f""",
+auth{i + 1} AS (
+  SELECT n.v, CAST(COALESCE(a.auth, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS v, SUM(h.hub) AS auth
+    FROM e JOIN hub{i} h ON e.src = h.v GROUP BY e.dst) a ON n.v = a.v),
+hub{i + 1} AS (
+  SELECT n.v, CAST(COALESCE(b.hub, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS v, SUM(a.auth) AS hub
+    FROM e JOIN auth{i + 1} a ON e.dst = a.v GROUP BY e.src) b ON n.v = b.v)"""
+        )
+    return head + "".join(steps) + f"""
+SELECT n.v, h.hub, a.auth
+FROM nodes n JOIN hub{iters} h ON n.v = h.v JOIN auth{iters} a ON n.v = a.v"""

@@ -1705,14 +1705,17 @@ def q21_waiting_suppliers(
         waiting.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
-        .select("s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc(), F.col("s_suppkey").asc())
         .limit(k)
     )
 
 
 def q21_oracle(late_days: int = 60, k: int = 100) -> str:
-    return f"""SELECT s_name, COUNT(*) AS numwait
+    # Grouped by the KEY (s_suppkey), never the name: two suppliers
+    # sharing a name must stay separate rows, and emitting the key also
+    # makes the LIMIT tie-break total.
+    return f"""SELECT s_suppkey, s_name, COUNT(*) AS numwait
 FROM lineitem l1
 JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
 JOIN supplier ON l1.l_suppkey = s_suppkey
@@ -1724,5 +1727,5 @@ WHERE l1.l_shipdate > o_orderdate + INTERVAL {late_days} DAY
                   WHERE l3.l_orderkey = l1.l_orderkey
                     AND l3.l_suppkey <> l1.l_suppkey
                     AND l3.l_shipdate > o_orderdate + INTERVAL {late_days} DAY)
-GROUP BY s_name
-ORDER BY numwait DESC, s_name ASC LIMIT {k}"""
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_name ASC, s_suppkey ASC LIMIT {k}"""

@@ -269,9 +269,10 @@ def split_drift_ks(documents: DataFrame, holdout_pct: int = 10) -> DataFrame:
         F.sum(F.when(F.col("split") == "holdout", 1).otherwise(0)).alias("c_hold"),
     )
     # partitionBy(lit): the cumulative scan is DELIBERATELY single-
-    # partition (it runs on the dimension-sized histogram); the constant
-    # key keeps the window partition defined instead of tripping
-    # WindowExec's no-partition warning (same device as rank_by_degree).
+    # partition — a KS statistic is a global order scan, and it runs on
+    # the |distinct n_chars|-sized histogram, not the raw docs.  (The
+    # constant key does NOT suppress WindowExec's no-partition warning;
+    # Catalyst folds it.  Single-partition here is the intent.)
     w = (
         Window.partitionBy(F.lit(0))
         .orderBy("n_chars")

@@ -575,3 +575,36 @@ def triangle_count_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_pagerank_personalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.pagerank_personalized(_sparse_edges(spark, sf_dir), mod=20, iters=4)
+
+
+@register(
+    "link_prediction_scores",
+    oracle=G.link_prediction_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}", k=200
+    ),
+    description="link prediction over non-adjacent pairs: common neighbors, Jaccard, "
+    "Adamic-Adar from wedge enumeration (never all-pairs), integer-keyed top-k",
+)
+def link_prediction_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    return G.link_prediction_scores(e, MAX_PATHS, k=200)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=GI.label_propagation_oracle(_SPARSE_CTE, rounds=4),
+    description="synchronous label-propagation communities: 4 deterministic rounds, "
+    "per-node argmax as one max_by hash agg (no window sort), smallest-label ties",
+)
+def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.label_propagation(_sparse_edges(spark, sf_dir), rounds=4)
+
+
+@register(
+    "graph_hits",
+    oracle=GI.hits_oracle(_SPARSE_CTE, iters=3),
+    description="HITS hubs/authorities: 3 integer-exact unnormalized rounds on the "
+    "directed follow graph — two direction-alternating join+reagg shuffles per round",
+)
+def graph_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.hits(_sparse_edges(spark, sf_dir), iters=3)
