@@ -261,7 +261,13 @@ def events_tumbling_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     stream = tumbling_hourly_stream(events_file_stream(spark, _staged_events_dir(sf_dir)))
-    run_available_now(stream, "events_tumbling_hourly_streamed_sink", output_mode="complete")
+    run_available_now(
+        stream,
+        "events_tumbling_hourly_streamed_sink",
+        output_mode="complete",
+        # hour-window key space is tiny (day-scale spine): size state to it
+        state_partitions=8,
+    )
     return spark.table("events_tumbling_hourly_streamed_sink")
 
 
@@ -298,7 +304,13 @@ def events_segment_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("segment", (F.col("user_id") % 4).cast("long"))
     )
     stream = segment_window_stream(events_file_stream(spark, _staged_events_dir(sf_dir)), dim)
-    run_available_now(stream, "events_segment_hourly_streamed_sink", output_mode="complete")
+    run_available_now(
+        stream,
+        "events_segment_hourly_streamed_sink",
+        output_mode="complete",
+        # (hour, segment) state: 4 segments x day-scale hours — tiny
+        state_partitions=8,
+    )
     return spark.table("events_segment_hourly_streamed_sink")
 
 
@@ -341,7 +353,14 @@ def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events_file_stream(spark, d).where(F.col("event_type") == "click")
     purchases = events_file_stream(spark, d).where(F.col("event_type") == "purchase")
     joined = attribution_stream_join(clicks, purchases)
-    run_available_now(joined, "events_attribution_streamed_sink", output_mode="append")
+    run_available_now(
+        joined,
+        "events_attribution_streamed_sink",
+        output_mode="append",
+        # both join buffers fit in MBs at bench scale; at 100 TB size this
+        # to user_id volume per watermark horizon instead
+        state_partitions=8,
+    )
     return spark.table("events_attribution_streamed_sink").select(
         "user_id",
         "click_id",
@@ -451,7 +470,12 @@ def events_sessionized_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = sessionize_stream(events_file_stream(spark, _staged_events_dir(sf_dir)))
-    run_available_now(stream, "events_sessionized_streamed_sink", output_mode="append")
+    run_available_now(
+        stream,
+        "events_sessionized_streamed_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
     return spark.table("events_sessionized_streamed_sink").select(
         "user_id",
         F.date_format("session_start", E.TS_FMT_SPARK).alias("session_start"),

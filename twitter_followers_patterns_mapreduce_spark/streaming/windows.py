@@ -87,19 +87,42 @@ def sliding_15m_5m_stream(events: DataFrame, watermark: str = "30 minutes") -> D
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+):
     """Drain everything currently available through a memory sink and
     block until done; returns the StreamingQuery (already terminated).
-    Results land in the in-memory table ``query_name``."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    Results land in the in-memory table ``query_name``.
+
+    ``state_partitions`` sizes the STATE STORE, not the data: a stateful
+    streaming query commits one state-store delta per partition per
+    micro-batch, so partition count is a per-batch fixed cost and must
+    be sized to the stateful key cardinality / target state-file size —
+    never inherited from the batch shuffle default (measured 2.2× on
+    the sf0.1 interval join: 32 inherited partitions → 5.2 s, 8 sized
+    ones → 2.3 s, identical rows).  The count binds at the query's
+    first start (it lives in the checkpoint), which is why it is set
+    around ``start()`` and restored after the drain."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def segment_window_stream(
