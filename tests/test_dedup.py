@@ -177,3 +177,39 @@ def test_containment_catches_doc_inside_doc(spark):
     assert r["n_common"] == 2
     # same pair under symmetric Jaccard: 2 common / (2 + 10 - 2) = 0.2
     assert D.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# FastSS fuzzy match
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_match_fastss_cases(spark):
+    # catalog: {"widget", "gadget", "midget", "wwidget"}; probes built so
+    # every edit class appears — the deterministic typo deletes char at
+    # p_partkey % len(name), and probe_mod=1 keeps every row
+    parts = spark.createDataFrame(
+        [
+            # key 0 → delete pos 0 of "widget" → "idget" (deletion probe)
+            (0, "widget"),
+            # key 7 → 7 % 6 = 1 → delete pos 1 of "gadget" → "gdget"
+            (7, "gadget"),
+            # key 14 → 14 % 7 = 0 → delete pos 0 of "wwidget" → "widget" (exact)
+            (14, "wwidget"),
+            (1, "midget"),
+        ],
+        schema="p_partkey long, p_name string",
+    )
+    out = D.fuzzy_match_fastss(parts, probe_mod=7).collect()
+    got = {(r["probe_id"], r["name"]): r["dist"] for r in out}
+    # probe 0 "idget": dist 1 to widget AND midget (substitution vs
+    # deletion both reachable), dist 2 to wwidget → excluded
+    # probe 14 "widget": dist 0 to widget, dist 1 to midget and wwidget
+    assert got == {
+        (0, "widget"): 1,
+        (0, "midget"): 1,
+        (7, "gadget"): 1,
+        (14, "widget"): 0,
+        (14, "midget"): 1,
+        (14, "wwidget"): 1,
+    }

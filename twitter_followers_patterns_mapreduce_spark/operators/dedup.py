@@ -760,3 +760,92 @@ SELECT da AS doc_a, db AS doc_b,
        round(CAST(common AS DOUBLE) / least(na, nb), 6) AS containment
 FROM pairs
 WHERE CAST(common AS DOUBLE) / least(na, nb) >= {threshold}"""
+
+
+# --------------------------------------------------------------------------
+# FastSS fuzzy string match (edit distance <= 1 via deletion signatures)
+# --------------------------------------------------------------------------
+
+
+def _deletion_variants_sql(col: str) -> str:
+    """Spark SQL array of FastSS signatures for ``col``: the string
+    itself (i=0) plus every single-character deletion (i=1..len).
+    Pure codegen array expression — signatures are computed scan-side,
+    no UDF, no shuffle."""
+    return (
+        f"transform(sequence(0, length({col})), i -> "
+        f"CASE WHEN i = 0 THEN {col} "
+        f"ELSE concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col}))) END)"
+    )
+
+
+def fuzzy_match_fastss(part: DataFrame, probe_mod: int = 10) -> DataFrame:
+    """Entity resolution by bounded edit distance: match a typo'd probe
+    set against the distinct name catalog with Levenshtein distance
+    ≤ 1, candidates from FastSS deletion signatures (Bocek et al. 2007
+    / SymSpell): two strings within edit distance 1 always share a
+    signature in {s} ∪ {s minus one char} — substitution at i deletes
+    to the same string from both sides; insert/delete makes the shorter
+    string itself a signature of the longer.  Sharing a signature only
+    bounds the distance by 2, so candidates are verified with the exact
+    ``levenshtein`` — the DuckDB oracle is the BRUTE-FORCE cross join,
+    which also proves the blocking lossless on every run.
+
+    Probes are derived deterministically (delete the char at position
+    ``p_partkey % length`` from the part's own name, keys ≡ 0 mod
+    ``probe_mod``) so both engines see identical inputs.
+
+    100 TB shape: |s|+1 signatures per string explode scan-side; the
+    candidate join is a plain equi-join on the signature (never
+    all-pairs); verification touches only colliding (probe, name)
+    pairs.  Signature skew (common short names) is an AQE skew-join
+    case; the verify is codegen ``levenshtein``, JVM-side.
+    """
+    names = part.select("p_name").distinct()
+    pos = F.col("p_partkey") % F.length("p_name") + F.lit(1)
+    probes = (
+        part.where(F.col("p_partkey") % probe_mod == 0)
+        .select(
+            F.col("p_partkey").alias("probe_id"),
+            F.concat(
+                F.expr("substring(p_name, 1, (p_partkey % length(p_name)))"),
+                F.expr("substring(p_name, (p_partkey % length(p_name)) + 2, length(p_name))"),
+            ).alias("q"),
+        )
+    )
+    probe_sigs = probes.select(
+        "probe_id", "q", F.explode(F.expr(_deletion_variants_sql("q"))).alias("sig")
+    )
+    name_sigs = names.select(
+        "p_name", F.explode(F.expr(_deletion_variants_sql("p_name"))).alias("sig")
+    )
+    candidates = (
+        probe_sigs.join(name_sigs, "sig")
+        .select("probe_id", "q", "p_name")
+        .distinct()
+    )
+    return (
+        candidates.where(F.levenshtein("q", "p_name") <= 1)
+        .select(
+            "probe_id",
+            "q",
+            F.col("p_name").alias("name"),
+            F.levenshtein("q", "p_name").cast("int").alias("dist"),
+        )
+    )
+
+
+def fuzzy_match_fastss_oracle(probe_mod: int = 10) -> str:
+    """Brute-force ground truth: every (probe, distinct name) pair
+    scored with exact levenshtein — no blocking, so a lossy Spark-side
+    candidate filter would hash-mismatch immediately."""
+    return f"""WITH names AS (SELECT DISTINCT p_name FROM part),
+probes AS (
+  SELECT p_partkey AS probe_id,
+         concat(substr(p_name, 1, (p_partkey % length(p_name))),
+                substr(p_name, (p_partkey % length(p_name)) + 2)) AS q
+  FROM part WHERE p_partkey % {probe_mod} = 0)
+SELECT probe_id, q, p_name AS name, CAST(levenshtein(q, p_name) AS INT) AS dist
+FROM probes, names
+WHERE levenshtein(q, p_name) <= 1"""

@@ -138,3 +138,14 @@ def dedup_semantic_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register(
+    "fuzzy_match_fastss",
+    oracle=D.fuzzy_match_fastss_oracle(probe_mod=10),
+    description="edit-distance-1 fuzzy match via FastSS deletion signatures: scan-side "
+    "signature explode, candidate equi-join, exact levenshtein verify — oracle is the "
+    "brute-force cross join, so a lossy blocking would hash-mismatch",
+)
+def fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_match_fastss(load_table(spark, sf_dir, "part"), probe_mod=10)
