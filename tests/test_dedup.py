@@ -213,3 +213,38 @@ def test_fuzzy_match_fastss_cases(spark):
         (14, "midget"): 1,
         (14, "wwidget"): 1,
     }
+
+
+def test_duplicated_span_fraction_interval_union(spark):
+    # doc 1 and doc 2 share the 3-gram "a b c" twice inside doc 1 at
+    # overlapping starts — the interval union must not double count
+    docs = spark.createDataFrame(
+        [
+            # toks: a b c a b c x  → dup 3-gram starts at 1 and 4 ("a b c")
+            #   union of [1,3] and [4,6] = 6 tokens of 7
+            (1, "a b c a b c x", "en", "s", 13),
+            # contains "a b c" once → start 1, plus unique tail
+            (2, "a b c z z z", "en", "s", 11),
+            # no duplicated 3-gram anywhere
+            (3, "p q r s t", "en", "s", 9),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in D.duplicated_span_fraction(docs, k=3).collect()
+    }
+    assert out[1] == (7, 6, round(6 / 7, 6))
+    assert out[2] == (6, 3, 0.5)
+    assert out[3] == (5, 0, 0.0)
+
+
+def test_duplicated_span_fraction_overlapping_starts(spark):
+    # "a a a a a" with k=3: starts 1,2,3 all the same shingle → dup;
+    # union of [1,3],[2,4],[3,5] = 5 = whole doc
+    docs = spark.createDataFrame(
+        [(1, "a a a a a", "en", "s", 9)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = D.duplicated_span_fraction(docs, k=3).collect()[0]
+    assert (r["n_tokens"], r["dup_tokens"], r["dup_frac"]) == (5, 5, 1.0)

@@ -849,3 +849,124 @@ probes AS (
 SELECT probe_id, q, p_name AS name, CAST(levenshtein(q, p_name) AS INT) AS dist
 FROM probes, names
 WHERE levenshtein(q, p_name) <= 1"""
+
+
+# --------------------------------------------------------------------------
+# Duplicated-span fraction (exact substring dedup metric, Lee et al. 2022)
+# --------------------------------------------------------------------------
+
+
+def _positional_shingle_hashes_spark(toks: str, k: int) -> str:
+    """Spark SQL array of h64 hashes of the k-token shingle starting at
+    each position 1..len-k+1 (POSITIONAL — duplicates kept, unlike
+    ``shingles_sql``'s distinct set; position feeds the interval
+    union)."""
+    parts = ", ' ', ".join(f"element_at({toks}, i+{j})" for j in range(k))
+    return (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(1, size({toks})-{k - 1}), "
+        f"i -> {h64_sql(f'concat({parts})', 'spark')}) "
+        f"ELSE array() END"
+    )
+
+
+def duplicated_span_fraction(
+    documents: DataFrame, k: int = 8, min_occ: int = 2
+) -> DataFrame:
+    """Per-document fraction of tokens covered by a k-token span that
+    occurs ≥ ``min_occ`` times in the whole corpus — the exact-substring
+    duplication metric of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., ACL 2022): near-dup detectors score
+    whole documents, this scores the duplicated REGIONS inside them
+    (boilerplate, license blocks, quoted passages).
+
+    Plan: tokenize once scan-side; positional k-shingles hash to h64
+    BIGINTs inside codegen (8-byte join keys — the contamination-check
+    lesson); one hash-agg finds shingles with ≥ min_occ occurrences;
+    a semi-join keeps only duplicated START positions.  Coverage is the
+    UNION LENGTH of the fixed-length intervals [start, start+k-1]:
+    with starts sorted, ends are monotone, so each interval adds
+    ``min(k, start - prev_start)`` tokens — one lag window per doc over
+    only the duplicated starts.  No all-token spine, no all-pairs;
+    everything past the tokenizer is sized by #duplicated starts.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_frac) for every doc;
+    docs with no duplicated span score 0.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.expr(tokens_sql("text", "spark")).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(_positional_shingle_hashes_spark("toks", k)).alias("hashes"),
+    ).localCheckpoint(eager=False)
+    starts = toks.select(
+        "doc_id", F.posexplode("hashes").alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("start"), "h")
+    dup = (
+        starts.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_occ)
+        .select("h")
+    )
+    dup_starts = starts.join(dup, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    per_doc = (
+        dup_starts.withColumn("prev", F.lag("start").over(w))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNull() | (F.col("start") - F.col("prev") >= k),
+                F.lit(k),
+            )
+            .otherwise(F.col("start") - F.col("prev"))
+            .alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("long").alias("dup_tokens"))
+    )
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duplicated_span_fraction_oracle(k: int = 8, min_occ: int = 2) -> str:
+    toks = tokens_sql("text", "duckdb")
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    h = h64_sql(f"({parts})", "duckdb")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+sh AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(toks) - {k - 2}, 1))) AS start,
+         unnest(list_transform(range(1, greatest(len(toks) - {k - 2}, 1)),
+                               i -> {h})) AS h
+  FROM base),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= {min_occ}),
+ds AS (SELECT doc_id, start FROM sh WHERE h IN (SELECT h FROM dup)),
+contrib AS (
+  SELECT doc_id,
+         CASE WHEN prev IS NULL OR start - prev >= {k} THEN {k}
+              ELSE start - prev END AS c
+  FROM (SELECT doc_id, start,
+               lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+        FROM ds)),
+per_doc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens
+            FROM contrib GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+             / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS dup_frac
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id"""

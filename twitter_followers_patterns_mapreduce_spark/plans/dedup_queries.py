@@ -149,3 +149,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_match_fastss(load_table(spark, sf_dir, "part"), probe_mod=10)
+
+
+@register(
+    "doc_duplicated_span_fraction",
+    oracle=D.duplicated_span_fraction_oracle(k=8),
+    description="exact-substring duplication metric (Lee et al. 2022): per-doc token "
+    "fraction covered by a corpus-repeated 8-gram — h64 shingle keys, interval-union "
+    "lag window over duplicated starts only (no token spine, no all-pairs)",
+)
+def doc_duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicated_span_fraction(load_table(spark, sf_dir, "documents"), k=8)
