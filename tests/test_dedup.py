@@ -248,3 +248,43 @@ def test_duplicated_span_fraction_overlapping_starts(spark):
     )
     r = D.duplicated_span_fraction(docs, k=3).collect()[0]
     assert (r["n_tokens"], r["dup_tokens"], r["dup_frac"]) == (5, 5, 1.0)
+
+
+def test_fuzzy_match_fastss_property_vs_bruteforce(spark):
+    # randomized-but-seeded catalog: the FastSS pipeline must equal the
+    # brute-force all-pairs levenshtein filter exactly (lossless blocking)
+    import itertools
+    import random
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rnd = random.Random(20260814)
+    names = [
+        "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6)))
+        for _ in range(40)
+    ]
+    parts = spark.createDataFrame(
+        list(enumerate(names)), schema="p_partkey long, p_name string"
+    )
+    out = {
+        (r["probe_id"], r["name"]): r["dist"]
+        for r in D.fuzzy_match_fastss(parts, probe_mod=1).collect()
+    }
+    # reproduce the deterministic typo probes and brute-force the truth
+    catalog = sorted(set(names))
+    expected = {}
+    for key, name in enumerate(names):
+        pos = key % len(name)
+        q = name[:pos] + name[pos + 1 :]
+        for cand in catalog:
+            d = lev(q, cand)
+            if d <= 1:
+                expected[(key, cand)] = d
+    assert out == expected
