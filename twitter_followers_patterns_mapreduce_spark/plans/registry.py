@@ -91,11 +91,12 @@ CORE_PARITY = (
 )
 
 
-#: The 51 queries that had zero driver-green evidence entering round 4
-#: (VERDICT.md r3 §"Next round" item 1).  Within the never-green tier
-#: these go FIRST, ahead of queries registered in round 4 or later —
-#: the oldest unverified claims are the riskiest, and a new query
-#: waiting one extra round is cheaper than an old one waiting four.
+#: HISTORICAL tie-break list: the 51 queries that had zero driver-green
+#: evidence entering round 4 (VERDICT.md r3 §"Next round" item 1; all
+#: 51 went green in CORRECTNESS_r04).  Kept only to order the
+#: never-green tier — members of this list sort ahead of younger
+#: unverified queries, because the oldest unverified claims are the
+#: riskiest; once a query is green the list has no effect on it.
 FRESH_BACKLOG = (
     "graph_bfs_distances", "q12_priority_counts", "doc_kanonymity_audit",
     "dedup_ngram_jaccard", "embedding_top_pairs_lsh", "events_asof_purchase_click",
