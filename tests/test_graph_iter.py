@@ -274,3 +274,41 @@ def test_hits_matches_numpy_power_iteration(spark):
     edges = make_edges(spark, pairs)
     r = {x["v"]: (x["hub"], x["auth"]) for x in GI.hits(edges, iters=3).collect()}
     assert r == {i + 1: (int(hub[i]), int(auth[i])) for i in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_structure_and_determinism(spark):
+    edges = make_edges(spark, [(1, 2), (2, 3), (3, 1), (2, 4)])
+    df = GI.random_walks(edges, walks_per_node=2, length=3)
+    rows = [(r["start"], r["walk"], r["step"], r["node"]) for r in df.collect()]
+    # step 0: every node with out-neighbors starts walks_per_node walks
+    starts = {(s, w) for s, w, st, n in rows if st == 0}
+    assert starts == {(s, w) for s in (1, 2, 3) for w in (1, 2)}
+    byw = {}
+    for s, w, st, n in rows:
+        byw.setdefault((s, w), {})[st] = n
+    for (s, w), path in byw.items():
+        assert path[0] == s
+        # every consecutive hop is a real edge
+        for st in range(1, max(path) + 1):
+            assert (path[st - 1], path[st]) in {(1, 2), (2, 3), (3, 1), (2, 4)}
+        # no sink in this graph from nodes 1..3 start → full length... unless
+        # a walk reaches node 4 (a sink), where it must stop
+        if max(path) < 3:
+            assert path[max(path)] == 4
+    # bit-identical on rerun (deterministic hash choice, no rand())
+    assert sorted(rows) == sorted(
+        (r["start"], r["walk"], r["step"], r["node"]) for r in df.collect()
+    )
+
+
+def test_random_walks_sink_stops(spark):
+    # 1 -> 2 and nothing out of 2: every walk is exactly (1, 2) then stops
+    edges = make_edges(spark, [(1, 2)])
+    rows = [(r["start"], r["walk"], r["step"], r["node"])
+            for r in GI.random_walks(edges, walks_per_node=2, length=3).collect()]
+    assert sorted(rows) == [(1, 1, 0, 1), (1, 1, 1, 2), (1, 2, 0, 1), (1, 2, 1, 2)]

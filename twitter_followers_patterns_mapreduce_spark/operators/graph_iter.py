@@ -865,3 +865,90 @@ hub{i + 1} AS (
     return head + "".join(steps) + f"""
 SELECT n.v, h.hub, a.auth
 FROM nodes n JOIN hub{iters} h ON n.v = h.v JOIN auth{iters} a ON n.v = a.v"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec corpus export)
+# ---------------------------------------------------------------------------
+
+def random_walks(edges: DataFrame, walks_per_node: int = 2, length: int = 3) -> DataFrame:
+    """Fixed-length walk corpus over the directed graph — the sampling
+    primitive behind DeepWalk/node2vec-style graph embeddings (the
+    walks ARE training data; pair with ``corpus_export_shards`` to ship
+    them).  ``walks_per_node`` walks start from every node with ≥ 1
+    out-neighbor; each step moves to the neighbor at index
+    ``h64(start:walk:step) % out_deg`` — a DETERMINISTIC hash choice,
+    never ``rand()``, so reruns, task retries, and the DuckDB oracle
+    all generate the identical corpus (the repo-wide rule every sampled
+    operator follows).  Walks stop early at sink nodes.
+
+    Plan shape: neighbors pre-aggregate ONCE into a sorted per-node
+    array (one shuffle); each step is then a 1:1 equi-join of the walk
+    frontier against that array table plus an ``element_at`` — no
+    per-step fan-out, frontier stays |starts|·W rows.  At 100 TB the
+    array row of a 10M-follower hub is the sizing concern: cap hub
+    lists (uniform choice only needs a bounded reservoir per node) or
+    split hot nodes into salted sub-arrays.
+
+    Returns long format (start, walk, step, node), step 0 = the start.
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    nbr = (
+        e.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("arr"))
+        .select("src", "arr", F.size("arr").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = nbr.select(F.col("src").alias("start")).select(
+        "start", F.explode(F.expr(f"sequence(1, {walks_per_node})")).alias("walk")
+    ).select("start", "walk", F.col("start").alias("node"))
+    out = frontier.select("start", "walk", F.lit(0).cast("int").alias("step"), "node")
+    for step in range(1, length + 1):
+        pick = h64_sql(
+            f"concat(cast(start as string), ':', cast(walk as string), ':', '{step}')",
+            "spark",
+        )
+        frontier = (
+            frontier.join(nbr, frontier["node"] == nbr["src"])
+            .select(
+                "start",
+                "walk",
+                F.expr(f"element_at(arr, cast(({pick}) % deg as int) + 1)").alias("node"),
+            )
+        )
+        out = out.unionByName(
+            frontier.select("start", "walk", F.lit(step).cast("int").alias("step"), "node")
+        )
+    return out
+
+
+def random_walks_oracle(edges_cte: str, walks_per_node: int = 2, length: int = 3) -> str:
+    """Unrolled oracle: per-node sorted neighbor lists, then one CTE per
+    step applying the identical hash-indexed choice."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    head = f"""WITH s AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+nbr AS (SELECT src, list_sort(list(dst)) AS arr, CAST(len(list(dst)) AS BIGINT) AS deg
+        FROM e GROUP BY src),
+f0 AS (SELECT n.src AS start, CAST(w.range AS BIGINT) AS walk, n.src AS node
+       FROM nbr n, range(1, {walks_per_node + 1}) w)"""
+    steps = []
+    for step in range(1, length + 1):
+        pick = h64_sql(
+            f"concat(CAST(f.start AS VARCHAR), ':', CAST(f.walk AS VARCHAR), ':', '{step}')",
+            "duckdb",
+        )
+        steps.append(
+            f""",
+f{step} AS (
+  SELECT f.start, f.walk, n.arr[CAST(({pick}) % n.deg AS INT) + 1] AS node
+  FROM f{step - 1} f JOIN nbr n ON f.node = n.src)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, CAST({i} AS INT) AS step, node FROM f{i}"
+        for i in range(0, length + 1)
+    )
+    return head + "".join(steps) + "\n" + selects

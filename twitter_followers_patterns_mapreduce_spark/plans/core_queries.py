@@ -608,3 +608,14 @@ def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.hits(_sparse_edges(spark, sf_dir), iters=3)
+
+
+@register(
+    "graph_random_walks",
+    oracle=GI.random_walks_oracle(_SPARSE_CTE, walks_per_node=2, length=3),
+    description="deterministic DeepWalk corpus: 2 walks/node, 3 steps, next hop = "
+    "h64(start:walk:step) %% out_deg over a pre-aggregated sorted neighbor array — "
+    "1:1 frontier joins, no per-step fan-out, rerun/retry/oracle identical",
+)
+def graph_random_walks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.random_walks(_sparse_edges(spark, sf_dir), walks_per_node=2, length=3)
