@@ -168,3 +168,47 @@ def test_semantic_dedup_matches_numpy_on_engine_clusters(spark):
         if near:
             best = max(near.items(), key=lambda kv: (np.floor(kv[1] * 1e9), -kv[0]))
             assert got[i]["dup_of"] == best[0], f"vec {i}"
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression GD trainer
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_fit_learns_separating_dim(spark):
+    # dim 0 perfectly separates label 0 from the rest → its weight must
+    # come out positive and dominate the noise dims
+    rows = []
+    for i in range(40):
+        lab = 0 if i % 4 == 0 else 1
+        v = [1.0 if lab == 0 else -1.0] + [((i * 31 + j) % 7 - 3) / 10.0 for j in range(1, 8)]
+        rows.append((i, v, lab))
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>, label long")
+    w = {r["dim"]: r["weight"] for r in KM.logreg_fit(emb, target_label=0, iters=4, lr=0.5).collect()}
+    assert len(w) == 9  # 8 dims + bias
+    assert w[0] > 0.3
+    assert all(abs(w[d]) < w[0] for d in range(1, 8))
+
+
+def test_logreg_fit_matches_numpy_gd(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(20260814)
+    X = rng.randn(30, 5).round(3)
+    y = (rng.rand(30) < 0.4).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], int(0 if y[i] == 1 else 1)) for i in range(30)],
+        schema="vec_id long, embedding array<double>, label long",
+    )
+    # engine trains y=1 iff label==0; construction above maps y=1 → label 0
+    got = {r["dim"]: r["weight"] for r in KM.logreg_fit(emb, target_label=0, iters=3, lr=0.5).collect()}
+    w = np.zeros(5)
+    b = 0.0
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        r = y - p
+        w = w + 0.5 * (X.T @ r) / len(y)
+        b = b + 0.5 * r.mean()
+    for d in range(5):
+        assert abs(got[d] - np.floor(w[d] * 1e6) / 1e6) <= 2e-6, (d, got[d], w[d])
+    assert abs(got[-1] - np.floor(b * 1e6) / 1e6) <= 2e-6

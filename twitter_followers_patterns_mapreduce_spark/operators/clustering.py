@@ -364,3 +364,134 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
 FROM ranked WHERE rank <= {k}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by full-batch gradient descent (supervised trainer)
+# ---------------------------------------------------------------------------
+
+
+def logreg_fit(
+    embeddings: DataFrame, target_label: int = 0, iters: int = 3, lr: float = 0.5
+) -> DataFrame:
+    """Distributed supervised training: full-batch gradient descent for
+    binary logistic regression (y = 1 iff ``label == target_label``)
+    over the embedding vectors — the third member of the in-engine
+    trainer family next to k-means and PCA (classifier-based quality
+    filtering is a standard curation stage; this is its training loop).
+
+    Determinism/exactness contract (same as the k-means/PageRank
+    trainers): w₀ = 0 and the model lives as a (dim, w) TABLE, so the
+    per-example dot product is one broadcast equi-join + a DECIMAL
+    hash-agg — order-independent under any partitioning, never a float
+    fold whose value depends on shuffle order.  Per-term arithmetic
+    (multiply, sigmoid's exp) is scalar IEEE double, identical on both
+    engines; only the commutative reductions are decimal.  The oracle
+    unrolls the identical iterations as CTEs; weights emit at floor-6dp.
+
+    Scale shape per iteration: the exploded (vec_id, dim, x) table is
+    checkpointed once (|V|·d narrow rows, the natural columnar layout);
+    scores need one broadcast join + vec_id hash-agg, gradients one
+    vec_id join + dim hash-agg (d cells).  The model (d+1 rows) always
+    broadcasts — this is exactly the allreduce pattern of distributed
+    GD with the allreduce spelled as a d-row aggregate.
+    """
+    emb = (
+        fan_out(embeddings)
+        .select(
+            "vec_id",
+            as_double("embedding").alias("v"),
+            (F.col("label") == target_label).cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    x = (
+        emb.select("vec_id", "y", F.posexplode("v").alias("dim", "x"))
+        .localCheckpoint(eager=False)
+    )
+    dims = x.select("dim").distinct()
+    w = dims.select("dim", F.lit(0.0).alias("w")).unionByName(
+        dims.sparkSession.range(1).select(
+            F.lit(-1).cast("int").alias("dim"), F.lit(0.0).alias("w")
+        )
+    )
+    ys = emb.select("vec_id", "y")
+    for _ in range(iters):
+        z = (
+            x.join(F.broadcast(w.where(F.col("dim") >= 0)), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("x") * F.col("w")).cast(_DEC)).alias("zs"))
+        )
+        bias = w.where(F.col("dim") == -1).select(F.col("w").alias("b"))
+        resid = (
+            z.crossJoin(F.broadcast(bias))
+            .select(
+                "vec_id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("zs").cast("double") + F.col("b"))))).alias("p"),
+            )
+            .join(ys, "vec_id")
+            .select("vec_id", (F.col("y") - F.col("p")).alias("r"))
+        )
+        grad = (
+            x.join(resid, "vec_id")
+            .groupBy("dim")
+            .agg(
+                (
+                    F.sum((F.col("x") * F.col("r")).cast(_DEC)).cast("double")
+                    / F.count("*")
+                ).alias("g")
+            )
+            .unionByName(
+                resid.agg(
+                    (F.sum(F.col("r").cast(_DEC)).cast("double") / F.count("*")).alias("g")
+                ).select(F.lit(-1).cast("int").alias("dim"), "g")
+            )
+        )
+        w = (
+            w.join(grad, "dim")
+            .select("dim", (F.col("w") + F.lit(lr) * F.col("g")).alias("w"))
+            .localCheckpoint(eager=False)
+        )
+    return w.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        (F.floor(F.col("w") * 1_000_000) / F.lit(1_000_000.0)).alias("weight"),
+    )
+
+
+def logreg_fit_oracle(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
+    head = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CASE WHEN label = {target_label} THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings),
+x AS (
+  SELECT vec_id, y,
+         CAST(unnest(range(0, {DIMS})) AS INT) AS dim,
+         unnest(list_transform(range(1, {DIMS + 1}), i -> v[i])) AS x
+  FROM emb),
+w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM x
+       UNION ALL SELECT CAST(-1 AS INT), 0.0)"""
+    steps = []
+    for t in range(iters):
+        steps.append(
+            f""",
+z{t} AS (
+  SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs
+  FROM x JOIN w{t} w ON x.dim = w.dim AND w.dim >= 0 GROUP BY x.vec_id),
+r{t} AS (
+  SELECT e.vec_id,
+         e.y - 1.0 / (1.0 + exp(-(z.zs + b.w))) AS r
+  FROM (SELECT vec_id, y FROM emb) e
+  JOIN z{t} z ON e.vec_id = z.vec_id,
+  (SELECT w FROM w{t} WHERE dim = -1) b),
+g{t} AS (
+  SELECT x.dim, CAST(SUM(CAST(x.x * r.r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS g
+  FROM x JOIN r{t} r ON x.vec_id = r.vec_id GROUP BY x.dim
+  UNION ALL
+  SELECT CAST(-1 AS INT), CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+  FROM r{t}),
+w{t + 1} AS (
+  SELECT w.dim, w.w + {lr} * g.g AS w FROM w{t} w JOIN g{t} g ON w.dim = g.dim)"""
+        )
+    return head + "".join(steps) + f"""
+SELECT CAST(dim AS BIGINT) AS dim, floor(w * 1000000) / 1000000.0 AS weight
+FROM w{iters}"""

@@ -139,3 +139,14 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall_at_k(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "embedding_logreg_fit",
+    oracle=KM.logreg_fit_oracle(target_label=0, iters=3, lr=0.5),
+    description="distributed supervised trainer: full-batch logistic-regression GD "
+    "(3 iterations, label==0 vs rest) — model as a (dim, w) table, broadcast-join dot "
+    "products, DECIMAL gradient reductions; the allreduce is a d-row hash agg",
+)
+def embedding_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.logreg_fit(load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5)
