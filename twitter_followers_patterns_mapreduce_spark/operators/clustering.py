@@ -371,10 +371,15 @@ FROM ranked WHERE rank <= {k}"""
 # ---------------------------------------------------------------------------
 
 
-def logreg_fit(
-    embeddings: DataFrame, target_label: int = 0, iters: int = 3, lr: float = 0.5
-) -> DataFrame:
-    """Distributed supervised training: full-batch gradient descent for
+def _logreg_model(
+    embeddings: DataFrame, target_label: int, iters: int, lr: float
+) -> tuple[DataFrame, DataFrame]:
+    """Shared GD loop for :func:`logreg_fit` (emit the model) and
+    :func:`logreg_score` (apply it): returns (x, w) where x is the
+    checkpointed exploded (vec_id, y, dim, x) table and w the raw
+    (dim, w) weights after ``iters`` updates (dim −1 = bias).
+
+    Distributed supervised training: full-batch gradient descent for
     binary logistic regression (y = 1 iff ``label == target_label``)
     over the embedding vectors — the third member of the in-engine
     trainer family next to k-means and PCA (classifier-based quality
@@ -452,13 +457,85 @@ def logreg_fit(
             .select("dim", (F.col("w") + F.lit(lr) * F.col("g")).alias("w"))
             .localCheckpoint(eager=False)
         )
+    return x, w
+
+
+def logreg_fit(
+    embeddings: DataFrame, target_label: int = 0, iters: int = 3, lr: float = 0.5
+) -> DataFrame:
+    """The trained model in comparable form: (dim, weight floor-6dp),
+    dim −1 = bias.  See :func:`_logreg_model` for the training loop."""
+    _, w = _logreg_model(embeddings, target_label, iters, lr)
     return w.select(
         F.col("dim").cast("bigint").alias("dim"),
         (F.floor(F.col("w") * 1_000_000) / F.lit(1_000_000.0)).alias("weight"),
     )
 
 
+def logreg_score(
+    embeddings: DataFrame,
+    target_label: int = 0,
+    iters: int = 3,
+    lr: float = 0.5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Batch inference with the in-DAG-trained model — the curation
+    filter itself: every vector scored with sigmoid(w·x + b), thresholded
+    into a keep/drop verdict.  Same broadcast-join + DECIMAL-agg dot
+    product as training; at 100 TB the model broadcast is d+1 rows and
+    scoring is one scan-side pass over the exploded features (or a
+    zip_with fold directly on the array column when the model is pinned
+    as literals).  Returns (vec_id, y, score floor-6dp, keep)."""
+    x, w = _logreg_model(embeddings, target_label, iters, lr)
+    z = (
+        x.join(F.broadcast(w.where(F.col("dim") >= 0)), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("x") * F.col("w")).cast(_DEC)).alias("zs"),
+            F.first("y").alias("y"),
+        )
+    )
+    bias = w.where(F.col("dim") == -1).select(F.col("w").alias("b"))
+    return (
+        z.crossJoin(F.broadcast(bias))
+        .select(
+            "vec_id",
+            F.col("y").cast("bigint").alias("y"),
+            (
+                F.floor(
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("zs").cast("double") + F.col("b")))))
+                    * 1_000_000
+                )
+                / F.lit(1_000_000.0)
+            ).alias("score"),
+        )
+        .withColumn("keep", (F.col("score") >= threshold).cast("boolean"))
+    )
+
+
 def logreg_fit_oracle(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
+    return _logreg_cte_chain(target_label, iters, lr) + f"""
+SELECT CAST(dim AS BIGINT) AS dim, floor(w * 1000000) / 1000000.0 AS weight
+FROM w{iters}"""
+
+
+def logreg_score_oracle(
+    target_label: int = 0, iters: int = 3, lr: float = 0.5, threshold: float = 0.5
+) -> str:
+    chain = _logreg_cte_chain(target_label, iters, lr)
+    return chain + f""",
+zf AS (
+  SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs,
+         MIN(x.y) AS y
+  FROM x JOIN w{iters} w ON x.dim = w.dim AND w.dim >= 0 GROUP BY x.vec_id),
+scored AS (
+  SELECT z.vec_id, CAST(z.y AS BIGINT) AS y,
+         floor(1.0 / (1.0 + exp(-(z.zs + b.w))) * 1000000) / 1000000.0 AS score
+  FROM zf z, (SELECT w FROM w{iters} WHERE dim = -1) b)
+SELECT vec_id, y, score, score >= {threshold} AS keep FROM scored"""
+
+
+def _logreg_cte_chain(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
     head = f"""WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          CASE WHEN label = {target_label} THEN 1.0 ELSE 0.0 END AS y
@@ -492,6 +569,4 @@ g{t} AS (
 w{t + 1} AS (
   SELECT w.dim, w.w + {lr} * g.g AS w FROM w{t} w JOIN g{t} g ON w.dim = g.dim)"""
         )
-    return head + "".join(steps) + f"""
-SELECT CAST(dim AS BIGINT) AS dim, floor(w * 1000000) / 1000000.0 AS weight
-FROM w{iters}"""
+    return head + "".join(steps)

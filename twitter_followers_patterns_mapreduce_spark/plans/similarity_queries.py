@@ -150,3 +150,14 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.logreg_fit(load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5)
+
+
+@register(
+    "embedding_logreg_score",
+    oracle=KM.logreg_score_oracle(target_label=0, iters=3, lr=0.5),
+    description="batch inference with the in-DAG-trained logreg: every vector scored "
+    "sigmoid(w.x+b) and thresholded into a keep/drop verdict — the classifier-based "
+    "curation filter itself (model broadcast is d+1 rows)",
+)
+def embedding_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.logreg_score(load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5)
