@@ -410,32 +410,35 @@ def _logreg_model(
         )
         .localCheckpoint(eager=False)
     )
+    # bias folded in as a constant pseudo-feature (dim −1, x = 1): the
+    # intercept rides the same join/agg as every weight — no 1-row
+    # cross join, no special-cased bias gradient
     x = (
         emb.select("vec_id", "y", F.posexplode("v").alias("dim", "x"))
+        .unionByName(
+            emb.select(
+                "vec_id", "y", F.lit(-1).cast("int").alias("dim"), F.lit(1.0).alias("x")
+            )
+        )
         .localCheckpoint(eager=False)
     )
-    dims = x.select("dim").distinct()
-    w = dims.select("dim", F.lit(0.0).alias("w")).unionByName(
-        dims.sparkSession.range(1).select(
-            F.lit(-1).cast("int").alias("dim"), F.lit(0.0).alias("w")
-        )
-    )
+    w = x.select("dim").distinct().select("dim", F.lit(0.0).alias("w"))
     ys = emb.select("vec_id", "y")
     for _ in range(iters):
         z = (
-            x.join(F.broadcast(w.where(F.col("dim") >= 0)), "dim")
+            x.join(F.broadcast(w), "dim")
             .groupBy("vec_id")
             .agg(F.sum((F.col("x") * F.col("w")).cast(_DEC)).alias("zs"))
         )
-        bias = w.where(F.col("dim") == -1).select(F.col("w").alias("b"))
         resid = (
-            z.crossJoin(F.broadcast(bias))
+            z.join(ys, "vec_id")
             .select(
                 "vec_id",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("zs").cast("double") + F.col("b"))))).alias("p"),
+                (
+                    F.col("y")
+                    - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs").cast("double")))
+                ).alias("r"),
             )
-            .join(ys, "vec_id")
-            .select("vec_id", (F.col("y") - F.col("p")).alias("r"))
         )
         grad = (
             x.join(resid, "vec_id")
@@ -445,11 +448,6 @@ def _logreg_model(
                     F.sum((F.col("x") * F.col("r")).cast(_DEC)).cast("double")
                     / F.count("*")
                 ).alias("g")
-            )
-            .unionByName(
-                resid.agg(
-                    (F.sum(F.col("r").cast(_DEC)).cast("double") / F.count("*")).alias("g")
-                ).select(F.lit(-1).cast("int").alias("dim"), "g")
             )
         )
         w = (
@@ -488,22 +486,20 @@ def logreg_score(
     as literals).  Returns (vec_id, y, score floor-6dp, keep)."""
     x, w = _logreg_model(embeddings, target_label, iters, lr)
     z = (
-        x.join(F.broadcast(w.where(F.col("dim") >= 0)), "dim")
+        x.join(F.broadcast(w), "dim")
         .groupBy("vec_id")
         .agg(
             F.sum((F.col("x") * F.col("w")).cast(_DEC)).alias("zs"),
             F.first("y").alias("y"),
         )
     )
-    bias = w.where(F.col("dim") == -1).select(F.col("w").alias("b"))
     return (
-        z.crossJoin(F.broadcast(bias))
-        .select(
+        z.select(
             "vec_id",
             F.col("y").cast("bigint").alias("y"),
             (
                 F.floor(
-                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("zs").cast("double") + F.col("b")))))
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs").cast("double"))))
                     * 1_000_000
                 )
                 / F.lit(1_000_000.0)
@@ -527,12 +523,11 @@ def logreg_score_oracle(
 zf AS (
   SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs,
          MIN(x.y) AS y
-  FROM x JOIN w{iters} w ON x.dim = w.dim AND w.dim >= 0 GROUP BY x.vec_id),
-scored AS (
-  SELECT z.vec_id, CAST(z.y AS BIGINT) AS y,
-         floor(1.0 / (1.0 + exp(-(z.zs + b.w))) * 1000000) / 1000000.0 AS score
-  FROM zf z, (SELECT w FROM w{iters} WHERE dim = -1) b)
-SELECT vec_id, y, score, score >= {threshold} AS keep FROM scored"""
+  FROM x JOIN w{iters} w ON x.dim = w.dim GROUP BY x.vec_id)
+SELECT vec_id, CAST(y AS BIGINT) AS y,
+       floor(1.0 / (1.0 + exp(-zs)) * 1000000) / 1000000.0 AS score,
+       floor(1.0 / (1.0 + exp(-zs)) * 1000000) / 1000000.0 >= {threshold} AS keep
+FROM zf"""
 
 
 def _logreg_cte_chain(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
@@ -544,28 +539,25 @@ x AS (
   SELECT vec_id, y,
          CAST(unnest(range(0, {DIMS})) AS INT) AS dim,
          unnest(list_transform(range(1, {DIMS + 1}), i -> v[i])) AS x
-  FROM emb),
-w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM x
-       UNION ALL SELECT CAST(-1 AS INT), 0.0)"""
+  FROM emb
+  UNION ALL
+  SELECT vec_id, y, CAST(-1 AS INT) AS dim, 1.0 AS x FROM emb),
+w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM x)"""
     steps = []
     for t in range(iters):
         steps.append(
             f""",
 z{t} AS (
   SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs
-  FROM x JOIN w{t} w ON x.dim = w.dim AND w.dim >= 0 GROUP BY x.vec_id),
+  FROM x JOIN w{t} w ON x.dim = w.dim GROUP BY x.vec_id),
 r{t} AS (
   SELECT e.vec_id,
-         e.y - 1.0 / (1.0 + exp(-(z.zs + b.w))) AS r
+         e.y - 1.0 / (1.0 + exp(-z.zs)) AS r
   FROM (SELECT vec_id, y FROM emb) e
-  JOIN z{t} z ON e.vec_id = z.vec_id,
-  (SELECT w FROM w{t} WHERE dim = -1) b),
+  JOIN z{t} z ON e.vec_id = z.vec_id),
 g{t} AS (
   SELECT x.dim, CAST(SUM(CAST(x.x * r.r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS g
-  FROM x JOIN r{t} r ON x.vec_id = r.vec_id GROUP BY x.dim
-  UNION ALL
-  SELECT CAST(-1 AS INT), CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-  FROM r{t}),
+  FROM x JOIN r{t} r ON x.vec_id = r.vec_id GROUP BY x.dim),
 w{t + 1} AS (
   SELECT w.dim, w.w + {lr} * g.g AS w FROM w{t} w JOIN g{t} g ON w.dim = g.dim)"""
         )
