@@ -288,3 +288,42 @@ def test_fuzzy_match_fastss_property_vs_bruteforce(spark):
             if d <= 1:
                 expected[(key, cand)] = d
     assert out == expected
+
+
+def test_duplicated_span_fraction_random_differential(spark):
+    # seeded random corpora vs an independent brute-force implementation
+    # (set-of-covered-positions, no interval trick) — pins the lag-window
+    # union against the obvious-but-slow definition
+    import random
+
+    rnd = random.Random(20260814)
+    k = 3
+    docs = []
+    for doc_id in range(25):
+        n = rnd.randint(1, 20)
+        docs.append((doc_id, " ".join(rnd.choice("abcd") for _ in range(n)), "en", "s", 0))
+
+    def brute(docs):
+        sh = {}
+        toks = {d: t.split() for d, t, *_ in docs}
+        for d, tt in toks.items():
+            for i in range(len(tt) - k + 1):
+                sh.setdefault(tuple(tt[i : i + k]), []).append((d, i))
+        out = {}
+        for d, tt in toks.items():
+            covered = set()
+            for i in range(len(tt) - k + 1):
+                if len(sh[tuple(tt[i : i + k])]) >= 2:
+                    covered.update(range(i, i + k))
+            out[d] = (len(tt), len(covered))
+        return out
+
+    expected = brute(docs)
+    df = spark.createDataFrame(
+        docs, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in D.duplicated_span_fraction(df, k=k).collect()
+    }
+    assert got == expected
