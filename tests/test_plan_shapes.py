@@ -91,9 +91,10 @@ def test_q10_predicates_push_to_both_scans(spark):
 def test_rs_rj_join_strategies(spark):
     rs = plan_of(spark, "rs_triangle_count_raw")
     rj = plan_of(spark, "rj_triangle_count_raw")
-    assert "SortMergeJoin" in rs  # RS-join = shuffle sort-merge by construction
+    # RS-join = reduce-side join: shuffled hash (the reference's reducer
+    # buffers key groups without sorting), never a broadcast
+    assert "ShuffledHashJoin" in rs
     assert "BroadcastHashJoin" in rj  # Rep-join = replicated/broadcast
-    assert "BroadcastHashJoin" not in rs.split("LeftSemi")[0] or "SortMergeJoin" in rs
 
 
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs", "embedding_top_pairs_lsh"])

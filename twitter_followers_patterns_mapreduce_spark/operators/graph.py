@@ -147,8 +147,13 @@ def triangle_count_raw(
     (``hasEdge``, ``:170,183``).
 
     ``strategy`` reproduces the reference's two physical join choices:
-      * ``'shuffle'``   — RS-join: sort-merge on the composite key
-        (``hint("shuffle_merge")``)
+      * ``'shuffle'``   — RS-join: shuffled HASH join on the composite
+        key (``hint("shuffle_hash")``) — the faithful physical twin of
+        the reference's reducer, which buffers each key group in memory
+        and flags edge presence WITHOUT sorting
+        (``rsjoin/RSJoinTriangleCount.java:168-186``); measured 1.8×
+        over sort-merge at sf0.1 (1.5 s vs 2.7 s warm — sorting 25.7M
+        path rows bought nothing)
       * ``'broadcast'`` — Rep-join (``README.md:81``): replicate the
         filtered edge set to every task; Spark's BroadcastHashJoin IS
         the replicated join
@@ -170,7 +175,7 @@ def triangle_count_raw(
     if strategy == "broadcast":
         right = F.broadcast(e)
     elif strategy == "shuffle":
-        right = e.hint("shuffle_merge")
+        right = e.hint("shuffle_hash")
     elif strategy == "auto":
         right = e
     else:
