@@ -129,3 +129,33 @@ def test_split_drift_ks_detects_planted_shift(spark):
     drifted = split_drift_ks(shifted, holdout_pct=10).collect()[0]
     assert drifted["ks_stat"] == 1.0
     assert drifted["drifted"]
+
+
+def test_weighted_sample_matches_reference_formula(spark):
+    # deterministic differential: replicate u = (h64(doc_id)+1)/2^60 and
+    # key = floor(-ln(u)/w * 1e12) in pure python, expect the exact top-k
+    import hashlib
+    import math
+
+    docs = [(i, f"t{i}", "en", "s", 10 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(
+        docs, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = [(r["sample_rank"], r["doc_id"], r["weight"])
+           for r in SP.weighted_sample(df, k=25).collect()]
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    keyed = []
+    for doc_id, _, _, _, n_chars in docs:
+        u = (h64(str(doc_id)) + 1) / 1152921504606846976.0
+        keyed.append((math.floor(-math.log(u) / n_chars * 1_000_000_000_000), doc_id, n_chars))
+    keyed.sort()
+    expected = [(i + 1, d, w) for i, (_, d, w) in enumerate(keyed[:25])]
+    assert sorted(got) == expected
+
+    # heavier docs must be overrepresented: sample mean weight > corpus mean
+    ws = [w for _, _, w in got]
+    corpus_mean = sum(d[4] for d in docs) / len(docs)
+    assert sum(ws) / len(ws) > corpus_mean

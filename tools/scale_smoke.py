@@ -69,6 +69,16 @@ def main() -> int:
     run("audience_overlap", lambda: G.audience_overlap_pairs(edges, max_limit, k=20), scalar=False)
     run("two_hop_reach", lambda: G.two_hop_reach(edges, max_limit, k=20), scalar=False)
 
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        hits,
+        label_propagation,
+        random_walks,
+    )
+
+    run("hits", lambda: hits(edges, iters=3), scalar=False)
+    run("label_propagation", lambda: label_propagation(edges, rounds=4), scalar=False)
+    run("random_walks", lambda: random_walks(edges, walks_per_node=2, length=3), scalar=False)
+
     # text/dedup families on a 10× replicated corpus: each copy gets a
     # disjoint doc_id range and a per-copy suffix token so exact dedup
     # stays meaningful (copies are near-dups, not byte-dups)

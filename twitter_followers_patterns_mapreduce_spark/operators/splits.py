@@ -339,3 +339,57 @@ SELECT t.n_train, t.n_holdout,
                         / (CAST(t.n_train AS DOUBLE) * t.n_holdout)) AS drifted
 FROM cum, tot t
 GROUP BY t.n_train, t.n_holdout"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis exponential race)
+# ---------------------------------------------------------------------------
+
+#: fixed-point grid for the exponential-race key: comparisons happen on
+#: floor(key · 1e12) so the top-k never hinges on a last-ulp ln/divide
+#: difference (same device as the k-means argmin grid).
+_ES_GRID = 1_000_000_000_000
+
+
+def weighted_sample(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by the Efraimidis–Spirakis
+    exponential race (A-ES, 2006): each doc draws u ∈ (0, 1] from a
+    DETERMINISTIC content hash and races with key −ln(u)/w; the k
+    smallest keys are a weighted-without-replacement sample — the
+    quality-weighted corpus subsetter (w here = ``n_chars``; swap in any
+    positive quality score).  A-ES is THE distributed formulation:
+    selection is a global top-k over per-row scan-side keys, one pass,
+    no sequential state, and the hash-derived u gives the repo-wide
+    rerun/retry/partitioning stability no ``rand()`` sample has.
+
+    Plan: keys are codegen expressions at the scan; the top-k is
+    ``orderBy(limit)`` — Spark's TakeOrdered, a per-partition heap +
+    k-row driver merge, never a global sort; ranks are re-derived by a
+    window over the k survivors only.
+    """
+    from pyspark.sql import Window
+
+    u = f"(({h64_sql('cast(doc_id as string)', 'spark')}) + 1) / 1152921504606846976.0"
+    key = F.floor(F.expr(f"-ln({u}) / n_chars") * F.lit(_ES_GRID)).alias("_key")
+    top = (
+        documents.select("doc_id", "n_chars", key)
+        .orderBy(F.col("_key").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("_key").asc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+    )
+
+
+def weighted_sample_oracle(k: int = 100) -> str:
+    u = f"(({h64_sql('CAST(doc_id AS VARCHAR)', 'duckdb')}) + 1) / 1152921504606846976.0"
+    return f"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY _key ASC, doc_id ASC) AS INT) AS sample_rank,
+       doc_id, n_chars AS weight
+FROM (
+  SELECT doc_id, n_chars,
+         floor(-ln({u}) / n_chars * {_ES_GRID}) AS _key
+  FROM documents
+  ORDER BY _key ASC, doc_id ASC LIMIT {k})"""

@@ -320,3 +320,14 @@ def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.split_drift_ks(load_table(spark, sf_dir, "documents"), holdout_pct=10)
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=SP.weighted_sample_oracle(k=100),
+    description="Efraimidis-Spirakis weighted sample without replacement: key = "
+    "-ln(hash-derived u)/weight on a 1e-12 grid, global top-k as TakeOrdered "
+    "(per-partition heap + k-row driver merge, never a global sort)",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.weighted_sample(load_table(spark, sf_dir, "documents"), k=100)
