@@ -524,3 +524,28 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.hourly_anomaly_robust(load_events(spark, sf_dir), z_cut=3.5)
+
+
+@register(
+    "events_sliding_1h_30m_streamed",
+    oracle=E.SLIDING_ORACLE,
+    description="the 1h/30m SLIDING window aggregate as a real Structured Streaming "
+    "query (each event in two overlapping state windows) — stream == batch == oracle; "
+    "fifth streaming query class under the gate",
+)
+def events_sliding_1h_30m_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+        sliding_window_stream,
+    )
+
+    stream = sliding_window_stream(events_file_stream(spark, _staged_events_dir(sf_dir)))
+    run_available_now(
+        stream,
+        "events_sliding_1h_30m_streamed_sink",
+        output_mode="complete",
+        # window spine × 2 overlap: still day-scale tiny
+        state_partitions=8,
+    )
+    return spark.table("events_sliding_1h_30m_streamed_sink")

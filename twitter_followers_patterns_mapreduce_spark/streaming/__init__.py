@@ -5,6 +5,6 @@ watermarks (``windows.py``), batch-equivalent by construction with
 from twitter_followers_patterns_mapreduce_spark.streaming.windows import (  # noqa: F401
     events_file_stream,
     run_available_now,
-    sliding_15m_5m_stream,
+    sliding_window_stream,
     tumbling_hourly_stream,
 )

@@ -72,17 +72,28 @@ def tumbling_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> Dat
     return _tumbling_agg(events.withWatermark("ts", watermark))
 
 
-def sliding_15m_5m_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """Streaming sliding windows (15 min size / 5 min slide) per
-    event_type — each event contributes to three windows."""
+def sliding_window_stream(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming SLIDING windows: each event contributes to size/slide
+    overlapping windows (state rows multiply accordingly — the watermark
+    still bounds them to lateness × rate × size/slide).  The default
+    1 h / 30 min form is the streaming twin of the batch
+    ``events.sliding_1h_30m`` and shares its oracle."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"))
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
-            "event_type",
             "n_events",
+            "sum_value",
         )
     )
 
