@@ -212,3 +212,39 @@ def test_logreg_fit_matches_numpy_gd(spark):
     for d in range(5):
         assert abs(got[d] - np.floor(w[d] * 1e6) / 1e6) <= 2e-6, (d, got[d], w[d])
     assert abs(got[-1] - np.floor(b * 1e6) / 1e6) <= 2e-6
+
+
+def test_logreg_eval_auc_matches_direct_computation(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(60, 4).round(2)
+    labels = (rng.rand(60) < 0.35).astype(int)  # 1 → class of interest
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], int(0 if labels[i] else 1)) for i in range(60)],
+        schema="vec_id long, embedding array<double>, label long",
+    )
+    row = KM.logreg_eval(emb, target_label=0, iters=3, lr=0.5).collect()[0]
+    scores = {r["vec_id"]: r["score"] for r in
+              KM.logreg_score(emb, target_label=0, iters=3, lr=0.5).collect()}
+    y = np.array([labels[i] for i in range(60)])
+    s = np.array([scores[i] for i in range(60)])
+    # average-rank AUC (scipy-free): ranks with ties averaged
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(60)
+    i = 0
+    sorted_s = s[order]
+    while i < 60:
+        j = i
+        while j < 60 and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert row["n_pos"] == n1 and row["n_neg"] == n0
+    assert abs(row["auc"] - round(auc, 6)) <= 2e-6
+    brier = ((s - y) ** 2).mean()
+    assert abs(row["brier"] - brier) <= 2e-6
+    acc = (((s >= 0.5).astype(int)) == y).mean()
+    assert abs(row["accuracy"] - acc) <= 1e-6

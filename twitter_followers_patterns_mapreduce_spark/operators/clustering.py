@@ -530,6 +530,43 @@ SELECT vec_id, CAST(y AS BIGINT) AS y,
 FROM zf"""
 
 
+def logreg_eval_oracle(
+    target_label: int = 0, iters: int = 3, lr: float = 0.5, threshold: float = 0.5
+) -> str:
+    chain = _logreg_cte_chain(target_label, iters, lr)
+    return chain + f""",
+zf AS (
+  SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs,
+         MIN(x.y) AS y
+  FROM x JOIN w{iters} w ON x.dim = w.dim GROUP BY x.vec_id),
+scored AS (
+  SELECT CAST(y AS BIGINT) AS y,
+         floor(1.0 / (1.0 + exp(-zs)) * 1000000) / 1000000.0 AS score
+  FROM zf),
+hist AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN (score >= {threshold}) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM scored GROUP BY score),
+ranked AS (
+  SELECT score, n, n_pos, n_correct,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM hist)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n) - SUM(n_pos) AS BIGINT) AS n_neg,
+       round((CAST(SUM(CAST(CAST(n_pos AS DOUBLE) * (CAST(cum_before AS DOUBLE)
+                    + CAST(n + 1 AS DOUBLE) / 2.0) AS DECIMAL(28,12))) AS DOUBLE)
+              - CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_pos) + 1 AS DOUBLE) / 2.0)
+             / (CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n) - SUM(n_pos) AS DOUBLE)),
+             6) AS auc,
+       round(CAST(SUM(n_correct) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS accuracy,
+       round(CAST(SUM(CAST(CAST(n AS DOUBLE) * score * score
+                    - 2.0 * score * CAST(n_pos AS DOUBLE)
+                    + CAST(n_pos AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6) AS brier
+FROM ranked"""
+
+
 def _logreg_cte_chain(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
     head = f"""WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -562,3 +599,82 @@ w{t + 1} AS (
   SELECT w.dim, w.w + {lr} * g.g AS w FROM w{t} w JOIN g{t} g ON w.dim = g.dim)"""
         )
     return head + "".join(steps)
+
+
+def logreg_eval(
+    embeddings: DataFrame,
+    target_label: int = 0,
+    iters: int = 3,
+    lr: float = 0.5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact model evaluation at scale: ROC-AUC by the grouped
+    average-rank method, accuracy at ``threshold``, and the Brier score
+    — one summary row.
+
+    AUC never sorts the rows: scores emit floored to 6dp, so the rank
+    statistic collapses onto the DISTINCT score values — one hash-agg to
+    (score, n, n_pos) then a window over that bounded histogram
+    (≤ 10⁶+1 rows whatever the corpus size).  Tied scores get the
+    average rank, which is what makes the rank-sum formula exact:
+    AUC = (Σ_pos avg_rank − n₊(n₊+1)/2) / (n₊ n₋).  Counts are integer,
+    the final divisions are fixed IEEE expressions, everything rounds
+    at 6dp on emit.
+    """
+    from pyspark.sql import Window
+
+    scored = logreg_score(embeddings, target_label, iters, lr, threshold)
+    hist = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("keep") == (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "score",
+        "n",
+        "n_pos",
+        "n_correct",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    # Per-term doubles are exact multiples of 1e-12 (scores carry 6dp),
+    # so the DECIMAL reductions below are EXACT — the rank-sum and Brier
+    # totals cannot depend on partitioning or merge order.
+    rank_term = (
+        F.col("n_pos").cast("double")
+        * (F.col("cum_before").cast("double") + (F.col("n") + 1).cast("double") / F.lit(2.0))
+    ).cast(_DEC)
+    brier_term = (
+        F.col("n").cast("double") * F.col("score") * F.col("score")
+        - F.lit(2.0) * F.col("score") * F.col("n_pos").cast("double")
+        + F.col("n_pos").cast("double")
+    ).cast(_DEC)
+    return ranked.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(rank_term).cast("double")
+                - F.sum("n_pos").cast("double")
+                * (F.sum("n_pos") + 1).cast("double")
+                / F.lit(2.0)
+            )
+            / (
+                F.sum("n_pos").cast("double")
+                * (F.sum("n") - F.sum("n_pos")).cast("double")
+            ),
+            6,
+        ).alias("auc"),
+        F.round(
+            F.sum("n_correct").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("accuracy"),
+        # Brier from the histogram: y ∈ {0,1} ⇒ Σ(s−y)² per score group
+        # = n·s² − 2·s·n_pos + n_pos — no per-row pass needed
+        F.round(
+            F.sum(brier_term).cast("double") / F.sum("n").cast("double"), 6
+        ).alias("brier"),
+    )

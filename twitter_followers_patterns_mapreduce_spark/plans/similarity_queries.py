@@ -161,3 +161,14 @@ def embedding_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.logreg_score(load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5)
+
+
+@register(
+    "embedding_logreg_eval",
+    oracle=KM.logreg_eval_oracle(target_label=0, iters=3, lr=0.5),
+    description="exact model evaluation: ROC-AUC by the grouped average-rank method "
+    "(windows run over the bounded 6dp score histogram, never the rows), accuracy at "
+    "0.5, Brier score — all reductions DECIMAL-exact",
+)
+def embedding_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.logreg_eval(load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5)
