@@ -371,35 +371,28 @@ FROM ranked WHERE rank <= {k}"""
 # ---------------------------------------------------------------------------
 
 
-def _logreg_model(
+def _logreg_weights(
     embeddings: DataFrame, target_label: int, iters: int, lr: float
-) -> tuple[DataFrame, DataFrame]:
-    """Shared GD loop for :func:`logreg_fit` (emit the model) and
-    :func:`logreg_score` (apply it): returns (x, w) where x is the
-    checkpointed exploded (vec_id, y, dim, x) table and w the raw
-    (dim, w) weights after ``iters`` updates (dim −1 = bias).
+) -> tuple[DataFrame, list[float], float]:
+    """Shared GD loop for the logreg family: returns (emb, w, b) — the
+    checkpointed (vec_id, v, y) base plus the trained weight vector and
+    bias as plain Python floats.
 
-    Distributed supervised training: full-batch gradient descent for
-    binary logistic regression (y = 1 iff ``label == target_label``)
-    over the embedding vectors — the third member of the in-engine
-    trainer family next to k-means and PCA (classifier-based quality
-    filtering is a standard curation stage; this is its training loop).
+    Distributed supervised training as a PARAMETER SERVER round-trip:
+    the model is O(d) values, so each iteration broadcasts it back as
+    LITERAL expressions (the dot product is a scan-side IEEE fold inside
+    codegen — zero joins, zero shuffles) and the gradient allreduce is
+    ONE hash-agg: posexplode the feature vector with the bias folded in
+    as a constant pseudo-feature (dim d, x = 1), group by dim — d+1
+    output cells, DECIMAL per-term reductions so the result is identical
+    under any partitioning.  One action per iteration collects the d+1
+    gradient cells; row data never leaves the executors.
 
-    Determinism/exactness contract (same as the k-means/PageRank
-    trainers): w₀ = 0 and the model lives as a (dim, w) TABLE, so the
-    per-example dot product is one broadcast equi-join + a DECIMAL
-    hash-agg — order-independent under any partitioning, never a float
-    fold whose value depends on shuffle order.  Per-term arithmetic
-    (multiply, sigmoid's exp) is scalar IEEE double, identical on both
-    engines; only the commutative reductions are decimal.  The oracle
-    unrolls the identical iterations as CTEs; weights emit at floor-6dp.
-
-    Scale shape per iteration: the exploded (vec_id, dim, x) table is
-    checkpointed once (|V|·d narrow rows, the natural columnar layout);
-    scores need one broadcast join + vec_id hash-agg, gradients one
-    vec_id join + dim hash-agg (d cells).  The model (d+1 rows) always
-    broadcasts — this is exactly the allreduce pattern of distributed
-    GD with the allreduce spelled as a d-row aggregate.
+    Exactness contract: the left fold ((0+x₁w₁)+x₂w₂)+… runs in fixed
+    index order — bit-identical on any engine — and the oracle unrolls
+    the same fold (``list_reduce``), the same DECIMAL gradient sums, and
+    the same IEEE weight updates, so the weight trajectory matches
+    bit-for-bit through the exp/sigmoid chain.  w₀ = 0.
     """
     emb = (
         fan_out(embeddings)
@@ -410,38 +403,21 @@ def _logreg_model(
         )
         .localCheckpoint(eager=False)
     )
-    # bias folded in as a constant pseudo-feature (dim −1, x = 1): the
-    # intercept rides the same join/agg as every weight — no 1-row
-    # cross join, no special-cased bias gradient
-    x = (
-        emb.select("vec_id", "y", F.posexplode("v").alias("dim", "x"))
-        .unionByName(
-            emb.select(
-                "vec_id", "y", F.lit(-1).cast("int").alias("dim"), F.lit(1.0).alias("x")
-            )
-        )
-        .localCheckpoint(eager=False)
-    )
-    w = x.select("dim").distinct().select("dim", F.lit(0.0).alias("w"))
-    ys = emb.select("vec_id", "y")
+    # dimensionality from the data (one metadata-sized action), so the
+    # trainer is not pinned to the harness DIMS
+    d = emb.select(F.size("v").alias("d")).first()["d"]
+    w = [0.0] * d
+    b = 0.0
     for _ in range(iters):
-        z = (
-            x.join(F.broadcast(w), "dim")
-            .groupBy("vec_id")
-            .agg(F.sum((F.col("x") * F.col("w")).cast(_DEC)).alias("zs"))
-        )
-        resid = (
-            z.join(ys, "vec_id")
-            .select(
-                "vec_id",
-                (
-                    F.col("y")
-                    - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs").cast("double")))
-                ).alias("r"),
+        z = _fold_dot(w, b)
+        r = (F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("r")
+        grad_rows = (
+            emb.select(
+                r,
+                F.posexplode(
+                    F.concat(F.col("v"), F.array(F.lit(1.0)))
+                ).alias("dim", "x"),
             )
-        )
-        grad = (
-            x.join(resid, "vec_id")
             .groupBy("dim")
             .agg(
                 (
@@ -449,25 +425,40 @@ def _logreg_model(
                     / F.count("*")
                 ).alias("g")
             )
+            .collect()
         )
-        w = (
-            w.join(grad, "dim")
-            .select("dim", (F.col("w") + F.lit(lr) * F.col("g")).alias("w"))
-            .localCheckpoint(eager=False)
+        g = {row["dim"]: row["g"] for row in grad_rows}
+        w = [w[i] + lr * g[i] for i in range(d)]
+        b = b + lr * g[d]
+    return emb, w, b
+
+
+def _fold_dot(w: list[float], b: float):
+    """Scan-side dot product against the literal model: a fixed-order
+    IEEE left fold over the 64 dims, then + bias — pure codegen, no
+    join, bit-identical to the oracle's ``list_reduce``."""
+    wlit = F.array(*[F.lit(x) for x in w])
+    return (
+        F.aggregate(
+            F.zip_with(F.col("v"), wlit, lambda a, c: a * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
-    return x, w
+        + F.lit(b)
+    )
 
 
 def logreg_fit(
     embeddings: DataFrame, target_label: int = 0, iters: int = 3, lr: float = 0.5
 ) -> DataFrame:
     """The trained model in comparable form: (dim, weight floor-6dp),
-    dim −1 = bias.  See :func:`_logreg_model` for the training loop."""
-    _, w = _logreg_model(embeddings, target_label, iters, lr)
-    return w.select(
-        F.col("dim").cast("bigint").alias("dim"),
-        (F.floor(F.col("w") * 1_000_000) / F.lit(1_000_000.0)).alias("weight"),
-    )
+    dim −1 = bias.  See :func:`_logreg_weights` for the training loop."""
+    emb, w, b = _logreg_weights(embeddings, target_label, iters, lr)
+    import math
+
+    rows = [(i, math.floor(w[i] * 1_000_000) / 1_000_000.0) for i in range(len(w))]
+    rows.append((-1, math.floor(b * 1_000_000) / 1_000_000.0))
+    return emb.sparkSession.createDataFrame(rows, schema="dim bigint, weight double")
 
 
 def logreg_score(
@@ -477,128 +468,20 @@ def logreg_score(
     lr: float = 0.5,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Batch inference with the in-DAG-trained model — the curation
-    filter itself: every vector scored with sigmoid(w·x + b), thresholded
-    into a keep/drop verdict.  Same broadcast-join + DECIMAL-agg dot
-    product as training; at 100 TB the model broadcast is d+1 rows and
-    scoring is one scan-side pass over the exploded features (or a
-    zip_with fold directly on the array column when the model is pinned
-    as literals).  Returns (vec_id, y, score floor-6dp, keep)."""
-    x, w = _logreg_model(embeddings, target_label, iters, lr)
-    z = (
-        x.join(F.broadcast(w), "dim")
-        .groupBy("vec_id")
-        .agg(
-            F.sum((F.col("x") * F.col("w")).cast(_DEC)).alias("zs"),
-            F.first("y").alias("y"),
-        )
-    )
-    return (
-        z.select(
-            "vec_id",
-            F.col("y").cast("bigint").alias("y"),
-            (
-                F.floor(
-                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs").cast("double"))))
-                    * 1_000_000
-                )
-                / F.lit(1_000_000.0)
-            ).alias("score"),
-        )
-        .withColumn("keep", (F.col("score") >= threshold).cast("boolean"))
-    )
-
-
-def logreg_fit_oracle(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
-    return _logreg_cte_chain(target_label, iters, lr) + f"""
-SELECT CAST(dim AS BIGINT) AS dim, floor(w * 1000000) / 1000000.0 AS weight
-FROM w{iters}"""
-
-
-def logreg_score_oracle(
-    target_label: int = 0, iters: int = 3, lr: float = 0.5, threshold: float = 0.5
-) -> str:
-    chain = _logreg_cte_chain(target_label, iters, lr)
-    return chain + f""",
-zf AS (
-  SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs,
-         MIN(x.y) AS y
-  FROM x JOIN w{iters} w ON x.dim = w.dim GROUP BY x.vec_id)
-SELECT vec_id, CAST(y AS BIGINT) AS y,
-       floor(1.0 / (1.0 + exp(-zs)) * 1000000) / 1000000.0 AS score,
-       floor(1.0 / (1.0 + exp(-zs)) * 1000000) / 1000000.0 >= {threshold} AS keep
-FROM zf"""
-
-
-def logreg_eval_oracle(
-    target_label: int = 0, iters: int = 3, lr: float = 0.5, threshold: float = 0.5
-) -> str:
-    chain = _logreg_cte_chain(target_label, iters, lr)
-    return chain + f""",
-zf AS (
-  SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs,
-         MIN(x.y) AS y
-  FROM x JOIN w{iters} w ON x.dim = w.dim GROUP BY x.vec_id),
-scored AS (
-  SELECT CAST(y AS BIGINT) AS y,
-         floor(1.0 / (1.0 + exp(-zs)) * 1000000) / 1000000.0 AS score
-  FROM zf),
-hist AS (
-  SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
-         CAST(SUM(CASE WHEN (score >= {threshold}) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-  FROM scored GROUP BY score),
-ranked AS (
-  SELECT score, n, n_pos, n_correct,
-         CAST(COALESCE(SUM(n) OVER (ORDER BY score
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-  FROM hist)
-SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
-       CAST(SUM(n) - SUM(n_pos) AS BIGINT) AS n_neg,
-       round((CAST(SUM(CAST(CAST(n_pos AS DOUBLE) * (CAST(cum_before AS DOUBLE)
-                    + CAST(n + 1 AS DOUBLE) / 2.0) AS DECIMAL(28,12))) AS DOUBLE)
-              - CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_pos) + 1 AS DOUBLE) / 2.0)
-             / (CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n) - SUM(n_pos) AS DOUBLE)),
-             6) AS auc,
-       round(CAST(SUM(n_correct) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS accuracy,
-       round(CAST(SUM(CAST(CAST(n AS DOUBLE) * score * score
-                    - 2.0 * score * CAST(n_pos AS DOUBLE)
-                    + CAST(n_pos AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             / CAST(SUM(n) AS DOUBLE), 6) AS brier
-FROM ranked"""
-
-
-def _logreg_cte_chain(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
-    head = f"""WITH emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         CASE WHEN label = {target_label} THEN 1.0 ELSE 0.0 END AS y
-  FROM embeddings),
-x AS (
-  SELECT vec_id, y,
-         CAST(unnest(range(0, {DIMS})) AS INT) AS dim,
-         unnest(list_transform(range(1, {DIMS + 1}), i -> v[i])) AS x
-  FROM emb
-  UNION ALL
-  SELECT vec_id, y, CAST(-1 AS INT) AS dim, 1.0 AS x FROM emb),
-w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM x)"""
-    steps = []
-    for t in range(iters):
-        steps.append(
-            f""",
-z{t} AS (
-  SELECT x.vec_id, CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12))) AS DOUBLE) AS zs
-  FROM x JOIN w{t} w ON x.dim = w.dim GROUP BY x.vec_id),
-r{t} AS (
-  SELECT e.vec_id,
-         e.y - 1.0 / (1.0 + exp(-z.zs)) AS r
-  FROM (SELECT vec_id, y FROM emb) e
-  JOIN z{t} z ON e.vec_id = z.vec_id),
-g{t} AS (
-  SELECT x.dim, CAST(SUM(CAST(x.x * r.r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS g
-  FROM x JOIN r{t} r ON x.vec_id = r.vec_id GROUP BY x.dim),
-w{t + 1} AS (
-  SELECT w.dim, w.w + {lr} * g.g AS w FROM w{t} w JOIN g{t} g ON w.dim = g.dim)"""
-        )
-    return head + "".join(steps)
+    """Batch inference with the trained model — the curation filter
+    itself: every vector scored sigmoid(w·x + b) in a single scan-side
+    codegen expression (the model rides in as literals; no join, no
+    shuffle), thresholded into a keep/drop verdict.
+    Returns (vec_id, y, score floor-6dp, keep)."""
+    emb, w, b = _logreg_weights(embeddings, target_label, iters, lr)
+    score = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-_fold_dot(w, b)))) * 1_000_000
+    ) / F.lit(1_000_000.0)
+    return emb.select(
+        "vec_id",
+        F.col("y").cast("bigint").alias("y"),
+        score.alias("score"),
+    ).withColumn("keep", (F.col("score") >= threshold).cast("boolean"))
 
 
 def logreg_eval(
@@ -677,4 +560,107 @@ def logreg_eval(
         F.round(
             F.sum(brier_term).cast("double") / F.sum("n").cast("double"), 6
         ).alias("brier"),
+    )
+
+
+def _logreg_cte_chain(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
+    """The GD fixed point unrolled as DuckDB CTEs in the SAME fold form
+    the engine executes: z is a ``list_reduce`` left fold (bit-identical
+    to Spark's ``aggregate``), gradients are per-dim DECIMAL sums with
+    the bias as pseudo-dim 65, weight updates are plain IEEE doubles."""
+    d1 = DIMS + 1
+    head = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CASE WHEN label = {target_label} THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings),
+w0 AS (SELECT list_transform(range(1, {DIMS + 1}), i -> 0.0) AS wv, 0.0 AS b)"""
+    fold = (
+        f"list_reduce(list_transform(range(1, {DIMS + 1}), i -> e.v[i] * w.wv[i]), "
+        f"(a, c) -> a + c) + w.b"
+    )
+    steps = []
+    for t in range(iters):
+        steps.append(
+            f""",
+r{t} AS (
+  SELECT e.vec_id, e.v,
+         e.y - 1.0 / (1.0 + exp(-({fold}))) AS r
+  FROM emb e, w{t} w),
+g{t} AS (
+  SELECT list(g ORDER BY i) AS gl FROM (
+    SELECT i, CAST(SUM(CAST(x * r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS g
+    FROM (
+      SELECT r, unnest(range(1, {d1 + 1})) AS i,
+             unnest(list_transform(range(1, {d1 + 1}),
+                    i -> CASE WHEN i <= {DIMS} THEN v[i] ELSE 1.0 END)) AS x
+      FROM r{t})
+    GROUP BY i)),
+w{t + 1} AS (
+  SELECT list_transform(range(1, {DIMS + 1}), j -> w.wv[j] + {lr} * g.gl[j]) AS wv,
+         w.b + {lr} * g.gl[{d1}] AS b
+  FROM w{t} w, g{t} g)"""
+        )
+    return head + "".join(steps)
+
+
+def _logreg_scored_cte(iters: int) -> str:
+    fold = (
+        f"list_reduce(list_transform(range(1, {DIMS + 1}), i -> e.v[i] * w.wv[i]), "
+        f"(a, c) -> a + c) + w.b"
+    )
+    return f""",
+scored AS (
+  SELECT e.vec_id, CAST(e.y AS BIGINT) AS y,
+         floor(1.0 / (1.0 + exp(-({fold}))) * 1000000) / 1000000.0 AS score
+  FROM emb e, w{iters} w)"""
+
+
+def logreg_fit_oracle(target_label: int = 0, iters: int = 3, lr: float = 0.5) -> str:
+    return _logreg_cte_chain(target_label, iters, lr) + f"""
+SELECT CAST(u.i - 1 AS BIGINT) AS dim, floor(w.wv[u.i] * 1000000) / 1000000.0 AS weight
+FROM w{iters} w, (SELECT unnest(range(1, {DIMS + 1})) AS i) u
+UNION ALL
+SELECT CAST(-1 AS BIGINT), floor(b * 1000000) / 1000000.0 FROM w{iters}"""
+
+
+def logreg_score_oracle(
+    target_label: int = 0, iters: int = 3, lr: float = 0.5, threshold: float = 0.5
+) -> str:
+    return (
+        _logreg_cte_chain(target_label, iters, lr)
+        + _logreg_scored_cte(iters)
+        + f"""
+SELECT vec_id, y, score, score >= {threshold} AS keep FROM scored"""
+    )
+
+
+def logreg_eval_oracle(
+    target_label: int = 0, iters: int = 3, lr: float = 0.5, threshold: float = 0.5
+) -> str:
+    return (
+        _logreg_cte_chain(target_label, iters, lr)
+        + _logreg_scored_cte(iters)
+        + f""",
+hist AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN (score >= {threshold}) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM scored GROUP BY score),
+ranked AS (
+  SELECT score, n, n_pos, n_correct,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM hist)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n) - SUM(n_pos) AS BIGINT) AS n_neg,
+       round((CAST(SUM(CAST(CAST(n_pos AS DOUBLE) * (CAST(cum_before AS DOUBLE)
+                    + CAST(n + 1 AS DOUBLE) / 2.0) AS DECIMAL(28,12))) AS DOUBLE)
+              - CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_pos) + 1 AS DOUBLE) / 2.0)
+             / (CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n) - SUM(n_pos) AS DOUBLE)),
+             6) AS auc,
+       round(CAST(SUM(n_correct) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS accuracy,
+       round(CAST(SUM(CAST(CAST(n AS DOUBLE) * score * score
+                    - 2.0 * score * CAST(n_pos AS DOUBLE)
+                    + CAST(n_pos AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6) AS brier
+FROM ranked"""
     )
