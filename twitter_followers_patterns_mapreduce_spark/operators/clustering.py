@@ -506,7 +506,13 @@ def logreg_eval(
     """
     from pyspark.sql import Window
 
-    scored = logreg_score(embeddings, target_label, iters, lr, threshold)
+    # checkpoint the scored projection: downstream the score column is
+    # referenced by the groupBy key and three aggregates — without the
+    # cut Catalyst collapses the projection and re-expands the 64-term
+    # literal fold into every reference
+    scored = logreg_score(embeddings, target_label, iters, lr, threshold).localCheckpoint(
+        eager=False
+    )
     hist = scored.groupBy("score").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("n_pos"),
