@@ -99,3 +99,13 @@ def test_audio_features_goldens(docs):
         rms = math.sqrt(sum(x * x for x in wav) / 128.0)
         assert r["rms"] == math.floor(rms * 1_000_000) / 1_000_000.0
         assert r["duration_s"] == 128 / 8000.0
+
+
+def test_byte_stats_arrow_equals_pandas_path(spark):
+    # the mapInArrow and mapInPandas extractors must agree row-for-row
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    a = sorted(map(tuple, M.image_byte_stats(docs).collect()))
+    b = sorted(map(tuple, M.image_byte_stats_arrow(docs).collect()))
+    assert a == b

@@ -467,3 +467,35 @@ def video_frame_sample_oracle(stride: int = 2) -> str:
   CAST({frame_sum} AS BIGINT) AS frame_sum,
   CAST(concat('0x', substring({digest}, 1, 2)) AS BIGINT) AS first_byte
 FROM documents CROSS JOIN (SELECT unnest({sampled}) AS frame_idx) f"""
+
+
+def image_byte_stats_arrow(documents: DataFrame) -> DataFrame:
+    """The same byte-feature extraction via ``mapInArrow`` — the
+    zero-copy tier of the Python batch surface (§2.8): batches arrive as
+    ``pyarrow.RecordBatch``, so the binary payloads are sliced straight
+    out of the Arrow buffers without pandas Series materialization —
+    the right shape when the per-batch work is thin relative to payload
+    bytes.  Same output and oracle as :func:`image_byte_stats`; parity
+    between the two paths is itself pinned by the shared oracle."""
+    import pyarrow as pa
+
+    mm = with_fake_image(documents)
+
+    def extract(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            imgs = batch.column("image").to_pylist()
+            meta = batch.column("image_meta")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pa.array([len(b) for b in imgs], type=pa.int64()),
+                    pa.array([b[0] for b in imgs], type=pa.int64()),
+                    pa.array([sum(b) for b in imgs], type=pa.int64()),
+                    meta.field("width"),
+                    meta.field("height"),
+                ],
+                names=["doc_id", "n_bytes", "first_byte", "byte_sum", "width", "height"],
+            )
+
+    return mm.mapInArrow(extract, schema=_BYTE_STATS_SCHEMA)

@@ -71,3 +71,13 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_image_byte_stats_arrow",
+    oracle=M.image_byte_stats_oracle(),
+    description="the byte-stats extraction via mapInArrow (zero-copy RecordBatch tier "
+    "of the Python batch surface) — same closed-form oracle as the mapInPandas path",
+)
+def mm_image_byte_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.image_byte_stats_arrow(load_table(spark, sf_dir, "documents"))
