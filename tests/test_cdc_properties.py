@@ -76,3 +76,44 @@ def _model_k_core(edges, k):
 def test_k_core_matches_model(spark, edges, k):
     got = {r["v"]: r["core_deg"] for r in k_core(make_edges(spark, edges), k=k, rounds=30).collect()}
     assert got == _model_k_core(edges, k)
+
+
+scd2_keys = st.lists(st.integers(1, 60), min_size=1, max_size=12, unique=True)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ks=scd2_keys)
+def test_scd2_intervals_tile_and_single_current(spark, ks):
+    """SCD2 invariants on arbitrary key sets: per key, versions are
+    exactly [0] (unchanged) or [0, 1] (bumped, key % 7 == 0), intervals
+    tile (valid_to of one row == valid_from of the next, strictly
+    increasing), and exactly the LAST version is current/open."""
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import (
+        orders_scd2_history,
+    )
+
+    d0 = dt.date(1995, 1, 1)
+    rows = [
+        (k, 1, "O", 1.0, d0 + dt.timedelta(days=k), "3-MEDIUM", "c", 0, "x")
+        for k in ks
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        schema="o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING, "
+        "o_clerk STRING, o_shippriority LONG, o_comment STRING",
+    )
+    by_key: dict[int, list] = {}
+    for r in orders_scd2_history(orders).collect():
+        by_key.setdefault(r["o_orderkey"], []).append(r)
+    assert set(by_key) == set(ks)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == ([0, 1] if k % 7 == 0 else [0])
+        assert [bool(r["is_current"]) for r in vs[:-1]] == [False] * (len(vs) - 1)
+        assert vs[-1]["is_current"] is True and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            # ISO date strings: lexicographic == chronological
+            assert a["valid_to"] == b["valid_from"] and a["valid_from"] < a["valid_to"]

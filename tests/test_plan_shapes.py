@@ -192,3 +192,44 @@ def test_follow_recommendations_plans_anti_join(spark):
 def test_topk_queries_plan_take_ordered(spark, name):
     # global top-k must be per-partition heap + merge, never a full sort
     assert "TakeOrderedAndProject" in plan_of(spark, name)
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
+    """Runtime row-group pruning for the 100 TB fact-⋈-filtered-dim
+    shape: Spark's runtime Bloom-filter rewrite (on by default, gated
+    by size thresholds sized for clusters — application side must scan
+    ≥10 GB) builds a Bloom filter from the FILTERED dim side and
+    injects ``might_contain`` on the fact side, so fact row groups that
+    cannot join are dropped at the scan instead of shuffled.  The
+    engine relies on the stock rewrite rather than hand-building semi-
+    join prefilters; this pins that (a) it fires once the fact side is
+    big enough and (b) it stays off below the gate, so the sf0.001
+    test plans elsewhere in this file are unaffected by it."""
+    def optimized_join_plan() -> str:
+        # rebuilt per call: QueryExecution is cached per DataFrame, so a
+        # conf change only binds to a freshly-constructed plan
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_partkey", "l_extendedprice"
+        )
+        pt = (
+            spark.read.parquet(f"{SF}/part.parquet")
+            .where("p_type LIKE 'PROMO%'")
+            .select("p_partkey")
+        )
+        j = li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        return j._jdf.queryExecution().optimizedPlan().toString()
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old_gate = spark.conf.get(key)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(key, "0")
+        fired = optimized_join_plan()
+        assert "might_contain" in fired and "bloom_filter_agg" in fired
+        spark.conf.set(key, "10GB")
+        gated = optimized_join_plan()
+        assert "might_contain" not in gated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(key, old_gate)

@@ -269,3 +269,35 @@ def test_brand_affinity_counts_each_basket_once(spark, part3):
     )
     # lift = support·N / (cnt_a·cnt_b) = 1·2/(2·1) = 1.0
     assert r.lift == 1.0
+
+
+def test_scd2_history_intervals_golden(spark):
+    import datetime as dt
+
+    d0 = dt.date(1995, 6, 1)
+    orders = spark.createDataFrame(
+        [
+            # o_orderkey % 7 == 0 -> gets a version-1 bump
+            (7, 1, "O", 10.0, d0, "3-MEDIUM", "c", 0, "x"),
+            (8, 2, "O", 20.0, d0, "5-LOW", "c", 0, "x"),
+        ],
+        schema="o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING, "
+        "o_clerk STRING, o_shippriority LONG, o_comment STRING",
+    )
+    rows = {
+        (r["o_orderkey"], r["version"]): r
+        for r in R.orders_scd2_history(orders).collect()
+    }
+    assert set(rows) == {(7, 0), (7, 1), (8, 0)}
+    # changed key: base version closed by the update, update current
+    assert rows[(7, 0)]["valid_from"] == "1995-06-01"
+    assert rows[(7, 0)]["valid_to"] == "1995-07-01"
+    assert rows[(7, 0)]["is_current"] is False
+    assert rows[(7, 1)]["priority"] == "1-URGENT"
+    assert rows[(7, 1)]["valid_to"] is None
+    assert rows[(7, 1)]["is_current"] is True
+    # unchanged key: single open interval, priority as loaded
+    assert rows[(8, 0)]["priority"] == "5-LOW"
+    assert rows[(8, 0)]["valid_to"] is None
+    assert rows[(8, 0)]["is_current"] is True

@@ -105,3 +105,20 @@ def test_foreach_batch_ingest_dedups_across_batches(spark, tmp_path):
 
     ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert ids == [1, 2, 4], ids
+
+
+def test_self_union_stream_dedups_to_base(spark, tmp_path):
+    """The registered events_dedup_streamed shape: the same dir read by
+    two file sources unioned (every event arrives twice) collapses back
+    to the singleton base set."""
+    rows = [(i, at(i), i % 3, "click", float(i), "{}") for i in range(6)]
+    d = tmp_path / "base"
+    spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.parquet(str(d))
+    doubled = events_file_stream(spark, str(d)).unionByName(
+        events_file_stream(spark, str(d))
+    )
+    run_available_now(
+        dedup_events_stream(doubled), "dedup_union_t", output_mode="append"
+    )
+    got = sorted(r["event_id"] for r in spark.table("dedup_union_t").collect())
+    assert got == list(range(6))

@@ -1729,3 +1729,64 @@ WHERE l1.l_shipdate > o_orderdate + INTERVAL {late_days} DAY
                     AND l3.l_shipdate > o_orderdate + INTERVAL {late_days} DAY)
 GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_name ASC, s_suppkey ASC LIMIT {k}"""
+
+
+def orders_scd2_history(orders: DataFrame, mod: int = 7, bump_days: int = 30) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build — the CDC/merge
+    pattern every warehouse ingest needs and the reference (batch
+    file-in/file-out, `Makefile:43-44`) has no notion of: a change feed
+    folded into per-key validity intervals.
+
+    The change feed is derived DETERMINISTICALLY from ``orders`` so the
+    oracle is pure SQL over the registered views: version 0 is the base
+    row (priority as loaded, valid from ``o_orderdate``); keys with
+    ``o_orderkey % mod == 0`` get a version-1 update (priority bumped
+    to ``1-URGENT`` ``bump_days`` later).  SCD2 semantics: each
+    version's ``valid_to`` is the NEXT version's ``valid_from``
+    (half-open intervals), the last version is current.
+
+    Scale shape: ONE shuffle — the union of base and delta is hash-
+    partitioned by the business key for the lead() window; the delta
+    branch reuses the same scan (Catalyst collapses the shared
+    subplan).  At 100 TB the identical plan is the incremental form:
+    partition the SCD table and the day's change feed by key, merge
+    with this window — or hand the same feed to a MERGE INTO on a
+    deletion-vector table format; the interval algebra here is the
+    engine-side semantics either way."""
+    base = orders.select(
+        "o_orderkey",
+        F.lit(0).alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("vf"),
+    )
+    delta = orders.where(F.col("o_orderkey") % mod == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        F.lit("1-URGENT").alias("priority"),
+        F.date_add("o_orderdate", bump_days).alias("vf"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    nxt = F.lead("vf").over(w)
+    return base.unionByName(delta).select(
+        "o_orderkey",
+        "version",
+        "priority",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def orders_scd2_oracle(mod: int = 7, bump_days: int = 30) -> str:
+    return f"""WITH feed AS (
+  SELECT o_orderkey, 0 AS version, o_orderpriority AS priority, o_orderdate AS vf
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 1, '1-URGENT', o_orderdate + INTERVAL {bump_days} DAY
+  FROM orders WHERE o_orderkey % {mod} = 0)
+SELECT o_orderkey, version, priority,
+  strftime(vf, '%Y-%m-%d') AS valid_from,
+  strftime(LEAD(vf) OVER w, '%Y-%m-%d') AS valid_to,
+  LEAD(vf) OVER w IS NULL AS is_current
+FROM feed
+WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)"""

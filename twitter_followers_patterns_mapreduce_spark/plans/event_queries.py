@@ -549,3 +549,56 @@ def events_sliding_1h_30m_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         state_partitions=8,
     )
     return spark.table("events_sliding_1h_30m_streamed_sink")
+
+
+@register(
+    "events_dedup_streamed",
+    oracle=f"""SELECT event_id, user_id, event_type,
+  strftime(ts, '{E.TS_FMT_DUCK}') AS ts_s FROM events""",
+    description="streaming exact-dedup under the oracle gate: the event stream "
+    "UNIONED WITH ITSELF (every event arrives twice) deduped by "
+    "dropDuplicatesWithinWatermark on event_id — output must equal the singleton "
+    "base table, proving the duplicates collapsed; state is bounded (keys evicted "
+    "past the watermark horizon), the exactly-once ingest-dedup path; sixth "
+    "streaming query class under the gate",
+)
+def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of ``dedup_exact`` (``streaming/dedup.py``): two
+    file-source reads of the same staged events dir union into a stream
+    where every event arrives exactly twice; the dedup operator must
+    reduce it back to the base table for the oracle's hash to match.
+    ``dropDuplicatesWithinWatermark`` is a stateful FILTER (not an
+    aggregation) so rows append as they arrive — the dedup decision is
+    per-row-at-arrival, never wait-for-watermark.
+
+    The reference is batch-only (SURVEY.md §2.7); its closest analogue
+    is re-running the whole job on the grown input — this is the
+    incremental-ingest replacement."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup import (
+        dedup_events_stream,
+    )
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+    )
+
+    d = _staged_events_dir(sf_dir)
+    doubled = events_file_stream(spark, d).unionByName(events_file_stream(spark, d))
+    deduped = dedup_events_stream(doubled).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", E.TS_FMT_SPARK).alias("ts_s"),
+    )
+    run_available_now(
+        deduped,
+        "events_dedup_streamed_sink",
+        output_mode="append",
+        # state is keyed by event_id (|events| keys, evicted by the
+        # watermark) — small fixed partition count keeps the per-batch
+        # state-store commit cost flat
+        state_partitions=8,
+    )
+    return spark.table("events_dedup_streamed_sink")

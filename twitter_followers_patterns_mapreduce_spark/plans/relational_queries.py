@@ -555,3 +555,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+@register(
+    "orders_scd2_history",
+    oracle=R.orders_scd2_oracle(),
+    description="SCD type-2 history build (the CDC/merge-upsert pattern): a "
+    "deterministic change feed folded into per-key half-open validity intervals "
+    "via one key-partitioned lead() window — one shuffle on the business key; "
+    "the engine-side semantics of MERGE INTO on a dimension table",
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_scd2_history(load_table(spark, sf_dir, "orders"))
