@@ -57,6 +57,39 @@ def test_ngram_jaccard_exact_values(corpus):
     assert pairs[(1, 2)] == 1.0
 
 
+def test_jaccard_prefix_equals_inverted_index_golden(corpus):
+    a = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs_prefix(corpus).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus).collect()
+    }
+    assert a == b and (3, 4) in a
+
+
+def test_jaccard_prefix_equals_inverted_index_real_docs(spark):
+    """Differential on the real documents table: the prefix-filtered
+    candidate set must lose NOTHING vs expanding every posting list —
+    identical (pair, jaccard) output at two thresholds (0.5 exercises
+    even-size prefixes, 0.7 the ceil rounding on odd sizes)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.5, 0.7):
+        a = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        b = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert a == b, (t, len(a), len(b))
+    assert len(a) > 0  # t=0.7 still finds the near-dup pairs planted in testdata
+
+
 def test_simhash_identical_docs_zero_hamming(corpus):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_near_pairs(corpus).collect()}
     assert pairs[(1, 2)] == 0

@@ -301,3 +301,34 @@ def test_scd2_history_intervals_golden(spark):
     assert rows[(8, 0)]["priority"] == "5-LOW"
     assert rows[(8, 0)]["valid_to"] is None
     assert rows[(8, 0)]["is_current"] is True
+
+
+def test_scd2_asof_equals_interval_filtered_history(spark):
+    """The argmax snapshot must equal the naive plan: build the full
+    SCD2 history, keep rows whose half-open interval covers the as-of
+    date.  Run on real orders at sf0.001 so the date straddles bumps
+    (some keys show version 1, some still version 0, some absent)."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    d = "1995-06-01"
+    snap = {
+        (r["o_orderkey"], r["version"], r["priority"], r["valid_from"])
+        for r in R.orders_scd2_asof(orders, as_of=d).collect()
+    }
+    hist = R.orders_scd2_history(orders)
+    naive = {
+        (r["o_orderkey"], r["version"], r["priority"], r["valid_from"])
+        for r in hist.where(
+            (F.col("valid_from") <= d)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+        ).collect()
+    }
+    assert snap == naive and len(snap) > 0
+    # the date is mid-range: all three member states must occur
+    versions = {v for (_, v, _, _) in snap}
+    assert versions == {0, 1}
+    n_keys = orders.select("o_orderkey").distinct().count()
+    assert len(snap) < n_keys  # some keys postdate the snapshot

@@ -1,0 +1,74 @@
+"""Incremental streaming SCD2 apply — multi-batch incrementality and
+batch/stream parity (streaming/scd2.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from twitter_followers_patterns_mapreduce_spark.operators.relational import (
+    orders_scd2_history,
+)
+from twitter_followers_patterns_mapreduce_spark.plans.relational_queries import (
+    _stage_scd2_feed,
+)
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+from twitter_followers_patterns_mapreduce_spark.streaming.scd2 import (
+    scd2_apply_stream,
+    scd2_feed_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streamed_scd2_runs_incrementally_and_matches_batch(spark, tmp_path):
+    """The replay must run as exactly 2 micro-batches (one per staged
+    tier, maxFilesPerTrigger=1) and the final state must equal the
+    one-shot batch fold — i.e. batch 1's merge correctly re-folded the
+    intervals batch 0 had already written."""
+    feed_dir, _, _ = _stage_scd2_feed(spark, SF)
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batch_ids: list[int] = []
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey LONG, version INT, priority STRING, vf TIMESTAMP_NTZ"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    scd2_apply_stream(spark, stream, state_dir, ckpt, batch_ids=batch_ids)
+    assert batch_ids == [0, 1]
+
+    cur = os.path.join(state_dir, "current")
+    final = spark.read.parquet(cur)
+    batch = orders_scd2_history(load_table(spark, SF, "orders"))
+    cols = ["o_orderkey", "version", "priority", "valid_from", "valid_to", "is_current"]
+    got = {tuple(r) for r in final.select(cols).collect()}
+    want = {tuple(r) for r in batch.select(cols).collect()}
+    assert got == want and len(got) > 0
+    # updated keys must show the merge's rewrite-of-emitted-rows: a
+    # CLOSED version-0 interval (batch 0 wrote it open; batch 1's merge
+    # closed it)
+    assert final.where((F.col("version") == 0) & ~F.col("is_current")).count() > 0
+
+
+def test_streamed_scd2_merge_is_batching_invariant(spark, tmp_path):
+    """Replaying the same feed as ONE batch (no maxFilesPerTrigger)
+    converges to the same table — the merge is order/batching
+    insensitive by construction."""
+    feed_dir, _, _ = _stage_scd2_feed(spark, SF)
+    one = spark.readStream.schema(
+        "o_orderkey LONG, version INT, priority STRING, vf TIMESTAMP_NTZ"
+    ).parquet(feed_dir)
+    state_dir = str(tmp_path / "state1")
+    batch_ids: list[int] = []
+    scd2_apply_stream(spark, one, state_dir, str(tmp_path / "c1"), batch_ids=batch_ids)
+    assert batch_ids == [0]  # single batch this time
+    final = spark.read.parquet(os.path.join(state_dir, "current"))
+    batch = orders_scd2_history(load_table(spark, SF, "orders"))
+    cols = ["o_orderkey", "version", "priority", "valid_from", "valid_to", "is_current"]
+    assert {tuple(r) for r in final.select(cols).collect()} == {
+        tuple(r) for r in batch.select(cols).collect()
+    }

@@ -473,6 +473,96 @@ FROM pairs
 WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {threshold}"""
 
 
+def ngram_jaccard_pairs_prefix(
+    documents: DataFrame, threshold: float = 0.5, n_shingle: int = 3
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via PREFIX FILTERING (the
+    PPJoin/All-Pairs family, Xiao et al. WWW'08 / Bayardo et al.
+    WWW'07) — same answer as :func:`ngram_jaccard_pairs`, registered
+    under the SAME DuckDB oracle, but candidate generation only indexes
+    each doc's ``n - ceil(t*n) + 1`` RAREST shingles instead of all of
+    them.
+
+    Soundness: order shingles by a global total order (document
+    frequency ascending, then lexicographic).  Any pair with
+    ``J(A,B) >= t`` has overlap ``>= ceil(t*(na+nb)/(1+t))``, which for
+    any size-compatible pair (``t*max <= min``) is ``>= ceil(t*na)``
+    and ``>= ceil(t*nb)`` — so by the prefix-filtering lemma the two
+    prefixes must share a shingle.  Candidates are verified with the
+    exact set intersection; a lossy prefix would hash-mismatch the
+    oracle.
+
+    100 TB shape vs the inverted-index baseline: the baseline expands
+    pairs inside EVERY posting list (quadratic in posting length — the
+    stopword-shingle lists are exactly the long ones); this expands
+    only prefix postings, and rarity ordering puts precisely the
+    stopword shingles OUTSIDE every prefix.  Costs one extra
+    aggregation (document frequencies) and a per-doc top-(p) window;
+    both shuffle bounded (|distinct shingles| and |docs| rows).  The
+    compact per-doc projection is lazily checkpointed once and reused
+    by candidate generation and both verify sides (the
+    ``minhash_lsh_pairs`` pattern)."""
+    from pyspark.sql import Window
+
+    sh = (
+        shingled_docs(documents, n_shingle)
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    postings = sh.select("doc_id", "n", F.explode_outer("shingles").alias("g"))
+    df = postings.groupBy("g").agg(F.count("*").alias("df"))
+    p_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        postings.join(df, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= p_len)
+        .select("doc_id", "n", "g")
+    )
+    buckets = (
+        prefix.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb))))"
+    )
+    cand = (
+        buckets.selectExpr(f"explode({pair_expr}) AS p")
+        # size-compatibility prune: J <= min/max < t is impossible
+        .where(
+            F.greatest(F.col("p.na"), F.col("p.nb")) * threshold
+            <= F.least(F.col("p.na"), F.col("p.nb"))
+        )
+        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("ida"), F.col("shingles").alias("sa"), F.col("n").alias("na")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("idb"), F.col("shingles").alias("sb"), F.col("n").alias("nb")
+    )
+    joined = (
+        cand.join(sa, F.col("da") == F.col("ida"))
+        .join(sb, F.col("db") == F.col("idb"))
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("sa", "sb")).alias("common"),
+            "na",
+            "nb",
+        )
+    )
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return joined.where(jac >= threshold).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: LSH pairs → connected components → cluster summary
 

@@ -1731,6 +1731,33 @@ GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_name ASC, s_suppkey ASC LIMIT {k}"""
 
 
+def _scd2_feed(orders: DataFrame, mod: int, bump_days: int) -> DataFrame:
+    """The deterministic change feed both SCD2 queries fold: version 0
+    is every order as loaded; keys with ``o_orderkey % mod == 0`` get a
+    version-1 priority bump ``bump_days`` later.  Both branches read
+    the same scan (Catalyst collapses the shared subplan)."""
+    base = orders.select(
+        "o_orderkey",
+        F.lit(0).alias("version"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("vf"),
+    )
+    delta = orders.where(F.col("o_orderkey") % mod == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("version"),
+        F.lit("1-URGENT").alias("priority"),
+        F.date_add("o_orderdate", bump_days).alias("vf"),
+    )
+    return base.unionByName(delta)
+
+
+_SCD2_FEED_SQL = """SELECT o_orderkey, 0 AS version, o_orderpriority AS priority, o_orderdate AS vf
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 1, '1-URGENT', o_orderdate + INTERVAL {bump_days} DAY
+  FROM orders WHERE o_orderkey % {mod} = 0"""
+
+
 def orders_scd2_history(orders: DataFrame, mod: int = 7, bump_days: int = 30) -> DataFrame:
     """Slowly-changing-dimension type-2 history build — the CDC/merge
     pattern every warehouse ingest needs and the reference (batch
@@ -1753,21 +1780,17 @@ def orders_scd2_history(orders: DataFrame, mod: int = 7, bump_days: int = 30) ->
     with this window — or hand the same feed to a MERGE INTO on a
     deletion-vector table format; the interval algebra here is the
     engine-side semantics either way."""
-    base = orders.select(
-        "o_orderkey",
-        F.lit(0).alias("version"),
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderdate").alias("vf"),
-    )
-    delta = orders.where(F.col("o_orderkey") % mod == 0).select(
-        "o_orderkey",
-        F.lit(1).alias("version"),
-        F.lit("1-URGENT").alias("priority"),
-        F.date_add("o_orderdate", bump_days).alias("vf"),
-    )
+    return fold_scd2(_scd2_feed(orders, mod, bump_days))
+
+
+def fold_scd2(feed: DataFrame) -> DataFrame:
+    """Fold feed rows ``(o_orderkey, version, priority, vf)`` into the
+    SCD2 interval table — the single source of truth for the interval
+    semantics, shared by the batch build (`orders_scd2_history`) and
+    the incremental streaming apply (`streaming/scd2.py`)."""
     w = Window.partitionBy("o_orderkey").orderBy("version")
     nxt = F.lead("vf").over(w)
-    return base.unionByName(delta).select(
+    return feed.select(
         "o_orderkey",
         "version",
         "priority",
@@ -1778,15 +1801,61 @@ def orders_scd2_history(orders: DataFrame, mod: int = 7, bump_days: int = 30) ->
 
 
 def orders_scd2_oracle(mod: int = 7, bump_days: int = 30) -> str:
+    feed = _SCD2_FEED_SQL.format(mod=mod, bump_days=bump_days)
     return f"""WITH feed AS (
-  SELECT o_orderkey, 0 AS version, o_orderpriority AS priority, o_orderdate AS vf
-  FROM orders
-  UNION ALL
-  SELECT o_orderkey, 1, '1-URGENT', o_orderdate + INTERVAL {bump_days} DAY
-  FROM orders WHERE o_orderkey % {mod} = 0)
+  {feed})
 SELECT o_orderkey, version, priority,
   strftime(vf, '%Y-%m-%d') AS valid_from,
   strftime(LEAD(vf) OVER w, '%Y-%m-%d') AS valid_to,
   LEAD(vf) OVER w IS NULL AS is_current
 FROM feed
 WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)"""
+
+
+def orders_scd2_asof(
+    orders: DataFrame, as_of: str = "1998-01-01", mod: int = 7, bump_days: int = 30
+) -> DataFrame:
+    """Point-in-time snapshot of the SCD2 dimension: the state of every
+    key AS OF ``as_of`` — time travel reconstructed from the change
+    feed, the read side of :func:`orders_scd2_history`'s write side.
+
+    Deliberately NOT the naive plan (build the full interval history,
+    then filter ``valid_from <= D < valid_to``): the snapshot needs no
+    intervals at all.  Filter the feed to versions effective by ``D``
+    (pushed to the scan), then take the per-key argmax version in ONE
+    aggregate (``max_by``) — partial aggregation map-side, one shuffle
+    on the business key.  Spark plans struct-valued ``max_by`` as a
+    SortAggregate (struct buffers aren't hash-mutable), but the sort is
+    partition-local AFTER the partial agg has collapsed each key — vs
+    the window plan, which shuffles every feed row and materializes the
+    whole history first.  Snapshot == interval-filtered history is
+    pinned by a differential test (``tests/test_relational.py``).
+
+    Keys whose base row postdates ``D`` are absent — the dimension
+    member did not exist yet."""
+    feed = _scd2_feed(orders, mod, bump_days).where(
+        F.col("vf") <= F.lit(as_of).cast("date")
+    )
+    top = F.max_by(F.struct("version", "priority", "vf"), F.col("version")).alias("s")
+    return (
+        feed.groupBy("o_orderkey")
+        .agg(top)
+        .select(
+            "o_orderkey",
+            F.col("s.version").alias("version"),
+            F.col("s.priority").alias("priority"),
+            F.date_format("s.vf", "yyyy-MM-dd").alias("valid_from"),
+        )
+    )
+
+
+def orders_scd2_asof_oracle(
+    as_of: str = "1998-01-01", mod: int = 7, bump_days: int = 30
+) -> str:
+    feed = _SCD2_FEED_SQL.format(mod=mod, bump_days=bump_days)
+    return f"""WITH feed AS (
+  {feed})
+SELECT o_orderkey, version, priority, strftime(vf, '%Y-%m-%d') AS valid_from
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM feed WHERE vf <= DATE '{as_of}')
+WHERE rn = 1"""

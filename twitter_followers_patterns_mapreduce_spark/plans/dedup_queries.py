@@ -83,6 +83,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix",
+    oracle=D.ngram_jaccard_pairs_oracle(threshold=0.5),
+    description="exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin family): "
+    "only each doc's rarest n-ceil(t*n)+1 shingles are indexed (rarity order from a "
+    "document-frequency agg), candidates verified with the exact set intersection — "
+    "same oracle as the inverted-index baseline, so a lossy prefix would hash-mismatch; "
+    "the stopword-shingle posting lists the baseline expands quadratically fall outside "
+    "every prefix here",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs_prefix(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
     "dedup_neardup_clusters",
     oracle=D.neardup_clusters_oracle(threshold=0.5),
     description="full near-dedup pipeline: LSH pairs as an edge list into hash-min "

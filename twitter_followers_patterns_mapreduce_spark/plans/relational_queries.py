@@ -9,6 +9,7 @@ registered with its DuckDB oracle from ``operators/relational.py``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 from twitter_followers_patterns_mapreduce_spark.operators import relational as R
 from twitter_followers_patterns_mapreduce_spark.plans.registry import register
@@ -567,3 +568,75 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_scd2_history(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "orders_scd2_asof",
+    oracle=R.orders_scd2_asof_oracle(),
+    description="point-in-time snapshot of the SCD2 dimension (time travel): "
+    "per-key argmax version among feed rows effective by the as-of date — one "
+    "max_by aggregate with map-side partials, no interval materialization, no "
+    "per-key history window; snapshot == interval-filtered history pinned by "
+    "differential test",
+)
+def orders_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_scd2_asof(load_table(spark, sf_dir, "orders"))
+
+
+def _stage_scd2_feed(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Stage the deterministic change feed as one parquet file PER
+    VERSION TIER (f0 = base rows, f1 = updates) in a per-sf_dir temp
+    dir, so ``maxFilesPerTrigger=1`` replays it as two micro-batches.
+    Returns (feed_dir, state_dir, checkpoint_dir); state + checkpoint
+    are wiped so every invocation is a fresh deterministic replay."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_scd2_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(feed_dir):
+        os.makedirs(feed_dir)
+        feed = R._scd2_feed(load_table(spark, sf_dir, "orders"), mod=7, bump_days=30)
+        for ver in (0, 1):
+            tmp = os.path.join(root, f"stage_v{ver}")
+            feed.where(F_col("version") == ver).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.rename(part, os.path.join(feed_dir, f"f{ver}.parquet"))
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "orders_scd2_streamed",
+    oracle=R.orders_scd2_oracle(),
+    description="incremental SCD2 maintenance under the oracle gate: the change feed "
+    "replayed as micro-batches (base rows, then updates), each applied by a "
+    "foreachBatch merge that re-folds ONLY affected keys' intervals against parquet "
+    "state — the MERGE INTO ingest path; final state must hash-equal the one-shot "
+    "batch fold (stream == batch == oracle); seventh streaming query class under the gate",
+)
+def orders_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of ``orders_scd2_history`` — see
+    ``streaming/scd2.py`` for the merge semantics and scale shape."""
+    import os
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.scd2 import (
+        scd2_apply_stream,
+        scd2_feed_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_scd2_feed(spark, sf_dir)
+    scd2_apply_stream(
+        spark, scd2_feed_stream(spark, feed_dir), state_dir, ckpt_dir
+    )
+    return spark.read.parquet(os.path.join(state_dir, "current"))
