@@ -90,6 +90,41 @@ def test_jaccard_prefix_equals_inverted_index_real_docs(spark):
     assert len(a) > 0  # t=0.7 still finds the near-dup pairs planted in testdata
 
 
+def test_exact_substring_strip_golden(spark):
+    """k=3, min_occ=2: the shared 3-gram 'a b c' (both docs) is
+    stripped from both; unique tails survive; a doc that is ONLY the
+    duplicated span collapses to the empty string."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),
+            (2, "q q a b c"),
+            (3, "a b c"),
+            (4, "totally unique words here"),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in D.exact_substring_strip(docs, k=3).collect()}
+    assert rows[1]["cleaned"] == "x y z" and rows[1]["n_kept"] == 3
+    assert rows[2]["cleaned"] == "q q" and rows[2]["n_kept"] == 2
+    assert rows[3]["cleaned"] == "" and rows[3]["n_kept"] == 0
+    assert rows[4]["cleaned"] == "totally unique words here"
+    assert rows[4]["n_tokens"] == rows[4]["n_kept"] == 4
+
+
+def test_exact_substring_strip_consistent_with_metric(spark):
+    """The transform and the metric must agree on every real doc:
+    tokens kept == n_tokens - dup_tokens (the metric's union length is
+    exactly the covered-position count the strip removes)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = {r["doc_id"]: (r["n_tokens"], r["n_kept"]) for r in D.exact_substring_strip(docs).collect()}
+    frac = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"]) for r in D.duplicated_span_fraction(docs).collect()}
+    assert set(kept) == set(frac)
+    assert all(kept[d][1] == frac[d][0] - frac[d][1] for d in kept)
+    assert any(frac[d][1] > 0 for d in frac)  # the corpus plants dup spans
+
+
 def test_simhash_identical_docs_zero_hamming(corpus):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_near_pairs(corpus).collect()}
     assert pairs[(1, 2)] == 0

@@ -960,6 +960,30 @@ def _positional_shingle_hashes_spark(toks: str, k: int) -> str:
     )
 
 
+def _dup_span_starts(documents: DataFrame, k: int, min_occ: int):
+    """Shared front half of the exact-substring family: (compact per-doc
+    projection, duplicated k-shingle START positions).  ``toks`` holds
+    (doc_id, n_tokens, positional shingle hashes) and is lazily
+    checkpointed — both consumers re-reference it on multiple branches."""
+    toks = documents.select(
+        "doc_id", F.expr(tokens_sql("text", "spark")).alias("toks")
+    ).select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(_positional_shingle_hashes_spark("toks", k)).alias("hashes"),
+    ).localCheckpoint(eager=False)
+    starts = toks.select(
+        "doc_id", F.posexplode("hashes").alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("start"), "h")
+    dup = (
+        starts.groupBy("h")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_occ)
+        .select("h")
+    )
+    return toks, starts.join(dup, "h", "left_semi")
+
+
 def duplicated_span_fraction(
     documents: DataFrame, k: int = 8, min_occ: int = 2
 ) -> DataFrame:
@@ -985,23 +1009,7 @@ def duplicated_span_fraction(
     """
     from pyspark.sql import Window
 
-    toks = documents.select(
-        "doc_id", F.expr(tokens_sql("text", "spark")).alias("toks")
-    ).select(
-        "doc_id",
-        F.expr("size(toks)").cast("long").alias("n_tokens"),
-        F.expr(_positional_shingle_hashes_spark("toks", k)).alias("hashes"),
-    ).localCheckpoint(eager=False)
-    starts = toks.select(
-        "doc_id", F.posexplode("hashes").alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("start"), "h")
-    dup = (
-        starts.groupBy("h")
-        .agg(F.count("*").alias("n_occ"))
-        .where(F.col("n_occ") >= min_occ)
-        .select("h")
-    )
-    dup_starts = starts.join(dup, "h", "left_semi")
+    toks, dup_starts = _dup_span_starts(documents, k, min_occ)
     w = Window.partitionBy("doc_id").orderBy("start")
     per_doc = (
         dup_starts.withColumn("prev", F.lag("start").over(w))
@@ -1060,3 +1068,82 @@ SELECT b.doc_id, b.n_tokens,
        round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
              / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS dup_frac
 FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id"""
+
+
+def exact_substring_strip(
+    documents: DataFrame, k: int = 8, min_occ: int = 2
+) -> DataFrame:
+    """The TRANSFORM the duplicated-span metric implies: emit each
+    document with every corpus-duplicated k-token span REMOVED — the
+    ExactSubstr deduplication of Lee et al. (ACL 2022), the step
+    between "measure boilerplate" (:func:`duplicated_span_fraction`)
+    and training on the corpus.
+
+    Plan keeps token rows OFF the wire: full token arrays are never
+    exploded.  The duplicated START positions (same shared front half
+    as the metric) fan out ×k into covered positions, collapse to one
+    sorted per-doc array (rows ∝ duplicated starts only), and the
+    rebuild is a single array-lambda filter over the doc's token array
+    — one equi-join of documents against the (sparse) covered table,
+    cost ∝ n_tokens × |covered| per doc, both bounded by the
+    duplicated-region volume, not the corpus.  Docs with nothing
+    duplicated pass through the left join untouched.
+
+    Output (doc_id, n_tokens, n_kept, cleaned) with ``cleaned`` the
+    exact remaining text — string-equality-checked by the oracle, so an
+    off-by-one in span coverage hash-mismatches."""
+    covered = (
+        _dup_span_starts(documents, k, min_occ)[1]
+        .select("doc_id", F.explode(F.expr(f"sequence(start, start + {k - 1})")).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
+    )
+    toks = documents.select(
+        "doc_id", F.expr(tokens_sql("text", "spark")).alias("toks")
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.expr("filter(toks, (t, i) -> NOT array_contains(coalesce(cov, array()), i + 1))").alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("long").alias("n_kept"),
+            F.concat_ws(" ", "kept").alias("cleaned"),
+        )
+    )
+
+
+def exact_substring_strip_oracle(k: int = 8, min_occ: int = 2) -> str:
+    toks = tokens_sql("text", "duckdb")
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    h = h64_sql(f"({parts})", "duckdb")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+sh AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(toks) - {k - 2}, 1))) AS start,
+         unnest(list_transform(range(1, greatest(len(toks) - {k - 2}, 1)),
+                               i -> {h})) AS h
+  FROM base),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= {min_occ}),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(start, start + {k})) AS p
+  FROM sh WHERE h IN (SELECT h FROM dup)),
+tok_rows AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS p
+  FROM base),
+kept AS (
+  SELECT tr.doc_id, tr.tok, tr.p
+  FROM tok_rows tr ANTI JOIN cov c ON tr.doc_id = c.doc_id AND tr.p = c.p),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.cleaned, '') AS cleaned
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id"""

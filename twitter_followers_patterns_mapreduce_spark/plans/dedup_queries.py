@@ -174,3 +174,15 @@ def fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_fraction(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "doc_exact_substring_strip",
+    oracle=D.exact_substring_strip_oracle(k=8),
+    description="ExactSubstr deduplication TRANSFORM (Lee et al. 2022): emit each doc "
+    "with every corpus-repeated 8-gram span removed — duplicated starts fan out into a "
+    "sparse per-doc covered-position array, rebuild is one array-lambda filter (token "
+    "rows never explode); cleaned text string-equality-checked by the oracle",
+)
+def doc_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_substring_strip(load_table(spark, sf_dir, "documents"), k=8)
