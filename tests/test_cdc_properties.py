@@ -78,6 +78,41 @@ def test_k_core_matches_model(spark, edges, k):
     assert got == _model_k_core(edges, k)
 
 
+words = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=9).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+thresholds = st.sampled_from([0.3, 0.5, 0.6, 0.8])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy, t=thresholds)
+def test_jaccard_prefix_matches_inverted_index(spark, texts, t):
+    """The prefix-filtered set-similarity join must lose NOTHING on
+    arbitrary tiny-vocabulary corpora at assorted thresholds — the
+    ceil(t*n) prefix-length boundary and the size-compatibility prune
+    are exactly where an off-by-one would silently drop pairs."""
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), schema="doc_id LONG, text STRING"
+    )
+    a = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    assert a == b
+
+
 scd2_keys = st.lists(st.integers(1, 60), min_size=1, max_size=12, unique=True)
 
 

@@ -194,6 +194,27 @@ def test_topk_queries_plan_take_ordered(spark, name):
     assert "TakeOrderedAndProject" in plan_of(spark, name)
 
 
+def test_scd2_asof_plans_aggregate_not_window(spark):
+    """The point-in-time snapshot must be the argmax-aggregate plan
+    (partial map-side, one shuffle), NEVER the build-history-then-
+    filter window plan; the as-of predicate must reach the scan."""
+    p = plan_of(spark, "orders_scd2_asof")
+    assert "Window" not in p
+    assert "partial_max_by" in p  # map-side partial aggregation
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate" in p
+
+
+def test_exact_substring_strip_never_explodes_tokens(spark):
+    """'Token rows never explode': every Generate in the plan expands
+    the positional-shingle HASH array (BIGINTs, shared front half) or
+    the covered-position sequence — never the token string array
+    (``toks``).  The rebuild must stay an array-lambda filter."""
+    p = plan_of(spark, "doc_exact_substring_strip")
+    gens = [l for l in p.splitlines() if "Generate" in l]
+    assert gens and all(("posexplode(hashes" in l) or ("explode(sequence(" in l) for l in gens), gens
+    assert "explode(toks" not in p
+
+
 def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
     """Runtime row-group pruning for the 100 TB fact-⋈-filtered-dim
     shape: Spark's runtime Bloom-filter rewrite (on by default, gated

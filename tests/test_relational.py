@@ -303,6 +303,37 @@ def test_scd2_history_intervals_golden(spark):
     assert rows[(8, 0)]["is_current"] is True
 
 
+def test_scd2_deletes_golden(spark):
+    """Key 70 (bump at +30d AND delete at +60d): v0 closed by the bump,
+    v1 closed by the DELETE, no current row.  Key 10 (delete only):
+    v0 closed at the delete date, not current.  Key 8 (neither):
+    untouched open interval."""
+    import datetime as dt
+
+    d0 = dt.date(1995, 6, 1)
+    orders = spark.createDataFrame(
+        [
+            (70, 1, "O", 1.0, d0, "3-MEDIUM", "c", 0, "x"),
+            (10, 2, "O", 1.0, d0, "5-LOW", "c", 0, "x"),
+            (8, 3, "O", 1.0, d0, "2-HIGH", "c", 0, "x"),
+        ],
+        schema="o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING, "
+        "o_clerk STRING, o_shippriority LONG, o_comment STRING",
+    )
+    rows = {
+        (r["o_orderkey"], r["version"]): r
+        for r in R.orders_scd2_deletes(orders).collect()
+    }
+    assert set(rows) == {(70, 0), (70, 1), (10, 0), (8, 0)}
+    assert rows[(70, 0)]["valid_to"] == "1995-07-01"  # closed by bump
+    assert rows[(70, 1)]["valid_to"] == "1995-07-31"  # closed by DELETE
+    assert rows[(70, 1)]["is_current"] is False  # deleted key: no current row
+    assert rows[(10, 0)]["valid_to"] == "1995-07-31"
+    assert rows[(10, 0)]["is_current"] is False
+    assert rows[(8, 0)]["valid_to"] is None and rows[(8, 0)]["is_current"] is True
+
+
 def test_scd2_asof_equals_interval_filtered_history(spark):
     """The argmax snapshot must equal the naive plan: build the full
     SCD2 history, keep rows whose half-open interval covers the as-of

@@ -1812,6 +1812,70 @@ FROM feed
 WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)"""
 
 
+def orders_scd2_deletes(
+    orders: DataFrame,
+    mod: int = 7,
+    bump_days: int = 30,
+    del_mod: int = 5,
+    del_days: int = 60,
+) -> DataFrame:
+    """SCD2 fold over the FULL CDC alphabet — updates AND deletes.
+    Keys with ``o_orderkey % del_mod == 0`` get a delete tombstone
+    ``del_days`` after the base row (versioned above every update).
+
+    Delete semantics fall out of the SAME lead() fold with zero extra
+    joins: the tombstone participates in the window (closing its
+    predecessor's interval at the delete date and making it
+    non-current) but is filtered from the output — a hard delete leaves
+    the key with a fully-closed history and no current row.  This is
+    the property a MERGE INTO ... WHEN MATCHED THEN DELETE produces on
+    a dimension table, derived here from interval algebra alone."""
+    feed = _scd2_feed(orders, mod, bump_days).withColumn("op", F.lit("u"))
+    dels = orders.where(F.col("o_orderkey") % del_mod == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("version"),
+        F.lit("(deleted)").alias("priority"),
+        F.date_add("o_orderdate", del_days).alias("vf"),
+        F.lit("d").alias("op"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    nxt = F.lead("vf").over(w)
+    return (
+        feed.unionByName(dels)
+        .select(
+            "o_orderkey",
+            "version",
+            "priority",
+            F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "op",
+        )
+        .where(F.col("op") == "u")
+        .drop("op")
+    )
+
+
+def orders_scd2_deletes_oracle(
+    mod: int = 7, bump_days: int = 30, del_mod: int = 5, del_days: int = 60
+) -> str:
+    feed = _SCD2_FEED_SQL.format(mod=mod, bump_days=bump_days)
+    return f"""WITH feed AS (
+  SELECT *, 'u' AS op FROM ({feed})
+  UNION ALL
+  SELECT o_orderkey, 2, '(deleted)', o_orderdate + INTERVAL {del_days} DAY, 'd'
+  FROM orders WHERE o_orderkey % {del_mod} = 0),
+folded AS (
+  SELECT o_orderkey, version, priority, op,
+    strftime(vf, '%Y-%m-%d') AS valid_from,
+    strftime(LEAD(vf) OVER w, '%Y-%m-%d') AS valid_to,
+    LEAD(vf) OVER w IS NULL AS is_current
+  FROM feed
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY version))
+SELECT o_orderkey, version, priority, valid_from, valid_to, is_current
+FROM folded WHERE op = 'u'"""
+
+
 def orders_scd2_asof(
     orders: DataFrame, as_of: str = "1998-01-01", mod: int = 7, bump_days: int = 30
 ) -> DataFrame:

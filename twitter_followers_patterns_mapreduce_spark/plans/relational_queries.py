@@ -583,6 +583,18 @@ def orders_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_scd2_asof(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "orders_scd2_deletes",
+    oracle=R.orders_scd2_deletes_oracle(),
+    description="SCD2 fold over the full CDC alphabet (inserts, updates, DELETES): "
+    "tombstones ride the same lead() window — closing the predecessor's interval at "
+    "the delete date — and are filtered from the output, leaving deleted keys with a "
+    "fully-closed history and no current row; zero extra joins vs the plain fold",
+)
+def orders_scd2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_scd2_deletes(load_table(spark, sf_dir, "orders"))
+
+
 def _stage_scd2_feed(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     """Stage the deterministic change feed as one parquet file PER
     VERSION TIER (f0 = base rows, f1 = updates) in a per-sf_dir temp
