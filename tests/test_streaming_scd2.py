@@ -54,6 +54,41 @@ def test_streamed_scd2_runs_incrementally_and_matches_batch(spark, tmp_path):
     assert final.where((F.col("version") == 0) & ~F.col("is_current")).count() > 0
 
 
+def test_streamed_scd2_restart_resumes_from_checkpoint(spark, tmp_path):
+    """The real ingest lifecycle: the base file arrives, the query
+    drains and STOPS; the update file arrives later and a NEW query
+    (same checkpoint) drains again.  The second drain must process
+    ONLY the new file (checkpoint-tracked progress, batch ids resume
+    at 1) and converge to the batch fold."""
+    import shutil
+
+    staged, _, _ = _stage_scd2_feed(spark, SF)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    shutil.copy(os.path.join(staged, "f0.parquet"), feed_dir)
+
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")  # SHARED across both drains
+    ids_a: list[int] = []
+    scd2_apply_stream(spark, scd2_feed_stream(spark, feed_dir), state_dir, ckpt, ids_a)
+    assert ids_a == [0]
+    mid = spark.read.parquet(os.path.join(state_dir, "current"))
+    # base-only state: every interval open, nothing versioned yet
+    assert mid.where("version != 0 OR NOT is_current").count() == 0
+
+    shutil.copy(os.path.join(staged, "f1.parquet"), feed_dir)
+    ids_b: list[int] = []
+    scd2_apply_stream(spark, scd2_feed_stream(spark, feed_dir), state_dir, ckpt, ids_b)
+    assert ids_b == [1]  # resumed, not replayed
+
+    final = spark.read.parquet(os.path.join(state_dir, "current"))
+    batch = orders_scd2_history(load_table(spark, SF, "orders"))
+    cols = ["o_orderkey", "version", "priority", "valid_from", "valid_to", "is_current"]
+    assert {tuple(r) for r in final.select(cols).collect()} == {
+        tuple(r) for r in batch.select(cols).collect()
+    }
+
+
 def test_streamed_scd2_merge_is_batching_invariant(spark, tmp_path):
     """Replaying the same feed as ONE batch (no maxFilesPerTrigger)
     converges to the same table — the merge is order/batching
