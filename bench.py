@@ -24,12 +24,22 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Python workers inherit this env in local mode: pandas concat
+    # FutureWarnings from pyspark's Arrow serializers flooded the
+    # driver's ~2KB tail window in round 4 and pushed the final JSON
+    # line out of it (BENCH_r04 recorded metric=null).  Silence them
+    # at the source, in every worker process.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning,ignore::DeprecationWarning")
+
     from twitter_followers_patterns_mapreduce_spark.plans.registry import all_queries
     from twitter_followers_patterns_mapreduce_spark.session import get_spark
 
     # no console progress bars: the driver's tail window is small, and
     # \r-spam ahead of the final JSON line is pure noise there
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # WARN-level JVM chatter (BlockManager re-add notices etc.) also
+    # competes for the tail window — errors only
+    spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
     headline = [
@@ -136,6 +146,13 @@ def main() -> int:
     except OSError as ex:
         print(f"bench: sidecar write failed: {ex}", file=sys.stderr)
 
+    # Tear the session down BEFORE emitting the JSON line: executor
+    # threads, Python workers, and the JVM all flush their remaining
+    # stderr during stop(), and anything they print AFTER our line
+    # would evict it from the driver's ~2KB tail capture (exactly how
+    # BENCH_r04 lost its metrics).
+    spark.stop()
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -148,9 +165,13 @@ def main() -> int:
             separators=(",", ":"),
         )
     )
+    sys.stdout.flush()
     return 0
 
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    rc = main()
+    # skip atexit teardown (pyspark registers handlers that can print
+    # after main returns) — the JSON line above must stay last
+    os._exit(rc)

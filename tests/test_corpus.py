@@ -333,3 +333,84 @@ def test_token_budget_shares_sum_to_one(spark):
     assert got[("web", "es")] == (1, 2, 0.2)
     assert got[("books", "en")] == (1, 5, 0.5)
     assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def test_bm25_golden_single_term(spark):
+    """One query term, hand-computed: N=3, avgdl=3, term 'x' in docs 1
+    (tf=2, dl=3) and 2 (tf=1, dl=3); idf = ln(1 + (3-2+0.5)/(2+0.5)) =
+    ln(1.6); dl=avgdl makes the length norm collapse to
+    tf*2.2/(tf+1.2)."""
+    rows = [(1, "x x a"), (2, "x b c"), (3, "d e f")]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    got = {
+        r["doc_id"]: (r["n_terms"], r["bm25"])
+        for r in CP.doc_bm25_topk(docs, terms=("x",), k=10).collect()
+    }
+    idf = math.log(1.6)
+    exp1 = math.floor(idf * (2 * 2.2 / (2 + 1.2)) * 1e6) / 1e6
+    exp2 = math.floor(idf * (1 * 2.2 / (1 + 1.2)) * 1e6) / 1e6
+    assert got == {1: (1, exp1), 2: (1, exp2)}
+    assert got[1][1] > got[2][1]  # higher tf wins at equal length
+
+
+def test_bm25_length_normalization_prefers_short_doc(spark):
+    # same tf, shorter doc scores higher (b > 0)
+    rows = [(1, "x a"), (2, "x a b c d e f g")]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    got = {r["doc_id"]: r["bm25"] for r in CP.doc_bm25_topk(docs, terms=("x",), k=10).collect()}
+    assert got[1] > got[2]
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    # 'rare' appears in 1 of 4 docs, 'common' in all 4 — at equal tf/dl
+    # the rare-term doc must rank first
+    rows = [
+        (1, "rare common pad"),
+        (2, "common pad pad"),
+        (3, "common pad pad"),
+        (4, "common pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    out = CP.doc_bm25_topk(docs, terms=("rare", "common"), k=10).collect()
+    assert out[0]["doc_id"] == 1 and out[0]["n_terms"] == 2
+
+
+def test_bm25_no_match_yields_empty(spark):
+    docs = spark.createDataFrame([(1, "a b c")], schema=DOCS_SCHEMA)
+    assert CP.doc_bm25_topk(docs, terms=("zzz",), k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bigram surprisal
+# ---------------------------------------------------------------------------
+
+def test_bigram_surprisal_golden(spark):
+    """Corpus bigrams: 'a b' ×2, 'a c' ×1, 'b a' ×1 → prefix a:3, b:1.
+    bits(a→b) = len(bin(3)) - len(bin(2)) = 0; bits(a→c) = 2-1 = 1;
+    bits(b→a) = 1-1 = 0."""
+    rows = [(1, "a b a c"), (2, "a b")]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_bits"])
+        for r in CP.doc_bigram_surprisal(docs).collect()
+    }
+    # doc 1 bigrams: (a,b) 0 bits, (b,a) 0 bits, (a,c) 1 bit
+    assert got == {1: (3, 1), 2: (1, 0)}
+
+
+def test_bigram_surprisal_short_docs_drop(spark):
+    rows = [(1, "solo"), (2, ""), (3, "a b")]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    assert [r["doc_id"] for r in CP.doc_bigram_surprisal(docs).collect()] == [3]
+
+
+def test_bigram_surprisal_repetitive_below_novel(spark):
+    # pure repetition = fully predictable transitions = 0 bits/bigram
+    rows = [(1, "x y x y x y x y"), (2, "p q r s t u v w")]
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    got = {r["doc_id"]: r["mean_bigram_bits"] for r in CP.doc_bigram_surprisal(docs).collect()}
+    assert got[1] <= got[2]

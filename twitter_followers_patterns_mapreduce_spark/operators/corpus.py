@@ -928,3 +928,223 @@ def corpus_domain_mixture_weighted(
         F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
         F.round(F.sum("kept") / F.count("*"), 6).alias("achieved_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+#: The standing retrieval probe: four corpus terms with distinct
+#: document frequencies, so the idf spread actually exercises the
+#: saturation curve (single-term scores would collapse to a tf rank).
+BM25_QUERY_TERMS: tuple[str, ...] = ("merge", "stream", "spark", "dup")
+
+
+def _bm25_contrib_sql(k1: float, b: float) -> str:
+    """The per-(doc, term) Okapi BM25 contribution, written ONCE and
+    executed verbatim by both engines over identical integer inputs
+    (``tf``, ``df``, ``dl``, ``n_docs``, ``tot_toks``) — every IEEE op
+    then lands bit-identically, and the trailing ``floor(· * 1e6)``
+    absorbs the one genuinely platform-ish call (``ln``) the same way
+    ``doc_tfidf_topk`` does.
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))      (always > 0)
+        norm = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+        avgdl = tot_toks / N  (computed inline from the two globals)
+    """
+    idf = (
+        "ln(1e0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+    )
+    avgdl = "(CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    norm = (
+        f"(CAST(tf AS DOUBLE) * ({k1!r} + 1e0))"
+        f" / (CAST(tf AS DOUBLE) + {k1!r} * (1e0 - {b!r} + {b!r}"
+        f" * CAST(dl AS DOUBLE) / {avgdl}))"
+    )
+    return f"CAST(floor({idf} * {norm} * 1e6) AS BIGINT)"
+
+
+def doc_bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` document retrieval for a fixed term query —
+    the inverted-index search primitive of a training-data pipeline
+    (contamination lookups, targeted corpus slicing, eval-set mining).
+    Extension op: the reference has no text surface (SURVEY.md §2.6).
+
+    Cross-engine exactness: per-term contributions are floored to
+    integer micro-units (×1e6) BEFORE the per-doc sum, so the reduction
+    is exact BIGINT addition — order-independent under any shuffle or
+    partial-agg schedule — and the rank key is the integer score with a
+    ``doc_id`` tie-break (a float never orders rows).
+
+    Plan shape (100 TB): the tokenizer projection is staged once and
+    lazily checkpointed (globals + postings both read it); the term
+    filter lands IMMEDIATELY after the explode, so only query-term
+    postings — |terms| rows per matching doc, not the corpus token
+    stream — ever reach a shuffle.  Document frequencies are a
+    |terms|-row broadcast; the two corpus globals attach via the
+    engine's data-derived-zero-key broadcast equi-join (never a
+    nested-loop cross).  Top-k is TakeOrderedAndProject: per-partition
+    heaps, k-row driver merge, no global sort.
+    """
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    toks = df.selectExpr(
+        "doc_id", f"{tokens_sql('text', 'spark')} AS toks"
+    ).localCheckpoint(eager=False)
+    glob = (
+        toks.selectExpr("size(toks) AS dl")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("tot_toks"),
+        )
+        .selectExpr("n_docs", "tot_toks", "n_docs - n_docs AS _k")
+    )
+    postings = toks.selectExpr(
+        "doc_id", "size(toks) AS dl", "explode(toks) AS token"
+    ).where(F.expr(f"token IN ({term_list})"))
+    tf = postings.groupBy("doc_id", "dl", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("_k", F.expr("pmod(tf, 1)"))
+        .join(F.broadcast(glob), "_k")
+        .selectExpr("doc_id", f"{_bm25_contrib_sql(k1, b)} AS c")
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("c").alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(k)
+        .selectExpr(
+            "doc_id",
+            "n_terms",
+            "CAST(score_u AS DOUBLE) / 1e6 AS bm25",
+        )
+    )
+
+
+def doc_bm25_topk_oracle(
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    toks = tokens_sql("text", "duckdb")
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks} AS toks FROM documents),
+        totals AS (SELECT COUNT(*) AS n_docs,
+                           CAST(SUM(len(toks)) AS BIGINT) AS tot_toks FROM toks),
+        ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM toks),
+        tf AS (
+            SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM ex WHERE token IN ({term_list})
+            GROUP BY doc_id, dl, token
+        ),
+        dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        contrib AS (
+            SELECT tf.doc_id, {_bm25_contrib_sql(k1, b)} AS c
+            FROM tf JOIN dfreq USING (token) CROSS JOIN totals
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(c) AS DOUBLE) / 1e6 AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY SUM(c) DESC, doc_id ASC LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal (the conditional upgrade of doc_token_surprisal)
+# ---------------------------------------------------------------------------
+
+def doc_bigram_surprisal(df: DataFrame) -> DataFrame:
+    """Per-doc BIGRAM conditional surprisal — the n-gram LM upgrade of
+    :func:`doc_token_surprisal` (extension op; the reference has no text
+    surface, SURVEY.md §2.6).  The corpus itself is the language model:
+
+        bits(t1 → t2) = len(bin(count(t1·*))) - len(bin(count(t1·t2)))
+                      = floor(log2 P(t2|t1)^-1)   in whole bits
+
+    where ``count(t1·*)`` is t1's occurrences as a bigram PREFIX (the
+    exact conditional denominator).  Same integer-exact contract as the
+    unigram form: ``bin()`` lengths on both engines, no libm ``log``
+    near the comparable result.  Low mean = predictable/boilerplate
+    text, high mean = novel transitions — the CCNet-style LM filter at
+    bigram order.  Docs with fewer than two tokens have no transitions
+    and drop out (same convention as empty docs in the unigram op).
+
+    Plan shape (100 TB): bigrams are built scan-side from the token
+    array (an index-transform inside codegen — the token stream is
+    never exploded twice) and lazily checkpointed, feeding both the
+    bigram-count build and the scoring join; counts and the prefix
+    marginal are hash aggregates with map-side partials; scoring is a
+    (t1, t2) equi-join (bigram vocab broadcasts while it fits,
+    shuffle-hash beyond); the per-doc rollup is one more hash agg.
+    """
+    toks = df.selectExpr("doc_id", f"{tokens_sql('text', 'spark')} AS toks")
+    bi = (
+        toks.selectExpr(
+            "doc_id",
+            "explode(CASE WHEN size(toks) >= 2 THEN transform("
+            "sequence(1, size(toks) - 1),"
+            " i -> struct(element_at(toks, i) AS t1, element_at(toks, i + 1) AS t2))"
+            " ELSE array() END) AS bg",
+        )
+        .selectExpr("doc_id", "bg.t1 AS t1", "bg.t2 AS t2")
+        .localCheckpoint(eager=False)
+    )
+    cnt_bg = bi.groupBy("t1", "t2").agg(F.count("*").cast("long").alias("c_bg"))
+    cnt_pre = bi.groupBy("t1").agg(F.count("*").cast("long").alias("c_pre"))
+    scored = (
+        cnt_bg.join(cnt_pre, "t1")
+        .selectExpr(
+            "t1", "t2",
+            "CAST(length(bin(c_pre)) - length(bin(c_bg)) AS BIGINT) AS bits",
+        )
+    )
+    return (
+        bi.join(scored, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.round(F.sum("bits") / F.count("*"), 6).alias("mean_bigram_bits"),
+        )
+    )
+
+
+def doc_bigram_surprisal_oracle() -> str:
+    toks = tokens_sql("text", "duckdb")
+    return f"""WITH toks AS (SELECT doc_id, {toks} AS toks FROM documents),
+bi AS (
+  SELECT doc_id,
+         toks[CAST(i AS INT)] AS t1,
+         toks[CAST(i AS INT) + 1] AS t2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM toks WHERE len(toks) >= 2)
+),
+cnt_bg AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bi GROUP BY t1, t2),
+cnt_pre AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c_pre FROM bi GROUP BY t1),
+scored AS (
+  SELECT t1, t2,
+         CAST(length(bin(c_pre)) - length(bin(c_bg)) AS BIGINT) AS bits
+  FROM cnt_bg JOIN cnt_pre USING (t1)
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s.bits) AS BIGINT) AS sum_bits,
+       round(SUM(s.bits) / COUNT(*), 6) AS mean_bigram_bits
+FROM bi b JOIN scored s ON b.t1 = s.t1 AND b.t2 = s.t2
+GROUP BY b.doc_id"""

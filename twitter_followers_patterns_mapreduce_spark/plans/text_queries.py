@@ -331,3 +331,25 @@ def doc_split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.weighted_sample(load_table(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=CP.doc_bm25_topk_oracle(k=20),
+    description="Okapi BM25 top-20 retrieval for a fixed 4-term query: term-filtered "
+    "postings straight off the explode, broadcast df + globals, integer micro-unit "
+    "scores (exact BIGINT sum, doc_id tie-break), TakeOrdered top-k",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_bm25_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle=CP.doc_bigram_surprisal_oracle(),
+    description="per-doc bigram conditional surprisal in whole bits (bin-length "
+    "integer arithmetic, no libm log): corpus-as-LM quality filter at bigram order — "
+    "scan-side index-transform bigrams, two hash aggs, one scoring equi-join",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_bigram_surprisal(load_table(spark, sf_dir, "documents"))
