@@ -312,3 +312,43 @@ def test_random_walks_sink_stops(spark):
     rows = [(r["start"], r["walk"], r["step"], r["node"])
             for r in GI.random_walks(edges, walks_per_node=2, length=3).collect()]
     assert sorted(rows) == [(1, 1, 0, 1), (1, 1, 1, 2), (1, 2, 0, 1), (1, 2, 1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Bounded mutual reachability
+# ---------------------------------------------------------------------------
+
+def _mutual(spark, edges, k):
+    return sorted(
+        (r["u"], r["v"])
+        for r in GI.mutual_reach_pairs(make_edges(spark, edges), k=k).collect()
+    )
+
+
+def test_mutual_reach_directed_cycle(spark):
+    # 4-cycle: every pair mutually reachable within 3 (longest way back = 3)
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert _mutual(spark, cyc, 3) == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # within 2 hops only the "opposite corner" pairs survive
+    assert _mutual(spark, cyc, 2) == [(1, 3), (2, 4)]
+    # k=1 requires a reciprocal edge — a one-way cycle has none
+    assert _mutual(spark, cyc, 1) == []
+
+
+def test_mutual_reach_k1_is_reciprocal_edges(spark):
+    edges = [(1, 2), (2, 1), (2, 3)]
+    assert _mutual(spark, edges, 1) == [(1, 2)]
+
+
+def test_mutual_reach_chain_has_none(spark):
+    assert _mutual(spark, [(1, 2), (2, 3), (3, 4)], 3) == []
+
+
+def test_mutual_reach_ignores_self_loops_and_duplicates(spark):
+    edges = [(1, 1), (1, 2), (1, 2), (2, 1)]
+    assert _mutual(spark, edges, 2) == [(1, 2)]
+
+
+def test_mutual_reach_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        GI.mutual_reach_pairs(make_edges(spark, [(1, 2)]), k=0)

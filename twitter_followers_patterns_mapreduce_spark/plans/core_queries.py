@@ -619,3 +619,24 @@ def graph_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_random_walks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.random_walks(_sparse_edges(spark, sf_dir), walks_per_node=2, length=3)
+
+
+# mod-29 density (vs the iterative ops' mod-53): mutual cycles at radius 3
+# are rare — mod 53 yields ZERO pairs at sf0.001 (a vacuously-green oracle),
+# mod 29 yields 1 / 84 / hundreds at sf0.001/0.01/0.1 with the node set
+# still capped at 997, so the closure stays small at every scale.
+MUTUAL_MOD = 29
+_MUTUAL_CTE = f"SELECT * FROM ({EDGES_ORACLE_CTE}) e WHERE (src * 31 + dst) % {MUTUAL_MOD} = 0"
+
+
+@register(
+    "graph_mutual_reach_k3",
+    oracle=GI.mutual_reach_pairs_oracle(_MUTUAL_CTE, k=3),
+    description="pairs mutually reachable within 3 directed hops (bounded SCC "
+    "relaxation): k-1 deduped frontier extensions, one left-semi swap self-join — "
+    "closure tuples only, never materialized paths",
+)
+def graph_mutual_reach_k3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
+    return GI.mutual_reach_pairs(e, k=3)
