@@ -414,3 +414,77 @@ def test_bigram_surprisal_repetitive_below_novel(spark):
     docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
     got = {r["doc_id"]: r["mean_bigram_bits"] for r in CP.doc_bigram_surprisal(docs).collect()}
     assert got[1] <= got[2]
+
+
+# ---------------------------------------------------------------------------
+# BPE training
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_low_lower_golden(spark):
+    """The Sennrich paper's running example: low ×3, lower ×2.
+    Pairs: (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=2 → round 1 is the tie
+    (l,o) vs (o,w), lexicographic s1 picks (l,o); round 2 merges
+    (lo,w)=5; round 3 ties (low,e)=2 vs (e,r)=2 → (e,r); round 4
+    merges (low,er)=2."""
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low lower")], schema=DOCS_SCHEMA
+    )
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in CP.corpus_bpe_train(docs, rounds=4).collect()
+    ]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "r", "er", 2),
+        (4, "low", "er", "lower", 2),
+    ]
+
+
+def test_bpe_train_repeated_run_semantics(spark):
+    """Pins the declared replace() semantics on single-symbol runs:
+    'aaaa' round 1 merges (a,a)=3 occurrences counted, rewrite yields
+    [aa,a,a] (scanner resumes past the consumed delimiter), so round 2
+    sees (aa,a)=1 and (a,a)=1 and merges (a,a) lexicographically."""
+    docs = spark.createDataFrame([(1, "aaaa")], schema=DOCS_SCHEMA)
+    got = [
+        (r["round"], r["merged"], r["pair_count"])
+        for r in CP.corpus_bpe_train(docs, rounds=2).collect()
+    ]
+    assert got == [(1, "aa", 3), (2, "aa", 1)]
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    # "ab" ×1: round 1 merges (a,b); nothing left → early stop
+    docs = spark.createDataFrame([(1, "ab")], schema=DOCS_SCHEMA)
+    got = CP.corpus_bpe_train(docs, rounds=5).collect()
+    assert [(r["round"], r["merged"]) for r in got] == [(1, "ab")]
+
+
+def test_bpe_train_skips_non_alnum_words(spark):
+    # punctuation-bearing tokens are excluded from the vocabulary
+    docs = spark.createDataFrame([(1, "a|b a|b cd cd cd")], schema=DOCS_SCHEMA)
+    got = [(r["merged"], r["pair_count"]) for r in CP.corpus_bpe_train(docs, rounds=1).collect()]
+    assert got == [("cd", 3)]
+
+
+def test_bpe_train_rejects_bad_rounds(spark):
+    docs = spark.createDataFrame([(1, "ab")], schema=DOCS_SCHEMA)
+    with pytest.raises(ValueError):
+        CP.corpus_bpe_train(docs, rounds=0)
+
+
+def test_bpe_encode_stats_compression(spark):
+    """low×3 + lower×2: merges (lo,low,er,lower?) at rounds=2 →
+    'low' encodes to 1 symbol, 'lower' to [low,e,r] = 3 symbols;
+    chars_total = 3*3 + 5*2 = 19, symbols_after = 3*1 + 2*3 = 9."""
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low lower")], schema=DOCS_SCHEMA
+    )
+    docs = docs.selectExpr("doc_id", "text", "'web' AS source")
+    r = CP.corpus_bpe_encode_stats(docs, rounds=2).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_words"], row["chars_total"], row["symbols_after"]) == (5, 19, 9)
+    import math as _m
+    assert row["compression"] == _m.floor(19 / 9 * 1e6) / 1e6

@@ -1148,3 +1148,223 @@ SELECT b.doc_id,
        round(SUM(s.bits) / COUNT(*), 6) AS mean_bigram_bits
 FROM bi b JOIN scored s ON b.t1 = s.t1 AND b.t2 = s.t2
 GROUP BY b.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, fixed merge rounds)
+# ---------------------------------------------------------------------------
+
+def corpus_bpe_train(df: DataFrame, rounds: int = 6) -> DataFrame:
+    """Train ``rounds`` byte-pair-encoding merges on the corpus — the
+    actual tokenizer-training step of an LLM data pipeline (the
+    companion of ``corpus_bpe_pair_counts``, which only counts; this
+    LEARNS).  Classic Sennrich formulation: operate on the
+    DISTINCT-WORD table weighted by word frequency, symbols start as
+    single characters, each round merges the globally most frequent
+    adjacent symbol pair (ties: lexicographic on the pair), rewriting
+    occurrences left-to-right non-overlapping.
+
+    Returns the learned merge table: (round, left_sym, right_sym,
+    merged, pair_count).
+
+    Cross-engine exactness: the symbol state is a ``|``-delimited
+    string (vocabulary is restricted to ``[a-z0-9]+`` words, so the
+    delimiter can never collide), pair counts are exact BIGINT sums,
+    and the rewrite is ``replace(state, '|a|b|', '|ab|')`` — literal,
+    leftmost, non-overlapping in Spark and DuckDB alike.  One declared
+    deviation from canonical BPE: after a match, ``replace`` resumes
+    PAST the consumed trailing delimiter, so on a run of a repeated
+    symbol the immediately-adjacent next occurrence is deferred to a
+    later round ('aaaa' rewrites to [aa,a,a], canonical scan gives
+    [aa,aa]) — deterministic, identical on both engines, and only
+    visible on single-symbol runs, which natural vocabulary rarely
+    has.  The oracle unrolls the identical rounds as chained CTEs with
+    1-row winner subqueries.
+
+    Plan shape (100 TB): the ONLY corpus-sized pass is the word-count
+    aggregation (one map-side-combinable hash agg); every round after
+    that runs on the VOCABULARY table (|distinct words| rows — data-
+    dependent but bounded by the token-type count, millions at web
+    scale, never corpus-sized): one pair explode + hash agg + 1-row
+    TakeOrdered, then a literal rewrite planned from the winner.  The
+    driver touches one row per round (the argmax merge) — the standard
+    iterative-ML control loop, not a data collect.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    words = (
+        df.selectExpr(f"explode({tokens_sql('text', 'spark')}) AS word")
+        .where(F.expr("word RLIKE '^[a-z0-9]+$'"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    state = words.selectExpr(
+        "freq",
+        "concat('|', regexp_replace(word, '(.)', '$1|')) AS state",
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            state.selectExpr(
+                "freq", "filter(split(state, '\\\\|'), t -> t <> '') AS syms"
+            )
+            .where(F.expr("size(syms) >= 2"))
+            .selectExpr(
+                "freq",
+                "explode(transform(sequence(1, size(syms) - 1),"
+                " i -> struct(element_at(syms, i) AS s1,"
+                " element_at(syms, i + 1) AS s2))) AS p",
+            )
+            .selectExpr("p.s1 AS s1", "p.s2 AS s2", "freq")
+        )
+        top = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        s1, s2, cnt = top[0]["s1"], top[0]["s2"], top[0]["pair_count"]
+        merges.append((r, s1, s2, s1 + s2, cnt))
+        state = state.selectExpr(
+            "freq",
+            f"replace(state, '|{s1}|{s2}|', '|{s1}{s2}|') AS state",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        schema="round BIGINT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT",
+    )
+
+
+def corpus_bpe_train_oracle(rounds: int = 6, table: str = "documents") -> str:
+    toks = tokens_sql("text", "duckdb")
+    head = f"""WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({toks}) AS word FROM {table})
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+),
+st1 AS (SELECT freq, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS state
+        FROM words)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT syms[CAST(i AS INT)] AS s1, syms[CAST(i AS INT) + 1] AS s2, freq
+  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM (SELECT freq,
+                     list_filter(string_split(state, '|'), t -> t <> '') AS syms
+              FROM st{r})
+        WHERE len(syms) >= 2)
+),
+w{r} AS (
+  SELECT s1, s2, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM p{r} GROUP BY s1, s2
+  ORDER BY pair_count DESC, s1 ASC, s2 ASC LIMIT 1
+),
+st{r + 1} AS (
+  SELECT freq, replace(state, '|' || w.s1 || '|' || w.s2 || '|',
+                       '|' || w.s1 || w.s2 || '|') AS state
+  FROM st{r} CROSS JOIN w{r} w
+)"""
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, s1 AS left_sym, s2 AS right_sym,"
+        f" s1 || s2 AS merged, pair_count FROM w{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def corpus_bpe_encode_stats(df: DataFrame, rounds: int = 6) -> DataFrame:
+    """Apply the ``rounds`` merges learned by :func:`corpus_bpe_train`
+    back to the corpus and report per-``source`` encoding stats —
+    the train→encode lifecycle of a real tokenizer pipeline, with the
+    compression ratio as the figure of merit:
+
+        (source, n_words, chars_total, symbols_after, compression)
+
+    where ``symbols_after`` counts BPE symbols per word after the
+    merges and ``compression = chars_total / symbols_after`` floored
+    to 6 dp (integer inputs, so the division is the only float op).
+
+    Encoding applies the SAME delimited-string rewrite as training —
+    merge r's ``replace`` runs against every word state in learned
+    order, exactly how the trainer rewrote its vocabulary (including
+    the declared repeated-run semantics), so the encoder IS the
+    trainer's rewrite path and the oracle reuses the trainer's
+    unrolled winner CTEs as scalar subqueries.
+
+    Plan shape (100 TB): train touches the corpus once (word-count
+    agg) + vocab-sized rounds; encoding is a scan-side projection —
+    tokenize, per-word state build, ``rounds`` nested literal
+    replaces, one count — followed by a single per-source hash agg.
+    The merge table rides into the plan as literals (it was R driver
+    rows), the Spark analogue of broadcasting the tokenizer model.
+    """
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in corpus_bpe_train(df, rounds=rounds).collect()
+    ]
+    state = "concat('|', regexp_replace(word, '(.)', '$1|'))"
+    for s1, s2 in merges:
+        state = f"replace({state}, '|{s1}|{s2}|', '|{s1}{s2}|')"
+    words = df.selectExpr(
+        "source", f"explode({tokens_sql('text', 'spark')}) AS word"
+    ).where(F.expr("word RLIKE '^[a-z0-9]+$'"))
+    scored = words.selectExpr(
+        "source",
+        "length(word) AS n_chars",
+        f"size(filter(split({state}, '\\\\|'), t -> t <> '')) AS n_syms",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum("n_syms").cast("long").alias("symbols_after"),
+        )
+        .selectExpr(
+            "source", "n_words", "chars_total", "symbols_after",
+            "floor(CAST(chars_total AS DOUBLE) / CAST(symbols_after AS DOUBLE)"
+            " * 1e6) / 1e6 AS compression",
+        )
+    )
+
+
+def corpus_bpe_encode_stats_oracle(rounds: int = 6, table: str = "documents") -> str:
+    toks = tokens_sql("text", "duckdb")
+    # reuse the trainer's unrolled CTE chain for the merge winners
+    train = corpus_bpe_train_oracle(rounds=rounds, table=table)
+    ctes = train[: train.rindex("\nSELECT CAST(1 AS BIGINT)")]
+    state = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
+    for r in range(1, rounds + 1):
+        state = (
+            f"replace({state},"
+            f" (SELECT '|' || s1 || '|' || s2 || '|' FROM w{r}),"
+            f" (SELECT '|' || s1 || s2 || '|' FROM w{r}))"
+        )
+    return f"""{ctes},
+corpus_words AS (
+  SELECT source, word
+  FROM (SELECT source, unnest({toks}) AS word FROM {table})
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+),
+encoded AS (
+  SELECT source,
+         length(word) AS n_chars,
+         len(list_filter(string_split({state}, '|'), t -> t <> '')) AS n_syms
+  FROM corpus_words
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(n_syms) AS BIGINT) AS symbols_after,
+       floor(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE) * 1e6)
+         / 1e6 AS compression
+FROM encoded GROUP BY source"""

@@ -353,3 +353,25 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.doc_bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_bpe_train",
+    oracle=CP.corpus_bpe_train_oracle(rounds=6),
+    description="BPE tokenizer training, 6 greedy merge rounds on the freq-weighted "
+    "distinct-word table (Sennrich): per round one vocab-sized pair agg + 1-row "
+    "TakeOrdered + literal rewrite — only the word count ever scans the corpus",
+)
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_bpe_train(load_table(spark, sf_dir, "documents"), rounds=6)
+
+
+@register(
+    "corpus_bpe_encode_stats",
+    oracle=CP.corpus_bpe_encode_stats_oracle(rounds=6),
+    description="apply the 6 learned BPE merges back to the corpus: per-source word/"
+    "char/symbol totals + compression ratio — train-then-encode lifecycle, merges "
+    "ride the plan as literals (model broadcast), encoding is scan-side",
+)
+def corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_bpe_encode_stats(load_table(spark, sf_dir, "documents"), rounds=6)
