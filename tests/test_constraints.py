@@ -60,3 +60,28 @@ def test_kanonymity_audit_flags_small_groups(spark):
     got = {(r["lang"], r["source"], r["chars_bucket"]): r["group_size"]
            for r in kanonymity_audit(docs, k=5).collect()}
     assert got == {("zh", "rare", 9): 1, ("en", "web", 9): 2}
+
+
+def test_ldiversity_flags_homogeneous_groups(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.constraints import ldiversity_audit
+
+    rows = [
+        # QI group (web, bucket 0): 3 docs, all 'en' → 1 distinct lang, flagged
+        (1, "en", "web", 10), (2, "en", "web", 20), (3, "en", "web", 30),
+        # QI group (web, bucket 1): 3 docs, 3 langs → diverse, not flagged
+        (4, "en", "web", 110), (5, "es", "web", 120), (6, "de", "web", 130),
+        # QI group (book, bucket 0): 4 docs, 2 langs (3 en, 1 es) → flagged at l=3
+        (7, "en", "book", 10), (8, "en", "book", 20),
+        (9, "en", "book", 30), (10, "es", "book", 40),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {
+        (r["source"], r["chars_bucket"]): (r["group_size"], r["n_langs"], r["majority_share"])
+        for r in ldiversity_audit(docs, l=3).collect()
+    }
+    assert got == {
+        ("web", 0): (3, 1, 1.0),
+        ("book", 0): (4, 2, 0.75),
+    }

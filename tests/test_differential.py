@@ -272,3 +272,130 @@ def test_assortativity_null_on_regular_cycle(spark):
     # 3-cycle: every out/in degree is 1 → zero variance → NULL
     row = G.degree_assortativity(make_edges(spark, [(1, 2), (2, 3), (3, 1)])).collect()[0]
     assert row["assortativity"] is None
+
+
+# ---------------------------------------------------------------------------
+# Bounded mutual reachability vs python BFS
+# ---------------------------------------------------------------------------
+
+def py_bounded_reach(edges: list[tuple[int, int]], k: int) -> set[tuple[int, int]]:
+    succ: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            succ.setdefault(a, set()).add(b)
+    reach: set[tuple[int, int]] = set()
+    for s in succ:
+        frontier, seen = {s}, set()
+        for _ in range(k):
+            frontier = {n for f in frontier for n in succ.get(f, ())} - {s}
+            new = frontier - seen
+            if not new:
+                break
+            seen |= new
+            frontier = new
+        reach |= {(s, t) for t in seen}
+    return reach
+
+
+@pytest.mark.parametrize("seed,k", [(7, 2), (42, 3), (1234, 3)])
+def test_mutual_reach_matches_python_bfs(spark, seed, k):
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+
+    edges = random_edges(seed, n_edges=60)
+    reach = py_bounded_reach(edges, k)
+    want = sorted(
+        (u, v) for (u, v) in reach if u < v and (v, u) in reach
+    )
+    got = sorted(
+        (r["u"], r["v"])
+        for r in GI.mutual_reach_pairs(make_edges(spark, edges), k=k).collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BM25 / bigram surprisal vs pure-python scoring
+# ---------------------------------------------------------------------------
+
+def random_docs(seed: int, n_docs: int = 30) -> list[tuple[int, str]]:
+    rnd = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    return [
+        (
+            i,
+            " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(0, 12))),
+        )
+        for i in range(n_docs)
+    ]
+
+
+def py_bm25(docs, terms, k1=1.2, b=0.75):
+    import math
+
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    tot = sum(len(v) for v in toks.values())
+    avgdl = tot / n
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    out = {}
+    for d, v in toks.items():
+        score_u, n_terms = 0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            n_terms += 1
+            idf = math.log(1e0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            norm = (tf * (k1 + 1e0)) / (tf + k1 * (1e0 - b + b * len(v) / avgdl))
+            score_u += math.floor(idf * norm * 1e6)
+        if n_terms:
+            out[d] = (n_terms, score_u)
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_bm25_matches_python(spark, seed):
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+    docs = random_docs(seed)
+    sdf = spark.createDataFrame(docs, schema="doc_id LONG, text STRING")
+    terms = ("alpha", "zeta")
+    want = py_bm25(docs, terms)
+    got = {
+        r["doc_id"]: (r["n_terms"], round(r["bm25"] * 1e6))
+        for r in CP.doc_bm25_topk(sdf, terms=terms, k=1000).collect()
+    }
+    assert got == {d: (nt, su) for d, (nt, su) in want.items()}
+
+
+def py_bigram_bits(docs):
+    bi: list[tuple[int, str, str]] = []
+    for d, t in docs:
+        v = t.split()
+        bi += [(d, a, b) for a, b in zip(v, v[1:])]
+    c_bg: dict[tuple[str, str], int] = {}
+    c_pre: dict[str, int] = {}
+    for _, a, b in bi:
+        c_bg[(a, b)] = c_bg.get((a, b), 0) + 1
+        c_pre[a] = c_pre.get(a, 0) + 1
+    out: dict[int, tuple[int, int]] = {}
+    for d, a, b in bi:
+        bits = c_pre[a].bit_length() - c_bg[(a, b)].bit_length()
+        n, s = out.get(d, (0, 0))
+        out[d] = (n + 1, s + bits)
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_bigram_surprisal_matches_python(spark, seed):
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+    docs = random_docs(seed)
+    sdf = spark.createDataFrame(docs, schema="doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_bits"])
+        for r in CP.doc_bigram_surprisal(sdf).collect()
+    }
+    assert got == py_bigram_bits(docs)

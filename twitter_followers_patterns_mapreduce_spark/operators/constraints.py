@@ -155,3 +155,52 @@ def kanonymity_audit_oracle(k: int = 5) -> str:
 FROM documents
 GROUP BY lang, source, n_chars // 100
 HAVING COUNT(*) < {k}"""
+
+
+def ldiversity_audit(documents: DataFrame, l: int = 3) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion of
+    :func:`kanonymity_audit` (k-anonymity stops re-identification;
+    l-diversity stops inferring a SENSITIVE attribute once the group
+    is found): group by the quasi-identifier tuple (source, 100-char
+    length bucket) and flag groups whose sensitive attribute (lang)
+    takes fewer than ``l`` distinct values, emitting the homogeneity
+    evidence (distinct-value count + majority share).
+
+    Two hash aggregates — (QI, lang) counts, then the per-QI rollup —
+    both map-side combinable; key count is QI-space × |langs|, never
+    row count.  The majority share is floored at 6 dp from exact
+    integer counts.
+    """
+    bucket = (F.col("n_chars") / 100).cast("long").alias("chars_bucket")
+    per_lang = documents.groupBy("source", bucket, F.col("lang")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return (
+        per_lang.groupBy("source", "chars_bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("group_size"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.max("cnt").cast("long").alias("majority_cnt"),
+        )
+        .where(F.col("n_langs") < l)
+        .selectExpr(
+            "source", "chars_bucket", "group_size", "n_langs",
+            "floor(CAST(majority_cnt AS DOUBLE) / CAST(group_size AS DOUBLE)"
+            " * 1e6) / 1e6 AS majority_share",
+        )
+    )
+
+
+def ldiversity_audit_oracle(l: int = 3) -> str:
+    return f"""WITH per_lang AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS chars_bucket, lang,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, n_chars // 100, lang
+)
+SELECT source, chars_bucket,
+       CAST(SUM(cnt) AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       floor(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) * 1e6) / 1e6
+         AS majority_share
+FROM per_lang GROUP BY source, chars_bucket
+HAVING COUNT(*) < {l}"""

@@ -375,3 +375,14 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.corpus_bpe_encode_stats(load_table(spark, sf_dir, "documents"), rounds=6)
+
+
+@register(
+    "doc_ldiversity_audit",
+    oracle=CK.ldiversity_audit_oracle(l=3),
+    description="l-diversity privacy audit (attribute-disclosure twin of the "
+    "k-anonymity gate): QI groups whose sensitive attribute has < 3 distinct values, "
+    "with homogeneity evidence — two map-side-combinable hash aggs on QI-space keys",
+)
+def doc_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CK.ldiversity_audit(load_table(spark, sf_dir, "documents"), l=3)
