@@ -316,3 +316,59 @@ def test_hourly_anomaly_robust_flags_spike_not_constant(spark):
     assert len(a_flagged) == 1 and a_flagged[0].hour == 12
     b_rows = [r for r in out if r["event_type"] == "b"]
     assert all(r["robust_z"] is None and not r["is_outlier"] for r in b_rows)
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters
+# ---------------------------------------------------------------------------
+
+def _hh_events(spark, counts: dict[int, int], partitions: int):
+    rows = [
+        (i, u) for u, c in counts.items() for i in range(c)
+    ]
+    rows = [(n, u) for n, (_, u) in enumerate(rows)]
+    return (
+        spark.createDataFrame(rows, schema="event_id LONG, user_id LONG")
+        .repartition(partitions)
+    )
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.events import heavy_hitters
+
+    # 2000 events: user 1 = 400 (20%), user 2 = 150 (7.5%), rest spread
+    counts = {1: 400, 2: 150}
+    counts.update({u: 29 for u in range(10, 60)})  # 50 users × 29 = 1450
+    n = sum(counts.values())
+    phi = 0.05  # threshold 100 → exactly user 1 and user 2
+    for parts in (1, 7, 32):
+        got = {
+            r["user_id"]: r["n_events"]
+            for r in heavy_hitters(_hh_events(spark, counts, parts), phi=phi).collect()
+        }
+        assert got == {1: 400, 2: 150}, f"partitions={parts}"
+
+
+def test_heavy_hitters_share_column(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.events import heavy_hitters
+
+    counts = {1: 30, 2: 10}
+    df = heavy_hitters(_hh_events(spark, counts, 3), phi=0.5).collect()
+    assert len(df) == 1 and df[0]["user_id"] == 1
+    assert df[0]["share"] == 0.75
+
+
+def test_heavy_hitters_strict_inequality(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.events import heavy_hitters
+
+    # user 1 has EXACTLY phi*N events → excluded (strict >)
+    counts = {1: 25, 2: 75}
+    got = {r["user_id"] for r in heavy_hitters(_hh_events(spark, counts, 4), phi=0.25).collect()}
+    assert got == {2}
+
+
+def test_heavy_hitters_rejects_bad_phi(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.events import heavy_hitters
+
+    with pytest.raises(ValueError):
+        heavy_hitters(_hh_events(spark, {1: 1}, 1), phi=0.0)

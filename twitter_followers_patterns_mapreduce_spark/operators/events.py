@@ -829,3 +829,96 @@ SELECT f.hour, f.event_type, f.n_events, s.type_median, s.type_mad,
             THEN abs(0.6745 * (CAST(f.n_events AS DOUBLE) - s.type_median) / s.type_mad) > {z_cut}
             ELSE FALSE END AS is_outlier
 FROM filled f JOIN stats s USING (event_type)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(events: DataFrame, phi: float = 0.008) -> DataFrame:
+    """EXACT φ-heavy-hitters over ``user_id`` — every user generating
+    more than ``φ·N`` events — via the classic two-pass candidate /
+    verify pattern (Misra-Gries 1982 per partition, exact recount of
+    the candidate union):
+
+      pass 1: each partition runs a Misra-Gries summary with capacity
+              k = ⌈1/φ⌉.  Pigeonhole guarantee: any key with GLOBAL
+              count > N/k exceeds n_p/k in at least one partition, so
+              the union of per-partition survivors is a SUPERSET of
+              the true heavy hitters — no shuffle, state k per task.
+      pass 2: exact counts for candidates only (broadcast semi-join
+              prefilter, one hash agg over candidate rows), then the
+              exact HAVING count > φ·N.
+
+    The result is EXACT and partitioning-independent (MG only decides
+    who gets recounted; recounts are exact), which is what makes a
+    DuckDB oracle possible — the oracle is the plain one-agg HAVING.
+    At 100 TB this is the shape that wins: the naive groupBy shuffles
+    every distinct key; this shuffles ≤ partitions × k candidate ids
+    plus candidate-row partials.  φ·N rides in via the same
+    data-derived-zero-key broadcast as the engine's other globals.
+    """
+    import math as _m
+
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = _m.ceil(1.0 / phi)
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                if uid in counters:
+                    counters[uid] += 1
+                elif len(counters) < k:
+                    counters[uid] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    ids = events.select("user_id")
+    candidates = (
+        ids.mapInPandas(mg_partition, schema="user_id LONG").distinct()
+    )
+    total = ids.agg(F.count("*").cast("long").alias("n_total")).selectExpr(
+        "n_total", "n_total - n_total AS _k"
+    )
+    counted = (
+        ids.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .withColumn("_k", F.expr("pmod(n_events, 1)"))
+        .join(F.broadcast(total), "_k")
+    )
+    return (
+        counted.where(
+            F.col("n_events").cast("double")
+            > F.lit(phi) * F.col("n_total").cast("double")
+        )
+        .selectExpr(
+            "user_id", "n_events",
+            "floor(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE) * 1e6)"
+            " / 1e6 AS share",
+        )
+    )
+
+
+def heavy_hitters_oracle(phi: float = 0.008) -> str:
+    return f"""WITH total AS (SELECT COUNT(*) AS n_total FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       floor(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE) * 1e6)
+         / 1e6 AS share
+FROM events CROSS JOIN total
+GROUP BY user_id
+HAVING CAST(COUNT(*) AS DOUBLE) > {phi!r} * CAST(MAX(n_total) AS DOUBLE)"""

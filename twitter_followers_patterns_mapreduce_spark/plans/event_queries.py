@@ -602,3 +602,14 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     return spark.table("events_dedup_streamed_sink")
+
+
+@register(
+    "events_heavy_hitters",
+    oracle=E.heavy_hitters_oracle(phi=0.008),
+    description="exact phi-heavy-hitters over user_id: per-partition Misra-Gries "
+    "candidates (capacity 1/phi, superset guarantee, no shuffle) + exact recount "
+    "behind a broadcast semi-join — result exact and partitioning-independent",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.heavy_hitters(load_events(spark, sf_dir), phi=0.008)
