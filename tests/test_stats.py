@@ -65,3 +65,54 @@ def test_sketch_deterministic_across_runs(spark):
     b = ST.sketch_summary(df.repartition(13)).collect()[0]["approx_users"]
     # HLL merge is commutative: partitioning must not change the estimate
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Exact median by histogram refinement
+# ---------------------------------------------------------------------------
+
+def _median_df(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], schema="l_extendedprice DOUBLE")
+
+
+def _py_lower_median_cents(values):
+    cents = sorted(round(v * 100) for v in values)
+    return cents[(len(cents) + 1) // 2 - 1]
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100, 101])
+def test_exact_median_matches_python(spark, n):
+    import random as _r
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import exact_median_refine
+
+    rnd = _r.Random(n)
+    vals = [round(rnd.uniform(1, 100000), 2) for _ in range(n)]
+    row = exact_median_refine(_median_df(spark, vals)).collect()[0]
+    assert row["n_rows"] == n
+    assert row["median_cents"] == _py_lower_median_cents(vals)
+    assert row["median"] == row["median_cents"] / 100.0
+
+
+def test_exact_median_heavy_duplicates(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import exact_median_refine
+
+    # one value dominates: median must land on it regardless of bucketing
+    vals = [10.0] * 95 + [99999.99] * 5
+    row = exact_median_refine(_median_df(spark, vals)).collect()[0]
+    assert row["median_cents"] == 1000
+
+
+def test_exact_median_small_fanout_multiple_passes(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import exact_median_refine
+
+    # fanout 4 / leaf 2 forces several refinement passes on a wide range
+    vals = [float(x) for x in range(1, 1000, 7)]
+    row = exact_median_refine(_median_df(spark, vals), fanout=4, leaf=2).collect()[0]
+    assert row["median_cents"] == _py_lower_median_cents(vals)
+
+
+def test_exact_median_empty_raises(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import exact_median_refine
+
+    with pytest.raises(ValueError):
+        exact_median_refine(_median_df(spark, []))

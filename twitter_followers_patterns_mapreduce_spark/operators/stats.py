@@ -212,3 +212,94 @@ def column_profile_oracle(table: str, columns: list[tuple[str, str]]) -> str:
 FROM {table}"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Exact global median without a global sort (histogram refinement)
+# ---------------------------------------------------------------------------
+
+def exact_median_refine(
+    df: DataFrame, col: str = "l_extendedprice", fanout: int = 1024,
+    leaf: int = 4096,
+) -> DataFrame:
+    """EXACT global lower median of ``col`` by iterative histogram
+    refinement — the order-statistics-without-a-global-sort pattern
+    (distributed selection, Blum et al. lineage): each pass is ONE
+    map-side-combinable hash aggregate over a ``fanout``-bucket
+    histogram of the surviving value range; the driver walks the
+    ≤ ``fanout``-row histogram to find the bucket holding rank k and
+    recurses into it.  log_fanout(range) passes (3 here), each with
+    the range predicate PUSHED TO THE SCAN — vs the exact-percentile
+    aggregate, which shuffles and sorts every value in the group.
+
+    Values are exact integer cents (``round(col · 100)``), so bucket
+    arithmetic and rank accounting never touch a float; the driver
+    sees one histogram per pass (control plane), never row data.
+    Emits (n_rows, k, median_cents, median) with k = ⌈n/2⌉ (lower
+    median) — the oracle is DuckDB's row_number selection.
+    """
+    # the refinement passes all scan the same 1-column projection:
+    # checkpoint it once (8 bytes/row) rather than re-decoding parquet
+    # per pass.  At cluster scale the alternative is re-scanning with
+    # the range predicate pushed down (zone maps prune most row
+    # groups after pass 1) — both shapes are O(passes · survivors).
+    v = df.selectExpr(f"CAST(round({col} * 100) AS BIGINT) AS c").localCheckpoint(
+        eager=False
+    )
+    head = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = head["n"], head["lo"], head["hi"]
+    if n == 0:
+        raise ValueError(f"exact_median_refine: no rows in {col}")
+    k_global = (n + 1) // 2
+    k = k_global
+    while hi - lo > leaf:
+        w = max(1, (hi - lo + 1) // fanout)
+        hist = (
+            v.where((F.col("c") >= lo) & (F.col("c") <= hi))
+            .groupBy(F.expr(f"(c - {lo}) div {w}").alias("b"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .collect()
+        )
+        counts = {r["b"]: r["cnt"] for r in hist}
+        cum = 0
+        for b in sorted(counts):
+            if cum + counts[b] >= k:
+                k -= cum
+                new_lo = lo + b * w
+                hi = min(hi, new_lo + w - 1)
+                lo = new_lo
+                break
+            cum += counts[b]
+    tail = sorted(
+        (r["c"], r["cnt"])
+        for r in (
+            v.where((F.col("c") >= lo) & (F.col("c") <= hi))
+            .groupBy("c")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .collect()
+        )
+    )
+    cum, median_cents = 0, None
+    for c, cnt in tail:
+        if cum + cnt >= k:
+            median_cents = c
+            break
+        cum += cnt
+    return df.sparkSession.createDataFrame(
+        [(n, k_global, median_cents, median_cents / 100.0)],
+        schema="n_rows LONG, k LONG, median_cents LONG, median DOUBLE",
+    )
+
+
+def exact_median_refine_oracle(table: str = "lineitem", col: str = "l_extendedprice") -> str:
+    return f"""WITH v AS (
+  SELECT CAST(round({col} * 100) AS BIGINT) AS c FROM {table}
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k FROM v),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v)
+SELECT t.n AS n_rows, t.k AS k, r.c AS median_cents, r.c / 100.0 AS median
+FROM r CROSS JOIN t WHERE r.rn = t.k"""

@@ -652,3 +652,15 @@ def orders_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, scd2_feed_stream(spark, feed_dir), state_dir, ckpt_dir
     )
     return spark.read.parquet(os.path.join(state_dir, "current"))
+
+
+@register(
+    "lineitem_exact_median",
+    oracle=ST.exact_median_refine_oracle("lineitem", "l_extendedprice"),
+    description="exact global median WITHOUT a global sort: 3 histogram-refinement "
+    "passes (1024-way fanout, range predicate pushed to the scan, integer-cent "
+    "rank accounting), driver sees only the per-pass histogram — distributed "
+    "selection vs sort-everything",
+)
+def lineitem_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.exact_median_refine(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
