@@ -613,3 +613,60 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.heavy_hitters(load_events(spark, sf_dir), phi=0.008)
+
+
+def _stage_event_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
+    """Stage (event_id, user_id) as ``n_batches`` parquet files split by
+    ``event_id % n_batches`` — a deterministic micro-batch replay of the
+    events table.  Returns (feed_dir, state_dir, checkpoint_dir); state
+    and checkpoint are wiped per invocation for a fresh replay."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_hh_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(feed_dir):
+        os.makedirs(feed_dir)
+        ev = load_events(spark, sf_dir).select("event_id", "user_id")
+        for b in range(n_batches):
+            tmp = os.path.join(root, f"stage_b{b}")
+            ev.where(F.col("event_id") % n_batches == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.rename(part, os.path.join(feed_dir, f"b{b}.parquet"))
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "events_heavy_hitters_streamed",
+    oracle=E.heavy_hitters_oracle(phi=0.008),
+    description="streaming exact heavy hitters under the oracle gate: the events "
+    "table replayed as 4 micro-batches, each merged into a versioned per-user count "
+    "view (IVM full-outer coalesce-sum, O(|batch|+|keys|) per batch, history never "
+    "rescanned); phi-threshold query over the final view == the batch operator == "
+    "the plain-SQL oracle; eighth streaming query class under the gate",
+)
+def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.counts import (
+        counts_apply_stream,
+        heavy_hitters_from_view,
+        user_event_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_event_batches(spark, sf_dir)
+    counts_apply_stream(
+        spark, user_event_stream(spark, feed_dir), state_dir, ckpt_dir
+    )
+    return heavy_hitters_from_view(spark, state_dir, phi=0.008)
