@@ -254,3 +254,52 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set(key, old_gate)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB hot-key story (Twitter follower graphs are power-law;
+    the reference dodges skew with its compile-time MAX filter,
+    README.md:77): AQE's OptimizeSkewedJoin must split an oversized
+    shuffle partition into parallel sub-reads at runtime — the
+    automatic companion of the engine's manual salting operator
+    (operators/skew.py).  Pinned with a deliberately skewed join and
+    test-scale thresholds; forceOptimizeSkewedJoin permits the extra
+    post-join shuffle the global aggregate otherwise vetoes (at real
+    scale the planner weighs that trade itself).  Also pins the
+    negative: with skewJoin disabled the marker must not appear."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    from pyspark.sql import functions as F
+
+    def run_skewed_join() -> str:
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id < 198000 THEN 0 ELSE id END AS k", "id AS payload"
+        )
+        right = spark.range(0, 2000).selectExpr("id % 600 AS k", "id AS r")
+        j = left.join(right, "k").select(F.sum("payload").alias("s"))
+        j.collect()  # AQE decides at runtime — must execute first
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    old = {k: spark.conf.get(k, None) for k in confs}
+    old["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled"
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = run_skewed_join()
+        assert "skew=true" in plan and "skewed" in plan
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        assert "skew=true" not in run_skewed_join()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
