@@ -290,3 +290,42 @@ def test_link_prediction_scores_square(spark):
         (1, 1, 3),
         (2, 2, 4),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Bipartite butterfly counting
+# ---------------------------------------------------------------------------
+
+def _bip(spark, edges):
+    return spark.createDataFrame(edges, schema="o LONG, p LONG")
+
+
+def test_butterfly_single_biclique(spark):
+    # K_{2,2} = exactly one butterfly, one wedge pair with c=2
+    e = [(1, 10), (1, 20), (2, 10), (2, 20)]
+    row = G.butterfly_count(_bip(spark, e)).collect()[0]
+    assert (row["wedge_pairs"], row["butterflies"]) == (1, 1)
+
+
+def test_butterfly_k23_counts_three(spark):
+    # K_{3,2}: 3 o-side nodes sharing parts {10,20} → C(3,2)=3 butterflies
+    e = [(o, p) for o in (1, 2, 3) for p in (10, 20)]
+    row = G.butterfly_count(_bip(spark, e)).collect()[0]
+    assert (row["wedge_pairs"], row["butterflies"]) == (1, 3)
+
+
+def test_butterfly_no_shared_pairs(spark):
+    # star from one o: wedges exist but no pair repeats → 0 butterflies
+    e = [(1, p) for p in range(10, 16)] + [(2, 99)]
+    row = G.butterfly_count(_bip(spark, e)).collect()[0]
+    assert row["butterflies"] == 0 and row["wedge_pairs"] == 15
+
+
+def test_butterfly_degree_cap_drops_hub(spark):
+    # hub o=1 touches 5 parts; cap 4 removes ALL its wedges
+    e = [(1, p) for p in range(10, 15)] + [(2, 10), (2, 11), (3, 10), (3, 11)]
+    uncapped = G.butterfly_count(_bip(spark, e), deg_cap=64).collect()[0]
+    capped = G.butterfly_count(_bip(spark, e), deg_cap=4).collect()[0]
+    assert uncapped["butterflies"] > capped["butterflies"]
+    # capped graph keeps the o=2/o=3 K_{2,2} → exactly 1 butterfly
+    assert capped["butterflies"] == 1

@@ -751,3 +751,65 @@ SELECT rank, u, v, n_common, jaccard, adamic_adar FROM (
          round(COALESCE(f.aa_raw, 0.0), 6) AS adamic_adar
   FROM fresh f JOIN deg du ON f.u = du.v JOIN deg dv ON f.v2 = dv.v)
 WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Bipartite butterfly counting (the bipartite analogue of triangles)
+# ---------------------------------------------------------------------------
+
+def butterfly_count(edges_bip: DataFrame, deg_cap: int = 64) -> DataFrame:
+    """Butterfly (2×2 biclique) count on a BIPARTITE graph — the
+    bipartite analogue of the reference's triangle jobs
+    (``rsjoin/RSJoinTriangleCount.java``: triangles measure closure in
+    a one-mode graph; butterflies measure co-engagement in a two-mode
+    one — here order-keys × part-keys).  Standard wedge formulation
+    (Wang et al., "Butterfly Counting in Bipartite Networks"):
+
+        butterflies = Σ_{p1<p2} C(common_o(p1, p2), 2)
+
+    computed from o-centered wedges — the same z-centered self
+    equi-join shape as the 2-hop jobs (J1), grouped to (p1, p2) wedge
+    multiplicities, then one integer fold.  Exact BIGINT arithmetic
+    throughout.
+
+    ``deg_cap`` is the published scale knob, and it is the SAME lever
+    as the reference's MAX node-id filter (its approximation device,
+    ``approx/Approx2HopCount.java:41``): o-side hubs contribute
+    C(deg, 2) wedges, so the per-key fan-out is quadratic in hub
+    degree; capping the o-side degree bounds every key's wedge batch
+    at C(cap, 2) (declared, engine-identical — the capped count IS the
+    semantic, exact on the capped graph).  Emits (wedge_pairs,
+    butterflies) for the cap'd graph.
+    """
+    deg_ok = (
+        edges_bip.groupBy("o")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") <= deg_cap)
+        .select("o")
+    )
+    kept = edges_bip.join(F.broadcast(deg_ok), "o", "left_semi")
+    a = kept.select("o", F.col("p").alias("p1"))
+    b = kept.select("o", F.col("p").alias("p2"))
+    wedges = (
+        a.join(b, "o")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return wedges.agg(
+        F.count("*").cast("long").alias("wedge_pairs"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("butterflies"),
+    )
+
+
+def butterfly_count_oracle(edges_cte: str, deg_cap: int = 64) -> str:
+    return f"""WITH e AS ({edges_cte}),
+deg_ok AS (SELECT o FROM e GROUP BY o HAVING COUNT(*) <= {deg_cap}),
+kept AS (SELECT e.o, e.p FROM e JOIN deg_ok USING (o)),
+w AS (
+  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p)
+SELECT CAST(COUNT(*) AS BIGINT) AS wedge_pairs,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS butterflies
+FROM w"""

@@ -640,3 +640,27 @@ def graph_mutual_reach_k3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
     return GI.mutual_reach_pairs(e, k=3)
+
+
+#: bipartite order×part projection: the two-mode companion of the
+#: one-mode derived edge view (same lineitem scan, coprime moduli)
+_BIP_CTE = ("SELECT DISTINCT CAST(l_orderkey % 997 AS BIGINT) AS o, "
+            "CAST(l_partkey % 499 AS BIGINT) AS p FROM lineitem")
+
+
+@register(
+    "bipartite_butterfly_count",
+    oracle=G.butterfly_count_oracle(_BIP_CTE, deg_cap=64),
+    description="butterfly (2x2 biclique) count on the order x part bipartite graph: "
+    "o-centered wedge self-join -> (p1,p2) multiplicities -> integer C(c,2) fold; "
+    "deg_cap=64 bounds hub fan-out (the reference's MAX-filter lever, bipartite form)",
+)
+def bipartite_butterfly_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.selectExpr(
+        "CAST(l_orderkey % 997 AS BIGINT) AS o",
+        "CAST(l_partkey % 499 AS BIGINT) AS p",
+    ).distinct()
+    return G.butterfly_count(e, deg_cap=64)
