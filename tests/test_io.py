@@ -60,6 +60,18 @@ def test_write_result_roundtrip_csv(spark, sample_edges, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, deg.collect()))
 
 
+def test_write_result_roundtrip_orc(spark, sample_edges, tmp_path):
+    deg = G.degrees(sample_edges)
+    out = str(tmp_path / "deg_orc")
+    write_result(deg, out, format="orc")
+    back = spark.read.orc(out)
+    # ORC keeps names+types (csv cannot); nullability flips on write
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in deg.schema.fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, deg.collect()))
+
+
 def test_write_result_partitioned(spark, sample_edges, tmp_path):
     out = str(tmp_path / "edges_by_src")
     write_result(sample_edges, out, format="parquet", partition_by=["src"])

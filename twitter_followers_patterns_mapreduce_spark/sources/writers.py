@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def write_result(
@@ -41,6 +41,11 @@ def write_result(
         w.option("header", "true").csv(path)
     elif format == "json":
         w.json(path)
+    elif format == "orc":
+        # columnar alternative with the same pushdown/pruning contract;
+        # kept in the matrix so a warehouse standardized on ORC can
+        # consume the engine's outputs unchanged
+        w.orc(path)
     else:
         w.parquet(path)
 
