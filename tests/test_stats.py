@@ -116,3 +116,26 @@ def test_exact_median_empty_raises(spark):
 
     with pytest.raises(ValueError):
         exact_median_refine(_median_df(spark, []))
+
+
+def test_exact_quantiles_refine_matches_python(spark):
+    import random as _r
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import exact_quantiles_refine
+
+    rnd = _r.Random(5)
+    vals = [round(rnd.uniform(1, 100000), 2) for _ in range(500)]
+    cents = sorted(round(v * 100) for v in vals)
+    rows = exact_quantiles_refine(_median_df(spark, vals), qs=(0.5, 0.9, 0.99)).collect()
+    got = {r["q"]: (r["k"], r["value_cents"]) for r in rows}
+    for q in (0.5, 0.9, 0.99):
+        k = -(-int(q * 1e6) * 500 // 1_000_000)
+        assert got[q] == (k, cents[k - 1]), q
+
+
+def test_exact_quantiles_q1_is_min_handling(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import exact_quantiles_refine
+
+    rows = exact_quantiles_refine(_median_df(spark, [5.0, 1.0, 9.0]), qs=(0.001, 1.0)).collect()
+    got = {r["q"]: r["value_cents"] for r in rows}
+    assert got[0.001] == 100  # k clamps to 1 → the minimum
+    assert got[1.0] == 900    # k = n → the maximum

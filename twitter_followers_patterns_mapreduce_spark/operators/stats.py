@@ -303,3 +303,90 @@ t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST((COUNT(*) + 1) // 2 AS BIGINT) 
 r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v)
 SELECT t.n AS n_rows, t.k AS k, r.c AS median_cents, r.c / 100.0 AS median
 FROM r CROSS JOIN t WHERE r.rn = t.k"""
+
+
+def exact_quantiles_refine(
+    df: DataFrame, col: str = "l_extendedprice",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    fanout: int = 1024, leaf: int = 4096,
+) -> DataFrame:
+    """EXACT type-1 (lower) quantiles at several probabilities by the
+    same histogram-refinement selection as :func:`exact_median_refine`,
+    sharing ONE checkpointed 1-column projection across all chains —
+    the multi-rank generalization (p50/p90/p99 from 1 + Σ passes, no
+    global sort, driver sees only histograms).  Rank q ↦ k = ⌈q·n⌉.
+    Emits one row per probability: (q, n_rows, k, value_cents, value).
+    """
+    v = df.selectExpr(f"CAST(round({col} * 100) AS BIGINT) AS c").localCheckpoint(
+        eager=False
+    )
+    head = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).collect()[0]
+    n, lo0, hi0 = head["n"], head["lo"], head["hi"]
+    if n == 0:
+        raise ValueError(f"exact_quantiles_refine: no rows in {col}")
+    out = []
+    for q in qs:
+        k_global = max(1, -(-int(q * 1e6) * n // 1_000_000))  # ceil(q*n), int-exact
+        k, lo, hi = k_global, lo0, hi0
+        while hi - lo > leaf:
+            w = max(1, (hi - lo + 1) // fanout)
+            hist = (
+                v.where((F.col("c") >= lo) & (F.col("c") <= hi))
+                .groupBy(F.expr(f"(c - {lo}) div {w}").alias("b"))
+                .agg(F.count("*").cast("long").alias("cnt"))
+                .collect()
+            )
+            counts = {r["b"]: r["cnt"] for r in hist}
+            cum = 0
+            for b in sorted(counts):
+                if cum + counts[b] >= k:
+                    k -= cum
+                    new_lo = lo + b * w
+                    hi = min(hi, new_lo + w - 1)
+                    lo = new_lo
+                    break
+                cum += counts[b]
+        tail = sorted(
+            (r["c"], r["cnt"])
+            for r in (
+                v.where((F.col("c") >= lo) & (F.col("c") <= hi))
+                .groupBy("c")
+                .agg(F.count("*").cast("long").alias("cnt"))
+                .collect()
+            )
+        )
+        cum, cents = 0, None
+        for c, cnt in tail:
+            if cum + cnt >= k:
+                cents = c
+                break
+            cum += cnt
+        out.append((float(q), n, k_global, cents, cents / 100.0))
+    return df.sparkSession.createDataFrame(
+        out,
+        schema="q DOUBLE, n_rows LONG, k LONG, value_cents LONG, value DOUBLE",
+    )
+
+
+def exact_quantiles_refine_oracle(
+    table: str = "lineitem", col: str = "l_extendedprice",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    probes = "\nUNION ALL\n".join(f"SELECT CAST({q!r} AS DOUBLE) AS q" for q in qs)
+    return f"""WITH v AS (
+  SELECT CAST(round({col} * 100) AS BIGINT) AS c FROM {table}
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v),
+probes AS ({probes}),
+ranks AS (
+  SELECT q, n,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(-((-CAST(q * 1e6 AS BIGINT) * n) // 1000000) AS BIGINT)) AS k
+  FROM probes CROSS JOIN t)
+SELECT ranks.q, ranks.n AS n_rows, ranks.k, r.c AS value_cents, r.c / 100.0 AS value
+FROM ranks JOIN r ON r.rn = ranks.k"""

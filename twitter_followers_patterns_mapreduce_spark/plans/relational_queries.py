@@ -664,3 +664,14 @@ def orders_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.exact_median_refine(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "lineitem_exact_quantiles_refine",
+    oracle=ST.exact_quantiles_refine_oracle("lineitem", "l_extendedprice"),
+    description="exact p50/p90/p99 WITHOUT a global sort: per-rank histogram "
+    "refinement chains over ONE shared checkpointed projection — the multi-rank "
+    "generalization of the exact-median selector (type-1 quantiles, ceil(q*n))",
+)
+def lineitem_exact_quantiles_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.exact_quantiles_refine(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
