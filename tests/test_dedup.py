@@ -395,3 +395,46 @@ def test_duplicated_span_fraction_random_differential(spark):
         for r in D.duplicated_span_fraction(df, k=k).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit
+# ---------------------------------------------------------------------------
+
+def test_lsh_recall_perfect_on_exact_dups(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import lsh_recall_audit
+
+    # identical docs share every shingle → identical signatures → every
+    # band collides → recall must be exactly 1
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(4)] + [(9, "completely different words here now")],
+        schema="doc_id LONG, text STRING",
+    )
+    row = lsh_recall_audit(docs, threshold=0.5).collect()[0]
+    assert (row["n_truth"], row["n_found"], row["n_missed"], row["recall"]) == (6, 6, 0, 1.0)
+
+
+def test_lsh_recall_counts_misses_below_banding_power(spark):
+    """At a threshold far below the banding operating point the exact
+    truth set contains low-jaccard pairs the bands rarely bucket —
+    n_missed must count them and recall = floor(found/truth * 1e6)/1e6."""
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import lsh_recall_audit
+
+    # every doc shares a 4-word head (2 common 3-shingles) and has a
+    # distinct 6-word tail: each pair's jaccard = 2/14 ~ 0.143 >= 0.1,
+    # but band collision probability ~ 8*j^4 ~ 0.003 -> the bands miss
+    # essentially all of them
+    docs = spark.createDataFrame(
+        [
+            (i, "c1 c2 c3 c4 " + " ".join(f"u{i}x{j}" for j in range(6)))
+            for i in range(10)
+        ],
+        schema="doc_id LONG, text STRING",
+    )
+    row = lsh_recall_audit(docs, threshold=0.1).collect()[0]
+    assert row["n_truth"] == 45  # all C(10,2) pairs are true at j~0.143
+    assert row["n_missed"] > 0  # the banding-power gap is visible
+    assert row["n_found"] + row["n_missed"] == row["n_truth"]
+    import math as _m
+    assert row["recall"] == _m.floor(row["n_found"] / row["n_truth"] * 1e6) / 1e6

@@ -1147,3 +1147,78 @@ SELECT b.doc_id, b.n_tokens,
        CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
        COALESCE(a.cleaned, '') AS cleaned
 FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit (the dedup-side companion of ann_recall_at_k)
+# --------------------------------------------------------------------------
+
+def lsh_recall_audit(
+    documents: DataFrame, threshold: float = 0.5, n_shingle: int = 3
+) -> DataFrame:
+    """Recall of the MinHash-LSH near-dup path against the EXACT
+    inverted-index ground truth at the same threshold — the standing
+    quality gate for the banding parameters (the dedup twin of
+    ``similarity.ann_recall_at_k``).  Both paths verify candidates with
+    exact shingle Jaccard, so the LSH output is a SUBSET of the truth
+    (precision 1 by construction); the one free number is how many true
+    pairs the bands never bucketed together.  Emits a single row
+    (n_truth, n_found, n_missed, recall) — floor 6 dp from exact
+    integer counts.
+
+    Probability context (documented, not asserted): a true pair at
+    j = 0.5 collides in ≥1 of the 8 4-row bands w.p.
+    1-(1-j⁴)⁸ ≈ 0.40 at the threshold boundary and →1 rapidly above
+    it, so recall is expected high-but-below-1 on threshold-straddling
+    corpora; a recall COLLAPSE is the banding-bug signal this query
+    exists to catch.
+
+    Plan shape: truth = one posting-list pair expansion; found = the
+    banded path; the audit joins the two PAIR sets (tiny relative to
+    the corpus) and aggregates — the expensive inputs are each computed
+    once.
+    """
+    truth = ngram_jaccard_pairs(documents, threshold, n_shingle).select(
+        "doc_a", "doc_b"
+    )
+    found = (
+        minhash_lsh_pairs(documents, threshold, n_shingle)
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
+        )
+        .selectExpr(
+            "n_truth",
+            "n_found",
+            "n_truth - n_found AS n_missed",
+            "CASE WHEN n_truth = 0 THEN 1.0 ELSE"
+            " floor(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1e6) / 1e6"
+            " END AS recall",
+        )
+    )
+
+
+def lsh_recall_audit_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
+    truth = ngram_jaccard_pairs_oracle(threshold, n_shingle)
+    found = minhash_lsh_pairs_oracle(threshold, n_shingle)
+    return f"""WITH truth AS (
+  SELECT doc_a, doc_b FROM ({truth})
+), found AS (
+  SELECT doc_a, doc_b, 1 AS hit FROM ({found})
+), joined AS (
+  SELECT t.doc_a, t.doc_b, COALESCE(f.hit, 0) AS hit
+  FROM truth t LEFT JOIN found f
+    ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(hit) AS BIGINT) AS n_found,
+       CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_missed,
+       CASE WHEN COUNT(*) = 0 THEN 1.0 ELSE
+         floor(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+       END AS recall
+FROM joined"""

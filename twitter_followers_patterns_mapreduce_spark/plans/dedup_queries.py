@@ -186,3 +186,14 @@ def doc_duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_strip(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=D.lsh_recall_audit_oracle(threshold=0.5),
+    description="recall audit of the MinHash-LSH near-dup path vs the exact "
+    "inverted-index truth at the same threshold (precision is 1 by construction — "
+    "both verify exact jaccard): the standing banding-parameter quality gate",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_recall_audit(load_table(spark, sf_dir, "documents"), threshold=0.5)
