@@ -139,3 +139,25 @@ def test_exact_quantiles_q1_is_min_handling(spark):
     got = {r["q"]: r["value_cents"] for r in rows}
     assert got[0.001] == 100  # k clamps to 1 → the minimum
     assert got[1.0] == 900    # k = n → the maximum
+
+
+def test_exact_quantiles_property_random_shapes(spark):
+    """Property sweep without per-example Spark jobs exploding runtime:
+    several deterministic seeds × odd fanout/leaf shapes, each checked
+    against the sorted-list oracle for all three default ranks."""
+    import random as _r
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import exact_quantiles_refine
+
+    for seed, fanout, leaf in [(1, 3, 1), (2, 7, 5), (3, 1024, 4096), (4, 2, 2)]:
+        rnd = _r.Random(seed)
+        n = rnd.randrange(1, 120)
+        vals = [round(rnd.uniform(0.01, 500.0), 2) for _ in range(n)]
+        cents = sorted(round(v * 100) for v in vals)
+        rows = exact_quantiles_refine(
+            _median_df(spark, vals), qs=(0.5, 0.9, 0.99), fanout=fanout, leaf=leaf
+        ).collect()
+        for r in rows:
+            k = max(1, -(-int(r["q"] * 1e6) * n // 1_000_000))
+            assert (r["n_rows"], r["k"], r["value_cents"]) == (n, k, cents[k - 1]), (
+                seed, fanout, leaf, r["q"],
+            )
