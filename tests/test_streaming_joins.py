@@ -88,3 +88,62 @@ def test_interval_condition_binds(spark, rows):
         assert dt.timedelta(0) <= delta < dt.timedelta(hours=4)
     n_clicks_per_user = 60 // 5
     assert len(want) < 20 * n_clicks_per_user  # strictly fewer than all-pairs
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path, rows
+):
+    """LEFT OUTER: clicks with no purchase in-window must emit with
+    nulls once the watermark proves no match can arrive.  Outer
+    emission is watermark-driven, so the fixture appends two far-future
+    sentinel click batches: the first advances the watermark, the
+    second gives the evicted-unmatched rows a batch to emit in."""
+    from twitter_followers_patterns_mapreduce_spark.streaming.joins import (
+        attribution_stream_join_outer,
+    )
+
+    path = str(tmp_path / "events")
+    # user 7 clicks but never purchases -> guaranteed unmatched rows
+    rows = rows + [
+        (90000 + i, T0 + dt.timedelta(minutes=15 * i), 7, "click", 0.0, "{}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, schema=EVENT_STREAM_SCHEMA)
+    df.repartition(2).write.mode("overwrite").parquet(path)
+    far = T0 + dt.timedelta(days=10)
+    for i, off in enumerate((0, 1)):
+        sent = spark.createDataFrame(
+            [(100000 + i, far + dt.timedelta(hours=off), 999, "click", 0.0, "{}")],
+            schema=EVENT_STREAM_SCHEMA,
+        )
+        sent.coalesce(1).write.mode("append").parquet(path)
+
+    clicks = events_file_stream(spark, path).where(F.col("event_type") == "click")
+    purchases = events_file_stream(spark, path).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = attribution_stream_join_outer(clicks, purchases)
+    run_available_now(joined, "ss_attrib_outer", "append")
+    got = spark.table("ss_attrib_outer").where(F.col("click_id") < 100000)
+
+    # matched rows == the batch inner join
+    matched = got.where(F.col("purchase_id").isNotNull())
+    want_inner = sorted(map(tuple, _batch_expected(spark, rows).collect()))
+    assert sorted(map(tuple, matched.collect())) == want_inner
+
+    # null rows are exactly the batch left-anti clicks (all real clicks
+    # are older than watermark once the sentinels land)
+    batch_clicks = (
+        spark.createDataFrame(rows, schema=EVENT_STREAM_SCHEMA)
+        .where(F.col("event_type") == "click")
+        .select("event_id")
+    )
+    matched_ids = {r["click_id"] for r in matched.select("click_id").distinct().collect()}
+    unmatched_want = {
+        r["event_id"] for r in batch_clicks.collect() if r["event_id"] not in matched_ids
+    }
+    unmatched_got = {
+        r["click_id"] for r in got.where(F.col("purchase_id").isNull()).collect()
+    }
+    assert unmatched_got == unmatched_want
+    assert len(unmatched_want) > 0  # the fixture really exercises the null path

@@ -57,3 +57,44 @@ def attribution_stream_join(
     return c.join(p, cond).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def attribution_stream_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER form of :func:`attribution_stream_join` — every click
+    row eventually emits, matched or not: the unattributed-click audit
+    as a stream (batch twin: the same join with ``how='left'``).
+
+    Outer semantics are WATERMARK-DRIVEN (public Structured Streaming
+    contract): a click can only emit with nulls once the watermark
+    proves no future purchase can still match it (click_ts + window <
+    watermark), so null rows trail the data by watermark + window, and
+    a drain needs at least one micro-batch AFTER the batch that
+    advanced the watermark (emission happens when state is evicted,
+    which is evaluated at the START of a batch).  State/eviction model
+    is identical to the inner form — the outer flag changes only what
+    happens to evicted-unmatched rows (emit-null vs drop).
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
+    )
