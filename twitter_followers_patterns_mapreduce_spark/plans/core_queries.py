@@ -664,3 +664,41 @@ def bipartite_butterfly_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(l_partkey % 499 AS BIGINT) AS p",
     ).distinct()
     return G.butterfly_count(e, deg_cap=64)
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import patterns as PT  # noqa: E402
+
+#: motif queries run on the MAX-capped edge view (the reference's own
+#: fan-out lever); 80 keeps the 2-path half-relations small at sf0.1+
+PATTERN_CAP = 80
+
+
+def _pattern_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    return e.where((e["src"] < PATTERN_CAP) & (e["dst"] < PATTERN_CAP))
+
+
+@register(
+    "graph_square_count",
+    oracle=PT.square_count_oracle(
+        f"SELECT * FROM ({EDGES_ORACLE_CTE}) e WHERE src < {PATTERN_CAP} AND dst < {PATTERN_CAP}"
+    ),
+    description="directed 4-cycles counted once (min-vertex anchor): BUSHY compile — "
+    "two 2-path half-relations joined on both endpoints, never a 3-path intermediate "
+    "(the next motif up from the reference's triangle job)",
+)
+def graph_square_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PT.square_count(_pattern_edges(spark, sf_dir))
+
+
+@register(
+    "graph_diamond_count",
+    oracle=PT.diamond_count_oracle(
+        f"SELECT * FROM ({EDGES_ORACLE_CTE}) e WHERE src < {PATTERN_CAP} AND dst < {PATTERN_CAP}"
+    ),
+    description="feed-forward diamonds (a->b, a->c, b->d, c->d) via the generic "
+    "SPARQL-style BGP matcher: greedy left-deep variable-binding joins over one "
+    "deduped edge scan — the reference's fixed patterns as a query language",
+)
+def graph_diamond_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PT.diamond_count(_pattern_edges(spark, sf_dir))
