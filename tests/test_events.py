@@ -372,3 +372,60 @@ def test_heavy_hitters_rejects_bad_phi(spark):
 
     with pytest.raises(ValueError):
         heavy_hitters(_hh_events(spark, {1: 1}, 1), phi=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Temporal triangles
+# ---------------------------------------------------------------------------
+
+def test_temporal_triangle_golden(spark):
+    """Users 16/32/48 (same %16 bucket) produce the LEAD-derived edges
+    16→32@t1, 32→48@t2, 48→16@t3 — exactly one time-ordered triangle
+    inside the window, zero with a window shorter than t3-t1."""
+    import datetime as dt
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        temporal_triangle_count,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 16),
+        (2, t0 + dt.timedelta(hours=1), 32),
+        (3, t0 + dt.timedelta(hours=2), 48),
+        (4, t0 + dt.timedelta(hours=3), 16),
+    ]
+    ev = spark.createDataFrame(rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG")
+    got = temporal_triangle_count(ev, window_us=24 * 3600 * 1_000_000).collect()[0]
+    assert (got["n_temporal_triangles"], got["n_closing_nodes"]) == (1, 1)
+    # window shorter than the full loop (2h < t3-t1=2h? strictly: t3 at
+    # +2h is ON the 2h boundary and <= holds; use 1h to exclude)
+    tight = temporal_triangle_count(ev, window_us=3600 * 1_000_000).collect()[0]
+    assert tight["n_temporal_triangles"] == 0
+
+
+def test_temporal_triangle_needs_closing_direction(spark):
+    """A wedge whose third edge points the WRONG way (16→48 instead of
+    48→16) is a static near-triangle but no directed cycle → 0 motifs.
+    (A cycle derived from ONE event chain is always time-ordered — the
+    LEAD derivation's edge times increase along the traversal — so the
+    direction test is the meaningful negative here; the window test
+    above covers the temporal bound.)"""
+    import datetime as dt
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        temporal_triangle_count,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # partition bucket 0 (users %16==0): wedge 16->32->48
+    # partition bucket 1 (users 12977/13009: %997 = 16/48, %16 == 1):
+    # the chord 16->48 — same NODES, wrong direction for a cycle
+    rows = [
+        (1, t0, 16),
+        (2, t0 + dt.timedelta(hours=1), 32),
+        (3, t0 + dt.timedelta(hours=2), 48),
+        (4, t0 + dt.timedelta(hours=3), 12977),
+        (5, t0 + dt.timedelta(hours=4), 13009),
+    ]
+    ev = spark.createDataFrame(rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG")
+    got = temporal_triangle_count(ev).collect()[0]
+    assert got["n_temporal_triangles"] == 0

@@ -922,3 +922,75 @@ SELECT user_id,
 FROM events CROSS JOIN total
 GROUP BY user_id
 HAVING CAST(COUNT(*) AS DOUBLE) > {phi!r} * CAST(MAX(n_total) AS DOUBLE)"""
+
+
+def temporal_triangle_count(
+    events: DataFrame, window_us: int = 24 * 3600 * 1_000_000
+) -> DataFrame:
+    """Time-ORDERED triangle count (the δ-temporal motif of Paranjape
+    et al. WSDM'17, one motif class up from
+    :func:`temporal_two_hop_count`): cycles x→z→y→x over the
+    first-observation temporal edges with strictly increasing
+    timestamps t1 < t2 < t3, all within ``window_us`` of t1 — "A
+    engaged B, then B engaged C, then C closed back to A, all inside a
+    day": the influence-loop signal, where the reference's static RS
+    triangle (``rsjoin/RSJoinTriangleCount.java``) cannot distinguish
+    cause from echo.
+
+    Join shape: the static triangle pipeline (J1 wedge + closing
+    equi-join) with the two time conjuncts riding the joins exactly
+    like the RS job's x≠z filter (SURVEY.md F3) — the ordering
+    conjuncts only PRUNE join output.  Integer microsecond arithmetic;
+    each directed time-ordered cycle is counted once (the time order
+    fixes the rotation, so no ÷3).
+
+    Emits (n_temporal_triangles, n_closing_nodes).  At sf0.001 the
+    1k-event derivation is structurally triangle-free (verified
+    exhaustively — no directed cycle has increasing first-times at any
+    window), so the oracle compares the (0, 0) row there; sf0.01+ is
+    non-vacuous (223 / 3602 at the gate scales).
+    """
+    e = temporal_edges(events).localCheckpoint(eager=False)
+    e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"), F.col("ts_us").alias("t1"))
+    e2 = e.select(F.col("src").alias("z"), F.col("dst").alias("y"), F.col("ts_us").alias("t2"))
+    e3 = e.select(F.col("src").alias("y"), F.col("dst").alias("x"), F.col("ts_us").alias("t3"))
+    tri = (
+        e1.join(e2, "z")
+        .where(
+            (F.col("y") != F.col("x"))
+            & (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.lit(window_us))
+        )
+        .join(e3, ["y", "x"])
+        .where(
+            (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + F.lit(window_us))
+        )
+    )
+    return tri.agg(
+        F.count("*").cast("long").alias("n_temporal_triangles"),
+        F.countDistinct("y").cast("long").alias("n_closing_nodes"),
+    )
+
+
+def temporal_triangle_oracle(window_us: int = 24 * 3600 * 1_000_000) -> str:
+    return f"""WITH raw AS (
+  SELECT user_id % 997 AS src,
+         LEAD(user_id % 997) OVER (PARTITION BY user_id % 16
+                                   ORDER BY ts ASC, event_id ASC) AS dst,
+         epoch_us(ts) AS ts_us
+  FROM events
+), e AS (
+  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+         MIN(ts_us) AS ts_us
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+  GROUP BY src, dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_temporal_triangles,
+       CAST(COUNT(DISTINCT e2.dst) AS BIGINT) AS n_closing_nodes
+FROM e e1
+JOIN e e2 ON e1.dst = e2.src
+JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+WHERE e2.dst <> e1.src
+  AND e2.ts_us > e1.ts_us AND e2.ts_us <= e1.ts_us + {window_us}
+  AND e3.ts_us > e2.ts_us AND e3.ts_us <= e1.ts_us + {window_us}"""

@@ -670,3 +670,14 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, user_event_stream(spark, feed_dir), state_dir, ckpt_dir
     )
     return heavy_hitters_from_view(spark, state_dir, phi=0.008)
+
+
+@register(
+    "events_temporal_triangles",
+    oracle=E.temporal_triangle_oracle(),
+    description="time-ordered triangle count (delta-temporal motif, 24h window): the "
+    "reference's RS triangle with strictly increasing edge times riding the joins — "
+    "cause-vs-echo influence loops; time order fixes the rotation (no /3)",
+)
+def events_temporal_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.temporal_triangle_count(load_events(spark, sf_dir))
