@@ -161,3 +161,35 @@ def test_exact_quantiles_property_random_shapes(spark):
             assert (r["n_rows"], r["k"], r["value_cents"]) == (n, k, cents[k - 1]), (
                 seed, fanout, leaf, r["q"],
             )
+
+
+def test_exact_quantiles_nonrepresentable_q_matches_duckdb_oracle(spark):
+    """ADVICE r5 regression pin: for q where q*1e6 is not exactly
+    representable (1/3, 2/3) Python int() truncation and SQL CAST
+    round-to-nearest used to derive ranks differing by 1.  Both sides
+    now share qi = round(q*1e6); the engine must hash-match the oracle
+    rank-for-rank on a dataset dense enough that an off-by-one rank
+    changes the answer (all values distinct)."""
+    import duckdb
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        exact_quantiles_refine,
+        exact_quantiles_refine_oracle,
+    )
+
+    qs = (1 / 3, 2 / 3, 0.123456789)
+    vals = [round(0.01 * i, 2) for i in range(1, 301)]  # 300 distinct values
+    got = {
+        r["q"]: (r["n_rows"], r["k"], r["value_cents"])
+        for r in exact_quantiles_refine(_median_df(spark, vals), qs=qs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals (l_extendedprice DOUBLE)")
+    con.executemany("INSERT INTO vals VALUES (?)", [(v,) for v in vals])
+    want = {
+        q: (n, k, c)
+        for q, n, k, c, _v in con.execute(
+            exact_quantiles_refine_oracle("vals", "l_extendedprice", qs=qs)
+        ).fetchall()
+    }
+    assert got == want and len(got) == 3

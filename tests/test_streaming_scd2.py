@@ -1,5 +1,5 @@
-"""Incremental streaming SCD2 apply — multi-batch incrementality and
-batch/stream parity (streaming/scd2.py)."""
+"""Incremental streaming SCD2 apply — multi-batch incrementality,
+batch/stream parity, and replay idempotency (streaming/scd2.py)."""
 
 from __future__ import annotations
 
@@ -15,11 +15,19 @@ from twitter_followers_patterns_mapreduce_spark.plans.relational_queries import 
 )
 from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
 from twitter_followers_patterns_mapreduce_spark.streaming.scd2 import (
+    read_scd2_state,
     scd2_apply_stream,
     scd2_feed_stream,
 )
 
 SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols=None):
+    cols = cols or [
+        "o_orderkey", "version", "priority", "valid_from", "valid_to", "is_current"
+    ]
+    return sorted(tuple(r) for r in df.select(cols).collect())
 
 
 def test_streamed_scd2_runs_incrementally_and_matches_batch(spark, tmp_path):
@@ -41,12 +49,9 @@ def test_streamed_scd2_runs_incrementally_and_matches_batch(spark, tmp_path):
     scd2_apply_stream(spark, stream, state_dir, ckpt, batch_ids=batch_ids)
     assert batch_ids == [0, 1]
 
-    cur = os.path.join(state_dir, "current")
-    final = spark.read.parquet(cur)
+    final = read_scd2_state(spark, state_dir)
     batch = orders_scd2_history(load_table(spark, SF, "orders"))
-    cols = ["o_orderkey", "version", "priority", "valid_from", "valid_to", "is_current"]
-    got = {tuple(r) for r in final.select(cols).collect()}
-    want = {tuple(r) for r in batch.select(cols).collect()}
+    got, want = _rows(final), _rows(batch)
     assert got == want and len(got) > 0
     # updated keys must show the merge's rewrite-of-emitted-rows: a
     # CLOSED version-0 interval (batch 0 wrote it open; batch 1's merge
@@ -72,7 +77,7 @@ def test_streamed_scd2_restart_resumes_from_checkpoint(spark, tmp_path):
     ids_a: list[int] = []
     scd2_apply_stream(spark, scd2_feed_stream(spark, feed_dir), state_dir, ckpt, ids_a)
     assert ids_a == [0]
-    mid = spark.read.parquet(os.path.join(state_dir, "current"))
+    mid = read_scd2_state(spark, state_dir)
     # base-only state: every interval open, nothing versioned yet
     assert mid.where("version != 0 OR NOT is_current").count() == 0
 
@@ -81,12 +86,9 @@ def test_streamed_scd2_restart_resumes_from_checkpoint(spark, tmp_path):
     scd2_apply_stream(spark, scd2_feed_stream(spark, feed_dir), state_dir, ckpt, ids_b)
     assert ids_b == [1]  # resumed, not replayed
 
-    final = spark.read.parquet(os.path.join(state_dir, "current"))
+    final = read_scd2_state(spark, state_dir)
     batch = orders_scd2_history(load_table(spark, SF, "orders"))
-    cols = ["o_orderkey", "version", "priority", "valid_from", "valid_to", "is_current"]
-    assert {tuple(r) for r in final.select(cols).collect()} == {
-        tuple(r) for r in batch.select(cols).collect()
-    }
+    assert _rows(final) == _rows(batch)
 
 
 def test_streamed_scd2_merge_is_batching_invariant(spark, tmp_path):
@@ -101,9 +103,48 @@ def test_streamed_scd2_merge_is_batching_invariant(spark, tmp_path):
     batch_ids: list[int] = []
     scd2_apply_stream(spark, one, state_dir, str(tmp_path / "c1"), batch_ids=batch_ids)
     assert batch_ids == [0]  # single batch this time
-    final = spark.read.parquet(os.path.join(state_dir, "current"))
+    final = read_scd2_state(spark, state_dir)
     batch = orders_scd2_history(load_table(spark, SF, "orders"))
-    cols = ["o_orderkey", "version", "priority", "valid_from", "valid_to", "is_current"]
-    assert {tuple(r) for r in final.select(cols).collect()} == {
-        tuple(r) for r in batch.select(cols).collect()
-    }
+    assert _rows(final) == _rows(batch)
+
+
+def test_streamed_scd2_replayed_batch_is_idempotent(spark, tmp_path):
+    """The crash window ADVICE flagged: state write committed, streaming
+    checkpoint NOT committed → the same batch replays with the same
+    batch_id.  Simulated by draining the base file twice with a LOST
+    checkpoint (fresh dir, same state) — the replayed batch 0 must
+    merge against its predecessor (none strictly below 0), overwrite
+    v=0 in place, and produce zero duplicate (key, version) rows."""
+    import shutil
+
+    staged, _, _ = _stage_scd2_feed(spark, SF)
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    shutil.copy(os.path.join(staged, "f0.parquet"), feed_dir)
+
+    state_dir = str(tmp_path / "state")
+    scd2_apply_stream(
+        spark, scd2_feed_stream(spark, feed_dir), state_dir, str(tmp_path / "c_lost")
+    )
+    first = _rows(read_scd2_state(spark, state_dir))
+
+    # checkpoint lost → replay of batch 0 against the already-written state
+    ids: list[int] = []
+    scd2_apply_stream(
+        spark, scd2_feed_stream(spark, feed_dir), state_dir, str(tmp_path / "c_new"), ids
+    )
+    assert ids == [0]
+    replayed = read_scd2_state(spark, state_dir)
+    assert _rows(replayed) == first  # byte-identical state, no duplicates
+    dupes = (
+        replayed.groupBy("o_orderkey", "version").count().where("count > 1").count()
+    )
+    assert dupes == 0
+
+    # the update file then lands; the continued drain must still converge
+    shutil.copy(os.path.join(staged, "f1.parquet"), feed_dir)
+    scd2_apply_stream(
+        spark, scd2_feed_stream(spark, feed_dir), state_dir, str(tmp_path / "c_new")
+    )
+    batch = orders_scd2_history(load_table(spark, SF, "orders"))
+    assert _rows(read_scd2_state(spark, state_dir)) == _rows(batch)

@@ -1173,13 +1173,14 @@ def corpus_bpe_train(df: DataFrame, rounds: int = 6) -> DataFrame:
     and the rewrite is ``replace(state, '|a|b|', '|ab|')`` — literal,
     leftmost, non-overlapping in Spark and DuckDB alike.  One declared
     deviation from canonical BPE: after a match, ``replace`` resumes
-    PAST the consumed trailing delimiter, so on a run of a repeated
-    symbol the immediately-adjacent next occurrence is deferred to a
-    later round ('aaaa' rewrites to [aa,a,a], canonical scan gives
-    [aa,aa]) — deterministic, identical on both engines, and only
-    visible on single-symbol runs, which natural vocabulary rarely
-    has.  The oracle unrolls the identical rounds as chained CTEs with
-    1-row winner subqueries.
+    PAST the consumed trailing delimiter, so ANY immediately-adjacent
+    occurrence of the merged pair that shares that delimiter is
+    deferred to a later round — on single-symbol runs ('aaaa' rewrites
+    to [aa,a,a]; canonical gives [aa,aa]) but equally on repeated
+    multi-symbol pairs ('abab' rewrites to [ab,a,b]; canonical gives
+    [ab,ab]).  Deterministic and identical on both engines either way,
+    which is what the oracle gate pins.  The oracle unrolls the
+    identical rounds as chained CTEs with 1-row winner subqueries.
 
     Plan shape (100 TB): the ONLY corpus-sized pass is the word-count
     aggregation (one map-side-combinable hash agg); every round after

@@ -314,7 +314,12 @@ def exact_quantiles_refine(
     same histogram-refinement selection as :func:`exact_median_refine`,
     sharing ONE checkpointed 1-column projection across all chains —
     the multi-rank generalization (p50/p90/p99 from 1 + Σ passes, no
-    global sort, driver sees only histograms).  Rank q ↦ k = ⌈q·n⌉.
+    global sort, driver sees only histograms).  Rank q ↦ k = ⌈q·n⌉,
+    computed from ONE shared scaled integer qi = round(q·1e6) so the
+    engine and the oracle (which interpolates the same literal, see
+    :func:`exact_quantiles_refine_oracle`) can never disagree on the
+    rank for probabilities where q·1e6 is not exactly representable
+    (e.g. 1/3 — truncation vs round-to-nearest differ by 1).
     Emits one row per probability: (q, n_rows, k, value_cents, value).
     """
     v = df.selectExpr(f"CAST(round({col} * 100) AS BIGINT) AS c").localCheckpoint(
@@ -330,7 +335,11 @@ def exact_quantiles_refine(
         raise ValueError(f"exact_quantiles_refine: no rows in {col}")
     out = []
     for q in qs:
-        k_global = max(1, -(-int(q * 1e6) * n // 1_000_000))  # ceil(q*n), int-exact
+        qi = round(q * 1e6)  # the ONE scaled-integer rank definition
+        # ceil via positive operands only: Python // floors but DuckDB //
+        # truncates toward zero, so the -(-a//b) ceil trick diverges
+        # cross-engine whenever qi*n isn't divisible by 1e6
+        k_global = max(1, (qi * n + 999_999) // 1_000_000)
         k, lo, hi = k_global, lo0, hi0
         while hi - lo > leaf:
             w = max(1, (hi - lo + 1) // fanout)
@@ -376,7 +385,13 @@ def exact_quantiles_refine_oracle(
     table: str = "lineitem", col: str = "l_extendedprice",
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> str:
-    probes = "\nUNION ALL\n".join(f"SELECT CAST({q!r} AS DOUBLE) AS q" for q in qs)
+    # interpolate the SAME scaled integer qi = round(q*1e6) the engine
+    # uses, so both sides share one rank definition (ADVICE r5: CAST
+    # rounds, Python int() truncates — divergent by 1 for q like 1/3)
+    probes = "\nUNION ALL\n".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS q, CAST({round(q * 1e6)} AS BIGINT) AS qi"
+        for q in qs
+    )
     return f"""WITH v AS (
   SELECT CAST(round({col} * 100) AS BIGINT) AS c FROM {table}
 ),
@@ -386,7 +401,7 @@ probes AS ({probes}),
 ranks AS (
   SELECT q, n,
          GREATEST(CAST(1 AS BIGINT),
-                  CAST(-((-CAST(q * 1e6 AS BIGINT) * n) // 1000000) AS BIGINT)) AS k
+                  CAST((qi * n + 999999) // 1000000 AS BIGINT)) AS k
   FROM probes CROSS JOIN t)
 SELECT ranks.q, ranks.n AS n_rows, ranks.k, r.c AS value_cents, r.c / 100.0 AS value
 FROM ranks JOIN r ON r.rn = ranks.k"""

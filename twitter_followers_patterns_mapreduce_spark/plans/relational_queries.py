@@ -640,9 +640,8 @@ def _stage_scd2_feed(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
 def orders_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of ``orders_scd2_history`` — see
     ``streaming/scd2.py`` for the merge semantics and scale shape."""
-    import os
-
     from twitter_followers_patterns_mapreduce_spark.streaming.scd2 import (
+        read_scd2_state,
         scd2_apply_stream,
         scd2_feed_stream,
     )
@@ -651,7 +650,7 @@ def orders_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_apply_stream(
         spark, scd2_feed_stream(spark, feed_dir), state_dir, ckpt_dir
     )
-    return spark.read.parquet(os.path.join(state_dir, "current"))
+    return read_scd2_state(spark, state_dir)
 
 
 @register(
