@@ -352,3 +352,56 @@ def test_mutual_reach_ignores_self_loops_and_duplicates(spark):
 def test_mutual_reach_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         GI.mutual_reach_pairs(make_edges(spark, [(1, 2)]), k=0)
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components
+# ---------------------------------------------------------------------------
+
+def _scc_map(df):
+    return {r["id"]: r["scc_id"] for r in df.collect()}
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # 1->2->3->1 (SCC 1), 4->5->4 (SCC 4), bridge 3->4 (acyclic)
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4)])
+    r = _scc_map(GI.strongly_connected_components(e))
+    assert r == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    # diamond DAG: every node its own SCC (trim clears everything)
+    e = make_edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    r = _scc_map(GI.strongly_connected_components(e))
+    assert r == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_scc_long_directed_cycle(spark):
+    # one 12-node cycle: needs several propagation passes, single SCC
+    e = make_edges(spark, [(i, i % 12 + 1) for i in range(1, 13)])
+    r = _scc_map(GI.strongly_connected_components(e))
+    assert set(r.values()) == {1} and len(r) == 12
+
+
+def test_scc_chain_of_cycles_needs_peeling(spark):
+    # two cycles joined by a chain THROUGH a singleton: 1<->2 -> 3 -> 4<->5
+    e = make_edges(spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 5), (5, 4)])
+    r = _scc_map(GI.strongly_connected_components(e))
+    assert r == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+
+
+def test_scc_self_loops_are_singletons(spark):
+    e = make_edges(spark, [(1, 1), (1, 2), (2, 2)])
+    r = _scc_map(GI.strongly_connected_components(e))
+    assert r == {1: 1, 2: 2}
+
+
+def test_scc_condensation_edges(spark):
+    # SCC {1,2} -> {3} -> SCC {4,5}; condensation must have 2 DAG edges
+    e = make_edges(spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 5), (5, 4)])
+    scc = GI.strongly_connected_components(e)
+    cond = {
+        (r["scc_src"], r["scc_dst"])
+        for r in GI.scc_condensation_edges(e, scc).collect()
+    }
+    assert cond == {(1, 3), (3, 4)}

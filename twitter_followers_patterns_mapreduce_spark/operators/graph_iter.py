@@ -1027,3 +1027,190 @@ r{i + 1} AS (
 SELECT r.src AS u, r.dst AS v
 FROM r{k} r JOIN r{k} w ON r.src = w.dst AND r.dst = w.src
 WHERE r.src < r.dst"""
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components: trim + forward/backward min-label peeling
+# ---------------------------------------------------------------------------
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 30, max_prop: int = 50
+) -> DataFrame:
+    """Directed SCCs — ``(id, scc_id)`` where ``scc_id`` is the minimum
+    node id in the component (the "who can mutually retweet whom"
+    equivalence over the reference's follower edges; the directed
+    refinement of :func:`connected_components`).
+
+    Distributed FW-BW-with-trimming (the standard Pregel/MapReduce SCC
+    decomposition — e.g. Orzan's coloring / FW-BW of Fleischer et al.,
+    both built from exactly these primitives), expressed as DataFrame
+    passes:
+
+    1. **Trim**: a node with no in-edges or no out-edges in the live
+       subgraph can sit on no cycle → it is its own singleton SCC.
+       Each trim pass is two distinct-projections + one anti-join;
+       iterated to fixpoint it clears the periphery (chains peel from
+       both ends).
+    2. **FW/BW min-label**: propagate ``fmin`` (min id that reaches v)
+       along edges and ``bmin`` (min id v reaches) against them, both
+       folded in the SAME synchronous pass (one join per direction,
+       O(diameter) passes, the `connected_components` loop shape).
+       ``fmin(v) == bmin(v) == c`` ⇔ c reaches v AND v reaches c ⇔
+       v ∈ SCC(c) — every component whose minimum is the min of its own
+       reach-closure settles in this round; at minimum the component of
+       the globally smallest live id always does, so each super-round
+       strictly shrinks the graph (termination ≤ |V| rounds, raised if
+       ``max_rounds`` is hit first so a truncated answer can never
+       masquerade as exact).
+    3. Peel the settled nodes + their edges, repeat.
+
+    Scale shape: state is O(|V|) label rows; every pass is an edge
+    equi-join + hash-min aggregate (AQE skew-splits hub keys like the
+    other iterative ops here); the driver sees only per-pass change
+    counts.  The harness graphs settle in ONE super-round (1 trim pass
+    + ~4 propagation passes — measured, FIXTURES.md).
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], schema="id LONG, scc_id LONG")
+
+    for _ in range(max_rounds):
+        # --- trim to fixpoint: no-inbound or no-outbound ⇒ singleton SCC
+        while True:
+            live = (
+                e.select(F.col("src").alias("id"))
+                .distinct()
+                .join(e.select(F.col("dst").alias("id")).distinct(), "id")
+            )
+            dead = nodes.join(live, "id", "left_anti").localCheckpoint(eager=False)
+            if dead.count() == 0:
+                break
+            assigned = assigned.unionByName(
+                dead.select("id", F.col("id").alias("scc_id"))
+            ).localCheckpoint(eager=False)
+            nodes = nodes.join(dead, "id", "left_anti").localCheckpoint(eager=False)
+            e = (
+                e.join(dead.select(F.col("id").alias("src")), "src", "left_anti")
+                .join(dead.select(F.col("id").alias("dst")), "dst", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+        if nodes.count() == 0:
+            break
+
+        # --- forward/backward hash-min to fixpoint
+        lab = nodes.select(
+            "id", F.col("id").alias("fmin"), F.col("id").alias("bmin")
+        ).localCheckpoint(eager=False)
+        for _ in range(max_prop):
+            fprop = (
+                e.join(lab.select(F.col("id").alias("src"), "fmin"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("fmin").alias("f_in"))
+            )
+            bprop = (
+                e.join(lab.select(F.col("id").alias("dst"), "bmin"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("bmin").alias("b_in"))
+            )
+            new = (
+                lab.join(fprop, "id", "left")
+                .join(bprop, "id", "left")
+                .select(
+                    "id",
+                    F.least("fmin", F.coalesce("f_in", "fmin")).alias("nf"),
+                    F.least("bmin", F.coalesce("b_in", "bmin")).alias("nb"),
+                    (
+                        (F.coalesce("f_in", "fmin") < F.col("fmin"))
+                        | (F.coalesce("b_in", "bmin") < F.col("bmin"))
+                    ).alias("_moved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            moved = new.where(F.col("_moved")).count()
+            lab = new.select(
+                "id", F.col("nf").alias("fmin"), F.col("nb").alias("bmin")
+            )
+            if moved == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"SCC label propagation did not converge in {max_prop} passes"
+            )
+
+        done = lab.where(F.col("fmin") == F.col("bmin")).select(
+            "id", F.col("fmin").alias("scc_id")
+        ).localCheckpoint(eager=False)
+        assigned = assigned.unionByName(done).localCheckpoint(eager=False)
+        nodes = nodes.join(done, "id", "left_anti").localCheckpoint(eager=False)
+        e = (
+            e.join(done.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(done.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if nodes.count() == 0:
+            break
+    else:
+        raise RuntimeError(f"SCC peeling did not converge in {max_rounds} rounds")
+    return assigned
+
+
+def strongly_connected_components_oracle(edges_cte: str) -> str:
+    """DuckDB oracle: full transitive closure, scc_id(v) = min over v's
+    mutual-reachability set — exponential-state formulation viable only
+    at oracle scale, which is exactly why the engine peels instead."""
+    return f"""WITH RECURSIVE s AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src
+),
+mutual AS (
+  SELECT r1.a AS a, r1.b AS b
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.id, LEAST(n.id, COALESCE(MIN(m.b), n.id)) AS scc_id
+FROM nodes n LEFT JOIN mutual m ON m.a = n.id
+GROUP BY n.id"""
+
+
+def scc_condensation_edges(edges: DataFrame, scc: DataFrame) -> DataFrame:
+    """Edges of the condensation DAG: distinct (scc_src, scc_dst) pairs
+    with scc_src ≠ scc_dst — the component-level structure left after
+    contracting every SCC of ``scc`` (= output of
+    :func:`strongly_connected_components`) to one node.  Two broadcast-
+    able dimension joins (the SCC map is O(|V|)) + one distinct."""
+    m_src = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("scc_src"))
+    m_dst = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("scc_dst"))
+    return (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(m_src, "src")
+        .join(m_dst, "dst")
+        .where(F.col("scc_src") != F.col("scc_dst"))
+        .select("scc_src", "scc_dst")
+        .distinct()
+    )
+
+
+def scc_condensation_oracle(edges_cte: str) -> str:
+    """Condensation-DAG edge list from the same closure as the SCC oracle."""
+    scc = strongly_connected_components_oracle(edges_cte)
+    return f"""WITH scc AS ({scc}),
+g AS (SELECT DISTINCT src, dst FROM ({edges_cte}) WHERE src <> dst)
+SELECT DISTINCT ms.scc_id AS scc_src, md.scc_id AS scc_dst
+FROM g JOIN scc ms ON g.src = ms.id JOIN scc md ON g.dst = md.id
+WHERE ms.scc_id <> md.scc_id"""

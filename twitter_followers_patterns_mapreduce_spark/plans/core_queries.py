@@ -702,3 +702,39 @@ def graph_square_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_diamond_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PT.diamond_count(_pattern_edges(spark, sf_dir))
+
+
+#: SCC runs on the MAX_TRI-filtered subgraph: the closure oracle is
+#: O(V^2) pairs, and 500 nodes keeps it ~1.5s at sf0.01 / ~10s at sf0.1
+#: while the sf0.001 slice still has real structure (200-node giant SCC
+#: + 300 trimmed singletons — the same cutoff discipline as _TRUSS_CTE).
+_SCC_CTE = f"SELECT * FROM ({EDGES_ORACLE_CTE}) e WHERE src < {MAX_TRI} AND dst < {MAX_TRI}"
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    return e.where((e["src"] < MAX_TRI) & (e["dst"] < MAX_TRI))
+
+
+@register(
+    "graph_scc",
+    oracle=GI.strongly_connected_components_oracle(_SCC_CTE),
+    description="iterative: strongly connected components by trim + FW/BW hash-min "
+    "peeling — trim clears acyclic periphery (no-in/no-out anti-joins), then fmin/bmin "
+    "label propagation settles every component whose minimum is its own closure min; "
+    "oracle = transitive closure + mutual-reach argmin",
+)
+def graph_scc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.strongly_connected_components(_scc_edges(spark, sf_dir))
+
+
+@register(
+    "graph_scc_condensation",
+    oracle=GI.scc_condensation_oracle(_SCC_CTE),
+    description="condensation-DAG edge list: contract each SCC to one node, emit "
+    "distinct cross-component edges — two O(|V|) map joins + distinct on top of "
+    "graph_scc's assignment",
+)
+def graph_scc_condensation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _scc_edges(spark, sf_dir)
+    return GI.scc_condensation_edges(e, GI.strongly_connected_components(e))
