@@ -193,3 +193,126 @@ def test_exact_quantiles_nonrepresentable_q_matches_duckdb_oracle(spark):
         ).fetchall()
     }
     assert got == want and len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# correlation / regression / independence family
+# ---------------------------------------------------------------------------
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import corr_matrix
+
+    rng = np.random.RandomState(7)
+    x = np.round(rng.uniform(1, 50, 200), 2)
+    y = np.round(3.0 * x + rng.normal(0, 10, 200), 2)
+    z = np.round(rng.uniform(0, 1, 200), 2)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        schema="x DOUBLE, y DOUBLE, z DOUBLE",
+    )
+    rows = {(r["col_x"], r["col_y"]): r for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(rows) == {("x", "y"), ("x", "z"), ("y", "z")}
+    # engine floors at 1e-6; numpy corr on the SCALED-int data is the truth
+    xs, ys, zs = (np.round(v * 100) for v in (x, y, z))
+    for (a, b), arr in {("x", "y"): (xs, ys), ("x", "z"): (xs, zs), ("y", "z"): (ys, zs)}.items():
+        want = np.corrcoef(arr[0], arr[1])[0, 1]
+        assert abs(rows[(a, b)]["corr"] - want) < 2e-6, (a, b)
+        assert rows[(a, b)]["n"] == 200
+
+
+def test_corr_matrix_constant_column_is_null(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(10)], schema="x DOUBLE, c DOUBLE"
+    )
+    (row,) = corr_matrix(df, ["x", "c"]).collect()
+    assert row["corr"] is None  # zero variance → guarded NULL, not Inf/NaN
+
+
+def test_ols_fit_recovers_line(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import ols_fit
+
+    # exact line y = 2.5x + 7 → slope/intercept/r2 recovered to the floor grid
+    df = spark.createDataFrame(
+        [(float(i), 2.5 * i + 7.0) for i in range(1, 101)], schema="x DOUBLE, y DOUBLE"
+    )
+    (row,) = ols_fit(df, "x", "y").collect()
+    assert abs(row["slope"] - 2.5) < 2e-6
+    assert abs(row["intercept"] - 7.0) < 2e-6
+    assert abs(row["r2"] - 1.0) < 2e-6
+
+
+def test_chi_square_independent_uniform_is_zero(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import chi_square
+
+    # perfectly independent 2x2 with equal margins → chi2 == 0
+    data = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(25)]
+    df = spark.createDataFrame(data, schema="a STRING, b STRING")
+    (row,) = chi_square(df, "a", "b").collect()
+    assert row["n"] == 100 and row["dof"] == 1
+    assert row["chi2"] == 0.0 and row["cramers_v"] == 0.0
+
+
+def test_chi_square_perfect_association(spark):
+    import numpy as np
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import chi_square
+
+    # a == b always → chi2 == n·(k-1), Cramér's V == 1
+    data = [(c, c) for c in ("x", "y", "z") for _ in range(30)]
+    df = spark.createDataFrame(data, schema="a STRING, b STRING")
+    (row,) = chi_square(df, "a", "b").collect()
+    assert row["dof"] == 4
+    assert abs(row["chi2"] - 90 * 2) < 1e-5
+    assert abs(row["cramers_v"] - 1.0) < 1e-5
+
+
+def test_chi_square_counts_absent_cells(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import chi_square
+
+    # ('y','u') never occurs: obs=0 but exp=rc·cc/n=10·30/60=5 → that cell
+    # contributes (0-5)²/5 = 5. Hand-computed table:
+    #        u   v   | rc
+    #   x   30  20   | 50
+    #   y    0  10   | 10
+    #   cc  30  30   | n=60
+    # exp: x,u=25 x,v=25 y,u=5 y,v=5 → chi2 = 1 + 1 + 5 + 5 = 12
+    data = [("x", "u")] * 30 + [("x", "v")] * 20 + [("y", "v")] * 10
+    df = spark.createDataFrame(data, schema="a STRING, b STRING")
+    (row,) = chi_square(df, "a", "b").collect()
+    assert row["n"] == 60 and row["dof"] == 1
+    assert abs(row["chi2"] - 12.0) < 1e-5
+
+
+def test_categorical_entropy_kl_hand_case(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        categorical_entropy_kl,
+    )
+
+    # group 0: 30 A + 10 B; group 1: 10 A + 30 B; global: 40/40
+    data = [(0, "A")] * 30 + [(0, "B")] * 10 + [(1, "A")] * 10 + [(1, "B")] * 30
+    df = spark.createDataFrame(data, schema="g INT, c STRING")
+    rows = {r["grp"]: r for r in categorical_entropy_kl(df, "g", "c").collect()}
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    kl = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
+    for g in (0, 1):
+        assert rows[g]["n_rows"] == 40
+        assert abs(rows[g]["entropy"] - h) < 1e-8
+        assert abs(rows[g]["kl_vs_global"] - kl) < 1e-8
+
+
+def test_categorical_entropy_kl_uniform_group_zero_kl(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        categorical_entropy_kl,
+    )
+
+    # both groups mirror the global mix exactly → KL == 0 for each
+    data = [(g, c) for g in (0, 1) for c in ("A", "B", "C") for _ in range(7)]
+    df = spark.createDataFrame(data, schema="g INT, c STRING")
+    for r in categorical_entropy_kl(df, "g", "c").collect():
+        assert abs(r["kl_vs_global"]) < 1e-8

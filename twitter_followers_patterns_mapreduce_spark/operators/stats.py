@@ -405,3 +405,265 @@ ranks AS (
   FROM probes CROSS JOIN t)
 SELECT ranks.q, ranks.n AS n_rows, ranks.k, r.c AS value_cents, r.c / 100.0 AS value
 FROM ranks JOIN r ON r.rn = ranks.k"""
+
+
+# ---------------------------------------------------------------------------
+# Correlation / regression / independence — the "table diagnostics" family.
+# All second-moment sums are EXACT (values scaled to integers at the scan,
+# summed as DECIMAL(38,0) — order-independent, unlike double sums whose value
+# depends on shuffle merge order); doubles appear only in final pointwise
+# closed forms, floored at a fixed scale so both engines emit identical bits.
+# ---------------------------------------------------------------------------
+
+def _moment_sums(cols: list[str], scale: int) -> tuple[list[str], list[str]]:
+    """(projection exprs, aggregate exprs) for exact scaled second moments:
+    x_i = round(col_i*scale) as DECIMAL(38,0); sums s_i, q_i=Σx_i², and
+    p_i_j=Σx_i·x_j for i<j.  One scan, one map-side-combinable reduce."""
+    proj = [
+        f"CAST(round({c} * {scale}) AS DECIMAL(38,0)) AS x{i}"
+        for i, c in enumerate(cols)
+    ]
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(len(cols)):
+        aggs.append(f"SUM(x{i}) AS s{i}")
+        aggs.append(f"SUM(x{i} * x{i}) AS q{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(f"SUM(x{i} * x{j}) AS p{i}_{j}")
+    return proj, aggs
+
+
+def _corr_expr(i: int, j: int) -> str:
+    """Pearson corr for the pair (i, j) from exact sums — identical
+    expression text on both engines, floored at 1e-6."""
+    num = f"CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE)"
+    di = f"CAST(n * q{i} - s{i} * s{i} AS DOUBLE)"
+    dj = f"CAST(n * q{j} - s{j} * s{j} AS DOUBLE)"
+    return (
+        f"CASE WHEN {di} > 0 AND {dj} > 0 THEN "
+        f"floor({num} / sqrt({di} * {dj}) * 1000000) / 1000000 END"
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) over numeric
+    columns — ANALYZE-style diagnostics for feature screening.
+
+    One scan + ONE wide reduce gathers every first/second moment as an
+    exact decimal (corr is scale-invariant, so the integer scaling never
+    changes the value); the k(k-1)/2 correlations are then closed-form
+    doubles unstacked from the single moment row.  Headroom: with values
+    ≤1e7 after scaling, n·Σxy stays ≤~4e37 (< 38 digits) out to n≈6e11
+    rows — the 100 TB lineitem.  Output: (col_x, col_y, n, corr)."""
+    proj, aggs = _moment_sums(cols, scale)
+    wide = df.selectExpr(*proj).selectExpr(*aggs)
+    k = len(cols)
+    stack_args = ", ".join(
+        f"'{cols[i]}', '{cols[j]}', {_corr_expr(i, j)}"
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    return wide.selectExpr(
+        "n",
+        f"stack({k * (k - 1) // 2}, {stack_args}) AS (col_x, col_y, corr)",
+    ).select("col_x", "col_y", "n", "corr")
+
+
+def corr_matrix_oracle(table: str, cols: list[str], scale: int = 100) -> str:
+    proj, aggs = _moment_sums(cols, scale)
+    k = len(cols)
+    pairs = "\nUNION ALL\n".join(
+        f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, n, {_corr_expr(i, j)} AS corr FROM m"
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    return f"""WITH v AS (SELECT {', '.join(proj)} FROM {table}),
+m AS (SELECT {', '.join(aggs)} FROM v)
+SELECT col_x, col_y, n, corr FROM ({pairs})"""
+
+
+def ols_fit(df: DataFrame, xcol: str, ycol: str, scale: int = 100) -> DataFrame:
+    """Closed-form simple OLS y ~ a + b·x via the normal equations —
+    slope/intercept/r² from the same exact-decimal moment machinery as
+    :func:`corr_matrix` (one scan, one reduce, zero iterations; the
+    distributed-ML baseline every gradient method is checked against).
+    Slope and r² are scale-invariant; the intercept is mapped back to
+    raw units.  Output: (n, slope, intercept, r2), floored at 1e-6."""
+    proj, aggs = _moment_sums([xcol, ycol], scale)
+    wide = df.selectExpr(*proj).selectExpr(*aggs)
+    num = "CAST(n * p0_1 - s0 * s1 AS DOUBLE)"
+    den = "CAST(n * q0 - s0 * s0 AS DOUBLE)"
+    dy = "CAST(n * q1 - s1 * s1 AS DOUBLE)"
+    slope = f"({num} / {den})"
+    return wide.selectExpr(
+        "n",
+        f"floor({slope} * 1000000) / 1000000 AS slope",
+        f"floor((CAST(s1 AS DOUBLE) - {slope} * CAST(s0 AS DOUBLE)) / n / {scale}"
+        " * 1000000) / 1000000 AS intercept",
+        f"floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 AS r2",
+    )
+
+
+def ols_fit_oracle(table: str, xcol: str, ycol: str, scale: int = 100) -> str:
+    proj, aggs = _moment_sums([xcol, ycol], scale)
+    num = "CAST(n * p0_1 - s0 * s1 AS DOUBLE)"
+    den = "CAST(n * q0 - s0 * s0 AS DOUBLE)"
+    dy = "CAST(n * q1 - s1 * s1 AS DOUBLE)"
+    slope = f"({num} / {den})"
+    return f"""WITH v AS (SELECT {', '.join(proj)} FROM {table}),
+m AS (SELECT {', '.join(aggs)} FROM v)
+SELECT n,
+  floor({slope} * 1000000) / 1000000 AS slope,
+  floor((CAST(s1 AS DOUBLE) - {slope} * CAST(s0 AS DOUBLE)) / n / {scale} * 1000000) / 1000000 AS intercept,
+  floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 AS r2
+FROM m"""
+
+
+def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns + Cramér's V effect size — the drift/association screen a
+    data pipeline runs between a label and a slicing dimension.
+
+    Shape: three map-side-combinable hash aggs (cells, row margins,
+    column margins — each collapses to |categories| rows at the scan),
+    one broadcast cross of the two margin tables (bounded: category
+    cardinalities, never data), a left join of observed cells (absent
+    cell ⇒ obs 0 — those still contribute, which per-cell aggregation
+    alone would silently drop).  Per-cell statistic uses the integer
+    identity (obs−exp)²/exp = (obs·n − rc·cc)²/(n·rc·cc): every input
+    an exact integer, ONE double division per cell, then the cell terms
+    are floored to 1e-9-scaled BIGINTs so the final sum is exact and
+    order-independent.  Output: (n, dof, chi2, cramers_v)."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = df.groupBy(a.alias("ca"), b.alias("cb")).agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    rows = df.groupBy(a.alias("ca")).agg(F.count("*").cast("long").alias("rc"))
+    colsm = df.groupBy(b.alias("cb")).agg(F.count("*").cast("long").alias("cc"))
+    n_row = df.agg(F.count("*").cast("long").alias("n"))
+    grid = (
+        F.broadcast(rows)
+        .crossJoin(F.broadcast(colsm))
+        .crossJoin(F.broadcast(n_row))
+        .join(cells, ["ca", "cb"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0)))
+    )
+    terms = grid.selectExpr(
+        "n",
+        "ca",
+        "cb",
+        # d and the denominator as DECIMAL so the identity survives
+        # n ≈ 6e11 (obs·n would overflow BIGINT at ~3e18)
+        "CAST(floor(CAST(CAST(obs AS DECIMAL(38,0)) * n - CAST(rc AS DECIMAL(38,0)) * cc AS DOUBLE)"
+        " * CAST(CAST(obs AS DECIMAL(38,0)) * n - CAST(rc AS DECIMAL(38,0)) * cc AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE)) * 1000000000) AS BIGINT) AS t9",
+    )
+    return terms.groupBy().agg(
+        F.max("n").alias("n"),
+        (
+            (F.countDistinct("ca") - F.lit(1))
+            * (F.countDistinct("cb") - F.lit(1))
+        ).cast("long").alias("dof"),
+        (F.sum("t9").cast("double") / F.lit(1000000000.0)).alias("chi2"),
+        F.least(F.countDistinct("ca"), F.countDistinct("cb")).alias("_minrc"),
+    ).selectExpr(
+        "n",
+        "dof",
+        "floor(chi2 * 1000000) / 1000000 AS chi2",
+        "floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (_minrc - 1))) * 1000000) / 1000000 AS cramers_v",
+    )
+
+
+def chi_square_oracle(table: str, col_a: str, col_b: str) -> str:
+    return f"""WITH cells AS (
+  SELECT {col_a} AS ca, {col_b} AS cb, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM {table} GROUP BY 1, 2),
+r AS (SELECT {col_a} AS ca, CAST(COUNT(*) AS BIGINT) AS rc FROM {table} GROUP BY 1),
+c AS (SELECT {col_b} AS cb, CAST(COUNT(*) AS BIGINT) AS cc FROM {table} GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+grid AS (
+  SELECT t.n, r.ca, c.cb, r.rc, c.cc, COALESCE(cells.obs, 0) AS obs
+  FROM r CROSS JOIN c CROSS JOIN t
+  LEFT JOIN cells ON cells.ca = r.ca AND cells.cb = c.cb),
+terms AS (
+  SELECT n, ca, cb,
+    CAST(floor(CAST(CAST(obs AS DECIMAL(38,0)) * n - CAST(rc AS DECIMAL(38,0)) * cc AS DOUBLE)
+      * CAST(CAST(obs AS DECIMAL(38,0)) * n - CAST(rc AS DECIMAL(38,0)) * cc AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE)) * 1000000000) AS BIGINT) AS t9
+  FROM grid),
+agg AS (
+  SELECT MAX(n) AS n,
+    CAST((COUNT(DISTINCT ca) - 1) * (COUNT(DISTINCT cb) - 1) AS BIGINT) AS dof,
+    CAST(SUM(t9) AS DOUBLE) / 1000000000.0 AS chi2,
+    LEAST(COUNT(DISTINCT ca), COUNT(DISTINCT cb)) AS minrc
+  FROM terms)
+SELECT n, dof,
+  floor(chi2 * 1000000) / 1000000 AS chi2,
+  floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (minrc - 1))) * 1000000) / 1000000 AS cramers_v
+FROM agg"""
+
+
+def categorical_entropy_kl(df: DataFrame, group_expr: str, cat_col: str) -> DataFrame:
+    """Per-group Shannon entropy of a categorical distribution + KL
+    divergence against the global distribution — the sampling-skew /
+    shard-drift diagnostic of a training pipeline (a shard whose class
+    mix diverges from the corpus shows up as KL ≫ 0).
+
+    Shape: one (group, category) hash agg (map-side combinable to
+    |groups|·|categories| rows), one category-marginal agg broadcast
+    onto it, group totals by a second tiny agg.  Each term p·ln(p/q)
+    and −p·ln(p) is a pointwise double over exact integer counts
+    (ln argument formed as one double expression so both engines hash
+    identically), floored to 1e-9-scaled BIGINTs and summed exactly —
+    the same order-independence discipline as :func:`chi_square`.
+    Absent (group, category) cells contribute 0 to both sums (0·ln 0
+    = 0), so only observed cells are joined.  Output per group:
+    (grp, n_rows, entropy, kl_vs_global)."""
+    base = df.selectExpr(f"{group_expr} AS grp", f"{cat_col} AS cat")
+    cells = base.groupBy("grp", "cat").agg(F.count("*").cast("long").alias("ngc"))
+    gtot = base.groupBy("grp").agg(F.count("*").cast("long").alias("ng"))
+    ctot = base.groupBy("cat").agg(F.count("*").cast("long").alias("nc"))
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(gtot), "grp")
+        .join(F.broadcast(ctot), "cat")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "grp",
+            "ng",
+            "CAST(floor(-(CAST(ngc AS DOUBLE) / ng) * ln(CAST(ngc AS DOUBLE) / ng)"
+            " * 1000000000) AS BIGINT) AS h9",
+            "CAST(floor((CAST(ngc AS DOUBLE) / ng)"
+            " * ln(CAST(ngc AS DOUBLE) * n / (CAST(ng AS DOUBLE) * nc))"
+            " * 1000000000) AS BIGINT) AS kl9",
+        )
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(
+            F.max("ng").alias("n_rows"),
+            (F.sum("h9").cast("double") / F.lit(1000000000.0)).alias("entropy"),
+            (F.sum("kl9").cast("double") / F.lit(1000000000.0)).alias("kl_vs_global"),
+        )
+        .select("grp", "n_rows", "entropy", "kl_vs_global")
+    )
+
+
+def categorical_entropy_kl_oracle(table: str, group_expr: str, cat_col: str) -> str:
+    return f"""WITH base AS (SELECT {group_expr} AS grp, {cat_col} AS cat FROM {table}),
+cells AS (SELECT grp, cat, CAST(COUNT(*) AS BIGINT) AS ngc FROM base GROUP BY 1, 2),
+g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng FROM base GROUP BY 1),
+c AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS nc FROM base GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+terms AS (
+  SELECT cells.grp, g.ng,
+    CAST(floor(-(CAST(ngc AS DOUBLE) / ng) * ln(CAST(ngc AS DOUBLE) / ng)
+      * 1000000000) AS BIGINT) AS h9,
+    CAST(floor((CAST(ngc AS DOUBLE) / ng)
+      * ln(CAST(ngc AS DOUBLE) * n / (CAST(ng AS DOUBLE) * nc))
+      * 1000000000) AS BIGINT) AS kl9
+  FROM cells JOIN g ON cells.grp = g.grp JOIN c ON cells.cat = c.cat CROSS JOIN t)
+SELECT grp, MAX(ng) AS n_rows,
+  CAST(SUM(h9) AS DOUBLE) / 1000000000.0 AS entropy,
+  CAST(SUM(kl9) AS DOUBLE) / 1000000000.0 AS kl_vs_global
+FROM terms GROUP BY grp"""

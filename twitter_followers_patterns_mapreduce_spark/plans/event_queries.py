@@ -681,3 +681,15 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def events_temporal_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.temporal_triangle_count(load_events(spark, sf_dir))
+
+
+@register(
+    "events_segment_entropy_kl",
+    oracle=ST.categorical_entropy_kl_oracle("events", "user_id % 8", "event_type"),
+    description="per-shard class-mix drift: Shannon entropy of each user-segment's "
+    "event_type distribution + KL divergence vs the global mix — the sampling-skew "
+    "diagnostic of a sharded training pipeline; pointwise ln over exact counts, "
+    "1e-9-floored BIGINT term sums (order-independent)",
+)
+def events_segment_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.categorical_entropy_kl(load_events(spark, sf_dir), "user_id % 8", "event_type")

@@ -674,3 +674,40 @@ def lineitem_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_exact_quantiles_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.exact_quantiles_refine(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle=ST.corr_matrix_oracle("lineitem", _CORR_COLS),
+    description="pairwise Pearson correlation matrix over 4 numeric lineitem columns "
+    "— one scan + ONE wide reduce of exact DECIMAL(38,0) second moments (order-"
+    "independent, headroom to n~6e11), six closed-form doubles unstacked at the end",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.corr_matrix(load_table(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+@register(
+    "lineitem_ols_qty_price",
+    oracle=ST.ols_fit_oracle("lineitem", "l_quantity", "l_extendedprice"),
+    description="closed-form simple OLS l_extendedprice ~ l_quantity via the normal "
+    "equations — slope/intercept/r2 from the same exact-moment machinery as the "
+    "correlation matrix (one scan, one reduce, zero iterations)",
+)
+def lineitem_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.ols_fit(load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+
+@register(
+    "orders_chi2_status_priority",
+    oracle=ST.chi_square_oracle("orders", "o_orderstatus", "o_orderpriority"),
+    description="Pearson chi-square independence test + Cramér's V between order "
+    "status and priority — three margin hash aggs, broadcast margin cross (bounded "
+    "by category cardinality), integer identity (obs·n - rc·cc)²/(n·rc·cc) per cell, "
+    "1e-9-floored BIGINT term sum (exact, order-independent)",
+)
+def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.chi_square(load_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
