@@ -488,3 +488,25 @@ def test_bpe_encode_stats_compression(spark):
     assert (row["n_words"], row["chars_total"], row["symbols_after"]) == (5, 19, 9)
     import math as _m
     assert row["compression"] == _m.floor(19 / 9 * 1e6) / 1e6
+
+
+def test_zipf_fit_matches_numpy_on_floored_logs(spark):
+    import math
+
+    import numpy as np
+
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import zipf_fit
+
+    # corpus with a clean frequency spectrum: word i repeated counts[i] times
+    counts = [40, 20, 13, 10, 8, 6, 5, 4]
+    text = " ".join(f"w{i}" * 1 for i in range(len(counts)))  # placeholder
+    docs = [(1, " ".join(" ".join([f"w{i}"] * c) for i, c in enumerate(counts)))]
+    df = spark.createDataFrame(docs, schema="doc_id LONG, text STRING")
+    (row,) = zipf_fit(df).collect()
+    assert row["n_types"] == len(counts)
+    x = np.array([math.floor(math.log(r) * 1e9) / 1e9 for r in range(1, len(counts) + 1)])
+    y = np.array([math.floor(math.log(c) * 1e9) / 1e9 for c in sorted(counts, reverse=True)])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["slope"] - slope) < 1e-5
+    assert abs(row["intercept"] - intercept) < 1e-5
+    assert -1.3 < row["slope"] < -0.7  # this spectrum is Zipf-ish by construction

@@ -405,3 +405,20 @@ def test_scc_condensation_edges(spark):
         for r in GI.scc_condensation_edges(e, scc).collect()
     }
     assert cond == {(1, 3), (3, 4)}
+
+
+def test_reach_profile_chain(spark):
+    # 1->2->3->4: N(1)=3, N(2)=5, N(3)=6 over 4 nodes
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = {r["k"]: r for r in GI.reach_profile(e, kmax=3).collect()}
+    assert [rows[k]["n_pairs"] for k in (1, 2, 3)] == [3, 5, 6]
+    import math
+    for k, pairs in ((1, 3), (2, 5), (3, 6)):
+        assert rows[k]["avg_reach"] == math.floor(pairs / 4 * 1e6) / 1e6
+
+
+def test_reach_profile_cycle_saturates(spark):
+    # 3-cycle: every node reaches both others by k=2; no self-pairs
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 1)])
+    rows = {r["k"]: r["n_pairs"] for r in GI.reach_profile(e, kmax=3).collect()}
+    assert rows == {1: 3, 2: 6, 3: 6}

@@ -168,3 +168,99 @@ def test_pq_codes_are_saturating_integers(emb):
     # identical vector still ranks first after int8 round-trip
     top = [r for r in out if r.query_id == 0 and r.rank == 1]
     assert top and top[0].neighbor_id == 1 and top[0].sim == 1.0
+
+
+def test_ann_radius_search_matches_manual(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        QUERY_MOD,
+        ann_radius_search,
+    )
+
+    # vec 0 is a query (0 % QUERY_MOD == 0); 1 is near it, 2 is orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann_radius_search(df, tau=0.5).collect()
+    }
+    want = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - round(want, 6)) < 1e-9
+
+
+def test_ann_radius_search_threshold_excludes(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        ann_radius_search,
+    )
+
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)]
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    assert ann_radius_search(df, tau=0.5).count() == 0
+
+
+def test_mmr_prefers_diversity_over_near_duplicate(spark):
+    import math
+    import struct
+
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    def f32(v):
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return int(d / (na * nb) * 1e6 + 0.5)  # HALF_UP on positive values
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],       # query (0 % QUERY_MOD == 0)
+        1: [0.95, 0.05, 0.0],     # top relevance
+        2: [0.949, 0.051, 0.0],   # near-duplicate of 1
+        3: [0.99027, 0.0, 0.13917],  # same query-angle as 2, different plane
+        4: [0.0, 1.0, 0.0],       # low relevance
+    }
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    got = {
+        r["step"]: (r["neighbor_id"], r["score"])
+        for r in mmr_diversified_topk(df, k=3, m=4, lam_num=5, mu_num=5).collect()
+    }
+    v = {i: f32(x) for i, x in vecs.items()}
+    rel = {i: cos6(v[0], v[i]) for i in (1, 2, 3, 4)}
+    assert got[1] == (1, rel[1] / 1e6)  # step 1: pure relevance argmax
+    # step 2: integer objective score7 = 5·rel6 − 5·maxsim6 (λ=0.5); 2 and 3
+    # sit at the SAME angle from the query but 2 is a near-dup of the picked 1
+    # while 3 lives in another plane — the penalty flips the order
+    s7 = {i: 5 * rel[i] - 5 * cos6(v[i], v[1]) for i in (2, 3, 4)}
+    best = max(((s, -i) for i, s in s7.items()))
+    assert got[2] == (-best[1], best[0] / 1e7)
+    assert got[2][0] == 3  # the diverse vector wins over the near-dup
+    assert len(got) == 3 and got[3][0] in (2, 4)
+
+
+def test_mmr_step_counts_and_distinct_picks(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5), float((i * 7) % 11)], 0) for i in range(12)]
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = mmr_diversified_topk(df, k=4, m=8).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, picks in per_q.items():
+        assert sorted(p["step"] for p in picks) == [1, 2, 3, 4]
+        ids = [p["neighbor_id"] for p in picks]
+        assert len(set(ids)) == 4 and qid not in ids

@@ -105,3 +105,17 @@ def test_lang_confusion_diagonal_and_shares(spark):
     assert got[("es", "es")].n_docs == 1
     assert got[("en", "und")].n_docs == 1 and not got[("en", "und")].agree
     assert got[("en", "en")].share_of_label == 0.5 and got[("en", "und")].share_of_label == 0.5
+
+
+def test_normalize_documents_cleanup(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.text import normalize_documents
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! #42\t(ok) "), (2, "a-b_c")],
+        schema="doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in normalize_documents(df).collect()}
+    assert rows[1]["norm_text"] == "hello, world!! 42 ok"
+    assert rows[2]["norm_text"] == "a b c"
+    assert rows[1]["orig_chars"] == len("  Hello,   WORLD!! #42\t(ok) ")
+    assert rows[1]["norm_chars"] == len("hello, world!! 42 ok")

@@ -1369,3 +1369,85 @@ SELECT source,
        floor(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE) * 1e6)
          / 1e6 AS compression
 FROM encoded GROUP BY source"""
+
+
+def zipf_fit(df: DataFrame) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ln(term_count) on ln(rank) over the full vocabulary — the standard
+    "is this corpus natural text?" screen (natural language ⇒ slope
+    ≈ −1; the synthetic harness corpus's ~100-word uniform vocabulary
+    shows up as a flat slope, which is exactly the diagnostic working).
+
+    Determinism contract: the regression points are the FLOORED logs
+    x = ⌊ln(rank)·1e9⌋, y = ⌊ln(count)·1e9⌋ (exact BIGINTs, both
+    engines), all moment sums run as DECIMAL(38,0) (order-independent;
+    headroom to ~1e7 token types), and only the final slope/intercept/r²
+    are doubles, floored at 1e-6 — the ``operators/stats.py`` moment
+    discipline applied in log space.
+
+    Shape: tokenize+explode scan-side, one hash agg to the vocabulary
+    (token-type-bounded, never corpus-sized), a single global
+    row_number for ranks (vocab rows only — acceptable up to millions;
+    beyond that rank = 1 + count of strictly-greater counts, a
+    self-agg), one reduce for the moments.  Output:
+    (n_types, slope, intercept, r2) with intercept in ln units."""
+    toks = df.selectExpr("doc_id", f"{tokens_sql('text', 'spark')} AS toks")
+    counts = (
+        toks.select(F.explode_outer("toks").alias("token"))
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    pts = counts.withColumn("rank", F.row_number().over(w)).selectExpr(
+        "CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000) AS DECIMAL(38,0)) AS x",
+        "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000000) AS DECIMAL(38,0)) AS y",
+    )
+    m = pts.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "SUM(x) AS sx",
+        "SUM(y) AS sy",
+        "SUM(x * y) AS pxy",
+        "SUM(x * x) AS qx",
+        "SUM(y * y) AS qy",
+    )
+    num = "CAST(n * pxy - sx * sy AS DOUBLE)"
+    den = "CAST(n * qx - sx * sx AS DOUBLE)"
+    dy = "CAST(n * qy - sy * sy AS DOUBLE)"
+    slope = f"({num} / {den})"
+    return m.selectExpr(
+        "n AS n_types",
+        f"floor({slope} * 1000000) / 1000000 AS slope",
+        f"floor((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / n / 1000000000"
+        " * 1000000) / 1000000 AS intercept",
+        f"floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 AS r2",
+    )
+
+
+def zipf_fit_oracle(table: str = "documents") -> str:
+    toks = tokens_sql("text", "duckdb")
+    num = "CAST(n * pxy - sx * sy AS DOUBLE)"
+    den = "CAST(n * qx - sx * sx AS DOUBLE)"
+    dy = "CAST(n * qy - sy * sy AS DOUBLE)"
+    slope = f"({num} / {den})"
+    return f"""WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks}) AS token FROM {table})
+  GROUP BY token),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM counts),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000) AS DECIMAL(38,0)) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000000) AS DECIMAL(38,0)) AS y
+  FROM ranked),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS pxy, SUM(x * x) AS qx, SUM(y * y) AS qy
+  FROM pts)
+SELECT n AS n_types,
+  floor({slope} * 1000000) / 1000000 AS slope,
+  floor((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / n / 1000000000 * 1000000) / 1000000 AS intercept,
+  floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 AS r2
+FROM m"""

@@ -1214,3 +1214,82 @@ g AS (SELECT DISTINCT src, dst FROM ({edges_cte}) WHERE src <> dst)
 SELECT DISTINCT ms.scc_id AS scc_src, md.scc_id AS scc_dst
 FROM g JOIN scc ms ON g.src = ms.id JOIN scc md ON g.dst = md.id
 WHERE ms.scc_id <> md.scc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Exact neighborhood function (reach profile): |{(u,v): dist(u,v) <= k}|
+# ---------------------------------------------------------------------------
+
+def reach_profile(edges: DataFrame, kmax: int = 3) -> DataFrame:
+    """Exact neighborhood function N(k) for k = 1..kmax: the number of
+    ordered node pairs within k directed hops, plus the average
+    out-reach per node — the effective-diameter / "how fast does
+    influence spread" profile (the exact small-k companion of the
+    HyperLogLog-sketch ANF of Palmer et al.; at 100 TB the same loop
+    swaps the exact distinct-pair state for mergeable HLL registers
+    per node, everything else identical).
+
+    Shape per hop: one equi-join of the closure tuples against the edge
+    list + DISTINCT — closure TUPLES only (never paths, so the state is
+    ≤ |V|² not fan-out^k), lineage cut per hop.  Output: one row per k,
+    (k, n_pairs, avg_reach) with avg_reach = pairs/|V| floored at 1e-6."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    reach = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    out = []
+    for k in range(1, kmax + 1):
+        if k > 1:
+            step = (
+                reach.join(e, reach["v"] == e["src"])
+                .where(F.col("u") != F.col("dst"))
+                .select("u", F.col("dst").alias("v"))
+            )
+            reach = reach.unionByName(step).distinct().localCheckpoint(eager=False)
+        out.append(
+            reach.agg(F.count("*").cast("long").alias("n_pairs"))
+            .crossJoin(F.broadcast(nodes))
+            .selectExpr(
+                f"CAST({k} AS INT) AS k",
+                "n_pairs",
+                "floor(CAST(n_pairs AS DOUBLE) / n_nodes * 1000000) / 1000000 AS avg_reach",
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def reach_profile_oracle(edges_cte: str, kmax: int = 3) -> str:
+    head = f"""WITH s AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+nodes AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_nodes
+          FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+r1 AS (SELECT src AS u, dst AS v FROM e)"""
+    steps = []
+    for i in range(1, kmax):
+        steps.append(
+            f""",
+r{i + 1} AS (
+  SELECT u, v FROM r{i}
+  UNION
+  SELECT r.u, g.dst AS v FROM r{i} r JOIN e g ON r.v = g.src
+  WHERE r.u <> g.dst)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS INT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  floor(CAST(COUNT(*) AS DOUBLE) / (SELECT n_nodes FROM nodes) * 1000000) / 1000000 AS avg_reach
+FROM r{k}"""
+        for k in range(1, kmax + 1)
+    )
+    return head + "".join(steps) + "\n" + selects

@@ -837,3 +837,208 @@ SELECT d.query_id,
        ROUND(COALESCE(p.n_hits, 0)::DOUBLE / {k}, 6) AS recall_at_k
 FROM (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1) d
 LEFT JOIN per_q p ON d.query_id = p.query_id"""
+
+
+#: radius for the range-search query — ≈ the p99 of the query→corpus
+#: cosine distribution on the synthetic embeddings (max ≈ 0.45), so the
+#: result set is selective but non-trivial at every harness sf
+RADIUS_TAU = 0.30
+
+
+def ann_radius_search(embeddings: DataFrame, tau: float = RADIUS_TAU) -> DataFrame:
+    """Range (radius) similarity search: every corpus vector within
+    cosine ≥ ``tau`` of each query vector — the "find ALL near things"
+    dual of top-k (dedup candidate pull, positive-pair mining), where
+    the result size is data-dependent rather than fixed at k.
+
+    Shape = the exact scale path for query→corpus range search: the
+    bounded query side broadcasts, the corpus streams through ONE
+    scan-side join with zero shuffles (`.explain`: BroadcastHashJoin on
+    nothing — a nested-loop over the broadcast rows), and the filter on
+    the rounded cosine prunes before anything leaves the executor.
+    Unlike top-k there is no window/rank stage at all — the threshold
+    makes the operator embarrassingly parallel.  Output:
+    (query_id, neighbor_id, sim)."""
+    q, emb = _queries_and_corpus(embeddings)
+    sim = F.round(
+        cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6
+    )
+    return (
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .where(F.col("sim") >= tau)
+    )
+
+
+def ann_radius_search_oracle(tau: float = RADIUS_TAU) -> str:
+    cos = cosine_sql_duckdb("q.qv", "c.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {QUERY_MOD} = 0
+)
+SELECT q.query_id, c.vec_id AS neighbor_id, round({cos}, 6) AS sim
+FROM q JOIN emb c ON q.query_id <> c.vec_id
+WHERE round({cos}, 6) >= {tau}"""
+
+
+def mmr_diversified_topk(
+    embeddings: DataFrame, k: int = 5, m: int = 20, lam_num: int = 7, mu_num: int = 3
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: per query, greedily pick
+    ``k`` of the top-``m`` cosine candidates maximizing
+    ``lam·rel − mu·max_sim_to_already_selected`` with λ = lam_num/10,
+    μ = mu_num/10 — the diversity-aware top-k of retrieval/RAG
+    pipelines (plain top-k returns near-duplicates; MMR spends the
+    budget on coverage).
+
+    The greedy recurrence is inherently sequential in k but fully
+    parallel across queries, so the driver unrolls exactly k-1 steps of
+    DataFrame algebra (anti-join the selected set, one max-sim agg over
+    the precomputed candidate-pair sims, one argmax window) — no
+    ``collect``; per-query state is the bounded candidate set (m rows,
+    m² sims), so 10⁶ queries at 100 TB still run as k joint passes.
+
+    Determinism: similarities are snapped to 1e-6-scaled BIGINTs at
+    birth and the MMR objective runs ENTIRELY in integers
+    (score7 = lam_num·rel6 − mu_num·maxsim6) — a double form
+    0.7·rel − 0.3·maxsim over 6-dp inputs lands exactly on 7th-decimal
+    halfway points, where Spark (exact-BigDecimal HALF_UP) and DuckDB
+    (multiply-then-round) disagree; integer argmax with an id tiebreak
+    cannot.  Output: (query_id, step, neighbor_id, score) with
+    score = rel at step 1, the MMR objective after (both exact
+    small-integer / power-of-ten doubles)."""
+    from pyspark.sql import Window
+
+    q, emb = _queries_and_corpus(embeddings)
+    rel6 = F.round(
+        cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")) * 1000000
+    ).cast("long")
+    rel_all = (
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), rel6.alias("rel6"))
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel6"), F.asc("cand_id"))
+    cand = (
+        rel_all.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") <= m)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    va = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = emb.select(F.col("vec_id").alias("other_id"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    sim6 = F.round(
+        cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) * 1000000
+    ).cast("long")
+    pairs = (
+        cand.select("query_id", "cand_id")
+        .join(
+            cand.select(F.col("query_id"), F.col("cand_id").alias("other_id")),
+            "query_id",
+        )
+        .where(F.col("cand_id") != F.col("other_id"))
+        .join(va, "cand_id")
+        .join(vb, "other_id")
+        .select("query_id", "cand_id", "other_id", sim6.alias("sim6"))
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).cast("int").alias("step"),
+            (F.col("rel6").cast("double") / F.lit(1000000.0)).alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_score = Window.partitionBy("query_id").orderBy(F.desc("score7"), F.asc("cand_id"))
+    for step in range(2, k + 1):
+        rem = cand.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        ms = (
+            pairs.join(
+                sel.select("query_id", F.col("cand_id").alias("other_id")),
+                ["query_id", "other_id"],
+                "left_semi",
+            )
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sim6").alias("maxsim6"))
+        )
+        pick = (
+            rem.join(ms, ["query_id", "cand_id"])
+            .select(
+                "query_id",
+                "cand_id",
+                (F.lit(lam_num) * F.col("rel6") - F.lit(mu_num) * F.col("maxsim6")).alias(
+                    "score7"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w_score))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(step).cast("int").alias("step"),
+                (F.col("score7").cast("double") / F.lit(10000000.0)).alias("score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select("query_id", "step", F.col("cand_id").alias("neighbor_id"), "score")
+
+
+def mmr_diversified_topk_oracle(
+    k: int = 5, m: int = 20, lam_num: int = 7, mu_num: int = 3
+) -> str:
+    cos_qc = cosine_sql_duckdb("q.qv", "c.v")
+    cos_ab = cosine_sql_duckdb("ea.v", "eb.v")
+    sql = f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % {QUERY_MOD} = 0),
+rel_all AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         CAST(round({cos_qc} * 1000000) AS BIGINT) AS rel6
+  FROM q JOIN emb c ON q.query_id <> c.vec_id),
+cand AS (
+  SELECT query_id, cand_id, rel6 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel6 DESC, cand_id) AS rn
+    FROM rel_all) WHERE rn <= {m}),
+pairs AS (
+  SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+         CAST(round({cos_ab} * 1000000) AS BIGINT) AS sim6
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+  JOIN emb ea ON ea.vec_id = a.cand_id JOIN emb eb ON eb.vec_id = b.cand_id),
+selu1 AS (
+  SELECT query_id, cand_id, CAST(1 AS INT) AS step,
+         CAST(rel6 AS DOUBLE) / 1000000.0 AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel6 DESC, cand_id) AS rn
+    FROM cand) WHERE rn = 1)"""
+    for i in range(2, k + 1):
+        p = i - 1
+        sql += f""",
+rem{i} AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN selu{p} s ON c.query_id = s.query_id AND c.cand_id = s.cand_id
+  WHERE s.cand_id IS NULL),
+ms{i} AS (
+  SELECT p.query_id, p.cand_id, MAX(p.sim6) AS maxsim6
+  FROM pairs p
+  JOIN selu{p} s ON p.query_id = s.query_id AND p.other_id = s.cand_id
+  JOIN rem{i} r ON r.query_id = p.query_id AND r.cand_id = p.cand_id
+  GROUP BY 1, 2),
+sel{i} AS (
+  SELECT query_id, cand_id, CAST({i} AS INT) AS step,
+         CAST(score7 AS DOUBLE) / 10000000.0 AS score FROM (
+    SELECT r.query_id, r.cand_id,
+           {lam_num} * r.rel6 - {mu_num} * ms{i}.maxsim6 AS score7,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+                              ORDER BY {lam_num} * r.rel6 - {mu_num} * ms{i}.maxsim6 DESC,
+                                       r.cand_id) AS rn
+    FROM rem{i} r JOIN ms{i} ON r.query_id = ms{i}.query_id AND r.cand_id = ms{i}.cand_id)
+  WHERE rn = 1),
+selu{i} AS (SELECT * FROM selu{p} UNION ALL SELECT * FROM sel{i})"""
+    return sql + f"""
+SELECT query_id, step, cand_id AS neighbor_id, score FROM selu{k}"""

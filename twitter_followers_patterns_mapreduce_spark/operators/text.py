@@ -433,3 +433,36 @@ FROM (
   UNION ALL SELECT n0, 2, 'quality', n2 FROM agg
   UNION ALL SELECT n0, 3, 'lang_agreement', n3 FROM agg
 )"""
+
+
+def normalize_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
+    """Deterministic text-cleanup projection (the normalize step every
+    corpus pipeline runs before dedup/tokenization): lowercase, map
+    every character outside ``[a-z0-9 .,!?]`` to a space, collapse
+    space runs, trim.  Pure scan-side regexp chain — one pass, no
+    shuffle, whole-stage codegen.  Cross-engine: identical pattern text;
+    DuckDB needs the explicit ``'g'`` flag (its regexp_replace is
+    first-match-only by default, Spark's is global)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text}),"
+        f" '[^a-z0-9 .,!?]', ' '{g}), ' +', ' '{g}))"
+    )
+    return [
+        (norm, "norm_text"),
+        (f"length({text})", "orig_chars"),
+        (f"length({norm})", "norm_chars"),
+    ]
+
+
+def normalize_documents(documents: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, orig_chars, norm_chars) via
+    :func:`normalize_select` — see there for the contract."""
+    return apply_select(
+        documents.select("doc_id", "text"),
+        [("doc_id", "doc_id")] + normalize_select("spark"),
+    )
+
+
+def normalize_documents_oracle() -> str:
+    return select_sql("documents", [("doc_id", "doc_id")] + normalize_select("duckdb"))

@@ -738,3 +738,17 @@ def graph_scc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_scc_condensation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _scc_edges(spark, sf_dir)
     return GI.scc_condensation_edges(e, GI.strongly_connected_components(e))
+
+
+@register(
+    "graph_reach_profile",
+    oracle=GI.reach_profile_oracle(_MUTUAL_CTE, kmax=3),
+    description="exact neighborhood function N(1..3): ordered pairs within k "
+    "directed hops + average out-reach — closure TUPLES only per hop (join + "
+    "distinct, state <= V^2, never path fan-out); the exact small-k companion "
+    "of sketch-based ANF",
+)
+def graph_reach_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
+    return GI.reach_profile(e, kmax=3)

@@ -172,3 +172,27 @@ def embedding_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.logreg_eval(load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5)
+
+
+@register(
+    "ann_radius_search",
+    oracle=S.ann_radius_search_oracle(),
+    description="range (radius) similarity search: all corpus vectors within "
+    "cosine >= 0.30 of each query — broadcast query side, one shuffle-free "
+    "corpus scan, threshold filter instead of a rank window (the data-dependent "
+    "dual of top-k)",
+)
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_radius_search(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_mmr_topk",
+    oracle=S.mmr_diversified_topk_oracle(),
+    description="Maximal Marginal Relevance diversified top-5 from the top-20 cosine "
+    "candidates (lam=0.7): the greedy recurrence unrolled as k-1 joint DataFrame "
+    "passes (anti-join selected, max-sim agg over precomputed candidate pairs, "
+    "argmax window) — sequential in k, fully parallel across queries, no collect",
+)
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.mmr_diversified_topk(load_table(spark, sf_dir, "embeddings"))

@@ -386,3 +386,26 @@ def corpus_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CK.ldiversity_audit(load_table(spark, sf_dir, "documents"), l=3)
+
+
+@register(
+    "doc_normalize_text",
+    oracle=TX.normalize_documents_oracle(),
+    description="deterministic text cleanup (lowercase, strip non-[a-z0-9 .,!?], "
+    "collapse spaces, trim) — the pre-dedup normalize pass; pure scan-side regexp "
+    "chain, one pass, no shuffle",
+)
+def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.normalize_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_zipf_fit",
+    oracle=CP.zipf_fit_oracle(),
+    description="Zipf's-law screen: OLS of ln(count) on ln(rank) over the whole "
+    "vocabulary — floored-log BIGINT points, DECIMAL(38,0) moment sums (exact, "
+    "order-independent), closed-form slope/intercept/r2; natural text gives "
+    "slope ~ -1, the synthetic uniform vocab reads ~flat",
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.zipf_fit(load_table(spark, sf_dir, "documents"))
