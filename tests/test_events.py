@@ -429,3 +429,32 @@ def test_temporal_triangle_needs_closing_direction(spark):
     ev = spark.createDataFrame(rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG")
     got = temporal_triangle_count(ev).collect()[0]
     assert got["n_temporal_triangles"] == 0
+
+
+def test_user_ltv_decay_hand_case(spark):
+    import math
+    from datetime import datetime
+
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        LTV_TAU_SEC,
+        user_ltv_decay,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, datetime(2024, 1, 8), 1, "click", 100.0, "{}"),   # age 0 (max ts)
+        (2, datetime(2024, 1, 1), 1, "click", 100.0, "{}"),   # age 7 days
+        (3, datetime(2024, 1, 8), 2, "click", 50.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {r["user_id"]: r for r in user_ltv_decay(df, k=10).collect()}
+    t1 = math.floor(100.0 * math.exp(0.0) * 1e6) / 1e6
+    t2 = math.floor(100.0 * math.exp(-7 * 86400 / LTV_TAU_SEC) * 1e6) / 1e6
+    assert got[1]["n_events"] == 2 and abs(got[1]["ltv"] - (t1 + t2)) < 1e-9
+    assert got[2]["n_events"] == 1 and abs(got[2]["ltv"] - math.floor(50.0 * 1e6) / 1e6) < 1e-9
+    # ordering: user 1 first (higher ltv)
+    ltvs = [r["ltv"] for r in user_ltv_decay(df, k=10).collect()]
+    assert ltvs == sorted(ltvs, reverse=True)

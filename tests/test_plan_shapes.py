@@ -45,6 +45,19 @@ ALLOWED_BRUTE_FORCE = {
     #     brute-force shape (on int8 codes: the point is 4× fewer bytes
     #     at scale, not fewer pairs); stage-2 rerank is shortlist-sized
     "ann_topk_pq",
+    #   * ann_radius_search — the declared range-scan baseline: the
+    #     bounded query side broadcasts under a non-equi (!=) condition,
+    #     exactly the ann_topk_bruteforce shape minus the rank window
+    "ann_radius_search",
+    #   * chi2 / entropy-KL — category-margin grids (|cats_a| × |cats_b|,
+    #     single-digit each) plus a 1-row global-total cross; the fact
+    #     table itself only ever feeds hash aggs
+    "orders_chi2_status_priority",
+    "events_segment_entropy_kl",
+    #   * ltv decay / reach profile — a 1-row scalar (corpus max ts /
+    #     node count) broadcast onto the scan: cardinality × 1
+    "events_user_ltv_decay",
+    "graph_reach_profile",
 }
 
 

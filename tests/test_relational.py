@@ -363,3 +363,24 @@ def test_scd2_asof_equals_interval_filtered_history(spark):
     assert versions == {0, 1}
     n_keys = orders.select("o_orderkey").distinct().count()
     assert len(snap) < n_keys  # some keys postdate the snapshot
+
+
+def test_copurchase_part_pairs_counts_baskets_once(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import (
+        copurchase_part_pairs,
+    )
+
+    rows = [
+        # order 1: parts 10, 20 (20 listed twice — still ONE basket pair), 30
+        (1, 10), (1, 20), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+    ]
+    df = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O") for o, p in rows],
+        schema="l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+        "l_returnflag STRING, l_linestatus STRING",
+    )
+    got = [(r["p1"], r["p2"], r["n_baskets"]) for r in copurchase_part_pairs(df, k=10).collect()]
+    assert got == [(10, 20, 3), (10, 30, 1), (20, 30, 1)]

@@ -994,3 +994,52 @@ JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
 WHERE e2.dst <> e1.src
   AND e2.ts_us > e1.ts_us AND e2.ts_us <= e1.ts_us + {window_us}
   AND e3.ts_us > e2.ts_us AND e3.ts_us <= e1.ts_us + {window_us}"""
+
+
+#: time-decay constant for the LTV feature: one week, in seconds
+LTV_TAU_SEC = 604800.0
+
+
+def user_ltv_decay(events: DataFrame, k: int = 100) -> DataFrame:
+    """Exponentially time-decayed per-user value sum — the recency-
+    weighted LTV / engagement feature every behavioral model consumes:
+    ltv(u) = Σ value·exp(−age/τ), τ = 1 week, age measured back from
+    the corpus max timestamp (data-derived, so the feature is
+    reproducible — wall-clock ``now()`` would not be).
+
+    Determinism: age is EXACT integer seconds (integer micros, integer
+    division), each per-event term is one pointwise double
+    (value·exp(−age/τ)) floored to a 1e-6-scaled BIGINT, and the
+    per-user reduction sums those integers — order-independent like
+    every float reduction in this engine.  Top-``k`` users by
+    (ltv desc, user_id) keeps the output bounded.  Shape: one 1-row
+    global max broadcast onto the scan, one hash agg, TakeOrdered."""
+    t_ref = events.agg(F.max(F.unix_micros("ts")).alias("t_ref_us"))
+    terms = events.crossJoin(F.broadcast(t_ref)).selectExpr(
+        "user_id",
+        "CAST(floor(value * exp(-(CAST((t_ref_us - unix_micros(ts)) div 1000000 AS DOUBLE))"
+        f" / {LTV_TAU_SEC!r}) * 1000000) AS BIGINT) AS t6",
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum("t6").cast("double") / F.lit(1000000.0)).alias("ltv"),
+        )
+        .orderBy(F.desc("ltv"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def user_ltv_decay_oracle(k: int = 100) -> str:
+    return f"""WITH t AS (SELECT MAX(epoch_us(ts)) AS t_ref_us FROM events),
+terms AS (
+  SELECT user_id,
+    CAST(floor(value * exp(-(CAST((t.t_ref_us - epoch_us(ts)) // 1000000 AS DOUBLE))
+      / {LTV_TAU_SEC!r}) * 1000000) AS BIGINT) AS t6
+  FROM events CROSS JOIN t)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(t6) AS DOUBLE) / 1000000.0 AS ltv
+FROM terms GROUP BY user_id
+ORDER BY ltv DESC, user_id
+LIMIT {k}"""

@@ -1923,3 +1923,40 @@ SELECT o_orderkey, version, priority, strftime(vf, '%Y-%m-%d') AS valid_from
 FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
       FROM feed WHERE vf <= DATE '{as_of}')
 WHERE rn = 1"""
+
+
+def copurchase_part_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """Item-item co-occurrence: the top-``k`` part pairs most often
+    bought in the same order — the basket/recsys counting primitive
+    (the "customers also bought" matrix is exactly this at 100 TB).
+
+    Shape: dedupe to DISTINCT (order, part) so multi-line parts count a
+    basket once, self-equi-join on the order key with ``p1 < p2`` (each
+    unordered pair once), hash agg, TakeOrdered top-k.  The join fan-out
+    is Σ|basket|² — bounded by the basket-size cap (TPC-H ≤ 7 lines;
+    web-scale baskets get a per-order truncation or frequency-pruned
+    verify, same as every candidate-pair op in operators/dedup.py).
+    Ties break on (p1, p2) so top-k is total-ordered."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = items.select("okey", F.col("part").alias("p1"))
+    b = items.select("okey", F.col("part").alias("p2"))
+    return (
+        a.join(b, "okey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+        .orderBy(F.desc("n_baskets"), F.asc("p1"), F.asc("p2"))
+        .limit(k)
+    )
+
+
+def copurchase_part_pairs_oracle(k: int = 20) -> str:
+    return f"""WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem)
+SELECT a.part AS p1, b.part AS p2, CAST(COUNT(*) AS BIGINT) AS n_baskets
+FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+GROUP BY 1, 2
+ORDER BY n_baskets DESC, p1, p2
+LIMIT {k}"""

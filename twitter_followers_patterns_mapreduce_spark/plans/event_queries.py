@@ -693,3 +693,14 @@ def events_temporal_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_segment_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.categorical_entropy_kl(load_events(spark, sf_dir), "user_id % 8", "event_type")
+
+
+@register(
+    "events_user_ltv_decay",
+    oracle=E.user_ltv_decay_oracle(k=100),
+    description="exponentially time-decayed per-user value (tau = 1 week, anchored "
+    "at the corpus max timestamp): exact integer-second ages, per-event double "
+    "terms floored to 1e-6 BIGINTs, order-independent sums, top-100 users",
+)
+def events_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.user_ltv_decay(load_events(spark, sf_dir), k=100)

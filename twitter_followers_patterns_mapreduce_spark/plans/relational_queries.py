@@ -711,3 +711,14 @@ def lineitem_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.chi_square(load_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle=R.copurchase_part_pairs_oracle(k=20),
+    description="item-item co-occurrence: top-20 part pairs bought in the same "
+    "order — distinct (order, part), self-equi-join on the order key with p1<p2, "
+    "hash agg, TakeOrdered; fan-out bounded by basket size",
+)
+def copurchase_part_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.copurchase_part_pairs(load_table(spark, sf_dir, "lineitem"), k=20)
