@@ -422,3 +422,44 @@ def test_reach_profile_cycle_saturates(spark):
     e = make_edges(spark, [(1, 2), (2, 3), (3, 1)])
     rows = {r["k"]: r["n_pairs"] for r in GI.reach_profile(e, kmax=3).collect()}
     assert rows == {1: 3, 2: 6, 3: 6}
+
+
+def test_modularity_two_triangles_with_bridge(spark):
+    import math
+
+    # two triangles joined by one bridge edge; perfect 2-community split
+    e = make_edges(
+        spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        schema="v LONG, label LONG",
+    )
+    (row,) = GI.modularity(e, labels).collect()
+    assert row["n_communities"] == 2 and row["m_edges"] == 7
+    # per community: e_c=3, d_c=7, m=7 → term = 3/7 - (7/14)^2, floored 1e-9
+    t = math.floor((3 / 7 - 0.25) * 1e9) / 1e9
+    assert abs(row["modularity"] - 2 * t) < 1e-12
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = e/m - (2m/2m)^2 = 1 - 1 = 0
+    e = make_edges(spark, [(1, 2), (2, 3), (1, 3)])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], schema="v LONG, label LONG"
+    )
+    (row,) = GI.modularity(e, labels).collect()
+    assert row["modularity"] == 0.0
+
+
+def test_modularity_community_without_intra_edges(spark):
+    # node 3's singleton community has d_c=2, e_c=0 — must still contribute
+    e = make_edges(spark, [(1, 2), (1, 3), (2, 3)])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], schema="v LONG, label LONG"
+    )
+    (row,) = GI.modularity(e, labels).collect()
+    import math
+    t1 = math.floor((1 / 3 - (4 / 6) ** 2) * 1e9) / 1e9
+    t3 = math.floor((0 / 3 - (2 / 6) ** 2) * 1e9) / 1e9
+    assert abs(row["modularity"] - (t1 + t3)) < 1e-12

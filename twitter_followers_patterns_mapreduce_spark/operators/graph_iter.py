@@ -1293,3 +1293,88 @@ FROM r{k}"""
         for k in range(1, kmax + 1)
     )
     return head + "".join(steps) + "\n" + selects
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over the
+    UNDIRECTED deduped graph — the "did community detection find real
+    structure?" score (Q ≈ 0: no better than random; Q ≳ 0.3: strong):
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] with e_c intra-community edges, d_c
+    the community degree sum, m total edges.
+
+    ``labels`` is any (v, label) assignment (here: the synchronous LPA
+    of :func:`label_propagation`, whose round count is the shared
+    cross-engine semantic).  All counts are exact integers; each
+    community's term is ONE pointwise double floored to a 1e-9-scaled
+    BIGINT, the sum exact and order-independent (the engine's standard
+    float-reduction discipline).  Shape: the label map is O(|V|) and
+    joins map-side onto both edge endpoints; everything after is
+    community-sized.  Output: (n_communities, m_edges, modularity)."""
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import undirected_pairs
+
+    und = undirected_pairs(edges).localCheckpoint(eager=False)
+    m_row = und.agg(F.count("*").cast("long").alias("m"))
+    la = labels.select(F.col("v").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("v").alias("b"), F.col("label").alias("lb"))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select("b"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    d_c = (
+        deg.join(labels, "v")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    e_c = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    terms = (
+        d_c.join(e_c, "label", "left")
+        .withColumn("e_c", F.coalesce("e_c", F.lit(0)))
+        .crossJoin(F.broadcast(m_row))
+        .selectExpr(
+            "CAST(floor((CAST(e_c AS DOUBLE) / m"
+            " - (CAST(d_c AS DOUBLE) / (2 * m)) * (CAST(d_c AS DOUBLE) / (2 * m)))"
+            " * 1000000000) AS BIGINT) AS t9",
+            "m",
+        )
+    )
+    return terms.groupBy().agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.max("m").alias("m_edges"),
+        (F.sum("t9").cast("double") / F.lit(1000000000.0)).alias("modularity"),
+    )
+
+
+def modularity_oracle(edges_cte: str, rounds: int = 4) -> str:
+    """Oracle: LPA communities (same unrolled rounds) + the identical
+    per-community term arithmetic."""
+    comm = label_propagation_oracle(edges_cte, rounds=rounds)
+    return f"""WITH comm AS ({comm}),
+s2 AS ({edges_cte}),
+und2 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         FROM s2 WHERE src <> dst),
+mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und2),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS v FROM und2 UNION ALL SELECT b FROM und2)
+        GROUP BY v),
+d_c AS (SELECT c.label, CAST(SUM(d.deg) AS BIGINT) AS d_c
+        FROM deg d JOIN comm c ON d.v = c.v GROUP BY c.label),
+e_c AS (SELECT ca.label, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM und2 u JOIN comm ca ON u.a = ca.v JOIN comm cb ON u.b = cb.v
+        WHERE ca.label = cb.label GROUP BY ca.label),
+terms AS (
+  SELECT CAST(floor((CAST(COALESCE(e_c.e_c, 0) AS DOUBLE) / mt.m
+    - (CAST(d_c.d_c AS DOUBLE) / (2 * mt.m)) * (CAST(d_c.d_c AS DOUBLE) / (2 * mt.m)))
+    * 1000000000) AS BIGINT) AS t9, mt.m
+  FROM d_c LEFT JOIN e_c ON d_c.label = e_c.label CROSS JOIN mt)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       MAX(m) AS m_edges,
+       CAST(SUM(t9) AS DOUBLE) / 1000000000.0 AS modularity
+FROM terms"""

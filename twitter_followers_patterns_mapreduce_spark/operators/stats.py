@@ -417,19 +417,24 @@ FROM ranks JOIN r ON r.rn = ranks.k"""
 
 def _moment_sums(cols: list[str], scale: int) -> tuple[list[str], list[str]]:
     """(projection exprs, aggregate exprs) for exact scaled second moments:
-    x_i = round(col_i*scale) as DECIMAL(38,0); sums s_i, q_i=Σx_i², and
-    p_i_j=Σx_i·x_j for i<j.  One scan, one map-side-combinable reduce."""
+    x_i = round(col_i*scale) as BIGINT; sums s_i, q_i=Σx_i², and
+    p_i_j=Σx_i·x_j for i<j, each per-row product computed in LONG
+    whole-stage codegen and cast to DECIMAL(38,0) ONCE per row so only
+    the (order-independent, exact) reduction runs decimal — all-decimal
+    per-row multiplies were 9× slower at sf1.  Contract: |x_i| ≤ 3e9
+    per row (|x·x| < 2⁶³), comfortably above any cents-scaled column;
+    the SUMS have full 38-digit headroom."""
     proj = [
-        f"CAST(round({c} * {scale}) AS DECIMAL(38,0)) AS x{i}"
+        f"CAST(round({c} * {scale}) AS BIGINT) AS x{i}"
         for i, c in enumerate(cols)
     ]
     aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
     for i in range(len(cols)):
-        aggs.append(f"SUM(x{i}) AS s{i}")
-        aggs.append(f"SUM(x{i} * x{i}) AS q{i}")
+        aggs.append(f"SUM(CAST(x{i} AS DECIMAL(38,0))) AS s{i}")
+        aggs.append(f"SUM(CAST(x{i} * x{i} AS DECIMAL(38,0))) AS q{i}")
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
-            aggs.append(f"SUM(x{i} * x{j}) AS p{i}_{j}")
+            aggs.append(f"SUM(CAST(x{i} * x{j} AS DECIMAL(38,0))) AS p{i}_{j}")
     return proj, aggs
 
 

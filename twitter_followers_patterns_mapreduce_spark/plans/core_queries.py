@@ -752,3 +752,15 @@ def graph_reach_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
     return GI.reach_profile(e, kmax=3)
+
+
+@register(
+    "graph_modularity",
+    oracle=GI.modularity_oracle(_SPARSE_CTE, rounds=4),
+    description="Newman modularity Q of the 4-round LPA communities — exact integer "
+    "e_c/d_c/m counts, one pointwise double per community floored to 1e-9 BIGINTs, "
+    "order-independent sum; label map joins map-side onto both edge endpoints",
+)
+def graph_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _sparse_edges(spark, sf_dir)
+    return GI.modularity(e, GI.label_propagation(e, rounds=4))

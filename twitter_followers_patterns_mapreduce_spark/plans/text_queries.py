@@ -409,3 +409,37 @@ def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "documents_jsonl_roundtrip",
+    # The oracle reads the DERIVATION from the parquet view, never the
+    # staged JSONL — a serialization bug in the writer shows up as a
+    # Spark-vs-oracle mismatch instead of being mirrored on both sides
+    # (same discipline as ce_count_edges_csv).
+    oracle="""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang""",
+    description="JSONL source coverage: documents serialized to newline-delimited "
+    "JSON (to_json + text sink), read back through spark.read.json with an explicit "
+    "schema (no inference pass), aggregated per language — the ingest format of "
+    "every web-scrape corpus drop",
+)
+def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_jsonl_{tag}")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.selectExpr("to_json(struct(doc_id, lang, n_chars)) AS value").write.mode(
+        "overwrite"
+    ).text(path)
+    back = spark.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(path)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
