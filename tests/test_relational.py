@@ -384,3 +384,34 @@ def test_copurchase_part_pairs_counts_baskets_once(spark):
     )
     got = [(r["p1"], r["p2"], r["n_baskets"]) for r in copurchase_part_pairs(df, k=10).collect()]
     assert got == [(10, 20, 3), (10, 30, 1), (20, 30, 1)]
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import (
+        target_encoding,
+    )
+
+    # category A: 2 rows @ 100.00; category B: 1 row @ 400.00
+    rows = [
+        (1, 1, "O", 100.0, None, "A"),
+        (2, 1, "O", 100.0, None, "A"),
+        (3, 1, "O", 400.0, None, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    got = {
+        r["category"]: r["encoding"]
+        for r in target_encoding(df, smoothing=2).collect()
+    }
+    gmean_cents = (10000 + 10000 + 40000) / 3
+    enc_a = math.floor((20000 + 2 * gmean_cents) / (2 + 2) / 100 * 1e6) / 1e6
+    enc_b = math.floor((40000 + 2 * gmean_cents) / (1 + 2) / 100 * 1e6) / 1e6
+    assert got == {"A": enc_a, "B": enc_b}
+    # shrinkage: both encodings sit between their raw mean and the global mean
+    assert 100.0 < got["A"] < gmean_cents / 100
+    assert gmean_cents / 100 < got["B"] < 400.0

@@ -119,3 +119,23 @@ def test_normalize_documents_cleanup(spark):
     assert rows[2]["norm_text"] == "a b c"
     assert rows[1]["orig_chars"] == len("  Hello,   WORLD!! #42\t(ok) ")
     assert rows[1]["norm_chars"] == len("hello, world!! 42 ok")
+
+
+def test_pii_scan_counts_synthetic_hits(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.text import pii_scan_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org, call +1-555-123-4567"),
+            (2, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+            (3, "clean document with no pii at all"),
+        ],
+        schema="doc_id LONG, text STRING",
+    )
+    (row,) = pii_scan_documents(df).collect()
+    assert row["n_docs"] == 3
+    assert row["total_emails"] == 2
+    assert row["total_phones"] >= 1
+    assert row["total_ssns"] == 1
+    assert row["total_cards"] == 1
+    assert row["docs_with_pii"] == 2

@@ -1960,3 +1960,54 @@ FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
 GROUP BY 1, 2
 ORDER BY n_baskets DESC, p1, p2
 LIMIT {k}"""
+
+
+def target_encoding(
+    orders: DataFrame, cat_col: str = "o_orderpriority",
+    target: str = "o_totalprice", smoothing: int = 50,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    feature-engineering primitive for high-cardinality categoricals:
+    enc(c) = (Σ_c y + m·ȳ) / (n_c + m), shrinking rare categories
+    toward the global mean (m = ``smoothing`` pseudo-observations).
+
+    Exactness: the target is scaled to integer cents at the scan and
+    summed as DECIMAL(38,0); the encoding is then ONE double expression
+    over exact integers — the global term m·ȳ is spelled
+    (m·S)/N with S, N exact so both engines evaluate the identical
+    closed form (never a pre-rounded intermediate mean), floored at
+    1e-6.  Shape: one category hash agg + a 1-row global broadcast.
+    Output: (category, n_rows, encoding)."""
+    cat = F.col(cat_col)
+    per_cat = orders.groupBy(cat.alias("category")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr(f"CAST(round({target} * 100) AS DECIMAL(38,0))")).alias("s_cents"),
+    )
+    tot = orders.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(F.expr(f"CAST(round({target} * 100) AS DECIMAL(38,0))")).alias("s_all"),
+    )
+    return per_cat.crossJoin(F.broadcast(tot)).selectExpr(
+        "category",
+        "n_rows",
+        f"floor((CAST(s_cents AS DOUBLE) + {smoothing} * (CAST(s_all AS DOUBLE) / n_all))"
+        f" / (n_rows + {smoothing}) / 100 * 1000000) / 1000000 AS encoding",
+    )
+
+
+def target_encoding_oracle(
+    table: str = "orders", cat_col: str = "o_orderpriority",
+    target: str = "o_totalprice", smoothing: int = 50,
+) -> str:
+    return f"""WITH per_cat AS (
+  SELECT {cat_col} AS category, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(round({target} * 100) AS DECIMAL(38,0))) AS s_cents
+  FROM {table} GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         SUM(CAST(round({target} * 100) AS DECIMAL(38,0))) AS s_all
+  FROM {table})
+SELECT category, n_rows,
+  floor((CAST(s_cents AS DOUBLE) + {smoothing} * (CAST(s_all AS DOUBLE) / n_all))
+    / (n_rows + {smoothing}) / 100 * 1000000) / 1000000 AS encoding
+FROM per_cat CROSS JOIN tot"""

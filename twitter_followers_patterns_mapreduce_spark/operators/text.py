@@ -466,3 +466,56 @@ def normalize_documents(documents: DataFrame) -> DataFrame:
 
 def normalize_documents_oracle() -> str:
     return select_sql("documents", [("doc_id", "doc_id")] + normalize_select("duckdb"))
+
+
+def pii_scan_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
+    """Per-document PII hit counts — the compliance pre-filter every
+    corpus release runs (emails, international-ish phone numbers,
+    SSN-shaped triples, credit-card-shaped runs).  Patterns are
+    deliberately RE2-compatible (no backreferences/lookaround) so the
+    SAME text runs on Spark (Java regex) and DuckDB (RE2); counted via
+    global match extraction, not boolean contains, so multiple hits in
+    one doc are visible.  Pure scan-side projection."""
+    pats = {
+        "n_emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+        "n_phones": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+        "n_ssns": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+        "n_cards": r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}",
+    }
+    out: list[tuple[str, str]] = []
+    for alias, pat in pats.items():
+        if dialect == "spark":
+            esc = pat.replace("\\", "\\\\")
+            out.append((f"CAST(size(regexp_extract_all({text}, '{esc}', 0)) AS INT)", alias))
+        else:
+            out.append((f"CAST(len(regexp_extract_all({text}, '{pat}')) AS INT)", alias))
+    return out
+
+
+def pii_scan_documents(documents: DataFrame) -> DataFrame:
+    """Corpus-level PII audit: per-type hit totals + how many docs are
+    affected at all — one scan, one 1-row reduce."""
+    per_doc = apply_select(
+        documents.select("doc_id", "text"),
+        [("doc_id", "doc_id")] + pii_scan_select("spark"),
+    )
+    return per_doc.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n_docs",
+        "CAST(SUM(n_emails) AS BIGINT) AS total_emails",
+        "CAST(SUM(n_phones) AS BIGINT) AS total_phones",
+        "CAST(SUM(n_ssns) AS BIGINT) AS total_ssns",
+        "CAST(SUM(n_cards) AS BIGINT) AS total_cards",
+        "CAST(SUM(CASE WHEN n_emails + n_phones + n_ssns + n_cards > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii",
+    )
+
+
+def pii_scan_documents_oracle() -> str:
+    inner = select_sql("documents", [("doc_id", "doc_id")] + pii_scan_select("duckdb"))
+    return f"""WITH per_doc AS ({inner})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+  CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+  CAST(SUM(n_ssns) AS BIGINT) AS total_ssns,
+  CAST(SUM(n_cards) AS BIGINT) AS total_cards,
+  CAST(SUM(CASE WHEN n_emails + n_phones + n_ssns + n_cards > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM per_doc"""

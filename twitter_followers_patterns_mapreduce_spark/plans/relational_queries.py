@@ -722,3 +722,15 @@ def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def copurchase_part_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.copurchase_part_pairs(load_table(spark, sf_dir, "lineitem"), k=20)
+
+
+@register(
+    "orders_target_encoding",
+    oracle=R.target_encoding_oracle(),
+    description="smoothed target (mean) encoding of order priority against order "
+    "value — enc = (sum_c + m*global_mean)/(n_c + m) with exact DECIMAL cent sums "
+    "and ONE closed-form double (never a pre-rounded intermediate mean); category "
+    "agg + 1-row broadcast",
+)
+def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.target_encoding(load_table(spark, sf_dir, "orders"))

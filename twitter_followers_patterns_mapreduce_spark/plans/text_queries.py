@@ -443,3 +443,15 @@ def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "doc_pii_scan",
+    oracle=TX.pii_scan_documents_oracle(),
+    description="compliance PII audit: per-type hit totals (emails, phones, SSN- and "
+    "card-shaped) + affected-doc count — RE2-compatible patterns shared verbatim by "
+    "both engines, counted via global extraction (multi-hit docs visible), one scan "
+    "+ one 1-row reduce",
+)
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pii_scan_documents(load_table(spark, sf_dir, "documents"))
