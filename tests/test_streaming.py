@@ -192,3 +192,44 @@ def test_staged_events_dir_relative_path_resolves(tmp_path):
     assert os.path.islink(link)
     assert os.path.isabs(os.readlink(link))
     assert os.path.exists(link)  # resolves regardless of cwd
+
+
+def test_top_users_stream_multibatch_equals_batch(spark, tmp_path):
+    """The leaderboard must survive incremental arrival: drain the same
+    events as 2 micro-batches and as 1, both must equal the batch
+    ranking (complete mode re-emits from aggregate state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        run_available_now,
+        top_users_stream,
+    )
+
+    rows = [(i, f"2024-01-01 0{i % 10}:00:00", i % 7, "click", float(i % 13), "{}")
+            for i in range(200)]
+    batch = spark.createDataFrame(
+        rows, schema="event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batch.where("event_id % 2 = 0").coalesce(1).write.parquet(feed + "/f0")
+    batch.where("event_id % 2 = 1").coalesce(1).write.parquet(feed + "/f1")
+    # file stream over the two subdirs' files
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed + "/*")
+    )
+    run_available_now(top_users_stream(stream, k=5), "tus_test_sink",
+                      output_mode="complete", state_partitions=4)
+    got = [(r["user_id"], r["n_events"], r["total_value"])
+           for r in spark.table("tus_test_sink").collect()]
+    want = [
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in top_users_stream(batch, k=5).collect()  # same body, batch df
+    ]
+    assert got == want and len(got) == 5
+    # leaderboard is sorted desc with id tiebreak
+    assert got == sorted(got, key=lambda t: (-t[2], t[0]))

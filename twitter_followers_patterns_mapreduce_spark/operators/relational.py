@@ -2011,3 +2011,39 @@ SELECT category, n_rows,
   floor((CAST(s_cents AS DOUBLE) + {smoothing} * (CAST(s_all AS DOUBLE) / n_all))
     / (n_rows + {smoothing}) / 100 * 1000000) / 1000000 AS encoding
 FROM per_cat CROSS JOIN tot"""
+
+
+def price_position_profile(orders: DataFrame, sample_mod: int = 997) -> DataFrame:
+    """percent_rank + cume_dist of each order's value WITHIN its
+    priority class — the relative-position features (is this order in
+    the top decile of its segment?) that complete the §2.5 window
+    surface beyond row_number/ntile.  The window partitions on the
+    bounded priority key (never a global sort); the output is then
+    THINNED to the deterministic o_orderkey % ``sample_mod`` == 0 probe
+    rows AFTER the window so the result stays hashable at any sf while
+    every row still saw its full partition.  Both rank functions are
+    exact rational(ints)-to-double on identical tie structure, rounded
+    at 1e-6."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+    return ranked.where(F.col("o_orderkey") % sample_mod == 0)
+
+
+def price_position_profile_oracle(sample_mod: int = 997) -> str:
+    return f"""WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+    round(percent_rank() OVER w, 6) AS pct_rank,
+    round(cume_dist() OVER w, 6) AS cume_dist
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC))
+SELECT * FROM ranked WHERE o_orderkey % {sample_mod} = 0"""

@@ -704,3 +704,33 @@ def events_segment_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.user_ltv_decay(load_events(spark, sf_dir), k=100)
+
+
+@register(
+    "events_top_users_streamed",
+    oracle="""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10""",
+    description="streaming leaderboard (ninth gated streaming class): global per-user "
+    "totals sorted + limited INSIDE the streaming query — sort is only legal in "
+    "complete output mode, each micro-batch re-emits the ranked top-10 from "
+    "aggregate state; DECIMAL totals make the result batching-order-independent",
+)
+def events_top_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+        top_users_stream,
+    )
+
+    stream = top_users_stream(events_file_stream(spark, _staged_events_dir(sf_dir)))
+    run_available_now(
+        stream,
+        "events_top_users_streamed_sink",
+        output_mode="complete",
+        # state is the per-user aggregate; users are thousands, not millions
+        state_partitions=8,
+    )
+    return spark.table("events_top_users_streamed_sink")

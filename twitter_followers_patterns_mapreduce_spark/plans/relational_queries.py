@@ -734,3 +734,14 @@ def copurchase_part_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.target_encoding(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "orders_price_position",
+    oracle=R.price_position_profile_oracle(),
+    description="percent_rank + cume_dist within each priority class (window "
+    "partitioned on the bounded key, never global), thinned to deterministic "
+    "probe rows AFTER the window so output stays hashable at any sf",
+)
+def orders_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.price_position_profile(load_table(spark, sf_dir, "orders"))

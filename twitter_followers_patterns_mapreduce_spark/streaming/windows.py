@@ -158,3 +158,24 @@ def segment_window_stream(
             "n_events",
         )
     )
+
+
+def top_users_stream(events: DataFrame, k: int = 10) -> DataFrame:
+    """Complete-mode streaming TOP-K: global per-user value totals,
+    sorted and limited INSIDE the streaming query.  Sorting a streaming
+    DataFrame is only legal in complete output mode — each micro-batch
+    re-emits the full (tiny) ranked result from the aggregate state, so
+    the sink always holds the current leaderboard: the live-dashboard
+    class no watermarked/append query can express.  State is the
+    per-user aggregate (|users| rows), never raw events; ties break on
+    user_id so the leaderboard is total-ordered.  Value totals ride
+    DECIMAL (exact, batching-order-independent) and surface as double."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(k)
+    )
