@@ -58,6 +58,12 @@ ALLOWED_BRUTE_FORCE = {
     #     node count) broadcast onto the scan: cardinality × 1
     "events_user_ltv_decay",
     "graph_reach_profile",
+    #   * modularity / target encoding / curriculum — a 1-row global
+    #     (edge count / target sum / quartile boundaries) broadcast onto
+    #     a community-/category-/doc-sized side: cardinality × 1
+    "graph_modularity",
+    "orders_target_encoding",
+    "corpus_quality_curriculum",
 }
 
 

@@ -1042,3 +1042,52 @@ sel{i} AS (
 selu{i} AS (SELECT * FROM selu{p} UNION ALL SELECT * FROM sel{i})"""
     return sql + f"""
 SELECT query_id, step, cand_id AS neighbor_id, score FROM selu{k}"""
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension mean / std / min / max over the embedding matrix —
+    the normalization statistics every ANN / quantization / whitening
+    step consumes (PQ codebooks and SQ8 ranges are built from exactly
+    these).  One posexplode scan (JVM-side, no Python) + one hash agg
+    keyed by dimension (64 groups — map-side combinable to nothing).
+
+    Exactness: each float element casts to double bit-exactly; the sums
+    run as DECIMAL(38,12) (the double→decimal cast rounds identically
+    on both engines, and decimal addition is order-independent), so
+    mean and the E[x²]−E[x]² variance are single closed-form doubles at
+    the end, floored at 1e-9.  Min/max are order-free already.
+    Output: (dim, n, mean, std, min_val, max_val)."""
+    el = embeddings.select(
+        F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    agg = el.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("q"),
+        F.min("x").alias("min_val"),
+        F.max("x").alias("max_val"),
+    )
+    return agg.selectExpr(
+        "dim",
+        "n",
+        "floor(CAST(s AS DOUBLE) / n * 1000000000) / 1000000000 AS mean",
+        "floor(sqrt(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+        " * 1000000000) / 1000000000 AS std",
+        "min_val",
+        "max_val",
+    )
+
+
+def embedding_dim_stats_oracle() -> str:
+    return """WITH el AS (
+  SELECT unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+  floor(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) * 1000000000) / 1000000000 AS mean,
+  floor(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+    - (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+      * (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)))
+    * 1000000000) / 1000000000 AS std,
+  MIN(x) AS min_val, MAX(x) AS max_val
+FROM el GROUP BY dim"""

@@ -519,3 +519,76 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_cards) AS BIGINT) AS total_cards,
   CAST(SUM(CASE WHEN n_emails + n_phones + n_ssns + n_cards > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
 FROM per_doc"""
+
+
+def quality_curriculum(documents: DataFrame) -> DataFrame:
+    """Curriculum-learning buckets: split the corpus into quality
+    quartiles and profile each — the "train easy→hard" ordering step of
+    a data pipeline (bucket 1 = lowest-quality quartile).
+
+    Shape: the per-doc quality projection runs scan-side; the three
+    quartile boundaries come from ONE exact-percentile aggregate
+    (type-7, bit-identical to DuckDB quantile_cont — at 100 TB this
+    swaps to approx_percentile, the sketch path documented in
+    operators/stats.py) broadcast back as a 1-row cross; bucket
+    assignment is three comparisons, and the per-bucket profile is one
+    4-group hash agg.  Quality scores are 6-dp-rounded doubles scaled
+    to exact BIGINTs for the bucket averages (order-independent sums).
+    Output: (bucket, n_docs, avg_quality, avg_tokens)."""
+    scored = apply_select(
+        fan_out(documents), quality_score_select("spark")
+    ).join(
+        apply_select(fan_out(documents), token_stats_select("spark")).select(
+            "doc_id", "n_tokens"
+        ),
+        "doc_id",
+    )
+    qs = scored.agg(
+        F.percentile("quality_score", F.lit(0.25)).alias("q25"),
+        F.percentile("quality_score", F.lit(0.50)).alias("q50"),
+        F.percentile("quality_score", F.lit(0.75)).alias("q75"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(qs)).selectExpr(
+        "CAST(1 + CASE WHEN quality_score > q25 THEN 1 ELSE 0 END"
+        " + CASE WHEN quality_score > q50 THEN 1 ELSE 0 END"
+        " + CASE WHEN quality_score > q75 THEN 1 ELSE 0 END AS INT) AS bucket",
+        "CAST(round(quality_score * 1000000) AS BIGINT) AS s6",
+        "n_tokens",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.sum("s6").cast("double")).alias("_s"),
+            F.sum("n_tokens").cast("long").alias("_t"),
+        )
+        .selectExpr(
+            "bucket",
+            "n_docs",
+            "floor(_s / n_docs) / 1000000 AS avg_quality",
+            "floor(CAST(_t AS DOUBLE) / n_docs * 1000000) / 1000000 AS avg_tokens",
+        )
+    )
+
+
+def quality_curriculum_oracle() -> str:
+    q = select_sql("documents", quality_score_select("duckdb"))
+    t = select_sql("documents", token_stats_select("duckdb"))
+    return f"""WITH scored0 AS ({q}),
+tok AS ({t}),
+scored AS (SELECT s.doc_id, s.quality_score, tok.n_tokens
+           FROM scored0 s JOIN tok ON s.doc_id = tok.doc_id),
+qs AS (SELECT quantile_cont(quality_score, 0.25) AS q25,
+              quantile_cont(quality_score, 0.50) AS q50,
+              quantile_cont(quality_score, 0.75) AS q75 FROM scored),
+bucketed AS (
+  SELECT CAST(1 + CASE WHEN quality_score > q25 THEN 1 ELSE 0 END
+           + CASE WHEN quality_score > q50 THEN 1 ELSE 0 END
+           + CASE WHEN quality_score > q75 THEN 1 ELSE 0 END AS INT) AS bucket,
+         CAST(round(quality_score * 1000000) AS BIGINT) AS s6,
+         n_tokens
+  FROM scored CROSS JOIN qs)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  floor(CAST(SUM(s6) AS DOUBLE) / COUNT(*)) / 1000000 AS avg_quality,
+  floor(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS avg_tokens
+FROM bucketed GROUP BY bucket"""

@@ -196,3 +196,15 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_diversified_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=S.embedding_dim_stats_oracle(),
+    description="per-dimension mean/std/min/max of the embedding matrix (the "
+    "normalization stats PQ/SQ8/whitening consume): one posexplode scan + one "
+    "64-group hash agg; DECIMAL(38,12) sums make the float reduction exact and "
+    "order-independent",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))

@@ -455,3 +455,15 @@ def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_scan_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_quality_curriculum",
+    oracle=TX.quality_curriculum_oracle(),
+    description="curriculum-learning buckets: quality quartiles (exact type-7 "
+    "percentile boundaries broadcast as a 1-row cross; approx_percentile is the "
+    "documented 100 TB swap) profiled per bucket with exact scaled-integer "
+    "averages",
+)
+def corpus_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_curriculum(load_table(spark, sf_dir, "documents"))
