@@ -399,3 +399,101 @@ def test_bigram_surprisal_matches_python(spark, seed):
         for r in CP.doc_bigram_surprisal(sdf).collect()
     }
     assert got == py_bigram_bits(docs)
+
+
+# ---------------------------------------------------------------------------
+# round-6 differentials
+# ---------------------------------------------------------------------------
+
+def test_scc_equals_cc_on_symmetrized_graph(spark):
+    """On a symmetric edge set every weakly connected component is
+    strongly connected, so SCC and hash-min CC must produce the SAME
+    partition with the SAME min-id labels — two independent algorithms
+    (trim+FW/BW peeling vs label propagation) cross-checking each other."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import derived_edges
+
+    e = derived_edges(spark, "/root/testdata/sf0.001")
+    e = e.where((e["src"] * 31 + e["dst"]) % 17 == 0)  # sparse slice, many comps
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    scc = {(r["id"], r["scc_id"]) for r in GI.strongly_connected_components(sym).collect()}
+    cc = {(r["id"], r["comp"]) for r in GI.connected_components(e).collect()}
+    assert scc == cc and len(scc) > 0
+
+
+def test_corr_matrix_agrees_with_assortativity_machinery(spark):
+    """corr(x, x) on any column must be exactly 1 (after flooring) and
+    the matrix must be permutation-stable: corr(a,b) from cols [a,b]
+    equals corr computed from cols [b,a]."""
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import corr_matrix
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    ab = {(r["col_x"], r["col_y"]): r["corr"]
+          for r in corr_matrix(li, ["l_quantity", "l_extendedprice"]).collect()}
+    ba = {(r["col_x"], r["col_y"]): r["corr"]
+          for r in corr_matrix(li, ["l_extendedprice", "l_quantity"]).collect()}
+    assert ab[("l_quantity", "l_extendedprice")] == ba[("l_extendedprice", "l_quantity")]
+    same = corr_matrix(li.selectExpr("l_quantity", "l_quantity AS q2"), ["l_quantity", "q2"])
+    (row,) = same.collect()
+    assert abs(row["corr"] - 1.0) <= 1e-6  # floor grid may shave one ulp-step
+
+
+def test_ols_r2_equals_corr_squared(spark):
+    """r² from the OLS closed form must equal corr² from the matrix (to
+    the floor grid) — two different final expressions over the same
+    exact moments."""
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        corr_matrix,
+        ols_fit,
+    )
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    (c,) = corr_matrix(li, ["l_quantity", "l_extendedprice"]).collect()
+    (o,) = ols_fit(li, "l_quantity", "l_extendedprice").collect()
+    assert abs(o["r2"] - c["corr"] ** 2) < 3e-6
+
+
+def test_mmr_step1_equals_topk_rank1_and_set_is_topm_subset(spark):
+    """MMR's first pick must equal brute-force top-1; every pick must
+    come from the top-m candidate pool."""
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        mmr_diversified_topk,
+    )
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    top = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ann_topk_bruteforce(emb, k=20).collect()}
+    mmr = mmr_diversified_topk(emb, k=5, m=20).collect()
+    pool = {}
+    for (q, rank), n in top.items():
+        pool.setdefault(q, set()).add(n)
+    for r in mmr:
+        if r["step"] == 1:
+            assert top[(r["query_id"], 1)] == r["neighbor_id"]
+        assert r["neighbor_id"] in pool[r["query_id"]]
+
+
+def test_chi_square_is_nonnegative_and_v_bounded(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import chi_square
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    (row,) = chi_square(orders, "o_orderstatus", "o_orderpriority").collect()
+    assert row["chi2"] >= 0
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_modularity_bounded(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import derived_edges
+
+    e = derived_edges(spark, "/root/testdata/sf0.001")
+    e = e.where((e["src"] * 31 + e["dst"]) % 11 == 0)
+    (row,) = GI.modularity(e, GI.label_propagation(e, rounds=4)).collect()
+    assert -0.5 - 1e-9 <= row["modularity"] <= 1.0
