@@ -20,7 +20,12 @@ re-executable partition read.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _MASK = (1 << 64) - 1
 
@@ -99,3 +104,71 @@ def expected_edges(n_nodes: int, out_degree: int, seed: int = 42) -> list[tuple[
             if dst != src:
                 out.append((src, dst))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: the same deterministic generator as an UNBOUNDED source
+# ---------------------------------------------------------------------------
+
+class SyntheticEdgesStreamReader(SimpleDataSourceStreamReader):
+    """``SimpleDataSourceStreamReader`` over the node-id space: each
+    micro-batch advances a cursor by ``batch_nodes`` source nodes and
+    emits exactly their edges.  The offset dict {"next": <node>} is the
+    ENTIRE source state — Spark checkpoints it, and
+    :meth:`readBetweenOffsets` regenerates any [start, end) slice
+    bit-identically on replay (splitmix64 on (src, j), no RNG state),
+    which is the exactly-once contract a replayable streaming
+    connector must satisfy.  The source is bounded by ``n_nodes`` so
+    availableNow drains it to a deterministic fixed point equal to the
+    batch read with the same options."""
+
+    def __init__(self, options):
+        self.n_nodes = int(options.get("n_nodes", 1000))
+        self.out_degree = int(options.get("out_degree", 4))
+        self.batch_nodes = int(options.get("batch_nodes", 250))
+        self.seed = int(options.get("seed", 42))
+        if self.n_nodes < 1:
+            raise ValueError(f"n_nodes must be >= 1, got {self.n_nodes}")
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _gen(self, lo: int, hi: int):
+        n, d, seed = self.n_nodes, self.out_degree, self.seed
+        for src in range(lo, hi):
+            for j in range(d):
+                dst = _mix(seed * 0x100000001B3 + src * d + j) % n
+                if dst != src:
+                    yield (src, dst)
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_nodes, self.n_nodes)
+        # a LIST ITERATOR, not a generator and not a bare list: the
+        # driver-side prefetch cache copy.copy()s the iterator (generators
+        # fail to pickle) and calls next() on it for the empty-batch check
+        return iter(list(self._gen(lo, hi))), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._gen(int(start["next"]), int(end["next"]))))
+
+
+class SyntheticEdgesStream(DataSource):
+    """``spark.readStream.format("synthetic_edges_stream")`` after
+    ``spark.dataSource.register(SyntheticEdgesStream)``.
+
+    Options: n_nodes, out_degree, batch_nodes, seed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_edges_stream"
+
+    def schema(self) -> str:
+        return "src bigint, dst bigint"
+
+    def simpleStreamReader(self, schema) -> SyntheticEdgesStreamReader:
+        return SyntheticEdgesStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticEdgesStream)
