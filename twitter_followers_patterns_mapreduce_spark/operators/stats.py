@@ -672,3 +672,58 @@ SELECT grp, MAX(ng) AS n_rows,
   CAST(SUM(h9) AS DOUBLE) / 1000000000.0 AS entropy,
   CAST(SUM(kl9) AS DOUBLE) / 1000000000.0 AS kl_vs_global
 FROM terms GROUP BY grp"""
+
+
+def iqr_outlier_profile(
+    df: DataFrame, group_col: str, value_col: str, k: float = 1.5
+) -> DataFrame:
+    """Per-group Tukey-fence outlier profile: q1/q3, IQR, and how many
+    rows fall outside [q1 − k·IQR, q3 + k·IQR] — the robust anomaly
+    screen ANALYZE-style profiling runs before trusting a column.
+
+    Shape: one exact-percentile agg per group (type-7, bit-identical to
+    DuckDB quantile_cont; at unbounded group counts the sketch
+    ``approx_percentile`` is the documented swap), broadcast back onto
+    the scan for the fence comparison, one count agg.  The fences are
+    pointwise doubles over the identical interpolated quantiles, so the
+    comparisons agree bit-for-bit.  Output per group:
+    (grp, n, q1, q3, n_low, n_high)."""
+    g = F.col(group_col)
+    qs = df.groupBy(g.alias("grp")).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("q3"),
+    )
+    joined = df.select(g.alias("grp"), F.col(value_col).alias("v")).join(
+        F.broadcast(qs), "grp"
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.sum(
+                F.when(F.col("v") < F.col("q1") - k * (F.col("q3") - F.col("q1")), 1).otherwise(0)
+            ).cast("long").alias("n_low"),
+            F.sum(
+                F.when(F.col("v") > F.col("q3") + k * (F.col("q3") - F.col("q1")), 1).otherwise(0)
+            ).cast("long").alias("n_high"),
+        )
+        .select("grp", "n", "q1", "q3", "n_low", "n_high")
+    )
+
+
+def iqr_outlier_profile_oracle(
+    table: str, group_col: str, value_col: str, k: float = 1.5
+) -> str:
+    return f"""WITH qs AS (
+  SELECT {group_col} AS grp,
+         quantile_cont({value_col}, 0.25) AS q1,
+         quantile_cont({value_col}, 0.75) AS q3
+  FROM {table} GROUP BY 1),
+j AS (SELECT t.{group_col} AS grp, t.{value_col} AS v, qs.q1, qs.q3
+      FROM {table} t JOIN qs ON t.{group_col} = qs.grp)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, MAX(q1) AS q1, MAX(q3) AS q3,
+  CAST(SUM(CASE WHEN v < q1 - {k!r} * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(SUM(CASE WHEN v > q3 + {k!r} * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM j GROUP BY grp"""

@@ -745,3 +745,14 @@ def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.price_position_profile(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "orders_iqr_outliers",
+    oracle=ST.iqr_outlier_profile_oracle("orders", "o_orderpriority", "o_totalprice"),
+    description="per-priority Tukey-fence outlier profile (q1/q3 exact type-7 "
+    "percentiles broadcast back onto the scan, fence comparisons pointwise "
+    "bit-identical) — the robust anomaly screen of column profiling",
+)
+def orders_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.iqr_outlier_profile(load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice")
