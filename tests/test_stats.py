@@ -316,3 +316,23 @@ def test_categorical_entropy_kl_uniform_group_zero_kl(spark):
     df = spark.createDataFrame(data, schema="g INT, c STRING")
     for r in categorical_entropy_kl(df, "g", "c").collect():
         assert abs(r["kl_vs_global"]) < 1e-8
+
+
+def test_iqr_outlier_profile_hand_case(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        iqr_outlier_profile,
+    )
+
+    # group g: values 1..9 plus extreme 100 → q1/q3 from type-7 interpolation,
+    # 100 is above the upper fence; nothing below the lower fence
+    vals = [float(v) for v in range(1, 10)] + [100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], schema="grp0 STRING, v DOUBLE")
+    (row,) = iqr_outlier_profile(df, "grp0", "v").collect()
+    import numpy as np
+
+    q1, q3 = np.percentile(vals, [25, 75])  # numpy 'linear' == type-7
+    assert row["n"] == 10
+    assert abs(row["q1"] - q1) < 1e-9 and abs(row["q3"] - q3) < 1e-9
+    iqr = q3 - q1
+    assert row["n_high"] == sum(1 for v in vals if v > q3 + 1.5 * iqr) == 1
+    assert row["n_low"] == 0
