@@ -438,3 +438,23 @@ def test_lsh_recall_counts_misses_below_banding_power(spark):
     assert row["n_found"] + row["n_missed"] == row["n_truth"]
     import math as _m
     assert row["recall"] == _m.floor(row["n_found"] / row["n_truth"] * 1e6) / 1e6
+
+
+def test_bucket_pairs_hot_bucket_fallback_is_lossless(spark):
+    # one "hot" bucket above the cap (self-join branch) + one small
+    # bucket (array-expansion branch): the union must be exactly all
+    # in-bucket pairs either way — the cap only moves the quadratic
+    # expansion off a single task, never changes the pair set
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import _bucket_pairs
+
+    keyed = spark.createDataFrame(
+        [("hot", i) for i in range(10)] + [("small", 100), ("small", 101)],
+        schema="key STRING, doc_id LONG",
+    )
+    expected = {(a, b) for a in range(10) for b in range(10) if a < b} | {(100, 101)}
+    capped = {
+        (r["da"], r["db"]) for r in _bucket_pairs(keyed, ["key"], max_bucket=4).collect()
+    }
+    uncapped = {(r["da"], r["db"]) for r in _bucket_pairs(keyed, ["key"]).collect()}
+    assert capped == expected
+    assert uncapped == expected

@@ -458,3 +458,48 @@ def test_user_ltv_decay_hand_case(spark):
     # ordering: user 1 first (higher ltv)
     ltvs = [r["ltv"] for r in user_ltv_decay(df, k=10).collect()]
     assert ltvs == sorted(ltvs, reverse=True)
+
+
+def test_ewma_hourly_hand_case_with_gap(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (1, t0, 1, "click", 10.0, "{}"),
+        (2, t0 + timedelta(hours=1), 1, "click", 20.0, "{}"),
+        # hour +2 missing: a gap must contribute ZERO, not shift lags
+        (3, t0 + timedelta(hours=3), 1, "click", 40.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {r["window_start"]: r for r in E.ewma_hourly(df).collect()}
+    assert set(got) == {
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 03:00:00"
+    }
+    # w_d = 0.3 * 0.7^d over hour distance
+    assert got["2024-01-01 00:00:00"]["ewma"] == 3.0
+    assert got["2024-01-01 01:00:00"]["ewma"] == 0.3 * 20 + 0.21 * 10  # 8.1
+    # gap-correct: hour+2 weight skipped entirely
+    expect = 0.3 * 40 + 0.147 * 20 + 0.1029 * 10
+    assert abs(got["2024-01-01 03:00:00"]["ewma"] - expect) < 1e-9
+    assert got["2024-01-01 03:00:00"]["n_events"] == 1
+
+
+def test_ewma_hourly_row_lag_would_differ(spark):
+    # adversarial: with a 9-hour gap the kernel must FORGET the old
+    # bucket (row-lag decay would still include it at weight 0.21)
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (1, t0, 1, "click", 100.0, "{}"),
+        (2, t0 + timedelta(hours=9), 1, "click", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {r["window_start"]: r["ewma"] for r in E.ewma_hourly(df).collect()}
+    assert got["2024-01-01 09:00:00"] == 3.0  # 0.3*10, nothing else

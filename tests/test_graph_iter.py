@@ -463,3 +463,52 @@ def test_modularity_community_without_intra_edges(spark):
     t1 = math.floor((1 / 3 - (4 / 6) ** 2) * 1e9) / 1e9
     t3 = math.floor((0 / 3 - (2 / 6) ** 2) * 1e9) / 1e9
     assert abs(row["modularity"] - (t1 + t3)) < 1e-12
+
+
+def test_scc_self_loop_only_node_is_emitted(spark):
+    # node 3's ONLY edge is a self-loop: it has no row in the
+    # self-loop-filtered edge set, but a true SCC decomposition still
+    # emits it as a singleton (same convention as connected_components)
+    e = make_edges(spark, [(1, 2), (2, 1), (3, 3)])
+    r = _scc_map(GI.strongly_connected_components(e))
+    assert r == {1: 1, 2: 1, 3: 3}
+
+
+def test_reach_anf_matches_exact_at_small_scale(spark):
+    # sparse-mode HLL is exact at these cardinalities, so the HyperANF
+    # loop must reproduce the exact neighborhood function for k=1..6
+    # on a graph whose closure keeps growing past k=3
+    e = make_edges(
+        spark,
+        [(i, i + 1) for i in range(1, 10)] + [(10, 1), (3, 7), (5, 2)],
+    )
+    exact = {r["k"]: r["n_pairs"] for r in GI.reach_profile(e, kmax=6).collect()}
+    approx = {r["k"]: r["approx_pairs"] for r in GI.reach_anf(e, kmax=6).collect()}
+    assert approx == exact
+    # deterministic: re-running yields identical estimates (hash merges
+    # and per-register max have no RNG and no order sensitivity)
+    again = {r["k"]: r["approx_pairs"] for r in GI.reach_anf(e, kmax=6).collect()}
+    assert again == approx
+
+
+def test_reach_anf_checked_booleans_true(spark):
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)])
+    rows = GI.reach_anf_checked(e, kmax=3).collect()
+    assert [r["k"] for r in rows] == [1, 2, 3]
+    assert all(r["anf_ok"] for r in rows)
+
+
+def test_coreness_tiers_all_populated(spark):
+    # K5 (coreness 4) + pendant path 5-6-7 (coreness 1) + triangle
+    # 8-9-10 (coreness 2): all tiers 1..4 binding in one graph
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    e = make_edges(spark, k5 + [(5, 6), (6, 7), (8, 9), (9, 10), (8, 10)])
+    r = {row["v"]: row["coreness"] for row in GI.coreness(e, kmax=4).collect()}
+    assert r == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 1, 7: 1, 8: 2, 9: 2, 10: 2}
+
+
+def test_coreness_saturates_at_kmax(spark):
+    # kmax=2 caps the K5 clique's coreness at 2 by contract
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    r = {row["v"]: row["coreness"] for row in GI.coreness(make_edges(spark, k5), kmax=2).collect()}
+    assert r == {v: 2 for v in range(1, 6)}

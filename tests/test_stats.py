@@ -336,3 +336,29 @@ def test_iqr_outlier_profile_hand_case(spark):
     iqr = q3 - q1
     assert row["n_high"] == sum(1 for v in vals if v > q3 + 1.5 * iqr) == 1
     assert row["n_low"] == 0
+
+
+def test_woe_iv_closed_form_and_null_guard(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import woe_iv
+
+    rows = (
+        [("A", 1)] * 3 + [("A", 0)] * 1
+        + [("B", 1)] * 1 + [("B", 0)] * 3
+        + [("C", 1)] * 2          # no negatives: degenerate, NULL woe
+    )
+    df = spark.createDataFrame(rows, schema="cat STRING, y INT")
+    out = {r["category"]: r for r in woe_iv(df, "cat", "y = 1").collect()}
+    pos, neg = 6, 4
+
+    def fl(x):
+        return math.floor(x * 1e6) / 1e6
+
+    wa = math.log((3 / pos) / (1 / neg))
+    assert out["A"]["woe"] == fl(wa)
+    assert out["A"]["iv_term"] == fl((3 / pos - 1 / neg) * wa)
+    wb = math.log((1 / pos) / (3 / neg))
+    assert out["B"]["woe"] == fl(wb)
+    assert out["C"]["woe"] is None and out["C"]["iv_term"] is None
+    assert (out["A"]["n"], out["A"]["n_pos"], out["A"]["n_neg"]) == (4, 3, 1)

@@ -90,3 +90,26 @@ def test_version_helpers_skip_uncommitted_and_self(tmp_path):
     # a retried batch 1 merges against its predecessor, not itself
     assert _latest_version(str(view), below=1) == 0
     assert _latest_version(str(view), below=0) is None
+
+
+def test_prune_versions_keeps_newest_two_committed(tmp_path):
+    import os
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.graph import (
+        _committed_versions,
+        _prune_versions,
+    )
+
+    view = tmp_path / "view"
+    for v, committed in [(0, True), (1, True), (2, True), (3, True), (4, False)]:
+        d = view / f"v={v}"
+        os.makedirs(d)
+        (d / "part-0.parquet").write_bytes(b"")
+        if committed:
+            (d / "_SUCCESS").write_bytes(b"")
+    _prune_versions(str(view))
+    # newest two committed survive (current + crash-replay predecessor)
+    assert sorted(_committed_versions(str(view))) == [2, 3]
+    # an in-flight (uncommitted) dir is never touched
+    assert os.path.isdir(view / "v=4")
+    assert not os.path.isdir(view / "v=0") and not os.path.isdir(view / "v=1")

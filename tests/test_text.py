@@ -139,3 +139,41 @@ def test_pii_scan_counts_synthetic_hits(spark):
     assert row["total_ssns"] == 1
     assert row["total_cards"] == 1
     assert row["docs_with_pii"] == 2
+
+
+def test_pii_phone_not_double_counted_inside_cards(spark):
+    # the phone pattern alone would match '111 1111 1111' INSIDE the
+    # card run; phones are counted on card-redacted text, so a card is
+    # a card hit only, and a genuine phone still counts
+    from twitter_followers_patterns_mapreduce_spark.operators.text import pii_scan_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "card 4111 1111 1111 1111 only"),
+            (2, "call 555-123-4567 and card 4111-1111-1111-1111"),
+        ],
+        schema="doc_id LONG, text STRING",
+    )
+    (row,) = pii_scan_documents(df).collect()
+    assert row["total_cards"] == 2
+    assert row["total_phones"] == 1
+
+
+def test_gopher_quality_rules(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.text import gopher_quality
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog today"] * 6)  # 60 words
+    short = "the tiny doc"
+    symbols = " ".join(["the of and is ##### ... ### ..."] * 10)  # symbol-heavy, 80 words
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], schema="doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["n_words"] == 60
+    assert got[1]["gopher_pass"] is True
+    assert got[1]["alpha_word_ratio"] == 1.0
+    assert got[2]["gopher_pass"] is False          # word-count floor
+    assert got[3]["gopher_pass"] is False          # symbol ratio
+    # 5 '#' + 1 '...'-triple + '...' = per repeat: '#####'(5) + '###'(3) = 8 hashes,
+    # 2 '...' groups -> (8 + 2) per repeat, 10 repeats = 100 symbols / 80 words
+    assert got[3]["symbol_word_ratio"] == 1.25

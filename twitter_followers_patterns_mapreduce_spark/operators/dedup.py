@@ -173,29 +173,60 @@ def _band_struct(k: int) -> F.Column:
     return F.struct(F.lit(k).alias("band"), key.alias("key"))
 
 
-def _bucket_pairs(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
+#: Buckets above this size route through the distributed self-join
+#: fallback instead of single-task array expansion (see _bucket_pairs).
+LSH_MAX_BUCKET = 1024
+
+
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
     """Distinct (da, db) pairs of doc_ids sharing a bucket key.
 
     groupBy + in-bucket pair expansion instead of a bucket self-join:
     the self-join evaluates the (expensive, scan-side) bucket keys on
-    BOTH sides; this shape computes them once and shuffles once.  The
-    per-bucket expansion is array algebra over collect_list — safe
-    because near-dup buckets are small by construction (a genuinely hot
-    bucket means the corpus is mostly one duplicate cluster)."""
+    BOTH sides; this shape computes them once and shuffles once.
+
+    Hot-bucket guard: the array expansion materializes O(|bucket|²)
+    pairs in ONE task, which is fine for near-dup buckets (small by
+    construction) but unbounded on an adversarial corpus that is mostly
+    one duplicate cluster.  Buckets larger than ``max_bucket`` therefore
+    fall back to an exploded self-join on the bucket key — the SAME pair
+    set (union of both branches is exactly all in-bucket pairs, so the
+    oracle is unchanged), but the quadratic expansion is distributed
+    across shuffle partitions instead of one task.  Residual bound: the
+    collect_list buffer itself is O(|bucket|·8 B) in one agg group
+    (1 M ids ≈ 8 MB) — linear, and the price of evaluating bucket keys
+    once; the quadratic part is what the guard moves off a single task.
+    """
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
+        # referenced by both branches — don't recompute the (expensive,
+        # scan-side) bucket keys per branch
+        .localCheckpoint(eager=False)
     )
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))"
     )
-    return (
-        buckets.selectExpr(f"explode({pair_expr}) AS p")
+    small = (
+        buckets.where(F.size("ids") <= max_bucket)
+        .selectExpr(f"explode({pair_expr}) AS p")
         .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
-        .distinct()
     )
+    hot = (
+        buckets.where(F.size("ids") > max_bucket)
+        .selectExpr(*key_cols, "explode(ids) AS id")
+    )
+    big = (
+        hot.alias("ha")
+        .join(hot.alias("hb"), key_cols)
+        .where(F.col("ha.id") < F.col("hb.id"))
+        .select(F.col("ha.id").alias("da"), F.col("hb.id").alias("db"))
+    )
+    return small.unionByName(big).distinct()
 
 
 def minhash_lsh_pairs(

@@ -1043,3 +1043,110 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM terms GROUP BY user_id
 ORDER BY ltv DESC, user_id
 LIMIT {k}"""
+
+
+def ewma_hourly(events: DataFrame) -> DataFrame:
+    """Exponentially-weighted moving average of hourly value volume per
+    event_type — the smoothing every ops dashboard / anomaly baseline
+    runs; finite-impulse form with an 8-hour kernel, α = 0.3:
+
+        ewma(t) = Σ_{d=0..7}  α(1−α)^d · sum_value(t − d hours)
+
+    TRUE time decay, not row-lag decay: the kernel weight is a function
+    of the HOUR DISTANCE via a bounded self-join of the hourly bucket
+    table on ``0 ≤ h_t − h_src ≤ 7``, so gaps in the series contribute
+    zero (a lag() window over observed rows would silently treat a
+    2-day-old bucket as "one step ago").  Truncating the kernel at 8
+    taps drops ≤ (0.7)^8 ≈ 5.8% of the mass — documented, determinism
+    over tail-chasing.
+
+    Exactness: α = 3/10 makes every weight the exact rational
+    3·7^d/10^(d+1); each per-row value floors to a 1e-6-scaled BIGINT
+    (exact for the ≤6-decimal synthetic values), bucket sums are exact
+    integers, and each kernel term is one DECIMAL(38,0)·BIGINT product
+    over the common denominator 10^8 — the whole numerator is an exact
+    integer, order-independent, floored to 1e-6 at the very end.
+
+    Scale shape: one hash agg to hourly buckets (map-side combinable),
+    then a self-equi-join on event_type with the 8-hour band predicate
+    — the bucket table is |types|·|hours| rows, thousands of times
+    smaller than the fact table, so the "range join" is a rounding
+    error next to the scan; kernel width is the documented knob.
+    Output: (event_type, window_start, n_events, sum_value, ewma).
+    """
+    w_expr = "CAST(round(3 * power(7, dd) * power(10, 7 - dd)) AS BIGINT)"
+    b = (
+        events.selectExpr(
+            "event_type",
+            "unix_micros(ts) div 3600000000 AS h",
+            "CAST(value AS DECIMAL(18,6)) AS v",
+            "CAST(floor(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS v6",
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("v").alias("s"),
+            F.sum("v6").cast("long").alias("s6"),
+        )
+        .selectExpr(
+            "event_type", "h", "n_events", "CAST(s AS DOUBLE) AS sum_value", "s6"
+        )
+        # both sides of the kernel self-join — bucket once, not twice
+        .localCheckpoint(eager=False)
+    )
+    lagged = b.select(
+        F.col("event_type").alias("et2"), F.col("h").alias("h2"), F.col("s6").alias("s6l")
+    )
+    j = (
+        b.join(
+            lagged,
+            (F.col("event_type") == F.col("et2"))
+            & ((F.col("h") - F.col("h2")).between(0, 7)),
+        )
+        .selectExpr(
+            "event_type",
+            "h",
+            "n_events",
+            "sum_value",
+            "CAST(h - h2 AS INT) AS dd",
+            "s6l",
+        )
+        .selectExpr(
+            "event_type",
+            "h",
+            "n_events",
+            "sum_value",
+            f"CAST(s6l AS DECIMAL(38,0)) * {w_expr} AS term",
+        )
+    )
+    return (
+        j.groupBy("event_type", "h", "n_events", "sum_value")
+        .agg(F.sum("term").alias("num"))
+        .selectExpr(
+            "event_type",
+            f"date_format(timestamp_seconds(h * 3600), '{TS_FMT_SPARK}') AS window_start",
+            "n_events",
+            "sum_value",
+            "floor(CAST(num AS DOUBLE) / 100000000) / 1000000 AS ewma",
+        )
+    )
+
+
+EWMA_HOURLY_ORACLE = f"""WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         CAST(SUM(CAST(floor(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)) AS BIGINT) AS s6
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT t.event_type, t.h, t.n_events, t.sum_value,
+         CAST(t.h - u.h AS INT) AS dd, u.s6 AS s6l
+  FROM b t JOIN b u
+    ON t.event_type = u.event_type AND t.h - u.h BETWEEN 0 AND 7)
+SELECT event_type,
+  strftime(to_timestamp(h * 3600), '{TS_FMT_DUCK}') AS window_start,
+  n_events, sum_value,
+  floor(CAST(SUM(CAST(s6l AS DECIMAL(38,0))
+      * CAST(round(3 * power(7, dd) * power(10, 7 - dd)) AS BIGINT)) AS DOUBLE) / 100000000)
+    / 1000000 AS ewma
+FROM j GROUP BY event_type, h, n_events, sum_value"""

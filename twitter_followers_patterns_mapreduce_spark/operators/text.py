@@ -475,20 +475,34 @@ def pii_scan_select(dialect: str, text: str = "text") -> list[tuple[str, str]]:
     deliberately RE2-compatible (no backreferences/lookaround) so the
     SAME text runs on Spark (Java regex) and DuckDB (RE2); counted via
     global match extraction, not boolean contains, so multiple hits in
-    one doc are visible.  Pure scan-side projection."""
+    one doc are visible.  Pure scan-side projection.
+
+    Phones are counted on CARD-REDACTED text: the phone pattern would
+    otherwise also match inside every 4-4-4-4 card run ('4111 1111 1111
+    1111' contains a phone-shaped '111 1111 1111'), double-counting each
+    card hit as a phone hit.  Redacting card matches first (global
+    regexp_replace with a single space — DuckDB needs the explicit 'g'
+    flag, Spark's replace is global already) makes the per-type totals
+    disjoint for card-shaped runs."""
+    card_pat = r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+    phone_pat = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+    if dialect == "spark":
+        phone_src = f"regexp_replace({text}, '{card_pat}', ' ')"
+    else:
+        phone_src = f"regexp_replace({text}, '{card_pat}', ' ', 'g')"
     pats = {
-        "n_emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
-        "n_phones": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
-        "n_ssns": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
-        "n_cards": r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}",
+        "n_emails": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", text),
+        "n_phones": (phone_pat, phone_src),
+        "n_ssns": (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", text),
+        "n_cards": (card_pat, text),
     }
     out: list[tuple[str, str]] = []
-    for alias, pat in pats.items():
+    for alias, (pat, src) in pats.items():
         if dialect == "spark":
             esc = pat.replace("\\", "\\\\")
-            out.append((f"CAST(size(regexp_extract_all({text}, '{esc}', 0)) AS INT)", alias))
+            out.append((f"CAST(size(regexp_extract_all({src}, '{esc}', 0)) AS INT)", alias))
         else:
-            out.append((f"CAST(len(regexp_extract_all({text}, '{pat}')) AS INT)", alias))
+            out.append((f"CAST(len(regexp_extract_all({src}, '{pat}')) AS INT)", alias))
     return out
 
 
@@ -519,6 +533,83 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_cards) AS BIGINT) AS total_cards,
   CAST(SUM(CASE WHEN n_emails + n_phones + n_ssns + n_cards > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
 FROM per_doc"""
+
+
+def gopher_quality_select(dialect: str) -> list[tuple[str, str]]:
+    """Gopher document-filter rules (Rae et al. 2021, Table A1 — the
+    published public heuristic battery every LLM-corpus pipeline runs
+    before dedup), as hard pass/fail booleans over one scan:
+
+      * 50 ≤ word count ≤ 100 000
+      * 3 ≤ mean word length ≤ 10
+      * symbol-to-word ratio ≤ 0.1 (``#`` and ``...`` hits)
+      * ≥ 80% of words contain an alphabetic character
+      * ≥ 2 English stopword hits
+
+    (The line-based rules — bullet/ellipsis line fractions — are
+    omitted: the synthetic corpus is single-line; they'd be the same
+    shape over ``split(text, '\\n')``.)  Distinct from
+    :func:`quality_score_select` (a soft composite score) and
+    :func:`repetition_select` (the §A1.1 repetition signals): this is
+    the §A1 FILTER, the thing that decides membership.
+
+    Cross-engine: thresholds compare UN-rounded doubles (identical IEEE
+    divisions of exact integers on both engines); displayed ratios are
+    floored at 1e-6 (floor, never round — round(x, 6) diverges between
+    engines on exact half-boundaries like 1/128).  Expressions reference
+    a staged ``toks`` column; ``...`` counting uses replace(), which is
+    leftmost non-overlapping in BOTH engines."""
+    n = size_sql("toks", dialect)
+    n1 = f"greatest({n}, 1)"
+    if dialect == "spark":
+        sumlen = "aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        alpha = "size(filter(toks, t -> t rlike '[a-zA-Z]'))"
+        ellipses = "(length(text) - length(replace(text, '...', ''))) div 3"
+    else:
+        sumlen = "CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)"
+        alpha = "len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))"
+        ellipses = "(length(text) - length(replace(text, '...', ''))) // 3"
+    hashes = "length(text) - length(replace(text, '#', ''))"
+    mean_wl = f"(CAST({sumlen} AS DOUBLE) / {n1})"
+    sym_ratio = f"(CAST(({hashes}) + ({ellipses}) AS DOUBLE) / {n1})"
+    alpha_ratio = f"(CAST({alpha} AS DOUBLE) / {n1})"
+    stops = count_in_set_sql("toks", LANG_STOPWORDS["en"], dialect)
+    gpass = (
+        f"({n} BETWEEN 50 AND 100000 AND {mean_wl} BETWEEN 3.0 AND 10.0"
+        f" AND {sym_ratio} <= 0.1 AND {alpha_ratio} >= 0.8 AND {stops} >= 2)"
+    )
+    return [
+        (f"CAST({n} AS BIGINT)", "n_words"),
+        (f"floor({mean_wl} * 1000000) / 1000000", "mean_word_len"),
+        (f"floor({sym_ratio} * 1000000) / 1000000", "symbol_word_ratio"),
+        (f"floor({alpha_ratio} * 1000000) / 1000000", "alpha_word_ratio"),
+        (f"CAST({stops} AS BIGINT)", "stop_hits"),
+        (gpass, "gopher_pass"),
+    ]
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Per-doc Gopher filter verdict — staged-tokens form of
+    :func:`gopher_quality_select` (tokens split once, all rules over
+    the staged array; pure scan-side, no shuffle)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
+    toks = tokens_sql("text", "spark")
+    staged = fan_out(documents).selectExpr(
+        "doc_id", "text", f"coalesce({toks}, array()) AS toks"
+    )
+    return staged.selectExpr(
+        "doc_id", *[f"{e} AS {a}" for e, a in gopher_quality_select("spark")]
+    )
+
+
+def gopher_quality_oracle() -> str:
+    toks = tokens_sql("text", "duckdb")
+    cols = ",\n  ".join(f"{e} AS {a}" for e, a in gopher_quality_select("duckdb"))
+    return (
+        f"SELECT doc_id,\n  {cols}\n"
+        f"FROM (SELECT doc_id, text, {toks} AS toks FROM documents)"
+    )
 
 
 def quality_curriculum(documents: DataFrame) -> DataFrame:

@@ -248,6 +248,22 @@ def graph_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_coreness",
+    # kmax=4 on the sparse slice: tiers 3-4 are EMPTY there (the
+    # sparse 3-core is empty, see graph_kcore_k16's note), which pins
+    # the empty-top-tier path under the driver's gate; the all-tiers-
+    # populated case is pinned by the constructed-graph unit test, and
+    # high-k peeling by graph_kcore_k16.
+    oracle=GI.coreness_oracle(_SPARSE_CTE, kmax=4, rounds=8),
+    description="core-number decomposition (coreness per node, k<=4): union of the "
+    "per-k parallel peelings + MAX per node — the degeneracy-ordering signal; "
+    "bounded-k parallel Batagelj-Zaversnik by composition of k_core",
+)
+def graph_coreness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.coreness(_sparse_edges(spark, sf_dir), kmax=4, rounds=8)
+
+
+@register(
     "graph_kcore_k16",
     # k=16 on the dense src/dst<200 subgraph (degrees 11-35, median 23):
     # a 3-round cascade peels 14 nodes and a 186-node core survives —
@@ -752,6 +768,21 @@ def graph_reach_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
     return GI.reach_profile(e, kmax=3)
+
+
+@register(
+    "graph_reach_anf",
+    oracle=GI.reach_anf_checked_oracle(_MUTUAL_CTE, kmax=3),
+    description="HyperANF (Boldi-Vigna) sketch neighborhood function vs the exact "
+    "closure: per-node HyperLogLog reach sketches advanced one hop per pass "
+    "(O(|V|) fixed-size state, one join + hll_union_agg per hop — the 100 TB "
+    "reach path where the exact V^2-state closure cannot go); oracle asserts "
+    "the 5%-error boolean against the exact k<=3 companion",
+)
+def graph_reach_anf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
+    return GI.reach_anf_checked(e, kmax=3)
 
 
 @register(

@@ -25,6 +25,18 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ewma_hourly",
+    oracle=E.EWMA_HOURLY_ORACLE,
+    description="EWMA-smoothed hourly value volume per event_type (8-tap FIR kernel, "
+    "alpha=0.3, exact rational weights 3*7^d/10^(d+1)): hour-distance-weighted "
+    "bounded self-join of the bucket table (gap-correct, unlike row-lag decay), "
+    "exact integer numerator over denominator 10^8, floored 1e-6",
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.ewma_hourly(load_events(spark, sf_dir))
+
+
+@register(
     "events_sliding_1h_30m",
     oracle=E.SLIDING_ORACLE,
     description="sliding windows (1h size / 30m slide): each event in two windows",

@@ -714,6 +714,21 @@ def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_woe_iv",
+    oracle=ST.woe_iv_oracle("orders", "o_orderpriority", "o_orderstatus = 'F'"),
+    description="weight-of-evidence / information-value of order priority against "
+    "the finished-status label (Siddiqi scorecard encoding): exact BIGINT cell "
+    "counts from one |categories|-row hash agg + broadcast totals cross, WoE and "
+    "IV term as single closed-form doubles floored at 1e-6, NULL-guarded "
+    "degenerate categories (cramers_v convention)",
+)
+def orders_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.woe_iv(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus = 'F'"
+    )
+
+
+@register(
     "copurchase_part_pairs",
     oracle=R.copurchase_part_pairs_oracle(k=20),
     description="item-item co-occurrence: top-20 part pairs bought in the same "

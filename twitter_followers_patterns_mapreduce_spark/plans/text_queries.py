@@ -458,6 +458,18 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_gopher_quality",
+    oracle=TX.gopher_quality_oracle(),
+    description="Gopher document-filter rules (Rae et al. 2021 Table A1): word count, "
+    "mean word length, symbol-to-word ratio, alpha-word fraction, stopword floor — "
+    "hard pass/fail booleans over one staged-token scan (the published corpus "
+    "membership filter, vs doc_quality_score's soft composite)",
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_quality_curriculum",
     oracle=TX.quality_curriculum_oracle(),
     description="curriculum-learning buckets: quality quartiles (exact type-7 "

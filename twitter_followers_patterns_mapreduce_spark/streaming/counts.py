@@ -31,7 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from twitter_followers_patterns_mapreduce_spark.streaming.graph import _latest_version
+from twitter_followers_patterns_mapreduce_spark.streaming.graph import _latest_version, _prune_versions
 
 
 def user_event_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -84,6 +84,7 @@ def counts_apply_stream(
             )
         )
         out.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+        _prune_versions(state_dir)
 
     (
         stream.writeStream.foreachBatch(merge)

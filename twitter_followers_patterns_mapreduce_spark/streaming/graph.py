@@ -58,6 +58,21 @@ def _latest_version(view_path: str, below: int | None = None) -> int | None:
     return max(versions) if versions else None
 
 
+def _prune_versions(view_path: str, keep: int = 2) -> None:
+    """Retention: drop committed version dirs older than the newest
+    ``keep`` (default 2 — the just-written version and its predecessor,
+    which a crash-replayed batch merges against).  Without this a long
+    drain accumulates O(batches × state size) on disk.  Uncommitted
+    (no ``_SUCCESS``) dirs are left alone — they belong to an in-flight
+    or crashed write, and the committed-version filter already hides
+    them from readers."""
+    import shutil
+
+    doomed = sorted(_committed_versions(view_path))[:-keep]
+    for v in doomed:
+        shutil.rmtree(os.path.join(view_path, f"v={v}"), ignore_errors=True)
+
+
 def read_degree_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The current (id, out_deg, in_deg) view — latest version dir."""
     v = _latest_version(view_path)
@@ -83,6 +98,7 @@ def maintain_degrees_foreach_batch(
             spark.read.parquet(f"{view_path}/v={prev}"), delta
         )
         out.write.mode("overwrite").parquet(f"{view_path}/v={batch_id}")
+        _prune_versions(view_path)
 
     return (
         edge_stream.writeStream.foreachBatch(merge)

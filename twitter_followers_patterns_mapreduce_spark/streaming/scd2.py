@@ -21,8 +21,11 @@ parquet ``_SUCCESS`` markers.  A batch merges against the latest
 version STRICTLY BELOW its own batch_id and overwrites its own version
 dir — so a batch replayed after a crash between state write and
 checkpoint commit re-derives from the same predecessor and re-produces
-(not duplicates) its output.  The previous delete-``current``-then-
-rename scheme was not: a replayed batch would re-unfold already-merged
+(not duplicates) its output.  Retention: after each committed write
+only the newest two versions are kept (``_prune_versions`` — the new
+version plus the predecessor a crash-replay merges against), so disk
+stays O(2 × dimension), not O(batches).  The previous
+delete-``current``-then-rename scheme was not replay-idempotent: a replayed batch would re-unfold already-merged
 rows and union the batch rows a second time, and a crash inside the
 rmtree/rename window could lose the state dir entirely.
 
@@ -47,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from twitter_followers_patterns_mapreduce_spark.operators.relational import fold_scd2
-from twitter_followers_patterns_mapreduce_spark.streaming.graph import _latest_version
+from twitter_followers_patterns_mapreduce_spark.streaming.graph import _latest_version, _prune_versions
 
 #: Schema of staged feed files (vf matches the parquet o_orderdate type).
 FEED_SCHEMA = "o_orderkey LONG, version INT, priority STRING, vf TIMESTAMP_NTZ"
@@ -110,6 +113,7 @@ def scd2_apply_stream(
         else:
             out = fold_scd2(new_rows)
         out.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+        _prune_versions(state_dir)
 
     q = (
         feed.writeStream.foreachBatch(_merge)
