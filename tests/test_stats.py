@@ -362,3 +362,58 @@ def test_woe_iv_closed_form_and_null_guard(spark):
     assert out["B"]["woe"] == fl(wb)
     assert out["C"]["woe"] is None and out["C"]["iv_term"] is None
     assert (out["A"]["n"], out["A"]["n_pos"], out["A"]["n_neg"]) == (4, 3, 1)
+
+
+def test_higher_moments_numpy_cross_check(spark):
+    import numpy as np
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import higher_moments
+
+    vals = [1.25, 2.0, 3.5, 4.75, 10.0, 2.25, 0.5]
+    df = spark.createDataFrame([(v,) for v in vals], schema="x DOUBLE")
+    (row,) = higher_moments(df, "x").collect()
+    a = np.array(vals)
+    m = a.mean()
+    m2 = ((a - m) ** 2).mean()
+    m3 = ((a - m) ** 3).mean()
+    m4 = ((a - m) ** 4).mean()
+    assert row["n"] == len(vals)
+    assert abs(row["mean"] - m) < 2e-6
+    assert abs(row["stddev"] - m2 ** 0.5) < 2e-6
+    assert abs(row["skewness"] - m3 / m2 ** 1.5) < 2e-6
+    assert abs(row["kurtosis_excess"] - (m4 / m2 ** 2 - 3)) < 2e-6
+
+
+def test_higher_moments_zero_variance_guard(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import higher_moments
+
+    df = spark.createDataFrame([(5.0,)] * 4, schema="x DOUBLE")
+    (row,) = higher_moments(df, "x").collect()
+    assert row["mean"] == 5.0
+    assert row["stddev"] is None and row["skewness"] is None
+    assert row["kurtosis_excess"] is None
+
+
+def test_psi_profile_hand_case(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import psi_profile
+
+    # side A: 6 in bucket 0, 2 in bucket 1; side B: 2 in bucket 0,
+    # 6 in bucket 1; bucket 2 is A-only -> NULL term
+    rows = (
+        [(0, True)] * 6 + [(1, True)] * 2 + [(2, True)] * 1
+        + [(0, False)] * 2 + [(1, False)] * 6
+    )
+    df = spark.createDataFrame(rows, schema="b LONG, is_a BOOLEAN")
+    out = {r["bucket"]: r for r in psi_profile(df, "b", "is_a").collect()}
+    ta, tb = 9, 8
+
+    def term(na, nb):
+        p, q = na / ta, nb / tb
+        return math.floor((p - q) * math.log(p / q) * 1e6) / 1e6
+
+    assert out[0]["psi_term"] == term(6, 2)
+    assert out[1]["psi_term"] == term(2, 6)
+    assert out[2]["psi_term"] is None
+    assert (out[2]["n_a"], out[2]["n_b"]) == (1, 0)

@@ -1074,8 +1074,17 @@ def ewma_hourly(events: DataFrame) -> DataFrame:
     error next to the scan; kernel width is the documented knob.
     Output: (event_type, window_start, n_events, sum_value, ewma).
     """
-    w_expr = "CAST(round(3 * power(7, dd) * power(10, 7 - dd)) AS BIGINT)"
-    b = (
+    return ewma_from_buckets(hourly_value_buckets(events))
+
+
+def hourly_value_buckets(events: DataFrame) -> DataFrame:
+    """The bucket grain of :func:`ewma_hourly`: per (event_type, hour)
+    exact counts and value sums — (event_type, h, n_events, s, s6) with
+    ``s`` the exact DECIMAL(38,6) value sum and ``s6`` its 1e-6-scaled
+    BIGINT twin.  Self-maintainable under inserts (merge = same
+    groupBy-sum over old state ∪ delta), which is what makes the
+    streaming IVM variant (``streaming/ewma.py``) exact."""
+    return (
         events.selectExpr(
             "event_type",
             "unix_micros(ts) div 3600000000 AS h",
@@ -1085,10 +1094,20 @@ def ewma_hourly(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "h")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum("v").alias("s"),
+            F.sum("v").cast("decimal(38,6)").alias("s"),
             F.sum("v6").cast("long").alias("s6"),
         )
-        .selectExpr(
+    )
+
+
+def ewma_from_buckets(buckets: DataFrame) -> DataFrame:
+    """The kernel stage of :func:`ewma_hourly` over a
+    :func:`hourly_value_buckets`-shaped frame (batch-built or read back
+    from maintained streaming state — identical output by construction).
+    """
+    w_expr = "CAST(round(3 * power(7, dd) * power(10, 7 - dd)) AS BIGINT)"
+    b = (
+        buckets.selectExpr(
             "event_type", "h", "n_events", "CAST(s AS DOUBLE) AS sum_value", "s6"
         )
         # both sides of the kernel self-join — bucket once, not twice

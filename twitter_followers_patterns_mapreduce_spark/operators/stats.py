@@ -817,3 +817,137 @@ SELECT category, n, n_pos, n_neg,
   CASE WHEN n_pos > 0 AND n_neg > 0 THEN floor({woe_raw} * 1000000) / 1000000 END AS woe,
   CASE WHEN n_pos > 0 AND n_neg > 0 THEN floor({iv_raw} * 1000000) / 1000000 END AS iv_term
 FROM cells CROSS JOIN tot"""
+
+
+def _moments34_select(scale: int) -> list[str]:
+    """Shared engine/oracle tail: skewness + excess kurtosis from the
+    exact scaled raw sums (n, s1..s4).  Central moments via the raw-sum
+    identities; skew/kurtosis are invariant under the linear cents
+    scaling, so no un-scaling is needed.  ``sqrt`` (correctly-rounded
+    IEEE) instead of ``power(x, 1.5)`` (libm, engine-divergent ulps)."""
+    mm = "(CAST(s1 AS DOUBLE) / n)"
+    r2 = "(CAST(s2 AS DOUBLE) / n)"
+    r3 = "(CAST(s3 AS DOUBLE) / n)"
+    r4 = "(CAST(s4 AS DOUBLE) / n)"
+    m2 = f"({r2} - {mm} * {mm})"
+    m3 = f"({r3} - 3 * {mm} * {r2} + 2 * {mm} * {mm} * {mm})"
+    m4 = (
+        f"({r4} - 4 * {mm} * {r3} + 6 * {mm} * {mm} * {r2}"
+        f" - 3 * {mm} * {mm} * {mm} * {mm})"
+    )
+    return [
+        "n",
+        f"floor({mm} / {scale} * 1000000) / 1000000 AS mean",
+        f"CASE WHEN {m2} > 0 THEN floor(sqrt({m2}) / {scale} * 1000000) / 1000000 END AS stddev",
+        f"CASE WHEN {m2} > 0 THEN floor({m3} / ({m2} * sqrt({m2})) * 1000000) / 1000000 END AS skewness",
+        f"CASE WHEN {m2} > 0 THEN floor(({m4} / ({m2} * {m2}) - 3) * 1000000) / 1000000 END AS kurtosis_excess",
+    ]
+
+
+def higher_moments(df: DataFrame, value_col: str, scale: int = 100) -> DataFrame:
+    """Skewness and excess kurtosis of a numeric column — the 3rd/4th
+    standardized moments every distribution-drift / heavy-tail screen
+    needs beyond mean/stddev, extending :func:`corr_matrix`'s
+    exact-moment machinery one scan deeper.
+
+    Exactness: x scales to cents-BIGINT once (``round(x·scale)``); per
+    row the square stays in LONG codegen and the cube/quartic are TWO
+    DECIMAL(38,0)·LONG products (x³ overflows LONG above |x| ≈ 2.1e6,
+    so the wide type is unavoidable there — documented cost, still one
+    scan and one reduce).  All four raw sums are exact decimals, so the
+    central-moment identities are single closed-form doubles — every
+    float op identical text on both engines, outputs floored at 1e-6,
+    zero-variance guarded.  Headroom: Σx⁴ ≤ n·(3e9)⁴ caps n around
+    1e6 rows at the |x|≤3e9 contract extreme, but at cents-scaled
+    column magnitudes (|x| ≤ 1e7) the cap is n ≈ 1e10 rows; past that,
+    raise ``scale`` granularity down (dollars) — skew/kurt are
+    scale-invariant so the result is unchanged up to the rounding grid.
+    Output: (n, mean, stddev, skewness, kurtosis_excess)."""
+    proj = f"CAST(round({value_col} * {scale}) AS BIGINT) AS x"
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "SUM(CAST(x AS DECIMAL(38,0))) AS s1",
+        "SUM(CAST(x * x AS DECIMAL(38,0))) AS s2",
+        "SUM(CAST(x * x AS DECIMAL(38,0)) * x) AS s3",
+        "SUM(CAST(x * x AS DECIMAL(38,0)) * (x * x)) AS s4",
+    ]
+    return (
+        df.selectExpr(proj)
+        .selectExpr(*aggs)
+        .selectExpr(*_moments34_select(scale))
+    )
+
+
+def higher_moments_oracle(table: str, value_col: str, scale: int = 100) -> str:
+    return f"""WITH v AS (SELECT CAST(round({value_col} * {scale}) AS BIGINT) AS x FROM {table}),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+  SUM(CAST(x * x AS DECIMAL(38,0))) AS s2,
+  SUM(CAST(x * x AS DECIMAL(38,0)) * x) AS s3,
+  SUM(CAST(x * x AS DECIMAL(38,0)) * (x * x)) AS s4
+FROM v)
+SELECT {', '.join(_moments34_select(scale))} FROM m"""
+
+
+def psi_profile(
+    df: DataFrame, bucket_expr: str, side_expr: str, dialect_hint: str = "spark"
+) -> DataFrame:
+    """Population Stability Index profile between two populations of
+    one frame — THE model-monitoring drift score (banking-standard
+    thresholds: PSI < 0.1 stable, > 0.25 shifted): per bucket b,
+
+        psi_term(b) = (p_b − q_b) · ln(p_b / q_b)
+
+    with p/q the bucket shares of sides A/B.  The per-bucket IV twin of
+    :func:`woe_iv` (same log machinery, population-vs-population
+    instead of label-vs-label).  One scan → one |buckets|-row hash agg
+    (side split via conditional sums) + broadcast totals; each term one
+    closed-form double over exact BIGINTs, floored at 1e-6; buckets
+    where either side is EMPTY yield a NULL term (the standard
+    epsilon-free convention — the NULL rows surface exactly where the
+    epsilon hack would have manufactured infinite-ish terms).
+    Output: (bucket, n_a, n_b, psi_term), one row per occupied bucket."""
+    base = df.selectExpr(
+        f"{bucket_expr} AS bucket",
+        f"CASE WHEN {side_expr} THEN 1 ELSE 0 END AS a",
+    )
+    cells = base.groupBy("bucket").agg(
+        F.sum("a").cast("long").alias("n_a"),
+        (F.count("*") - F.sum("a")).cast("long").alias("n_b"),
+    )
+    tot = base.agg(
+        F.sum("a").cast("long").alias("ta"),
+        (F.count("*") - F.sum("a")).cast("long").alias("tb"),
+    )
+    term = (
+        "(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)"
+        " * ln(CAST(n_a AS DOUBLE) * tb / (CAST(n_b AS DOUBLE) * ta))"
+    )
+    return cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        "n_a",
+        "n_b",
+        f"CASE WHEN n_a > 0 AND n_b > 0 THEN floor({term} * 1000000) / 1000000 END AS psi_term",
+    )
+
+
+def psi_profile_oracle(table: str, bucket_expr: str, side_expr: str) -> str:
+    term = (
+        "(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)"
+        " * ln(CAST(n_a AS DOUBLE) * tb / (CAST(n_b AS DOUBLE) * ta))"
+    )
+    return f"""WITH base AS (
+  SELECT {bucket_expr} AS bucket,
+         CASE WHEN {side_expr} THEN 1 ELSE 0 END AS a
+  FROM {table}),
+cells AS (
+  SELECT bucket, CAST(SUM(a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS n_b
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS ta,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS tb
+  FROM base)
+SELECT bucket, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN floor({term} * 1000000) / 1000000 END AS psi_term
+FROM cells CROSS JOIN tot"""

@@ -283,6 +283,67 @@ def events_tumbling_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table("events_tumbling_hourly_streamed_sink")
 
 
+def _stage_ewma_feed(spark: SparkSession, sf_dir: str, parts: int = 3) -> tuple[str, str, str]:
+    """Stage the events table as ``parts`` parquet files split by
+    ``event_id % parts`` so ``maxFilesPerTrigger=1`` replays them as
+    that many micro-batches (real multi-batch incrementality under the
+    gate, like _stage_scd2_feed).  Returns (feed_dir, state_dir,
+    checkpoint_dir); state + checkpoint wiped per invocation."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_ewma_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    # presence of ALL staged files, not just the dir: a failed prior
+    # staging attempt must re-stage, not silently feed an empty stream
+    if len(_glob.glob(os.path.join(feed_dir, "f*.parquet"))) != parts:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        os.makedirs(feed_dir)
+        ev = load_events(spark, sf_dir)
+        for p in range(parts):
+            tmp = os.path.join(root, f"stage_p{p}")
+            ev.where(F.pmod(F.col("event_id"), F.lit(parts)) == p).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.rename(part, os.path.join(feed_dir, f"f{p}.parquet"))
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "events_ewma_streamed",
+    oracle=E.EWMA_HOURLY_ORACLE,
+    description="TENTH streaming class — incrementally-maintained EWMA (IVM "
+    "view-on-view): micro-batches merge into the self-maintainable hourly bucket "
+    "state (versioned v=<batch_id> dirs, replay-idempotent, pruned to two), the "
+    "8-tap kernel re-derives from state on read via the SAME code as the batch "
+    "plan; stream == batch == oracle",
+)
+def events_ewma_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of ``events_ewma_hourly`` — see ``streaming/ewma.py``
+    for the maintain-the-grain / recompute-the-kernel split."""
+    from twitter_followers_patterns_mapreduce_spark.streaming.ewma import (
+        ewma_apply_stream,
+        ewma_event_stream,
+        read_ewma_view,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_ewma_feed(spark, sf_dir)
+    ewma_apply_stream(spark, ewma_event_stream(spark, feed_dir), state_dir, ckpt_dir)
+    return read_ewma_view(spark, state_dir)
+
+
 @register(
     "events_segment_hourly_streamed",
     oracle=f"""WITH dim AS (

@@ -714,6 +714,39 @@ def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_higher_moments",
+    oracle=ST.higher_moments_oracle("lineitem", "l_extendedprice"),
+    description="skewness + excess kurtosis of extended price via exact scaled "
+    "raw sums s1..s4 (square in LONG codegen, cube/quartic as two DECIMAL(38,0) "
+    "products per row): one scan, one reduce, central-moment identities as "
+    "closed-form doubles floored at 1e-6, zero-variance guarded",
+)
+def lineitem_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.higher_moments(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
+    "orders_psi_split",
+    oracle=ST.psi_profile_oracle(
+        "orders",
+        "CAST(floor(o_totalprice / 25000) AS BIGINT)",
+        "o_orderkey % 2 = 0",
+    ),
+    description="population-stability-index drift profile between the even/odd "
+    "orderkey halves over 25k price buckets — the model-monitoring score (per-"
+    "bucket (p-q)*ln(p/q) terms over exact BIGINT counts, NULL where a side is "
+    "empty instead of the epsilon hack); the population-vs-population twin of "
+    "orders_woe_iv",
+)
+def orders_psi_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.psi_profile(
+        load_table(spark, sf_dir, "orders"),
+        "CAST(floor(o_totalprice / 25000) AS BIGINT)",
+        "o_orderkey % 2 = 0",
+    )
+
+
+@register(
     "orders_woe_iv",
     oracle=ST.woe_iv_oracle("orders", "o_orderpriority", "o_orderstatus = 'F'"),
     description="weight-of-evidence / information-value of order priority against "
