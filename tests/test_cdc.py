@@ -43,3 +43,20 @@ def test_degrees_incremental_empty_delta(spark):
     inc = sorted(map(tuple, CDC.degrees_incremental(all_edges, empty).collect()))
     full = sorted(map(tuple, degrees(all_edges).collect()))
     assert inc == full
+
+
+def test_snapshot_diff_recovers_delta_classes(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.cdc import orders_snapshot_diff
+
+    rows = [
+        (k, 100.0 + k, "1-URGENT", ) for k in range(1, 41)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="o_orderkey LONG, o_totalprice DOUBLE, o_orderpriority STRING"
+    )
+    out = {r["change_type"]: r for r in orders_snapshot_diff(df).collect()}
+    # delta: %10==3 updated (4 keys), %10==3 inserted at +10M (4), %10==7 deleted (4)
+    assert out["changed"]["n_rows"] == 4 and out["changed"]["min_key"] == 3
+    assert out["added"]["n_rows"] == 4 and out["added"]["min_key"] == 10_000_003
+    assert out["removed"]["n_rows"] == 4 and out["removed"]["max_key"] == 37
+    assert out["unchanged"]["n_rows"] == 40 - 8

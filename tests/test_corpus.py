@@ -510,3 +510,31 @@ def test_zipf_fit_matches_numpy_on_floored_logs(spark):
     assert abs(row["slope"] - slope) < 1e-5
     assert abs(row["intercept"] - intercept) < 1e-5
     assert -1.3 < row["slope"] < -0.7  # this spectrum is Zipf-ish by construction
+
+
+def test_temperature_mixture_sqrt_shares_and_determinism(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import (
+        corpus_temperature_mixture,
+    )
+
+    rows = [(i, f"text {i}", "en", "srcA", 10) for i in range(16)] + [
+        (100 + i, f"text {100 + i}", "en", "srcB", 10) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out = {r["source"]: r for r in corpus_temperature_mixture(df).collect()}
+    wa, wb = math.floor(4.0 * 1e6), math.floor(2.0 * 1e6)  # sqrt(16), sqrt(4)
+    tot = wa + wb
+    assert out["srcA"]["share6"] == math.floor(wa / tot * 1e6) / 1e6
+    assert out["srcB"]["share6"] == math.floor(wb / tot * 1e6) / 1e6
+    # target = 20 // 2 = 10 docs: A gets 10*(2/3)/16, B 10*(1/3)/4
+    assert out["srcA"]["threshold"] == math.floor(wa / tot * 10 / 16 * 1e6)
+    assert out["srcB"]["threshold"] == math.floor(wb / tot * 10 / 4 * 1e6)
+    # tau < 1 upsamples the tail: B's keep RATE must exceed A's
+    assert out["srcB"]["threshold"] > out["srcA"]["threshold"]
+    assert 0 <= out["srcA"]["n_kept"] <= 16 and 0 <= out["srcB"]["n_kept"] <= 4
+    again = {r["source"]: r["n_kept"] for r in corpus_temperature_mixture(df).collect()}
+    assert again == {s: r["n_kept"] for s, r in out.items()}

@@ -58,12 +58,23 @@ ALLOWED_BRUTE_FORCE = {
     #     node count) broadcast onto the scan: cardinality × 1
     "events_user_ltv_decay",
     "graph_reach_profile",
+    "graph_reach_anf",  # composes reach_profile → same 1-row node-count cross
     #   * modularity / target encoding / curriculum — a 1-row global
     #     (edge count / target sum / quartile boundaries) broadcast onto
     #     a community-/category-/doc-sized side: cardinality × 1
     "graph_modularity",
     "orders_target_encoding",
     "corpus_quality_curriculum",
+    #   * woe / psi / benford — the chi2 shape again: a 1-row pos/neg-
+    #     totals cross broadcast onto a |categories|-/|buckets|-/9-row
+    #     cell table; the fact table only feeds hash aggs
+    "orders_woe_iv",
+    "orders_psi_split",
+    "lineitem_benford_audit",
+    #   * temperature mixture — the per-source rate table (|sources|
+    #     rows) needs the 1-row Σweights/N cross before broadcasting
+    #     back onto the scan: cardinality × 1 twice, fact side equi-only
+    "corpus_temperature_mixture",
 }
 
 

@@ -417,3 +417,20 @@ def test_psi_profile_hand_case(spark):
     assert out[1]["psi_term"] == term(2, 6)
     assert out[2]["psi_term"] is None
     assert (out[2]["n_a"], out[2]["n_b"]) == (1, 0)
+
+
+def test_benford_profile_hand_case(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import benford_profile
+
+    df = spark.createDataFrame(
+        [(1.00,), (1.50,), (2.00,), (9.00,)], schema="x DOUBLE"
+    )
+    out = {r["digit"]: r for r in benford_profile(df, "x").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n"] == 2 and out[1]["share"] == 0.5
+    assert out[1]["benford_p"] == math.floor(math.log10(2) * 1e6) / 1e6
+    p9 = math.log(1 + 1 / 9) / math.log(10)
+    expect = math.floor(4 * (0.25 - p9) ** 2 / p9 * 1e6) / 1e6
+    assert abs(out[9]["chi2_term"] - expect) < 2e-6

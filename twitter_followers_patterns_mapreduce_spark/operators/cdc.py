@@ -163,3 +163,74 @@ def merge_degrees(base_agg: DataFrame, delta_agg: DataFrame) -> DataFrame:
             .alias("in_deg"),
         )
     )
+
+
+def snapshot_diff(
+    v1: DataFrame, v2: DataFrame, key: str, payload_hash_expr: str
+) -> DataFrame:
+    """Table-version diff — the data-diff audit every pipeline runs
+    before promoting a new snapshot: classify every key as
+    added / removed / changed / unchanged by comparing a payload hash
+    across versions (one full-outer equi-join on the key; the hash is
+    computed scan-side on each version, so wide payloads never travel
+    through the join).
+
+    ``payload_hash_expr`` must render values engine-portably (integers
+    / exact-scaled strings — raw doubles stringify differently across
+    engines).  Output: (change_type, n_rows, min_key, max_key) — the
+    min/max keys bind the summary to content, so a misclassified key
+    moves a bucket's bounds, not just its count.
+    """
+    a = v1.selectExpr(f"{key} AS k", f"{payload_hash_expr} AS h1")
+    b = v2.selectExpr(f"{key} AS k", f"{payload_hash_expr} AS h2")
+    cls = (
+        a.join(b, "k", "full_outer")
+        .selectExpr(
+            "k",
+            "CASE WHEN h1 IS NULL THEN 'added' "
+            "WHEN h2 IS NULL THEN 'removed' "
+            "WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS change_type",
+        )
+    )
+    return cls.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+def orders_snapshot_diff(orders: DataFrame) -> DataFrame:
+    """Named-query body: diff the base orders snapshot against the
+    CDC-merged one — the diff must recover exactly the delta's change
+    classes (update keys → changed, inserts → added, deletes → removed),
+    closing the loop on :func:`orders_cdc_merge`."""
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    merged = orders_cdc_merge(orders).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    payload = (
+        "md5(concat_ws('|', CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),"
+        " o_orderpriority))"
+    )
+    return snapshot_diff(base, merged, "o_orderkey", payload)
+
+
+ORDERS_SNAPSHOT_DIFF_ORACLE = f"""WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+),
+merged AS ({ORDERS_CDC_MERGE_ORACLE}),
+a AS (SELECT o_orderkey AS k,
+  md5(concat_ws('|', CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+    o_orderpriority)) AS h1 FROM base),
+b AS (SELECT o_orderkey AS k,
+  md5(concat_ws('|', CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+    o_orderpriority)) AS h2 FROM merged),
+cls AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+    CASE WHEN h1 IS NULL THEN 'added'
+         WHEN h2 IS NULL THEN 'removed'
+         WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS change_type
+  FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(k) AS min_key, MAX(k) AS max_key
+FROM cls GROUP BY change_type"""

@@ -841,6 +841,106 @@ SELECT source,
 FROM flagged GROUP BY source"""
 
 
+def corpus_temperature_mixture(documents: DataFrame, keep_div: int = 2) -> DataFrame:
+    """Temperature-scaled domain resampling with DATA-DERIVED weights —
+    the multilingual-LLM recipe (sample domain i with probability
+    ∝ n_i^τ; τ < 1 upsamples the tail relative to its natural share —
+    the XLM-R / mBERT data-balancing scheme).  τ is fixed at 0.5 so the
+    weight is ``sqrt(n_i)``: sqrt is correctly-rounded IEEE and thus
+    bit-identical across engines, while ``power(n, 0.7)`` is a libm
+    call whose last ulp differs between Java and C — a floor at a
+    threshold boundary away from a corpus-sized divergence.
+
+    Contrast :func:`corpus_domain_mixture` (static recipe weights):
+    here the rates come from the corpus itself — count per source,
+    w_i = sqrt(n_i) floored to a 1e-6-scaled BIGINT (so the weight SUM
+    is exact and order-independent), share p_i = w6_i / Σw6, target
+    keep count p_i · (N / keep_div), per-source keep threshold =
+    floor(min(1, target/n_i)·1e6).  Membership is then the standard
+    deterministic h64 bucket test — stable across reruns,
+    repartitioning, and growth.
+
+    Plan shape (100 TB): one map-side-combinable count agg by the
+    low-cardinality source, thresholds broadcast back onto the scan
+    (production reads the counts from table stats instead of the first
+    pass), verdict agg by source.  Output per source:
+    (source, n_docs, share6, threshold, n_kept, achieved_rate).
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    counts = documents.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    w6 = counts.selectExpr(
+        "source",
+        "n_docs",
+        "CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w6",
+    )
+    tot = w6.selectExpr(
+        "CAST(SUM(w6) AS BIGINT) AS tw6",
+        "CAST(SUM(n_docs) AS BIGINT) AS n_total",
+    )
+    rates = w6.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "floor(CAST(w6 AS DOUBLE) / tw6 * 1000000) / 1000000 AS share6",
+        "CAST(floor(least(CAST(1.0 AS DOUBLE),"
+        f" (CAST(w6 AS DOUBLE) / tw6) * (n_total div {keep_div}) / n_docs)"
+        " * 1000000) AS BIGINT) AS threshold",
+    )
+    bucket = F.expr(h64_sql("cast(doc_id as string)", "spark")) % MIXTURE_DENOM
+    flagged = documents.select("source", bucket.alias("b")).join(
+        F.broadcast(rates), "source"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("share6").alias("share6"),
+            F.max("threshold").alias("threshold"),
+            F.sum((F.col("b") < F.col("threshold")).cast("int")).cast("long").alias("n_kept"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "share6",
+            "threshold",
+            "n_kept",
+            "floor(CAST(n_kept AS DOUBLE) / n_docs * 1000000) / 1000000 AS achieved_rate",
+        )
+    )
+
+
+def corpus_temperature_mixture_oracle(keep_div: int = 2) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w6
+  FROM counts),
+tot AS (
+  SELECT CAST(SUM(w6) AS BIGINT) AS tw6, CAST(SUM(n_docs) AS BIGINT) AS n_total FROM w),
+rates AS (
+  SELECT source, n_docs,
+         floor(CAST(w6 AS DOUBLE) / tw6 * 1000000) / 1000000 AS share6,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+           (CAST(w6 AS DOUBLE) / tw6) * (n_total // {keep_div}) / n_docs)
+           * 1000000) AS BIGINT) AS threshold
+  FROM w CROSS JOIN tot),
+flagged AS (
+  SELECT d.source, ({h} % {MIXTURE_DENOM}) AS b, r.n_docs, r.share6, r.threshold
+  FROM documents d JOIN rates r ON d.source = r.source)
+SELECT source,
+  MAX(n_docs) AS n_docs,
+  MAX(share6) AS share6,
+  MAX(threshold) AS threshold,
+  CAST(SUM(CASE WHEN b < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  floor(CAST(SUM(CASE WHEN b < threshold THEN 1 ELSE 0 END) AS DOUBLE)
+    / MAX(n_docs) * 1000000) / 1000000 AS achieved_rate
+FROM flagged GROUP BY source"""
+
+
 def corpus_export_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
     """Deterministic global shuffle for training export: every doc gets a
     shard by content hash (never by input order or partition id), and

@@ -1169,3 +1169,88 @@ SELECT event_type,
       * CAST(round(3 * power(7, dd) * power(10, 7 - dd)) AS BIGINT)) AS DOUBLE) / 100000000)
     / 1000000 AS ewma
 FROM j GROUP BY event_type, h, n_events, sum_value"""
+
+
+def ab_test_proportions(events: DataFrame) -> DataFrame:
+    """Two-proportion A/B conversion test — the experimentation readout
+    every event pipeline serves: users split into deterministic arms
+    (user_id parity — the hash-bucket assignment every real platform
+    uses, never rand()), "converted" = had ≥1 purchase event; the
+    pooled two-proportion z statistic
+
+        z = (p_a − p_b) / sqrt( p·(1−p)·(1/n_a + 1/n_b) ),  p pooled
+
+    All counts are exact BIGINTs from one per-user existence agg + one
+    per-arm reduce; z and the rate columns are single closed-form
+    doubles over those integers (identical text both engines — sqrt is
+    correctly-rounded), floored at 1e-6, degenerate pools (p = 0 or 1,
+    or an empty arm) NULL-guarded.  Scale shape: per-user conversion is
+    one map-side-combinable hash agg on user_id; everything after is
+    2 rows.  Output: 1 row (n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    z_score).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    arms = per_user.selectExpr(
+        "CAST(user_id % 2 AS INT) AS arm", "conv"
+    ).groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).cast("long").alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).cast("long").alias("conv_b"),
+    )
+    pa = "(CAST(conv_a AS DOUBLE) / n_a)"
+    pb = "(CAST(conv_b AS DOUBLE) / n_b)"
+    pool = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+    z = (
+        f"(({pa} - {pb}) / sqrt({pool} * (1.0 - {pool})"
+        f" * (1.0 / n_a + 1.0 / n_b)))"
+    )
+    return wide.selectExpr(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        f"floor({pa} * 1000000) / 1000000 AS rate_a",
+        f"floor({pb} * 1000000) / 1000000 AS rate_b",
+        f"CASE WHEN n_a > 0 AND n_b > 0 AND {pool} > 0.0 AND {pool} < 1.0 THEN"
+        f" floor({z} * 1000000) / 1000000 END AS z_score",
+    )
+
+
+AB_TEST_ORACLE_TEMPLATE = """WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM per_user GROUP BY 1),
+wide AS (
+  SELECT CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS conv_a,
+         CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(MAX(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS conv_b
+  FROM arms)
+SELECT n_a, n_b, conv_a, conv_b,
+  floor({pa} * 1000000) / 1000000 AS rate_a,
+  floor({pb} * 1000000) / 1000000 AS rate_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND {pool} > 0.0 AND {pool} < 1.0 THEN
+    floor({z} * 1000000) / 1000000 END AS z_score
+FROM wide"""
+
+
+def ab_test_oracle() -> str:
+    pa = "(CAST(conv_a AS DOUBLE) / n_a)"
+    pb = "(CAST(conv_b AS DOUBLE) / n_b)"
+    pool = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+    z = (
+        f"(({pa} - {pb}) / sqrt({pool} * (1.0 - {pool})"
+        f" * (1.0 / n_a + 1.0 / n_b)))"
+    )
+    return AB_TEST_ORACLE_TEMPLATE.format(pa=pa, pb=pb, pool=pool, z=z)

@@ -951,3 +951,55 @@ tot AS (
 SELECT bucket, n_a, n_b,
   CASE WHEN n_a > 0 AND n_b > 0 THEN floor({term} * 1000000) / 1000000 END AS psi_term
 FROM cells CROSS JOIN tot"""
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    ETL-corruption screen for positive heavy-ranged amounts: observed
+    leading-digit shares vs the Benford expectation p_d = log10(1+1/d),
+    with each digit's chi-square contribution n·(share−p_d)²/p_d.
+
+    The leading digit is taken from the CENTS integer
+    (``round(x·100)`` → string → first char): scale shifts never change
+    the leading digit, and the integer path avoids engine-specific
+    double→string rendering.  Shares and expectations are single
+    closed-form doubles over exact BIGINT counts (identical text both
+    engines, log10 via ``ln(x)/ln(10)``), floored at 1e-6.
+    Output: (digit, n, share, benford_p, chi2_term), 9 rows.
+    """
+    base = df.selectExpr(
+        f"CAST(substring(CAST(CAST(round({value_col} * 100) AS BIGINT) AS STRING), 1, 1) AS INT)"
+        " AS digit"
+    ).where(F.col("digit") >= 1)
+    cells = base.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    tot = base.agg(F.count("*").cast("long").alias("nt"))
+    p = "(ln(1.0 + 1.0 / digit) / ln(CAST(10.0 AS DOUBLE)))"
+    share = "(CAST(n AS DOUBLE) / nt)"
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "digit",
+            "n",
+            f"floor({share} * 1000000) / 1000000 AS share",
+            f"floor({p} * 1000000) / 1000000 AS benford_p",
+            f"floor(nt * ({share} - {p}) * ({share} - {p}) / {p} * 1000000) / 1000000"
+            " AS chi2_term",
+        )
+    )
+
+
+def benford_profile_oracle(table: str, value_col: str) -> str:
+    p = "(ln(1.0 + 1.0 / digit) / ln(CAST(10.0 AS DOUBLE)))"
+    share = "(CAST(n AS DOUBLE) / nt)"
+    return f"""WITH base AS (
+  SELECT CAST(substring(CAST(CAST(round({value_col} * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+         AS digit
+  FROM {table}),
+pos AS (SELECT digit FROM base WHERE digit >= 1),
+cells AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM pos)
+SELECT digit, n,
+  floor({share} * 1000000) / 1000000 AS share,
+  floor({p} * 1000000) / 1000000 AS benford_p,
+  floor(nt * ({share} - {p}) * ({share} - {p}) / {p} * 1000000) / 1000000 AS chi2_term
+FROM cells CROSS JOIN tot"""

@@ -210,6 +210,18 @@ def events_value_moving_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ab_test",
+    oracle=E.ab_test_oracle(),
+    description="two-proportion A/B conversion z-test between deterministic "
+    "user-parity arms (purchase conversion): exact per-user existence agg + 2-row "
+    "arm reduce, pooled z as one closed-form double over exact counts, degenerate "
+    "pools NULL-guarded",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.ab_test_proportions(load_events(spark, sf_dir))
+
+
+@register(
     "events_variant_deciles",
     oracle=E.VARIANT_PROP_DECILES_ORACLE,
     description="Spark 4 VARIANT path: parse_json once into binary variant, typed "

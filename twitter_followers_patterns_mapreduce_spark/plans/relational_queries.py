@@ -189,6 +189,18 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_snapshot_diff",
+    oracle=CDC.ORDERS_SNAPSHOT_DIFF_ORACLE,
+    description="table-version diff (data-diff promotion audit): classify every key "
+    "added/removed/changed/unchanged between the base snapshot and its CDC-merged "
+    "successor via scan-side payload hashes + one full-outer key join; min/max keys "
+    "bind each class to content — must recover exactly the delta's change classes",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CDC.orders_snapshot_diff(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "q5_local_supplier_volume",
     oracle=R.q5_oracle(region_name="ASIA", year=1996),
     description="TPC-H Q5 shape: 6-way join chain with the local-supplier equi-conjunct "
@@ -711,6 +723,18 @@ def lineitem_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.chi_square(load_table(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle=ST.benford_profile_oracle("lineitem", "l_extendedprice"),
+    description="Benford's-law first-digit audit of extended price (fabricated-data "
+    "/ ETL-corruption screen): leading digit from the cents integer (engine-portable, "
+    "scale-invariant), observed shares vs log10(1+1/d) with per-digit chi-square "
+    "contributions over exact counts",
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.benford_profile(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
 @register(

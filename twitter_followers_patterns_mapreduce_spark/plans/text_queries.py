@@ -302,6 +302,19 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_mixture",
+    oracle=CP.corpus_temperature_mixture_oracle(),
+    description="temperature-scaled domain resampling with DATA-DERIVED weights "
+    "(XLM-R recipe, tau=0.5 so the weight is correctly-rounded sqrt): per-source "
+    "share sqrt(n_i)/sum over 1e-6-floored exact weight sums, keep thresholds "
+    "broadcast back onto the h64-bucket scan; upsamples tail domains vs their "
+    "natural share",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_temperature_mixture(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_export_shards",
     oracle=CP.corpus_export_shards_oracle(n_shards=8),
     description="deterministic hash-sharded export audit: per-shard row count, "
