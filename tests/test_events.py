@@ -503,3 +503,28 @@ def test_ewma_hourly_row_lag_would_differ(spark):
     )
     got = {r["window_start"]: r["ewma"] for r in E.ewma_hourly(df).collect()}
     assert got["2024-01-01 09:00:00"] == 3.0  # 0.3*10, nothing else
+
+
+def test_user_growth_accounting_hand_case(spark):
+    from datetime import datetime
+
+    rows = [
+        # day 1: users 1, 2 (both new); day 2: 1 returns, 3 new; day 3: 3 only
+        (1, datetime(2024, 1, 1, 9), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10), 2, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 11), 1, "view", 1.0, "{}"),   # same user+day: no double count
+        (4, datetime(2024, 1, 2, 9), 1, "click", 1.0, "{}"),
+        (5, datetime(2024, 1, 2, 10), 3, "click", 1.0, "{}"),
+        (6, datetime(2024, 1, 3, 9), 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {r["day"]: r for r in E.user_growth_accounting(df).collect()}
+    assert (got["2024-01-01"]["active_users"], got["2024-01-01"]["new_users"]) == (2, 2)
+    assert got["2024-01-01"]["returning_users"] == 0
+    assert (got["2024-01-02"]["active_users"], got["2024-01-02"]["new_users"]) == (2, 1)
+    assert got["2024-01-02"]["returning_users"] == 1
+    assert got["2024-01-03"]["cumulative_users"] == 3
+    assert got["2024-01-03"]["returning_users"] == 1

@@ -177,3 +177,23 @@ def test_gopher_quality_rules(spark):
     # 5 '#' + 1 '...'-triple + '...' = per repeat: '#####'(5) + '###'(3) = 8 hashes,
     # 2 '...' groups -> (8 + 2) per repeat, 10 repeats = 100 symbols / 80 words
     assert got[3]["symbol_word_ratio"] == 1.25
+
+
+def test_readability_flesch_hand_case(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.text import readability_documents
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        schema="doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in readability_documents(df).collect()}
+    r = got[1]
+    assert (r["n_words"], r["n_sentences"]) == (6, 2)
+    # vowel groups: e,a,a,e,o,a -> 6 single-vowel groups
+    assert r["n_syllables"] == 6
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r["flesch"] - math.floor(expect * 1e6) / 1e6) < 1e-9
+    # empty doc: zero-guards, no division error
+    assert got[2]["n_words"] == 0 and got[2]["n_sentences"] == 1

@@ -1254,3 +1254,56 @@ def ab_test_oracle() -> str:
         f" * (1.0 / n_a + 1.0 / n_b)))"
     )
     return AB_TEST_ORACLE_TEMPLATE.format(pa=pa, pb=pb, pool=pool, z=z)
+
+
+def user_growth_accounting(events: DataFrame) -> DataFrame:
+    """Daily growth accounting — the DAU decomposition every product
+    dashboard runs: per day, active users split into NEW (first-ever
+    appearance) vs RETURNING, plus the cumulative user count.
+
+    Shape: one distinct over (user, day) — the only fact-table shuffle —
+    then a per-user MIN(day) agg joined back, one per-day agg, and the
+    cumulative running sum as a window over the DAY table (bounded:
+    |days| rows, so the unpartitioned window is spine-sized, the same
+    exemption as the gapfill spine).  Exact integers end to end;
+    day keys are 'yyyy-MM-dd' strings, whose lexicographic order IS
+    chronological order.  Output: (day, active_users, new_users,
+    returning_users, cumulative_users)."""
+    ud = events.selectExpr(
+        "user_id", "date_format(ts, 'yyyy-MM-dd') AS day"
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("active_users"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).cast("long").alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+USER_GROWTH_ORACLE = """WITH ud AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+first AS (
+  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id),
+daily AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS active_users,
+         CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+  FROM ud JOIN first USING (user_id) GROUP BY day)
+SELECT day, active_users, new_users,
+  CAST(active_users - new_users AS BIGINT) AS returning_users,
+  CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS cumulative_users
+FROM daily"""

@@ -683,3 +683,55 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
   floor(CAST(SUM(s6) AS DOUBLE) / COUNT(*)) / 1000000 AS avg_quality,
   floor(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS avg_tokens
 FROM bucketed GROUP BY bucket"""
+
+
+def readability_select(dialect: str) -> list[tuple[str, str]]:
+    """Flesch reading-ease per document (the published 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words) formula) with the
+    standard regex approximations: sentences = runs of [.!?], syllables
+    = vowel-letter groups (y counted).  Zero-guarded (empty docs), all
+    ratios single closed-form doubles over exact integers, floored at
+    1e-6.  Expressions reference a staged ``toks`` column."""
+    n = size_sql("toks", dialect)
+    n1 = f"greatest({n}, 1)"
+    if dialect == "spark":
+        sents = "size(regexp_extract_all(text, '[.!?]+', 0))"
+        syll = "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    else:
+        sents = "len(regexp_extract_all(text, '[.!?]+'))"
+        syll = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    s1 = f"greatest({sents}, 1)"
+    flesch = (
+        f"(206.835 - 1.015 * (CAST({n} AS DOUBLE) / {s1})"
+        f" - 84.6 * (CAST({syll} AS DOUBLE) / {n1}))"
+    )
+    return [
+        (f"CAST({n} AS BIGINT)", "n_words"),
+        (f"CAST({s1} AS BIGINT)", "n_sentences"),
+        (f"CAST({syll} AS BIGINT)", "n_syllables"),
+        (f"floor({flesch} * 1000000) / 1000000", "flesch"),
+    ]
+
+
+def readability_documents(documents: DataFrame) -> DataFrame:
+    """Per-doc Flesch reading ease — staged-token scan-side projection
+    (the length/complexity feature next to quality_score and the Gopher
+    rules in a curation feature vector)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
+    toks = tokens_sql("text", "spark")
+    staged = fan_out(documents).selectExpr(
+        "doc_id", "text", f"coalesce({toks}, array()) AS toks"
+    )
+    return staged.selectExpr(
+        "doc_id", *[f"{e} AS {a}" for e, a in readability_select("spark")]
+    )
+
+
+def readability_documents_oracle() -> str:
+    toks = tokens_sql("text", "duckdb")
+    cols = ",\n  ".join(f"{e} AS {a}" for e, a in readability_select("duckdb"))
+    return (
+        f"SELECT doc_id,\n  {cols}\n"
+        f"FROM (SELECT doc_id, text, {toks} AS toks FROM documents)"
+    )

@@ -210,6 +210,18 @@ def events_value_moving_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_growth_accounting",
+    oracle=E.USER_GROWTH_ORACLE,
+    description="daily DAU decomposition (new vs returning vs cumulative): one "
+    "(user, day) distinct, per-user first-day agg joined back, cumulative as a "
+    "window over the bounded day spine — exact integers, day strings sort "
+    "chronologically",
+)
+def events_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.user_growth_accounting(load_events(spark, sf_dir))
+
+
+@register(
     "events_ab_test",
     oracle=E.ab_test_oracle(),
     description="two-proportion A/B conversion z-test between deterministic "

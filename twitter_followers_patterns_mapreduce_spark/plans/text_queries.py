@@ -483,6 +483,17 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_readability",
+    oracle=TX.readability_documents_oracle(),
+    description="Flesch reading ease per doc (published formula, regex sentence/"
+    "vowel-group syllable approximations): staged-token scan-side projection, "
+    "closed-form doubles over exact counts floored at 1e-6",
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.readability_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_quality_curriculum",
     oracle=TX.quality_curriculum_oracle(),
     description="curriculum-learning buckets: quality quartiles (exact type-7 "
