@@ -75,6 +75,9 @@ ALLOWED_BRUTE_FORCE = {
     #     rows) needs the 1-row Σweights/N cross before broadcasting
     #     back onto the scan: cardinality × 1 twice, fact side equi-only
     "corpus_temperature_mixture",
+    #   * bootstrap CI — the 32-row replica-means table crossed with the
+    #     1-row full-sample (n, sum): cardinality × 1
+    "orders_bootstrap_ci",
 }
 
 

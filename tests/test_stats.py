@@ -434,3 +434,22 @@ def test_benford_profile_hand_case(spark):
     p9 = math.log(1 + 1 / 9) / math.log(10)
     expect = math.floor(4 * (0.25 - p9) ** 2 / p9 * 1e6) / 1e6
     assert abs(out[9]["chi2_term"] - expect) < 2e-6
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 201)], schema="x DOUBLE")
+    (row,) = bootstrap_mean_ci(df, "x").collect()
+    assert row["n"] == 200 and row["n_replicas"] == 32
+    assert row["ci_lo"] < row["mean"] < row["ci_hi"]
+    # hash-driven weights: the whole CI replays bit-identically
+    (again,) = bootstrap_mean_ci(df, "x").collect()
+    assert (again["ci_lo"], again["ci_hi"]) == (row["ci_lo"], row["ci_hi"])
+    # Poisson(1) bootstrap: the CI half-width should be in the right
+    # ballpark of sigma/sqrt(n) (loose 3x bounds, not a distribution test)
+    import statistics
+
+    se = statistics.pstdev(range(1, 201)) / (200 ** 0.5)
+    half = (row["ci_hi"] - row["ci_lo"]) / 2
+    assert se / 3 < half < se * 3 * 1.96

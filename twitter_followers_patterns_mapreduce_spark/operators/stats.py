@@ -1003,3 +1003,112 @@ SELECT digit, n,
   floor({p} * 1000000) / 1000000 AS benford_p,
   floor(nt * ({share} - {p}) * ({share} - {p}) / {p} * 1000000) / 1000000 AS chi2_term
 FROM cells CROSS JOIN tot"""
+
+
+#: Inverse-CDF thresholds for Poisson(1) truncated at 4 (e^-1 partial
+#: sums, 6dp literals so both engines compare against identical
+#: constants): P(0)=.367879, P(<=1)=.735758, P(<=2)=.919698, P(<=3)=.981011.
+_POISSON1_THRESHOLDS = (367879, 735758, 919698, 981011)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame, value_col: str, n_replicas: int = 32, scale: int = 100
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a column mean — THE
+    scale-out bootstrap (each row independently drawn Poisson(1) times
+    per replica, so replicas stream in ONE pass with no resample
+    shuffles — the Google/Meta large-scale CI method), made fully
+    DETERMINISTIC: the per-(row, replica) weight comes from an h64
+    content hash through the Poisson(1) inverse CDF (truncated at 4,
+    ~1.9e-2 tail mass folded into the top bucket), never rand() — so
+    reruns, retries, and the oracle draw identical replicas.
+
+    Exactness: values scale to cents-BIGINTs; each replica's weighted
+    sum and weight total are exact integer aggregates, the replica mean
+    one double division; the CI bounds are type-7 percentiles over the
+    ``n_replicas`` replica means (bit-identical percentile/quantile_cont
+    across engines, verified by the quantile family).  Shape: one
+    explode(0..B-1) fan-out (B× rows — B is the documented cost knob)
+    into a B-group hash agg, then a 1-row reduce.
+    Output: (n, n_replicas, mean, ci_lo, ci_hi) at 2.5/97.5%.
+    """
+    t = _POISSON1_THRESHOLDS
+    w = (
+        f"CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1 "
+        f"WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3 ELSE 4 END"
+    )
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql(f"concat(CAST(x6 AS STRING), ':', CAST(b AS STRING))", "spark")
+    rep = (
+        df.selectExpr(
+            f"CAST(round({value_col} * {scale}) AS BIGINT) AS x6",
+            f"explode(sequence(0, {n_replicas - 1})) AS b",
+        )
+        .selectExpr("x6", "b", f"pmod({h}, 1000000) AS u")
+        .selectExpr("x6", "b", f"{w} AS w")
+        .groupBy("b")
+        .agg(
+            F.expr("SUM(CAST(w * x6 AS DECIMAL(38,0)))").alias("ws"),
+            F.sum("w").cast("long").alias("wn"),
+        )
+        .selectExpr(
+            f"CASE WHEN wn > 0 THEN CAST(ws AS DOUBLE) / wn / {scale} END AS rmean"
+        )
+    )
+    base = df.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        f"SUM(CAST(round({value_col} * {scale}) AS BIGINT)) AS s6",
+    )
+    return (
+        rep.agg(
+            F.expr("percentile(rmean, 0.025)").alias("ci_lo"),
+            F.expr("percentile(rmean, 0.975)").alias("ci_hi"),
+            F.count("*").cast("long").alias("n_replicas"),
+        )
+        .crossJoin(F.broadcast(base))
+        .selectExpr(
+            "n",
+            "n_replicas",
+            f"floor(CAST(s6 AS DOUBLE) / n / {scale} * 1000000) / 1000000 AS mean",
+            "floor(ci_lo * 1000000) / 1000000 AS ci_lo",
+            "floor(ci_hi * 1000000) / 1000000 AS ci_hi",
+        )
+    )
+
+
+def bootstrap_mean_ci_oracle(
+    table: str, value_col: str, n_replicas: int = 32, scale: int = 100
+) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    t = _POISSON1_THRESHOLDS
+    w = (
+        f"CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1 "
+        f"WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3 ELSE 4 END"
+    )
+    h = h64_sql("CAST(x6 AS VARCHAR) || ':' || CAST(b AS VARCHAR)", "duckdb")
+    return f"""WITH v AS (
+  SELECT CAST(round({value_col} * {scale}) AS BIGINT) AS x6 FROM {table}),
+fan AS (
+  SELECT x6, b FROM v CROSS JOIN (SELECT unnest(range({n_replicas})) AS b)),
+u AS (SELECT x6, b, (({h}) % 1000000 + 1000000) % 1000000 AS u FROM fan),
+wts AS (SELECT x6, b, {w} AS w FROM u),
+reps AS (
+  SELECT b, SUM(CAST(w * x6 AS DECIMAL(38,0))) AS ws, CAST(SUM(w) AS BIGINT) AS wn
+  FROM wts GROUP BY b),
+rmeans AS (
+  SELECT CASE WHEN wn > 0 THEN CAST(ws AS DOUBLE) / wn / {scale} END AS rmean FROM reps),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(round({value_col} * {scale}) AS BIGINT)) AS s6
+  FROM {table}),
+ci AS (
+  SELECT quantile_cont(rmean, 0.025) AS ci_lo, quantile_cont(rmean, 0.975) AS ci_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_replicas
+  FROM rmeans)
+SELECT n, n_replicas,
+  floor(CAST(s6 AS DOUBLE) / n / {scale} * 1000000) / 1000000 AS mean,
+  floor(ci_lo * 1000000) / 1000000 AS ci_lo,
+  floor(ci_hi * 1000000) / 1000000 AS ci_hi
+FROM ci CROSS JOIN base"""

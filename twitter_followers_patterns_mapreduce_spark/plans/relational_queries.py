@@ -726,6 +726,18 @@ def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_bootstrap_ci",
+    oracle=ST.bootstrap_mean_ci_oracle("orders", "o_totalprice"),
+    description="deterministic Poisson-bootstrap 95% CI for the mean total price: "
+    "per-(row, replica) weight = h64 content hash through the Poisson(1) inverse "
+    "CDF (one-pass streaming bootstrap, no resample shuffles, rerun/retry/oracle "
+    "identical), 32 exact integer replica aggregates, type-7 percentile bounds",
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.bootstrap_mean_ci(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@register(
     "lineitem_benford_audit",
     oracle=ST.benford_profile_oracle("lineitem", "l_extendedprice"),
     description="Benford's-law first-digit audit of extended price (fabricated-data "
