@@ -78,6 +78,10 @@ ALLOWED_BRUTE_FORCE = {
     #   * bootstrap CI — the 32-row replica-means table crossed with the
     #     1-row full-sample (n, sum): cardinality × 1
     "orders_bootstrap_ci",
+    #   * association rules — pair table crossed with the 1-row total-
+    #     baskets count: cardinality × 1 (the pair generation itself is
+    #     the copurchase equi-join)
+    "basket_association_rules",
 }
 
 

@@ -415,3 +415,34 @@ def test_target_encoding_shrinks_toward_global_mean(spark):
     # shrinkage: both encodings sit between their raw mean and the global mean
     assert 100.0 < got["A"] < gmean_cents / 100
     assert gmean_cents / 100 < got["B"] < 400.0
+
+
+def test_basket_association_rules_hand_case(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import (
+        basket_association_rules,
+    )
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1, {4} x1  -> 6 baskets
+    rows = []
+    ok = 0
+    for _ in range(3):
+        ok += 1
+        rows += [(ok, 1), (ok, 2)]
+    ok += 1
+    rows += [(ok, 1), (ok, 3)]
+    ok += 1
+    rows += [(ok, 2), (ok, 3)]
+    ok += 1
+    rows += [(ok, 4)]
+    df = spark.createDataFrame(rows, schema="l_orderkey LONG, l_partkey LONG")
+    out = {(r["p1"], r["p2"]): r for r in basket_association_rules(df, k=5, min_pair=2).collect()}
+    # only (1,2) passes min_pair=2: n_pair=3, n1=4, n2=4, N=6
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    fl = lambda x: math.floor(x * 1e6) / 1e6
+    assert r["n_pair"] == 3
+    assert r["support"] == fl(3 / 6)
+    assert r["conf_p1_p2"] == fl(3 / 4) and r["conf_p2_p1"] == fl(3 / 4)
+    assert r["lift"] == fl(3 * 6 / (4 * 4))  # 1.125 > 1: bought together

@@ -1962,6 +1962,76 @@ ORDER BY n_baskets DESC, p1, p2
 LIMIT {k}"""
 
 
+def basket_association_rules(lineitem: DataFrame, k: int = 20, min_pair: int = 2) -> DataFrame:
+    """Association rules over order baskets — support / confidence /
+    lift for the top-``k`` part pairs by lift (the Apriori readout on
+    top of :func:`copurchase_part_pairs`' counting primitive; lift > 1
+    = bought together more than independence predicts).
+
+    All three scores are single closed-form doubles over exact BIGINT
+    counts (pair baskets, per-item baskets, total baskets), identical
+    text both engines, floored at 1e-6; ``min_pair`` prunes noise pairs
+    before ranking and the (lift, p1, p2) order is total.  Shape: the
+    pair hash agg (bounded by Σ|basket|², see copurchase) + two
+    broadcast-able item-count joins + a 1-row total cross; top-k is
+    orderBy().limit() (TakeOrdered), never a global window.
+    Output: (p1, p2, n_pair, support, conf_p1_p2, conf_p2_p1, lift)."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct().localCheckpoint(eager=False)
+    a = items.select("okey", F.col("part").alias("p1"))
+    b = items.select("okey", F.col("part").alias("p2"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair)
+    )
+    cnt = items.groupBy("part").agg(F.count("*").cast("long").alias("n_item"))
+    tot = items.agg(F.countDistinct("okey").cast("long").alias("n_baskets"))
+    lift = "(CAST(n_pair AS DOUBLE) * n_baskets / (CAST(n1 AS DOUBLE) * n2))"
+    return (
+        pairs.join(cnt.selectExpr("part AS p1", "n_item AS n1"), "p1")
+        .join(cnt.selectExpr("part AS p2", "n_item AS n2"), "p2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "p1",
+            "p2",
+            "n_pair",
+            "floor(CAST(n_pair AS DOUBLE) / n_baskets * 1000000) / 1000000 AS support",
+            "floor(CAST(n_pair AS DOUBLE) / n1 * 1000000) / 1000000 AS conf_p1_p2",
+            "floor(CAST(n_pair AS DOUBLE) / n2 * 1000000) / 1000000 AS conf_p2_p1",
+            f"floor({lift} * 1000000) / 1000000 AS lift",
+        )
+        .orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2"))
+        .limit(k)
+    )
+
+
+def basket_association_rules_oracle(k: int = 20, min_pair: int = 2) -> str:
+    lift = "(CAST(n_pair AS DOUBLE) * n_baskets / (CAST(n1 AS DOUBLE) * n2))"
+    return f"""WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+pairs AS (
+  SELECT a.part AS p1, b.part AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair}),
+cnt AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_baskets FROM items)
+SELECT p1, p2, n_pair,
+  floor(CAST(n_pair AS DOUBLE) / n_baskets * 1000000) / 1000000 AS support,
+  floor(CAST(n_pair AS DOUBLE) / n1 * 1000000) / 1000000 AS conf_p1_p2,
+  floor(CAST(n_pair AS DOUBLE) / n2 * 1000000) / 1000000 AS conf_p2_p1,
+  floor({lift} * 1000000) / 1000000 AS lift
+FROM pairs
+JOIN (SELECT part AS p1, n_item AS n1 FROM cnt) c1 USING (p1)
+JOIN (SELECT part AS p2, n_item AS n2 FROM cnt) c2 USING (p2)
+CROSS JOIN tot
+ORDER BY lift DESC, p1, p2
+LIMIT {k}"""
+
+
 def target_encoding(
     orders: DataFrame, cat_col: str = "o_orderpriority",
     target: str = "o_totalprice", smoothing: int = 50,

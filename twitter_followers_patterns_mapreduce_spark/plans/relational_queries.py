@@ -809,6 +809,18 @@ def copurchase_part_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_association_rules",
+    oracle=R.basket_association_rules_oracle(k=20, min_pair=2),
+    description="association rules over order baskets (Apriori readout on the "
+    "copurchase counting primitive): support/confidence/lift from exact pair / "
+    "item / total basket counts, min-support pruned, top-20 by lift via "
+    "TakeOrdered",
+)
+def basket_association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.basket_association_rules(load_table(spark, sf_dir, "lineitem"), k=20)
+
+
+@register(
     "orders_target_encoding",
     oracle=R.target_encoding_oracle(),
     description="smoothed target (mean) encoding of order priority against order "
