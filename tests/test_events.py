@@ -528,3 +528,29 @@ def test_user_growth_accounting_hand_case(spark):
     assert got["2024-01-02"]["returning_users"] == 1
     assert got["2024-01-03"]["cumulative_users"] == 3
     assert got["2024-01-03"]["returning_users"] == 1
+
+
+def test_funnel_step_timing_hand_case(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # user 1: click then purchase after 120s (in window)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=120), 1, "purchase", 1.0, "{}"),
+        # user 1 second purchase later: first conversion wins
+        (3, t0 + timedelta(seconds=500), 1, "purchase", 1.0, "{}"),
+        # user 2: click, purchase BEFORE the click (ignored), none after
+        (4, t0, 2, "purchase", 1.0, "{}"),
+        (5, t0 + timedelta(seconds=10), 2, "click", 1.0, "{}"),
+        # user 3: click, purchase 2h later (outside the 1h window)
+        (6, t0, 3, "click", 1.0, "{}"),
+        (7, t0 + timedelta(hours=2), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    (r,) = E.funnel_step_timing(df).collect()
+    assert r["n_first"] == 3 and r["n_converted"] == 1
+    assert r["p50_sec"] == 120.0 and r["p90_sec"] == 120.0

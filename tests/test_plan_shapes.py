@@ -82,6 +82,9 @@ ALLOWED_BRUTE_FORCE = {
     #     baskets count: cardinality × 1 (the pair generation itself is
     #     the copurchase equi-join)
     "basket_association_rules",
+    #   * funnel timing — the 1-row delta summary crossed with the 1-row
+    #     funnel-entry count: 1 × 1
+    "events_funnel_timing",
 }
 
 

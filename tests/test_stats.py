@@ -453,3 +453,30 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     se = statistics.pstdev(range(1, 201)) / (200 ** 0.5)
     half = (row["ci_hi"] - row["ci_lo"]) / 2
     assert se / 3 < half < se * 3 * 1.96
+
+
+def test_grouped_ols_matches_numpy_per_group(spark):
+    import numpy as np
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import grouped_ols_slopes
+
+    rows = []
+    for g, (a, b) in {"g1": (2.0, 5.0), "g2": (-1.5, 3.0)}.items():
+        for i in range(12):
+            x = i * 0.25
+            # pre-quantize to exact cents so the reference fit sees the
+            # same values the engine's round(x*100) does (raw a*x+b
+            # noise lands on exact .5 cent boundaries, where numpy's
+            # half-to-even and Spark's HALF_UP disagree)
+            y = round((a * x + b + (0.37 if i % 3 == 0 else -0.21)) * 100) / 100
+            rows.append((g, x, y))
+    rows += [("flat", 1.0, 9.0), ("flat", 1.0, 7.0)]  # zero x-variance -> NULL
+    df = spark.createDataFrame(rows, schema="g STRING, x DOUBLE, y DOUBLE")
+    out = {r["grp"]: r for r in grouped_ols_slopes(df, "g", "x", "y").collect()}
+    for g in ("g1", "g2"):
+        xs = np.array([r[1] for r in rows if r[0] == g])
+        ys = np.array([r[2] for r in rows if r[0] == g])
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert abs(out[g]["slope"] - slope) < 2e-6
+        assert 0.9 < out[g]["r2"] <= 1.0
+    assert out["flat"]["slope"] is None and out["flat"]["r2"] is None

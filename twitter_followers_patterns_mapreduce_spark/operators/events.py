@@ -1307,3 +1307,75 @@ SELECT day, active_users, new_users,
   CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     AS BIGINT) AS cumulative_users
 FROM daily"""
+
+
+def funnel_step_timing(
+    events: DataFrame,
+    first_step: str = "click",
+    convert_step: str = "purchase",
+    window_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Time-to-convert distribution — the latency companion of
+    :func:`funnel_conversion` (which counts WHO converts; this measures
+    HOW FAST): per user, seconds from the FIRST ``first_step`` to the
+    first ``convert_step`` within ``window_us`` after it, summarized as
+    exact type-7 percentiles.
+
+    Shape: two filtered per-user hash aggs + one equi-join on user_id
+    (both sides user-grain before joining), deltas in exact integer
+    seconds, percentiles over |converted users| values; the funnel-
+    entry count rides a 1-row broadcast cross.  Output: (n_first,
+    n_converted, p50_sec, p90_sec)."""
+    t0 = (
+        events.where(F.col("event_type") == first_step)
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    conv = events.where(F.col("event_type") == convert_step).select(
+        "user_id", F.unix_micros("ts").alias("t1")
+    )
+    deltas = (
+        t0.join(conv, "user_id")
+        .where((F.col("t1") >= F.col("t0")) & (F.col("t1") <= F.col("t0") + window_us))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("tc"), F.min("t0").alias("t0min"))
+        .selectExpr("(tc - t0min) div 1000000 AS sec")
+    )
+    n_first = t0.agg(F.count("*").cast("long").alias("n_first"))
+    return (
+        deltas.agg(
+            F.count("*").cast("long").alias("n_converted"),
+            F.expr("percentile(sec, 0.5)").alias("p50_sec"),
+            F.expr("percentile(sec, 0.9)").alias("p90_sec"),
+        )
+        .crossJoin(F.broadcast(n_first))
+        .select("n_first", "n_converted", "p50_sec", "p90_sec")
+    )
+
+
+def funnel_step_timing_oracle(
+    first_step: str = "click",
+    convert_step: str = "purchase",
+    window_us: int = 3_600_000_000,
+) -> str:
+    return f"""WITH t0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = '{first_step}' GROUP BY user_id),
+conv AS (
+  SELECT user_id, epoch_us(ts) AS t1 FROM events
+  WHERE event_type = '{convert_step}'),
+deltas AS (
+  SELECT (MIN(t1) - MIN(t0)) // 1000000 AS sec
+  FROM t0 JOIN conv USING (user_id)
+  WHERE t1 >= t0 AND t1 <= t0 + {window_us}
+  GROUP BY user_id),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_first FROM t0),
+agg AS (
+  -- global aggregate FIRST (always exactly one row, even with zero
+  -- conversions — matching Spark's ungrouped agg), then the 1-row cross
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+         quantile_cont(sec, 0.5) AS p50_sec,
+         quantile_cont(sec, 0.9) AS p90_sec
+  FROM deltas)
+SELECT n_first, n_converted, p50_sec, p90_sec
+FROM agg CROSS JOIN nf"""

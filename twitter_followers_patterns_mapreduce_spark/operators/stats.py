@@ -1112,3 +1112,69 @@ SELECT n, n_replicas,
   floor(ci_lo * 1000000) / 1000000 AS ci_lo,
   floor(ci_hi * 1000000) / 1000000 AS ci_hi
 FROM ci CROSS JOIN base"""
+
+
+def grouped_ols_slopes(
+    df: DataFrame, group_col: str, xcol: str, ycol: str, scale: int = 100
+) -> DataFrame:
+    """Per-group closed-form OLS slope — :func:`ols_fit` generalized
+    from one global fit to one fit PER GROUP in a single scan + one
+    grouped reduce (the "elasticity by segment" readout: no iteration,
+    no per-group driver loop, groups fitted in parallel inside one hash
+    aggregate).  Same exact-moment discipline: values scale to
+    cents-BIGINTs, per-row products in LONG codegen, DECIMAL(38,0)
+    sums; slope and r² are scale-invariant closed forms over the exact
+    integers (identical text both engines), floored at 1e-6,
+    zero-variance guarded.  Output: (grp, n, slope, r2)."""
+    wide = (
+        df.selectExpr(
+            f"{group_col} AS grp",
+            f"CAST(round({xcol} * {scale}) AS BIGINT) AS x",
+            f"CAST(round({ycol} * {scale}) AS BIGINT) AS y",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr("SUM(CAST(x AS DECIMAL(38,0)))").alias("sx"),
+            F.expr("SUM(CAST(y AS DECIMAL(38,0)))").alias("sy"),
+            F.expr("SUM(CAST(x * x AS DECIMAL(38,0)))").alias("qx"),
+            F.expr("SUM(CAST(y * y AS DECIMAL(38,0)))").alias("qy"),
+            F.expr("SUM(CAST(x * y AS DECIMAL(38,0)))").alias("pxy"),
+        )
+    )
+    num = "CAST(n * pxy - sx * sy AS DOUBLE)"
+    den = "CAST(n * qx - sx * sx AS DOUBLE)"
+    dy = "CAST(n * qy - sy * sy AS DOUBLE)"
+    return wide.selectExpr(
+        "grp",
+        "n",
+        f"CASE WHEN {den} > 0 THEN floor({num} / {den} * 1000000) / 1000000 END AS slope",
+        f"CASE WHEN {den} > 0 AND {dy} > 0 THEN"
+        f" floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 END AS r2",
+    )
+
+
+def grouped_ols_slopes_oracle(
+    from_sql: str, group_col: str, xcol: str, ycol: str, scale: int = 100
+) -> str:
+    num = "CAST(n * pxy - sx * sy AS DOUBLE)"
+    den = "CAST(n * qx - sx * sx AS DOUBLE)"
+    dy = "CAST(n * qy - sy * sy AS DOUBLE)"
+    return f"""WITH v AS (
+  SELECT {group_col} AS grp,
+         CAST(round({xcol} * {scale}) AS BIGINT) AS x,
+         CAST(round({ycol} * {scale}) AS BIGINT) AS y
+  FROM {from_sql}),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS qx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS qy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS pxy
+  FROM v GROUP BY grp)
+SELECT grp, n,
+  CASE WHEN {den} > 0 THEN floor({num} / {den} * 1000000) / 1000000 END AS slope,
+  CASE WHEN {den} > 0 AND {dy} > 0 THEN
+    floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 END AS r2
+FROM m"""

@@ -210,6 +210,17 @@ def events_value_moving_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_timing",
+    oracle=E.funnel_step_timing_oracle(),
+    description="time-to-convert distribution (latency companion of the funnel "
+    "counts): first click -> first purchase within 1h per user, exact integer-"
+    "second deltas, type-7 p50/p90; user-grain aggs before the one equi-join",
+)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.funnel_step_timing(load_events(spark, sf_dir))
+
+
+@register(
     "events_user_growth_accounting",
     oracle=E.USER_GROWTH_ORACLE,
     description="daily DAU decomposition (new vs returning vs cumulative): one "

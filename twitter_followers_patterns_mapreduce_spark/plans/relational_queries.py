@@ -726,6 +726,28 @@ def orders_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_discount_elasticity",
+    oracle=ST.grouped_ols_slopes_oracle(
+        "lineitem JOIN part ON l_partkey = p_partkey",
+        "p_brand",
+        "l_discount",
+        "l_quantity",
+    ),
+    description="per-brand discount elasticity: closed-form OLS slope + r2 of "
+    "quantity on discount fitted for EVERY brand in one scan + one grouped "
+    "exact-moment reduce (no iteration, no per-group loop) — ols_fit generalized "
+    "to groups",
+)
+def part_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    joined = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand", "l_discount", "l_quantity"
+    )
+    return ST.grouped_ols_slopes(joined, "p_brand", "l_discount", "l_quantity")
+
+
+@register(
     "orders_bootstrap_ci",
     oracle=ST.bootstrap_mean_ci_oracle("orders", "o_totalprice"),
     description="deterministic Poisson-bootstrap 95% CI for the mean total price: "
