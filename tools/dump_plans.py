@@ -149,6 +149,16 @@ HEADLINE = [
     "events_ewma_hourly",
     "lineitem_higher_moments",
     "orders_psi_split",
+    "corpus_temperature_mixture",
+    "orders_snapshot_diff",
+    "lineitem_benford_audit",
+    "events_ab_test",
+    "events_user_growth_accounting",
+    "doc_readability",
+    "orders_bootstrap_ci",
+    "basket_association_rules",
+    "events_funnel_timing",
+    "part_discount_elasticity",
 ]
 
 
