@@ -480,3 +480,40 @@ def test_grouped_ols_matches_numpy_per_group(spark):
         assert abs(out[g]["slope"] - slope) < 2e-6
         assert 0.9 < out[g]["r2"] <= 1.0
     assert out["flat"]["slope"] is None and out["flat"]["r2"] is None
+
+
+def test_woe_psi_benford_invariants(spark):
+    """Mathematical invariants over a seeded random dataset:
+    every IV term is >= 0 ((p-q)ln(p/q) has matching signs), PSI terms
+    are symmetric under side swap, Benford shares sum to 1."""
+    import random
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        benford_profile,
+        psi_profile,
+        woe_iv,
+    )
+
+    rnd = random.Random(20260815)
+    rows = [
+        (rnd.choice("ABCDE"), rnd.random() < 0.4, float(rnd.randint(100, 99999)) / 100)
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, schema="cat STRING, flag BOOLEAN, amt DOUBLE")
+
+    for r in woe_iv(df, "cat", "flag").collect():
+        if r["iv_term"] is not None:
+            assert r["iv_term"] >= 0, r
+
+    a = {r["bucket"]: r["psi_term"] for r in psi_profile(df, "cat", "flag").collect()}
+    b = {r["bucket"]: r["psi_term"] for r in psi_profile(df, "cat", "NOT flag").collect()}
+    # (p-q)ln(p/q) == (q-p)ln(q/p): swapping sides changes nothing
+    # beyond the 1e-6 floor grid
+    for k in a:
+        if a[k] is not None:
+            assert abs(a[k] - b[k]) <= 2e-6, (k, a[k], b[k])
+        assert (a[k] is None) == (b[k] is None)
+
+    shares = [r["share"] for r in benford_profile(df, "amt").collect()]
+    # floored shares: sum within 9 floor-steps of 1
+    assert 1.0 - 9e-6 <= sum(shares) <= 1.0
