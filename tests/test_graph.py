@@ -329,3 +329,25 @@ def test_butterfly_degree_cap_drops_hub(spark):
     assert uncapped["butterflies"] > capped["butterflies"]
     # capped graph keeps the o=2/o=3 K_{2,2} → exactly 1 butterfly
     assert capped["butterflies"] == 1
+
+
+def test_degree_gini_ring_zero_and_star_matches_reference(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import degree_gini
+    from tests.conftest import make_edges
+
+    # ring: every node degree 2 -> perfect equality, G = 0
+    ring = make_edges(spark, [(i, i % 8 + 1) for i in range(1, 9)])
+    (r,) = degree_gini(ring).collect()
+    assert (r["n_nodes"], r["n_edges"], r["gini"]) == (8, 8, 0.0)
+
+    # star K(1,9): hub degree 9, nine leaves of degree 1
+    star = make_edges(spark, [(0, i) for i in range(1, 10)])
+    (s,) = degree_gini(star).collect()
+    degs = sorted([1] * 9 + [9])
+    n, dsum = len(degs), sum(degs)
+    rsum = sum((i + 1) * d for i, d in enumerate(degs))
+    expect = 2 * rsum / (n * dsum) - (n + 1) / n
+    assert s["n_nodes"] == 10 and s["n_edges"] == 9
+    assert s["gini"] == math.floor(expect * 1e6) / 1e6

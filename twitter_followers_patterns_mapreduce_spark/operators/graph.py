@@ -813,3 +813,82 @@ w AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS wedge_pairs,
        CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS butterflies
 FROM w"""
+
+
+def degree_gini(edges: DataFrame) -> DataFrame:
+    """Gini coefficient of the (undirected simple) degree distribution —
+    the attention-inequality scalar of a follower graph (G → 0: degrees
+    uniform; → 1: all edges on one hub).
+
+    SORT-FREE exact form: with ranks 1..n over ascending degree,
+    G = 2·Σᵢ rankᵢ·dᵢ / (n·Σd) − (n+1)/n.  Nodes sharing a degree
+    occupy consecutive ranks, so each DISTINCT degree d with count c and
+    cumulative-below C contributes d·(c·C + c(c+1)/2) — the whole rank
+    sum collapses onto the degree HISTOGRAM.  The plan is therefore:
+    per-node degree hash agg → |distinct degrees|-sized histogram →
+    one cumulative window over that bounded spine (thousands of rows on
+    any graph, never |V|) → 1-row reduce.  No global sort of nodes, no
+    |V|-row window — the shape a naive rank-window Gini gets wrong.
+
+    Exactness: every term is integer (d ≤ |V|, c·C ≤ |V|², d·(...) ≤
+    |V|³ — DECIMAL(38,0) sums give headroom past 1e12 nodes); G is one
+    closed-form double over two exact integers, floored at 1e-6.
+    Ties inside a degree group make rank assignment ambiguous, but the
+    contribution uses the SUM of the group's ranks, which is
+    permutation-invariant — so the histogram form equals any
+    consistently-ranked per-node form.  Output: (n_nodes, n_edges,
+    gini)."""
+    und = undirected_pairs(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select("b"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").cast("long").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    terms = hist.select(
+        "d",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("cum_below"),
+    ).selectExpr(
+        "CAST(c AS DECIMAL(38,0)) AS cd",
+        "CAST(d AS DECIMAL(38,0)) * (c * cum_below + c * (c + 1) div 2) AS rank_d",
+        "CAST(d AS DECIMAL(38,0)) * c AS sum_d",
+    )
+    return terms.groupBy().agg(
+        F.sum("cd").alias("n"),
+        F.sum("rank_d").alias("rsum"),
+        F.sum("sum_d").alias("dsum"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_nodes",
+        "CAST(dsum / 2 AS BIGINT) AS n_edges",
+        "floor((2.0 * CAST(rsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE))"
+        " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS gini",
+    )
+
+
+def degree_gini_oracle(edges_cte: str) -> str:
+    return f"""WITH s AS ({edges_cte}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM s WHERE src <> dst),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
+terms AS (
+  SELECT CAST(c AS DECIMAL(38,0)) AS cd,
+         CAST(d AS DECIMAL(38,0)) * (c * COALESCE(SUM(c) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c * (c + 1) // 2) AS rank_d,
+         CAST(d AS DECIMAL(38,0)) * c AS sum_d
+  FROM hist),
+agg AS (
+  SELECT SUM(cd) AS n, SUM(rank_d) AS rsum, SUM(sum_d) AS dsum FROM terms)
+SELECT CAST(n AS BIGINT) AS n_nodes,
+  CAST(dsum / 2 AS BIGINT) AS n_edges,
+  floor((2.0 * CAST(rsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE))
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS gini
+FROM agg"""

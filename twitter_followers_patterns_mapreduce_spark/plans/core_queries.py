@@ -238,6 +238,19 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_degree_gini",
+    oracle=G.degree_gini_oracle(_SPARSE_CTE),
+    description="attention-inequality Gini of the degree distribution, SORT-FREE "
+    "exact form: the rank sum collapses onto the degree HISTOGRAM (nodes sharing "
+    "a degree occupy consecutive ranks; their rank-sum is permutation-invariant), "
+    "so the only window rides the bounded distinct-degree spine — no |V|-row "
+    "global sort; exact DECIMAL(38,0) integer terms, 1e-6 floor",
+)
+def graph_degree_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.degree_gini(_sparse_edges(spark, sf_dir))
+
+
+@register(
     "graph_kcore",
     oracle=GI.k_core_oracle(_SPARSE_CTE, k=2, rounds=8),
     description="iterative: 2-core via synchronous parallel peeling (drop all deg<k "
