@@ -512,3 +512,21 @@ def test_coreness_saturates_at_kmax(spark):
     k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
     r = {row["v"]: row["coreness"] for row in GI.coreness(make_edges(spark, k5), kmax=2).collect()}
     assert r == {v: 2 for v in range(1, 6)}
+
+
+def test_effective_diameter_chain_interpolates(spark):
+    import math
+
+    # chain 1->2->3->4->5: N(1)=4, N(2)=7, N(3)=9; q=0.9 -> 8.1 pairs
+    # -> k*=3, eff = 2 + (8.1-7)/(9-7) = 2.55
+    e = make_edges(spark, [(i, i + 1) for i in range(1, 5)])
+    (r,) = GI.effective_diameter(e, kmax=3, q=0.9).collect()
+    assert (r["k_star"], r["n_pairs_kmax"]) == (3, 9)
+    assert r["eff_diameter"] == math.floor((2 + (0.9 * 9 - 7) / 2) * 1e6) / 1e6
+
+
+def test_effective_diameter_star_saturates_at_one_hop(spark):
+    # directed star: N(1)=N(2)=N(3)=9 -> k*=1, no left neighbor -> NULL
+    e = make_edges(spark, [(0, i) for i in range(1, 10)])
+    (r,) = GI.effective_diameter(e, kmax=3, q=0.9).collect()
+    assert r["k_star"] == 1 and r["eff_diameter"] is None

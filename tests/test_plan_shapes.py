@@ -59,6 +59,7 @@ ALLOWED_BRUTE_FORCE = {
     "events_user_ltv_decay",
     "graph_reach_profile",
     "graph_reach_anf",  # composes reach_profile → same 1-row node-count cross
+    "graph_effective_diameter",  # ditto, plus its own 1-row N(kmax) crosses
     #   * modularity / target encoding / curriculum — a 1-row global
     #     (edge count / target sum / quartile boundaries) broadcast onto
     #     a community-/category-/doc-sized side: cardinality × 1

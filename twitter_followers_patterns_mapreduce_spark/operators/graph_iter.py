@@ -1566,3 +1566,68 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
        MAX(m) AS m_edges,
        CAST(SUM(t9) AS DOUBLE) / 1000000000.0 AS modularity
 FROM terms"""
+
+
+def effective_diameter(edges: DataFrame, kmax: int = 3, q: float = 0.9) -> DataFrame:
+    """Effective-diameter readout over the neighborhood function (the
+    ANF paper's headline consumer): the smallest k ≤ kmax whose pair
+    count reaches q of N(kmax), with the classic linear interpolation
+    between N(k−1) and N(k) for a fractional answer.
+
+    Built ON :func:`reach_profile`'s exact closure (k ≤ kmax bounded by
+    contract; at 100 TB the same readout runs over
+    :func:`reach_anf`'s HLL estimates — identical arithmetic, sketch
+    inputs).  The interpolation is ONE closed-form double over exact
+    BIGINT pair counts; the k-selection is a MIN over a boolean filter —
+    both engines evaluate identical text.  qi is scaled to an exact
+    integer (q·1e6) so the threshold comparison is integer-exact, never
+    a float-boundary coin flip.  Output: (k_star, n_pairs_kmax,
+    eff_diameter) — NULL eff_diameter when even N(1) already reaches
+    the quantile and interpolation has no left neighbor (k_star = 1:
+    the graph is within one hop of the target mass).
+    """
+    qi = round(q * 1_000_000)
+    prof = reach_profile(edges, kmax=kmax).localCheckpoint(eager=False)
+    total = prof.where(F.col("k") == kmax).select(
+        F.col("n_pairs").alias("n_total")
+    )
+    j = prof.crossJoin(F.broadcast(total))
+    # integer-exact threshold: n_pairs·1e6 >= qi·n_total
+    hit = j.where(
+        F.col("n_pairs") * F.lit(1_000_000) >= F.lit(qi) * F.col("n_total")
+    ).agg(F.min("k").alias("k_star"))
+    prev = prof.selectExpr("k + 1 AS k_star", "n_pairs AS n_prev")
+    cur = prof.selectExpr("k AS k_star", "n_pairs AS n_cur")
+    return (
+        hit.join(prev, "k_star", "left")
+        .join(cur, "k_star")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "k_star",
+            "n_total AS n_pairs_kmax",
+            # interpolate within (k-1, k]: k-1 + (q·N_total − N(k−1)) / (N(k) − N(k−1))
+            f"CASE WHEN n_prev IS NOT NULL AND n_cur > n_prev THEN"
+            f" floor((k_star - 1 + (CAST({q!r} AS DOUBLE) * n_total - n_prev) / (n_cur - n_prev))"
+            " * 1000000) / 1000000 END AS eff_diameter",
+        )
+    )
+
+
+def effective_diameter_oracle(edges_cte: str, kmax: int = 3, q: float = 0.9) -> str:
+    qi = round(q * 1_000_000)
+    prof = reach_profile_oracle(edges_cte, kmax=kmax)
+    return f"""WITH prof AS ({prof}),
+total AS (SELECT n_pairs AS n_total FROM prof WHERE k = {kmax}),
+hit AS (
+  SELECT MIN(k) AS k_star FROM prof CROSS JOIN total
+  WHERE n_pairs * 1000000 >= {qi} * n_total),
+prev AS (SELECT k + 1 AS k_star, n_pairs AS n_prev FROM prof),
+cur AS (SELECT k AS k_star, n_pairs AS n_cur FROM prof)
+SELECT h.k_star, t.n_total AS n_pairs_kmax,
+  CASE WHEN p.n_prev IS NOT NULL AND c.n_cur > p.n_prev THEN
+    floor((h.k_star - 1 + (CAST({q!r} AS DOUBLE) * t.n_total - p.n_prev) / (c.n_cur - p.n_prev))
+      * 1000000) / 1000000 END AS eff_diameter
+FROM hit h
+LEFT JOIN prev p ON h.k_star = p.k_star
+JOIN cur c ON h.k_star = c.k_star
+CROSS JOIN total t"""

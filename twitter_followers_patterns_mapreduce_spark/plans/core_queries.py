@@ -784,6 +784,20 @@ def graph_reach_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_effective_diameter",
+    oracle=GI.effective_diameter_oracle(_MUTUAL_CTE, kmax=3, q=0.9),
+    description="effective diameter (ANF's headline readout): smallest k whose "
+    "pair count reaches 90% of N(kmax), linearly interpolated — integer-exact "
+    "threshold (n_pairs*1e6 >= qi*n_total), one closed-form double over exact "
+    "counts; at 100 TB the same readout runs over graph_reach_anf's HLL estimates",
+)
+def graph_effective_diameter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
+    return GI.effective_diameter(e, kmax=3, q=0.9)
+
+
+@register(
     "graph_reach_anf",
     oracle=GI.reach_anf_checked_oracle(_MUTUAL_CTE, kmax=3),
     description="HyperANF (Boldi-Vigna) sketch neighborhood function vs the exact "
