@@ -530,3 +530,55 @@ def test_effective_diameter_star_saturates_at_one_hop(spark):
     e = make_edges(spark, [(0, i) for i in range(1, 10)])
     (r,) = GI.effective_diameter(e, kmax=3, q=0.9).collect()
     assert r["k_star"] == 1 and r["eff_diameter"] is None
+
+
+def test_effective_diameter_anf_matches_exact_on_chain(spark):
+    import math
+
+    # same chain as the exact test: sparse-mode HLL is exact at these
+    # cardinalities, so the ANF readout equals the exact one and the
+    # agreement boolean is deterministically TRUE
+    e = make_edges(spark, [(i, i + 1) for i in range(1, 5)])
+    (r,) = GI.effective_diameter_anf(e, kmax=3, q=0.9).collect()
+    assert (r["k_star"], r["n_pairs_kmax"]) == (3, 9)
+    assert r["eff_diameter"] == math.floor((2 + (0.9 * 9 - 7) / 2) * 1e6) / 1e6
+    assert r["anf_ok"] is True
+
+
+def test_effective_diameter_anf_null_case_ok(spark):
+    # star: both readouts NULL (k_star=1 on both profiles) -> ok TRUE
+    e = make_edges(spark, [(0, i) for i in range(1, 10)])
+    (r,) = GI.effective_diameter_anf(e, kmax=3, q=0.9).collect()
+    assert r["k_star"] == 1 and r["eff_diameter"] is None and r["anf_ok"] is True
+
+
+def test_ckpt_severs_plan_history_flat_cost_over_deep_chain(spark):
+    """Regression pin for the round-8 exponential-localCheckpoint fix:
+    25 chained self-join peeling passes through _ckpt must stay flat.
+    Pre-fix, pass cost DOUBLED from ~pass 18 (0.5 -> 70 s by pass 22 on
+    a 200-node graph); 25 passes would take >= 10 minutes.  The 120 s
+    budget is ~20x the observed post-fix wall (~8 s) and far below the
+    exponential regime, so this fails loudly iff the disease returns."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import _ckpt
+
+    k9 = [(a, b) for a in range(1, 10) for b in range(a + 1, 10)]
+    nbrs = _ckpt(neighbor_view(make_edges(spark, k9)))
+    alive = _ckpt(nbrs.select("v").distinct())
+    t0 = time.time()
+    for _ in range(25):
+        surv = (
+            nbrs.join(alive, "v")
+            .join(alive.select(F.col("v").alias("n")), "n")
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+            .where(F.col("core_deg") >= 2)
+            .transform(_ckpt)
+        )
+        alive = surv.select("v")
+        assert alive.count() == 9  # K9: nothing ever peels at k=2
+    assert time.time() - t0 < 120.0

@@ -76,8 +76,9 @@ ALLOWED_BRUTE_FORCE = {
     #     rows) needs the 1-row Σweights/N cross before broadcasting
     #     back onto the scan: cardinality × 1 twice, fact side equi-only
     "corpus_temperature_mixture",
-    #   * bootstrap CI — the 32-row replica-means table crossed with the
-    #     1-row full-sample (n, sum): cardinality × 1
+    #   * bootstrap CI — since the round-8 rewrite the base totals ride
+    #     the replica agg (no cross at all); kept listed for the 1-row
+    #     final reduce, which is brute-force-shaped by construction
     "orders_bootstrap_ci",
     #   * association rules — pair table crossed with the 1-row total-
     #     baskets count: cardinality × 1 (the pair generation itself is

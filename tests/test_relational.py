@@ -446,3 +446,57 @@ def test_basket_association_rules_hand_case(spark):
     assert r["support"] == fl(3 / 6)
     assert r["conf_p1_p2"] == fl(3 / 4) and r["conf_p2_p1"] == fl(3 / 4)
     assert r["lift"] == fl(3 * 6 / (4 * 4))  # 1.125 > 1: bought together
+
+
+def test_basket_cap_excludes_constructed_mega_basket(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import (
+        basket_association_rules,
+        copurchase_part_pairs,
+    )
+
+    # hand-case baskets: {1,2} x3, {1,3}, {2,3}, {4}  (6 baskets, <=2 items)
+    rows = []
+    ok = 0
+    for _ in range(3):
+        ok += 1
+        rows += [(ok, 1), (ok, 2)]
+    ok += 1
+    rows += [(ok, 1), (ok, 3)]
+    ok += 1
+    rows += [(ok, 2), (ok, 3)]
+    ok += 1
+    rows += [(ok, 4)]
+    normal = list(rows)
+    # one adversarial mega-basket: 70 distinct parts (> the 64 cap),
+    # Σ|basket|² contribution 70*69/2 = 2415 pairs on its own
+    rows += [(100, p) for p in range(1, 71)]
+    base = spark.createDataFrame(normal, schema="l_orderkey LONG, l_partkey LONG")
+    hot = spark.createDataFrame(rows, schema="l_orderkey LONG, l_partkey LONG")
+
+    # default cap=64: the mega-basket is excluded — ALL outputs (counts
+    # AND denominators) are identical to the data without it
+    want_rules = sorted(map(tuple, basket_association_rules(base, k=5).collect()))
+    got_rules = sorted(map(tuple, basket_association_rules(hot, k=5).collect()))
+    assert got_rules == want_rules and len(got_rules) == 1
+    want_pairs = sorted(map(tuple, copurchase_part_pairs(base, k=100).collect()))
+    got_pairs = sorted(map(tuple, copurchase_part_pairs(hot, k=100).collect()))
+    assert got_pairs == want_pairs
+
+    # cap disabled: the mega-basket floods the pair table — every pair
+    # among its 70 parts becomes a candidate (70·69/2 = 2415, absorbing
+    # the 3 normal pairs) and every denominator shifts — the lever binds
+    uncapped = copurchase_part_pairs(hot, k=10000, basket_cap=None).collect()
+    assert len(uncapped) == 70 * 69 // 2
+    rules = {
+        (r["p1"], r["p2"]): r
+        for r in basket_association_rules(hot, k=10, basket_cap=None).collect()
+    }
+    # mega boosts (1,2)->4, (1,3)->2, (2,3)->2 past min_pair
+    assert set(rules) == {(1, 2), (1, 3), (2, 3)}
+    import math
+
+    fl = lambda x: math.floor(x * 1e6) / 1e6
+    r12 = rules[(1, 2)]
+    assert r12["n_pair"] == 4
+    assert r12["support"] == fl(4 / 7)  # 7 baskets now
+    assert r12["lift"] == fl(4 * 7 / (5 * 5))  # n1 = n2 = 5 with mega

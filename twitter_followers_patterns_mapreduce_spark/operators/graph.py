@@ -830,8 +830,12 @@ def degree_gini(edges: DataFrame) -> DataFrame:
     any graph, never |V|) → 1-row reduce.  No global sort of nodes, no
     |V|-row window — the shape a naive rank-window Gini gets wrong.
 
-    Exactness: every term is integer (d ≤ |V|, c·C ≤ |V|², d·(...) ≤
-    |V|³ — DECIMAL(38,0) sums give headroom past 1e12 nodes); G is one
+    Exactness: every term is integer, accumulated as DOUBLED rank sums
+    so the per-row arithmetic needs only ONE wide multiply chain:
+    2·Σranks per group = d·c·(2C + c + 1), computed as
+    CAST(d AS DECIMAL(38,0))·c·(2C+c+1) — the BIGINT factors stay ≤
+    ~3|V| (wrap-safe past |V| = 1e18) and the DECIMAL product carries
+    d·c·(2C+c+1) ≤ 2|V|³, inside 38 digits past 1e12 nodes; G is one
     closed-form double over two exact integers, floored at 1e-6.
     Ties inside a degree group make rank assignment ambiguous, but the
     contribution uses the SUM of the group's ranks, which is
@@ -855,17 +859,17 @@ def degree_gini(edges: DataFrame) -> DataFrame:
         F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("cum_below"),
     ).selectExpr(
         "CAST(c AS DECIMAL(38,0)) AS cd",
-        "CAST(d AS DECIMAL(38,0)) * (c * cum_below + c * (c + 1) div 2) AS rank_d",
+        "CAST(d AS DECIMAL(38,0)) * c * (2 * cum_below + c + 1) AS rank2_d",
         "CAST(d AS DECIMAL(38,0)) * c AS sum_d",
     )
     return terms.groupBy().agg(
         F.sum("cd").alias("n"),
-        F.sum("rank_d").alias("rsum"),
+        F.sum("rank2_d").alias("rsum2"),
         F.sum("sum_d").alias("dsum"),
     ).selectExpr(
         "CAST(n AS BIGINT) AS n_nodes",
         "CAST(dsum / 2 AS BIGINT) AS n_edges",
-        "floor((2.0 * CAST(rsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE))"
+        "floor((CAST(rsum2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE))"
         " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS gini",
     )
 
@@ -880,15 +884,15 @@ deg AS (
 hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d),
 terms AS (
   SELECT CAST(c AS DECIMAL(38,0)) AS cd,
-         CAST(d AS DECIMAL(38,0)) * (c * COALESCE(SUM(c) OVER (ORDER BY d
+         CAST(d AS DECIMAL(38,0)) * c * (2 * COALESCE(SUM(c) OVER (ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           + c * (c + 1) // 2) AS rank_d,
+           + c + 1) AS rank2_d,
          CAST(d AS DECIMAL(38,0)) * c AS sum_d
   FROM hist),
 agg AS (
-  SELECT SUM(cd) AS n, SUM(rank_d) AS rsum, SUM(sum_d) AS dsum FROM terms)
+  SELECT SUM(cd) AS n, SUM(rank2_d) AS rsum2, SUM(sum_d) AS dsum FROM terms)
 SELECT CAST(n AS BIGINT) AS n_nodes,
   CAST(dsum / 2 AS BIGINT) AS n_edges,
-  floor((2.0 * CAST(rsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE))
+  floor((CAST(rsum2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE))
     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS gini
 FROM agg"""

@@ -5,9 +5,11 @@ chains exactly two MapReduce jobs by hand via an HDFS ``Temp`` dir).
 
 Spark-first iteration model: each pass is a declarative join + aggregate
 DAG; the driver loop only decides WHEN to stop, never touches row data.
-``localCheckpoint(eager=False)`` truncates lineage per pass so the plan
-stays O(1) deep instead of O(iterations) (the Spark analogue of the
-reference's job-chaining materialization, minus HDFS round-trips).
+``_ckpt`` (a lazy localCheckpoint behind a bare-LogicalRDD rebuild, see
+its docstring for the measured exponential it prevents) truncates
+lineage AND captured optimizer state per pass so the plan stays O(1)
+deep instead of O(iterations) (the Spark analogue of the reference's
+job-chaining materialization, minus HDFS round-trips).
 Checkpoints are lazy throughout: each pass's convergence action (or the
 final sink, for fixed-iteration loops) is what materializes it, so a
 pass costs ONE job — eager checkpointing doubled that with a
@@ -38,6 +40,44 @@ from pyspark.sql import functions as F
 _DEC = "decimal(28,12)"
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint with PLAN-HISTORY SEVERANCE — what every
+    iterative loop in this module uses instead of a bare
+    ``localCheckpoint(eager=False)``.
+
+    Root cause (measured, round 8): ``Dataset.localCheckpoint`` builds
+    its result via ``LogicalRDD.fromDataset``, which CAPTURES the origin
+    dataset's optimizer state (stats + constraint set) into the new
+    leaf.  In a loop whose next pass references the checkpointed frame
+    TWICE (every peeling/self-join shape), that captured state compounds
+    ~2.5× per pass — by pass ~18 the ``localCheckpoint`` CALL ITSELF
+    (driver-side, not the job: jobs stayed 6 jobs/10 stages/11 tasks
+    flat) costs seconds and doubles every pass: 0.5 s → 0.8 → 1.6 → 4.2
+    → 10 → 27 → 70 s on a 200-node toy graph, identically with
+    eager=True, codegen off, broadcast off, and constraint propagation
+    off.  Fix: rebuild a BARE ``LogicalRDD`` from the physical RDD
+    (``internalCreateDataFrame`` — no origin capture) and checkpoint
+    THAT: per-pass cost is flat 0.3 s through 30+ passes.  Correctness
+    is unchanged — the wrapped ``localCheckpoint`` still does the
+    row-copy + lazy materialization; values/schema are byte-identical
+    (the full oracle suite re-passed).  Without this, ANY ≳17-pass chain
+    (SCC's O(#SCC) super-rounds, BFS/SSSP frontiers, deep coreness
+    tiers) hits a driver-side exponential wall that no cluster size can
+    buy back.
+
+    The bare-rebuild path touches one ``private[sql]`` JVM method, so it
+    degrades gracefully to the plain form if the API drifts."""
+    spark = df.sparkSession
+    try:
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        j2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+        df = DataFrame(j2, spark)
+    except Exception:  # pragma: no cover - private-API drift fallback
+        pass
+    return df.localCheckpoint(eager=False)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Undirected connected components by hash-min label propagation:
     every node's label converges to the minimum node id reachable from
@@ -51,7 +91,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     # seed with min(id, min neighbor) — the first propagation pass
     # fused into ONE hash-agg shuffle (the loop's join+agg form costs
@@ -60,7 +100,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         und.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("nbr_min"))
         .select("id", F.least(F.col("id"), F.col("nbr_min")).alias("comp"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
 
     for _ in range(max_iter):
@@ -82,7 +122,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("_moved"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
         changed = new.where(F.col("_moved")).count()
         comp = new.drop("_moved")
@@ -129,14 +169,14 @@ def _pagerank_fixpoint(
     in one job; the rank reduction runs in DECIMAL so the result is
     bit-identical under any partitioning, which is what makes the
     unrolled-CTE oracles exact."""
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    e = edges.select("src", "dst").transform(_ckpt)
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    e_deg = e.join(deg, "src").transform(_ckpt)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     ranks = nodes.select("id", seed_expr(F.col("id")).cast(_DEC).alias("rank"))
     for _ in range(iters):
@@ -156,7 +196,7 @@ def _pagerank_fixpoint(
                 .cast(_DEC)
                 .alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
     # 6dp emission via exact integer floor on the decimal — DuckDB's
     # decimal downscale cast TRUNCATES while Spark's ROUNDS, so neither
@@ -301,16 +341,16 @@ def connected_components_twostar(edges: DataFrame, max_iter: int = 30) -> DataFr
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     e = _canon_pairs(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     fp = None
     for _ in range(max_iter):
         # lazy checkpoint: the fingerprint agg below is the action that
         # materializes the round — one job per round, not two
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = _small_star(_large_star(e)).transform(_ckpt)
         new_fp = e.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
@@ -351,8 +391,8 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
 
-    nbrs = neighbor_view(edges).localCheckpoint(eager=False)
-    alive = nbrs.select("v").distinct().localCheckpoint(eager=False)
+    nbrs = neighbor_view(edges).transform(_ckpt)
+    alive = nbrs.select("v").distinct().transform(_ckpt)
     prev = alive.count()
     deg = None
     for _ in range(rounds):
@@ -364,7 +404,7 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
             .groupBy("v")
             .agg(F.count("*").cast("long").alias("core_deg"))
             .where(F.col("core_deg") >= k)
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
         alive = deg.select("v")
         cur = deg.count()
@@ -423,8 +463,8 @@ def coreness(edges: DataFrame, kmax: int = 4, rounds: int = 8) -> DataFrame:
     """
     from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
 
-    nbrs = neighbor_view(edges).localCheckpoint(eager=False)
-    alive = nbrs.select("v").distinct().localCheckpoint(eager=False)
+    nbrs = neighbor_view(edges).transform(_ckpt)
+    alive = nbrs.select("v").distinct().transform(_ckpt)
     parts = [alive.select("v", F.lit(1).alias("k"))]
     for k in range(2, kmax + 1):
         prev = alive.count()
@@ -437,7 +477,7 @@ def coreness(edges: DataFrame, kmax: int = 4, rounds: int = 8) -> DataFrame:
                 .groupBy("v")
                 .agg(F.count("*").cast("long").alias("core_deg"))
                 .where(F.col("core_deg") >= k)
-                .localCheckpoint(eager=False)
+                .transform(_ckpt)
             )
             alive = survivors.select("v")
             cur = survivors.count()
@@ -517,9 +557,9 @@ def bfs_distances(edges: DataFrame, source: int, max_iter: int = 30) -> DataFram
     spark = edges.sparkSession
     dist = spark.range(1).select(
         src_lit.alias("id"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     frontier = dist.select("id")
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    e = edges.select("src", "dst").transform(_ckpt)
     for i in range(1, max_iter + 1):
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -527,11 +567,11 @@ def bfs_distances(edges: DataFrame, source: int, max_iter: int = 30) -> DataFram
             .distinct()
             .join(dist, "id", "left_anti")
             .select("id", F.lit(i).cast("long").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
         if nxt.count() == 0:
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        dist = dist.unionAll(nxt).transform(_ckpt)
         frontier = nxt.select("id")
     return dist
 
@@ -595,14 +635,14 @@ def k_truss(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         edges.where(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     for _ in range(rounds):
         sup = _edge_support(e)
         e = (
             sup.where(F.col("support") >= k - 2)
             .select("a", "b")
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
     # _edge_support's wedges are already semi-joined against e, so its
     # output is a subset of e — no extra membership join needed
@@ -662,7 +702,7 @@ def landmark_closeness(edges: DataFrame, mod: int = 20, max_depth: int = 4) -> D
     import math
 
     lcm = math.lcm(*range(1, max_depth + 1))
-    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    e = edges.select("src", "dst").transform(_ckpt)
     nodes = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))
     ).distinct()
@@ -670,7 +710,7 @@ def landmark_closeness(edges: DataFrame, mod: int = 20, max_depth: int = 4) -> D
     # settled state: (landmark, id, dist); seed = each landmark at itself
     dist = lm.select(
         F.col("id").alias("landmark"), F.col("id"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     frontier = dist.select("landmark", "id")
     for d in range(1, max_depth + 1):
         nxt = (
@@ -679,9 +719,9 @@ def landmark_closeness(edges: DataFrame, mod: int = 20, max_depth: int = 4) -> D
             .distinct()
             .join(dist, ["landmark", "id"], "left_anti")
             .select("landmark", "id", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
-        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        dist = dist.unionAll(nxt).transform(_ckpt)
         frontier = nxt.select("landmark", "id")
     hist = (
         dist.where(F.col("dist") > 0)
@@ -810,10 +850,10 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     from twitter_followers_patterns_mapreduce_spark.operators.graph import neighbor_view
 
-    nbrs = neighbor_view(edges).localCheckpoint(eager=False)
+    nbrs = neighbor_view(edges).transform(_ckpt)
     labels = nbrs.select("v").distinct().select(
         "v", F.col("v").cast("long").alias("label")
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt)
     for _ in range(rounds):
         counted = (
             nbrs.join(
@@ -831,7 +871,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                     "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
                 ).alias("label")
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
     return labels.select("v", "label")
 
@@ -894,13 +934,13 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     nodes = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     hub = nodes.select("v", F.lit(1).cast("long").alias("hub"))
     auth = None
@@ -914,13 +954,13 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             e.join(hub.select(F.col("v").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum("hub").cast("long").alias("auth"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
         hub = (
             e.join(auth.select(F.col("v").alias("dst"), "auth"), "dst")
             .groupBy(F.col("src").alias("v"))
             .agg(F.sum("auth").cast("long").alias("hub"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
     return (
         nodes.join(hub, "v", "left")
@@ -991,7 +1031,7 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2, length: int = 3) -> 
         e.groupBy("src")
         .agg(F.sort_array(F.collect_list("dst")).alias("arr"))
         .select("src", "arr", F.size("arr").cast("long").alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     frontier = nbr.select(F.col("src").alias("start")).select(
         "start", F.explode(F.expr(f"sequence(1, {walks_per_node})")).alias("walk")
@@ -1080,7 +1120,7 @@ def mutual_reach_pairs(edges: DataFrame, k: int = 3) -> DataFrame:
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     reach = e
     for _ in range(k - 1):
@@ -1091,7 +1131,7 @@ def mutual_reach_pairs(edges: DataFrame, k: int = 3) -> DataFrame:
             .where(F.col("src") != F.col("dst"))
         )
         reach = (
-            reach.unionByName(step).distinct().localCheckpoint(eager=False)
+            reach.unionByName(step).distinct().transform(_ckpt)
         )
     swap = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
@@ -1166,7 +1206,7 @@ def strongly_connected_components(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     # node set from the UNFILTERED edges: a node whose only edges are
     # self-loops has no row in ``e`` but is still a (singleton) SCC —
@@ -1176,7 +1216,7 @@ def strongly_connected_components(
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     spark = edges.sparkSession
     assigned = spark.createDataFrame([], schema="id LONG, scc_id LONG")
@@ -1189,17 +1229,17 @@ def strongly_connected_components(
                 .distinct()
                 .join(e.select(F.col("dst").alias("id")).distinct(), "id")
             )
-            dead = nodes.join(live, "id", "left_anti").localCheckpoint(eager=False)
+            dead = nodes.join(live, "id", "left_anti").transform(_ckpt)
             if dead.count() == 0:
                 break
             assigned = assigned.unionByName(
                 dead.select("id", F.col("id").alias("scc_id"))
-            ).localCheckpoint(eager=False)
-            nodes = nodes.join(dead, "id", "left_anti").localCheckpoint(eager=False)
+            ).transform(_ckpt)
+            nodes = nodes.join(dead, "id", "left_anti").transform(_ckpt)
             e = (
                 e.join(dead.select(F.col("id").alias("src")), "src", "left_anti")
                 .join(dead.select(F.col("id").alias("dst")), "dst", "left_anti")
-                .localCheckpoint(eager=False)
+                .transform(_ckpt)
             )
         if nodes.count() == 0:
             break
@@ -1207,7 +1247,7 @@ def strongly_connected_components(
         # --- forward/backward hash-min to fixpoint
         lab = nodes.select(
             "id", F.col("id").alias("fmin"), F.col("id").alias("bmin")
-        ).localCheckpoint(eager=False)
+        ).transform(_ckpt)
         for _ in range(max_prop):
             fprop = (
                 e.join(lab.select(F.col("id").alias("src"), "fmin"), "src")
@@ -1231,7 +1271,7 @@ def strongly_connected_components(
                         | (F.coalesce("b_in", "bmin") < F.col("bmin"))
                     ).alias("_moved"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(_ckpt)
             )
             moved = new.where(F.col("_moved")).count()
             lab = new.select(
@@ -1246,13 +1286,13 @@ def strongly_connected_components(
 
         done = lab.where(F.col("fmin") == F.col("bmin")).select(
             "id", F.col("fmin").alias("scc_id")
-        ).localCheckpoint(eager=False)
-        assigned = assigned.unionByName(done).localCheckpoint(eager=False)
-        nodes = nodes.join(done, "id", "left_anti").localCheckpoint(eager=False)
+        ).transform(_ckpt)
+        assigned = assigned.unionByName(done).transform(_ckpt)
+        nodes = nodes.join(done, "id", "left_anti").transform(_ckpt)
         e = (
             e.join(done.select(F.col("id").alias("src")), "src", "left_anti")
             .join(done.select(F.col("id").alias("dst")), "dst", "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
         if nodes.count() == 0:
             break
@@ -1333,7 +1373,7 @@ def reach_profile(edges: DataFrame, kmax: int = 3) -> DataFrame:
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -1350,7 +1390,7 @@ def reach_profile(edges: DataFrame, kmax: int = 3) -> DataFrame:
                 .where(F.col("u") != F.col("dst"))
                 .select("u", F.col("dst").alias("v"))
             )
-            reach = reach.unionByName(step).distinct().localCheckpoint(eager=False)
+            reach = reach.unionByName(step).distinct().transform(_ckpt)
         out.append(
             reach.agg(F.count("*").cast("long").alias("n_pairs"))
             .crossJoin(F.broadcast(nodes))
@@ -1418,14 +1458,14 @@ def reach_anf(edges: DataFrame, kmax: int = 6) -> DataFrame:
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     state = (
         e.select(F.col("src").alias("id"))
         .union(e.select("dst"))
         .groupBy("id")
         .agg(F.expr("hll_sketch_agg(id)").alias("sk"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt)
     )
     out = []
     for k in range(1, kmax + 1):
@@ -1436,7 +1476,7 @@ def reach_anf(edges: DataFrame, kmax: int = 6) -> DataFrame:
             state.unionByName(nbr)
             .groupBy("id")
             .agg(F.expr("hll_union_agg(sk)").alias("sk"))
-            .localCheckpoint(eager=False)
+            .transform(_ckpt)
         )
         out.append(
             state.select(F.expr("hll_sketch_estimate(sk)").alias("est"))
@@ -1500,7 +1540,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     community-sized.  Output: (n_communities, m_edges, modularity)."""
     from twitter_followers_patterns_mapreduce_spark.operators.graph import undirected_pairs
 
-    und = undirected_pairs(edges).localCheckpoint(eager=False)
+    und = undirected_pairs(edges).transform(_ckpt)
     m_row = und.agg(F.count("*").cast("long").alias("m"))
     la = labels.select(F.col("v").alias("a"), F.col("label").alias("la"))
     lb = labels.select(F.col("v").alias("b"), F.col("label").alias("lb"))
@@ -1586,8 +1626,16 @@ def effective_diameter(edges: DataFrame, kmax: int = 3, q: float = 0.9) -> DataF
     the quantile and interpolation has no left neighbor (k_star = 1:
     the graph is within one hop of the target mass).
     """
+    prof = reach_profile(edges, kmax=kmax).transform(_ckpt)
+    return _diameter_readout(prof, kmax=kmax, q=q)
+
+
+def _diameter_readout(prof: DataFrame, kmax: int, q: float) -> DataFrame:
+    """The effective-diameter readout over ANY (k, n_pairs) neighborhood
+    profile — exact closure counts (:func:`reach_profile`) or HLL
+    estimates (:func:`reach_anf`) plug in interchangeably; the
+    arithmetic is identical, which is the ANF paper's whole point."""
     qi = round(q * 1_000_000)
-    prof = reach_profile(edges, kmax=kmax).localCheckpoint(eager=False)
     total = prof.where(F.col("k") == kmax).select(
         F.col("n_pairs").alias("n_total")
     )
@@ -1611,6 +1659,58 @@ def effective_diameter(edges: DataFrame, kmax: int = 3, q: float = 0.9) -> DataF
             " * 1000000) / 1000000 END AS eff_diameter",
         )
     )
+
+
+def effective_diameter_anf(
+    edges: DataFrame, kmax: int = 3, q: float = 0.9, rel_tol: float = 0.05
+) -> DataFrame:
+    """:func:`effective_diameter` computed FROM THE HLL SKETCH PROFILE
+    (:func:`reach_anf`) — the actual 100 TB form the exact variant's
+    docstring promises — gated with the ``reach_anf_checked``
+    discipline: the EXPOSED columns are the exact readout (both engines
+    can compute them), and the sketch-derived diameter only feeds an
+    oracle-asserted agreement boolean, so a sketch gone wild
+    hash-mismatches at the driver instead of hiding.
+
+    ``anf_ok`` := both diameters NULL (k_star = 1 on both profiles), or
+    both defined and |anf − exact| ≤ max(rel_tol·exact, rel_tol) — the
+    absolute floor covers exact diameters near 0 where a relative band
+    is vacuous.  At harness scale sparse-mode HLL is exact, so the two
+    readouts are bit-identical and the boolean is deterministically
+    TRUE; at 100 TB only this variant is runnable (the exact closure's
+    Θ(pairs) state is not), with lgConfigK=12 rsd ≈ 1.6% well inside
+    the 5% band.  Output: (k_star, n_pairs_kmax, eff_diameter, anf_ok).
+    """
+    exact = _diameter_readout(
+        reach_profile(edges, kmax=kmax).transform(_ckpt), kmax=kmax, q=q
+    )
+    anf_prof = reach_anf(edges, kmax=kmax).selectExpr(
+        "k", "approx_pairs AS n_pairs"
+    )
+    anf = _diameter_readout(
+        anf_prof.transform(_ckpt), kmax=kmax, q=q
+    ).selectExpr("eff_diameter AS ed_anf")
+    ok = (
+        "(eff_diameter IS NULL AND ed_anf IS NULL) OR "
+        f"(eff_diameter IS NOT NULL AND ed_anf IS NOT NULL AND "
+        f"abs(ed_anf - eff_diameter) <= greatest({rel_tol!r} * eff_diameter, {rel_tol!r}))"
+    )
+    return (
+        exact.crossJoin(F.broadcast(anf))
+        .selectExpr(
+            "k_star", "n_pairs_kmax", "eff_diameter", f"({ok}) AS anf_ok"
+        )
+    )
+
+
+def effective_diameter_anf_oracle(
+    edges_cte: str, kmax: int = 3, q: float = 0.9
+) -> str:
+    """Exact readout + asserted sketch-agreement boolean (the
+    ``reach_anf_checked_oracle`` discipline)."""
+    inner = effective_diameter_oracle(edges_cte, kmax=kmax, q=q)
+    return f"""WITH ex AS ({inner})
+SELECT k_star, n_pairs_kmax, eff_diameter, TRUE AS anf_ok FROM ex"""
 
 
 def effective_diameter_oracle(edges_cte: str, kmax: int = 3, q: float = 0.9) -> str:

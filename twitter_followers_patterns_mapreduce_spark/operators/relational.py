@@ -1925,7 +1925,9 @@ FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC
 WHERE rn = 1"""
 
 
-def copurchase_part_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
+def copurchase_part_pairs(
+    lineitem: DataFrame, k: int = 20, basket_cap: int | None = 64
+) -> DataFrame:
     """Item-item co-occurrence: the top-``k`` part pairs most often
     bought in the same order — the basket/recsys counting primitive
     (the "customers also bought" matrix is exactly this at 100 TB).
@@ -1933,13 +1935,14 @@ def copurchase_part_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
     Shape: dedupe to DISTINCT (order, part) so multi-line parts count a
     basket once, self-equi-join on the order key with ``p1 < p2`` (each
     unordered pair once), hash agg, TakeOrdered top-k.  The join fan-out
-    is Σ|basket|² — bounded by the basket-size cap (TPC-H ≤ 7 lines;
-    web-scale baskets get a per-order truncation or frequency-pruned
-    verify, same as every candidate-pair op in operators/dedup.py).
+    is Σ|basket|² — bounded by ``basket_cap`` (the deg_cap=64 lever
+    ``bipartite_butterfly_count`` carries, same HAVING-filter form):
+    baskets above the cap are EXCLUDED from pair mining, so one
+    adversarial mega-basket (a bot cart, a crawler order) cannot turn
+    the self-join quadratic.  TPC-H baskets are ≤ 7 lines, so the
+    default cap never binds there and the outputs are unchanged.
     Ties break on (p1, p2) so top-k is total-ordered."""
-    items = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    items = _capped_baskets(lineitem, basket_cap)
     a = items.select("okey", F.col("part").alias("p1"))
     b = items.select("okey", F.col("part").alias("p2"))
     return (
@@ -1952,9 +1955,11 @@ def copurchase_part_pairs(lineitem: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
-def copurchase_part_pairs_oracle(k: int = 20) -> str:
-    return f"""WITH items AS (
-  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem)
+def copurchase_part_pairs_oracle(k: int = 20, basket_cap: int = 64) -> str:
+    return f"""WITH items0 AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+okb AS (SELECT okey FROM items0 GROUP BY okey HAVING COUNT(*) <= {basket_cap}),
+items AS (SELECT i.okey, i.part FROM items0 i JOIN okb USING (okey))
 SELECT a.part AS p1, b.part AS p2, CAST(COUNT(*) AS BIGINT) AS n_baskets
 FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
 GROUP BY 1, 2
@@ -1962,7 +1967,27 @@ ORDER BY n_baskets DESC, p1, p2
 LIMIT {k}"""
 
 
-def basket_association_rules(lineitem: DataFrame, k: int = 20, min_pair: int = 2) -> DataFrame:
+def _capped_baskets(lineitem: DataFrame, basket_cap: int | None) -> DataFrame:
+    """DISTINCT (okey, part) items with over-cap baskets excluded —
+    the shared Σ|basket|² guard for the pair-mining ops.  ``None``
+    disables the cap (documented escape hatch, not the default)."""
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    if basket_cap is None:
+        return items
+    ok = (
+        items.groupBy("okey")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= basket_cap)
+        .select("okey")
+    )
+    return items.join(ok, "okey")
+
+
+def basket_association_rules(
+    lineitem: DataFrame, k: int = 20, min_pair: int = 2, basket_cap: int | None = 64
+) -> DataFrame:
     """Association rules over order baskets — support / confidence /
     lift for the top-``k`` part pairs by lift (the Apriori readout on
     top of :func:`copurchase_part_pairs`' counting primitive; lift > 1
@@ -1974,11 +1999,15 @@ def basket_association_rules(lineitem: DataFrame, k: int = 20, min_pair: int = 2
     before ranking and the (lift, p1, p2) order is total.  Shape: the
     pair hash agg (bounded by Σ|basket|², see copurchase) + two
     broadcast-able item-count joins + a 1-row total cross; top-k is
-    orderBy().limit() (TakeOrdered), never a global window.
+    orderBy().limit() (TakeOrdered), never a global window.  The pair
+    fan-out carries :func:`copurchase_part_pairs`' ``basket_cap``
+    (HAVING-filter exclusion of over-cap baskets, the butterfly
+    deg_cap=64 lever) applied BEFORE every count — pair, per-item, and
+    total-basket denominators all see the same capped universe, so the
+    scores stay internally consistent; TPC-H baskets are ≤ 7 lines so
+    the default never binds and outputs are unchanged.
     Output: (p1, p2, n_pair, support, conf_p1_p2, conf_p2_p1, lift)."""
-    items = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct().localCheckpoint(eager=False)
+    items = _capped_baskets(lineitem, basket_cap).localCheckpoint(eager=False)
     a = items.select("okey", F.col("part").alias("p1"))
     b = items.select("okey", F.col("part").alias("p2"))
     pairs = (
@@ -2009,10 +2038,14 @@ def basket_association_rules(lineitem: DataFrame, k: int = 20, min_pair: int = 2
     )
 
 
-def basket_association_rules_oracle(k: int = 20, min_pair: int = 2) -> str:
+def basket_association_rules_oracle(
+    k: int = 20, min_pair: int = 2, basket_cap: int = 64
+) -> str:
     lift = "(CAST(n_pair AS DOUBLE) * n_baskets / (CAST(n1 AS DOUBLE) * n2))"
-    return f"""WITH items AS (
+    return f"""WITH items0 AS (
   SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+okb AS (SELECT okey FROM items0 GROUP BY okey HAVING COUNT(*) <= {basket_cap}),
+items AS (SELECT i.okey, i.part FROM items0 i JOIN okb USING (okey)),
 pairs AS (
   SELECT a.part AS p1, b.part AS p2, CAST(COUNT(*) AS BIGINT) AS n_pair
   FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part

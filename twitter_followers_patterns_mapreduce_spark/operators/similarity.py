@@ -1059,8 +1059,13 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     faster than per-row DECIMAL(38,12) sums at sf1; assumes |x| ≤ 3 so
     xi·xi ≤ 9e18 fits BIGINT — embeddings are unit-scale).  Mean/std
     are thus the exact moments of the floored values, order-independent
-    by construction, reported at 1e-9 resolution.  Min/max are
-    order-free already.  Output: (dim, n, mean, std, min_val, max_val).
+    by construction, reported at 1e-9 resolution.  The std radicand is
+    CASE-guarded > 0 on BOTH engines (a constant dimension can round
+    q/n − (s/n)² a few ulps negative: NaN in Spark, hard Out-of-Range
+    error in DuckDB) with ELSE 0.0 — a constant dimension's true std
+    IS 0, unlike the skew/kurt ratios where zero variance is undefined
+    and NULLed.  Min/max are order-free already.
+    Output: (dim, n, mean, std, min_val, max_val).
     """
     el = embeddings.select(
         F.posexplode(as_double("embedding")).alias("dim", "x")
@@ -1076,8 +1081,10 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         "dim",
         "n",
         "floor(CAST(s AS DOUBLE) / n) / 1000000000 AS mean",
-        "floor(sqrt(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))"
-        " / 1000000000 AS std",
+        "CASE WHEN CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0"
+        " THEN floor(sqrt(CAST(q AS DOUBLE) / n"
+        " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) / 1000000000"
+        " ELSE 0.0 END AS std",
         "min_val",
         "max_val",
     )
@@ -1092,8 +1099,12 @@ el AS (
   SELECT dim, x, CAST(floor(x * 1000000000) AS BIGINT) AS xi FROM raw)
 SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
   floor(CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / 1000000000 AS mean,
-  floor(sqrt(CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+  CASE WHEN CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
     - (CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*))
-      * (CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)))) / 1000000000 AS std,
+      * (CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) > 0
+  THEN floor(sqrt(CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+    - (CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*))
+      * (CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)))) / 1000000000
+  ELSE 0.0 END AS std,
   MIN(x) AS min_val, MAX(x) AS max_val
 FROM el GROUP BY dim"""

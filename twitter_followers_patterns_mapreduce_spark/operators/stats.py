@@ -857,10 +857,13 @@ def higher_moments(df: DataFrame, value_col: str, scale: int = 100) -> DataFrame
     scan and one reduce).  All four raw sums are exact decimals, so the
     central-moment identities are single closed-form doubles — every
     float op identical text on both engines, outputs floored at 1e-6,
-    zero-variance guarded.  Headroom: Σx⁴ ≤ n·(3e9)⁴ caps n around
-    1e6 rows at the |x|≤3e9 contract extreme, but at cents-scaled
-    column magnitudes (|x| ≤ 1e7) the cap is n ≈ 1e10 rows; past that,
-    raise ``scale`` granularity down (dollars) — skew/kurt are
+    zero-variance guarded.  Headroom: the per-row LONG square wraps
+    past |x| ≈ 3.04e9 (√2⁶³), so the practical contract is |x| ≤ 3e9
+    with almost no margin — and at that extreme a SINGLE row's x⁴ ≈
+    8.1e37 nearly saturates DECIMAL(38,0), so Σx⁴ overflows at n ≈ 1.
+    The real envelope is cents-scaled magnitudes: at |x| ≤ 1e7,
+    Σx⁴ ≤ n·1e28 caps n ≈ 1e10 rows; past either limit, coarsen
+    ``scale`` (dollars instead of cents) — skew/kurt are
     scale-invariant so the result is unchanged up to the rounding grid.
     Output: (n, mean, stddev, skewness, kurtosis_excess)."""
     proj = f"CAST(round({value_col} * {scale}) AS BIGINT) AS x"
@@ -959,17 +962,20 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
     leading-digit shares vs the Benford expectation p_d = log10(1+1/d),
     with each digit's chi-square contribution n·(share−p_d)²/p_d.
 
-    The leading digit is taken from the CENTS integer
-    (``round(x·100)`` → string → first char): scale shifts never change
-    the leading digit, and the integer path avoids engine-specific
-    double→string rendering.  Shares and expectations are single
+    The leading digit is taken from the ABSOLUTE cents integer
+    (``abs(round(x·100))`` → string → first char): scale shifts never
+    change the leading digit, the integer path avoids engine-specific
+    double→string rendering, and the ``abs`` makes negative inputs
+    degrade identically on both engines (without it the '-' first char
+    casts to NULL in Spark's non-ANSI mode but hard-errors in DuckDB —
+    credits/refunds audit by magnitude).  Shares and expectations are single
     closed-form doubles over exact BIGINT counts (identical text both
     engines, log10 via ``ln(x)/ln(10)``), floored at 1e-6.
     Output: (digit, n, share, benford_p, chi2_term), 9 rows.
     """
     base = df.selectExpr(
-        f"CAST(substring(CAST(CAST(round({value_col} * 100) AS BIGINT) AS STRING), 1, 1) AS INT)"
-        " AS digit"
+        f"CAST(substring(CAST(abs(CAST(round({value_col} * 100) AS BIGINT)) AS STRING), 1, 1)"
+        " AS INT) AS digit"
     ).where(F.col("digit") >= 1)
     cells = base.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
     tot = base.agg(F.count("*").cast("long").alias("nt"))
@@ -992,8 +998,8 @@ def benford_profile_oracle(table: str, value_col: str) -> str:
     p = "(ln(1.0 + 1.0 / digit) / ln(CAST(10.0 AS DOUBLE)))"
     share = "(CAST(n AS DOUBLE) / nt)"
     return f"""WITH base AS (
-  SELECT CAST(substring(CAST(CAST(round({value_col} * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
-         AS digit
+  SELECT CAST(substring(CAST(abs(CAST(round({value_col} * 100) AS BIGINT)) AS VARCHAR), 1, 1)
+         AS INT) AS digit
   FROM {table}),
 pos AS (SELECT digit FROM base WHERE digit >= 1),
 cells AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY 1),
@@ -1018,62 +1024,93 @@ def bootstrap_mean_ci(
     scale-out bootstrap (each row independently drawn Poisson(1) times
     per replica, so replicas stream in ONE pass with no resample
     shuffles — the Google/Meta large-scale CI method), made fully
-    DETERMINISTIC: the per-(row, replica) weight comes from an h64
-    content hash through the Poisson(1) inverse CDF (truncated at 4,
-    ~1.9e-2 tail mass folded into the top bucket), never rand() — so
-    reruns, retries, and the oracle draw identical replicas.
+    DETERMINISTIC: each row is h64-content-hashed ONCE, and replica b's
+    uniform draw is a seeded affine permutation of that hash over the
+    Mersenne prime 2³¹−1 (the exact discipline minhash already uses —
+    md5 dominates, the affine step is ~free, so B replicas cost ONE
+    hash per row instead of B), pushed through the Poisson(1) inverse
+    CDF (truncated at 4, ~1.9e-2 tail mass folded into the top bucket),
+    never rand() — reruns, retries, and the oracle draw identical
+    replicas.  The ``% 1e6`` grid off the prime leaves a ≤4.7e-4
+    relative non-uniformity (⌊P/1e6⌋ vs ⌈·⌉ preimage counts), shifting
+    each Poisson cell by <0.05% — immaterial to a CI and identical on
+    both engines.
 
     Exactness: values scale to cents-BIGINTs; each replica's weighted
     sum and weight total are exact integer aggregates, the replica mean
     one double division; the CI bounds are type-7 percentiles over the
     ``n_replicas`` replica means (bit-identical percentile/quantile_cont
-    across engines, verified by the quantile family).  Shape: one
-    explode(0..B-1) fan-out (B× rows — B is the documented cost knob)
-    into a B-group hash agg, then a 1-row reduce.
+    across engines, verified by the quantile family).  Shape: ONE scan;
+    per row ONE md5 and B affine draws; the B-way fan-out is an
+    ``inline`` of a CONSTANT-FOLDED (b, a, c) coefficient array whose
+    rows are absorbed IN-PIPELINE by the map-side partial aggregate —
+    only B rows per partition ever cross the exchange, and the (n, Σx)
+    base totals ride the same agg (COUNT/SUM per replica group are all
+    identical to the global totals), so there is no second scan.
+
+    Why fan-out and not B per-row sum columns — MEASURED, sf1 warm
+    (round 8 A/B): the "no fan-out" form (w0..wB-1 as row expressions
+    into one 2B+2-buffer agg) generates a HashAggregate consume method
+    too large for the JIT, and the whole fused stage drops to
+    interpreted bytecode: 6.99 s with codegen, 2.44 s with codegen
+    OFF, vs 0.9–1.7 s for this fan-out form (small JIT-friendly
+    methods, map-side combine).  The r7-flagged 11.3 s was never the
+    explode — it was B md5s per row (48M at sf1); hashing once and
+    permuting B× removes 97% of that.  Fan rows cost ~10 long ops each
+    and never materialize beyond the pipeline buffer, at any scale.
     Output: (n, n_replicas, mean, ci_lo, ci_hi) at 2.5/97.5%.
     """
     t = _POISSON1_THRESHOLDS
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        P_MERSENNE_31,
+        h64_sql,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(n_replicas)
+    h = h64_sql("CAST(x6 AS STRING)", "spark")
+    vals = ", ".join(
+        f"named_struct('b', {b}, 'a', CAST({a} AS BIGINT), 'c', CAST({c} AS BIGINT))"
+        for b, (a, c) in enumerate(coeffs)
+    )
     w = (
         f"CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1 "
         f"WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3 ELSE 4 END"
     )
-    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
-
-    h = h64_sql(f"concat(CAST(x6 AS STRING), ':', CAST(b AS STRING))", "spark")
     rep = (
-        df.selectExpr(
-            f"CAST(round({value_col} * {scale}) AS BIGINT) AS x6",
-            f"explode(sequence(0, {n_replicas - 1})) AS b",
-        )
-        .selectExpr("x6", "b", f"pmod({h}, 1000000) AS u")
+        df.selectExpr(f"CAST(round({value_col} * {scale}) AS BIGINT) AS x6")
+        .selectExpr("x6", f"{h} % {P_MERSENNE_31} AS hp")
+        .selectExpr("x6", "hp", f"inline(array({vals}))")
+        .selectExpr("x6", "b", f"((a * hp + c) % {P_MERSENNE_31}) % 1000000 AS u")
         .selectExpr("x6", "b", f"{w} AS w")
         .groupBy("b")
         .agg(
             F.expr("SUM(CAST(w * x6 AS DECIMAL(38,0)))").alias("ws"),
-            F.sum("w").cast("long").alias("wn"),
+            F.expr("CAST(SUM(w) AS BIGINT)").alias("wn"),
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("x6").alias("sx"),
         )
         .selectExpr(
-            f"CASE WHEN wn > 0 THEN CAST(ws AS DOUBLE) / wn / {scale} END AS rmean"
+            f"CASE WHEN wn > 0 THEN CAST(ws AS DOUBLE) / wn / {scale} END AS rmean",
+            "cnt",
+            "sx",
         )
     )
-    base = df.selectExpr(
-        "CAST(COUNT(*) AS BIGINT) AS n",
-        f"SUM(CAST(round({value_col} * {scale}) AS BIGINT)) AS s6",
-    )
-    return (
-        rep.agg(
-            F.expr("percentile(rmean, 0.025)").alias("ci_lo"),
-            F.expr("percentile(rmean, 0.975)").alias("ci_hi"),
-            F.count("*").cast("long").alias("n_replicas"),
-        )
-        .crossJoin(F.broadcast(base))
-        .selectExpr(
-            "n",
-            "n_replicas",
-            f"floor(CAST(s6 AS DOUBLE) / n / {scale} * 1000000) / 1000000 AS mean",
-            "floor(ci_lo * 1000000) / 1000000 AS ci_lo",
-            "floor(ci_hi * 1000000) / 1000000 AS ci_hi",
-        )
+    return rep.agg(
+        F.expr("percentile(rmean, 0.025)").alias("ci_lo"),
+        F.expr("percentile(rmean, 0.975)").alias("ci_hi"),
+        F.count("*").cast("long").alias("n_replicas"),
+        # every replica group sees every row, so any group's COUNT/SUM
+        # are the global totals; COALESCE pins the empty-input case to
+        # the oracle's COUNT-over-empty-table = 0.
+        F.expr("COALESCE(MAX(cnt), 0)").alias("n"),
+        F.expr("MAX(sx)").alias("s6"),
+    ).selectExpr(
+        "n",
+        "n_replicas",
+        f"floor(CAST(s6 AS DOUBLE) / n / {scale} * 1000000) / 1000000 AS mean",
+        "floor(ci_lo * 1000000) / 1000000 AS ci_lo",
+        "floor(ci_hi * 1000000) / 1000000 AS ci_hi",
     )
 
 
@@ -1087,12 +1124,22 @@ def bootstrap_mean_ci_oracle(
         f"CASE WHEN u < {t[0]} THEN 0 WHEN u < {t[1]} THEN 1 "
         f"WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3 ELSE 4 END"
     )
-    h = h64_sql("CAST(x6 AS VARCHAR) || ':' || CAST(b AS VARCHAR)", "duckdb")
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        P_MERSENNE_31,
+        minhash_coeffs,
+    )
+
+    h = h64_sql("CAST(x6 AS VARCHAR)", "duckdb")
+    vals = ", ".join(
+        f"({b}, {a}, {c})" for b, (a, c) in enumerate(minhash_coeffs(n_replicas))
+    )
     return f"""WITH v AS (
   SELECT CAST(round({value_col} * {scale}) AS BIGINT) AS x6 FROM {table}),
-fan AS (
-  SELECT x6, b FROM v CROSS JOIN (SELECT unnest(range({n_replicas})) AS b)),
-u AS (SELECT x6, b, (({h}) % 1000000 + 1000000) % 1000000 AS u FROM fan),
+hv AS (SELECT x6, ({h}) % {P_MERSENNE_31} AS hp FROM v),
+co AS (SELECT * FROM (VALUES {vals}) vals(b, a, c)),
+u AS (
+  SELECT x6, b, ((a * hp + c) % {P_MERSENNE_31}) % 1000000 AS u
+  FROM hv CROSS JOIN co),
 wts AS (SELECT x6, b, {w} AS w FROM u),
 reps AS (
   SELECT b, SUM(CAST(w * x6 AS DECIMAL(38,0))) AS ws, CAST(SUM(w) AS BIGINT) AS wn

@@ -277,6 +277,34 @@ def graph_coreness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_coreness_k17",
+    # The BINDING companion to graph_coreness: the dense src/dst<200
+    # subgraph (degrees 11-35) 16-cores to 186 nodes (graph_kcore_k16's
+    # calibration), so kmax=17 yields a SPREAD of populated tiers
+    # (coreness values 11..16 at sf0.01) — the full incremental-peeling
+    # chain is exercised and non-degenerate under the driver's gate,
+    # not only in unit goldens.  rounds=4 per tier (the dense cascade
+    # fixed-points in <=3, ktruss precedent); the k=17 peeling has NOT
+    # fully unravelled after 4 bounded rounds, so a 17 tier survives —
+    # by the documented bounded-rounds contract BOTH engines peel
+    # exactly 4 rounds, and "coreness 17" reads as ">= kmax under
+    # bounded peeling" (the saturation semantics in coreness()).
+    oracle=GI.coreness_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}",
+        kmax=17,
+        rounds=4,
+    ),
+    description="core decomposition at a binding kmax=17 on the dense subgraph — "
+    "populated tiers through k=16, empty 17th: pins the incremental tier "
+    "peeling's k-generality under the driver's gate",
+)
+def graph_coreness_k17_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
+    return GI.coreness(e, kmax=17, rounds=4)
+
+
+@register(
     "graph_kcore_k16",
     # k=16 on the dense src/dst<200 subgraph (degrees 11-35, median 23):
     # a 3-round cascade peels 14 nodes and a 186-node core survives —
@@ -810,6 +838,20 @@ def graph_reach_anf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
     return GI.reach_anf_checked(e, kmax=3)
+
+
+@register(
+    "graph_effective_diameter_anf",
+    oracle=GI.effective_diameter_anf_oracle(_MUTUAL_CTE, kmax=3, q=0.9),
+    description="effective diameter read from the HyperANF HLL profile — the "
+    "readout that actually runs at 100 TB, where the exact closure cannot; "
+    "exposed columns are the exact readout, the sketch-derived diameter feeds "
+    "an oracle-asserted 5%-agreement boolean (reach_anf_checked discipline)",
+)
+def graph_effective_diameter_anf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] * 31 + e["dst"]) % MUTUAL_MOD == 0)
+    return GI.effective_diameter_anf(e, kmax=3, q=0.9)
 
 
 @register(
