@@ -517,3 +517,74 @@ def test_woe_psi_benford_invariants(spark):
     shares = [r["share"] for r in benford_profile(df, "amt").collect()]
     # floored shares: sum within 9 floor-steps of 1
     assert 1.0 - 9e-6 <= sum(shares) <= 1.0
+
+
+def test_kll_quantile_profile_exact_companions_and_bounds(spark):
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        kll_quantile_profile,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 1001)], schema="x DOUBLE")
+    rows = {r["q"]: r for r in kll_quantile_profile(df, "x").collect()}
+    assert set(rows) == {0.25, 0.5, 0.75, 0.9, 0.99}
+    # exact companion is the type-7 percentile, floored at 1e-6
+    # (x = 1..1000: percentile(q) = 1 + 999q)
+    for q, r in rows.items():
+        assert r["n"] == 1000
+        assert r["exact_q"] == math.floor((1 + 999 * q) * 1e6) / 1e6
+        assert r["kll_ok"] is True
+
+
+def test_kll_merged_matches_single_level_gate(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        kll_quantile_profile,
+        kll_quantile_profile_merged,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, float(i)) for i in range(1, 1001)], schema="g INT, x DOUBLE"
+    )
+    single = {r["q"]: r for r in kll_quantile_profile(df, "x").collect()}
+    merged = {r["q"]: r for r in kll_quantile_profile_merged(df, "g", "x").collect()}
+    assert set(single) == set(merged)
+    for q in single:
+        # identical exact companions; the merged sketch passes the same gate
+        assert merged[q]["exact_q"] == single[q]["exact_q"]
+        assert merged[q]["n"] == 1000
+        assert merged[q]["kll_ok"] is True
+
+
+def test_theta_set_profile_constructed_overlap(spark):
+    from datetime import datetime
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import (
+        theta_set_profile,
+    )
+
+    # A = users 1..100 (day 3), B = users 51..150 (day 25):
+    # union 150, intersect 50, only-A 50; plus off-window noise
+    rows = []
+    eid = 0
+    for u in range(1, 101):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 3, 12, 0, 0), u, "purchase", 1.0, ""))
+    for u in range(51, 151):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 25, 12, 0, 0), u, "purchase", 1.0, ""))
+    for u in range(900, 910):  # mid-month purchases: in neither set
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 15, 12, 0, 0), u, "purchase", 1.0, ""))
+    for u in range(950, 960):  # non-purchase events: filtered out
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 3, 12, 0, 0), u, "click", 1.0, ""))
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    (r,) = theta_set_profile(df).collect()
+    assert (r["n_a"], r["n_b"], r["n_union"]) == (100, 100, 150)
+    assert (r["n_intersect"], r["n_only_a"]) == (50, 50)
+    assert all(r[c] is True for c in ("ok_a", "ok_b", "ok_union", "ok_intersect", "ok_diff"))

@@ -166,6 +166,223 @@ def sketch_summary_checked_oracle() -> str:
 FROM events GROUP BY event_type"""
 
 
+#: probe quantiles for the KLL profile family (literals shared with the
+#: oracle so both engines evaluate identical text)
+_KLL_PROBES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def kll_quantile_profile(
+    df: DataFrame,
+    value_col: str,
+    probes: tuple[float, ...] = _KLL_PROBES,
+    eps: float = 0.02,
+) -> DataFrame:
+    """Datasketches KLL quantile-sketch profile of a numeric column
+    next to its exact companions — the MERGEABLE one-pass quantile
+    structure that replaces exact ``percentile`` at 100 TB (KLL is the
+    published successor to GK: fixed-size, mergeable, with a proven
+    normalized-rank-error bound ~1.33% at the default k=200), gated
+    with the ``sketch_summary_checked`` discipline.
+
+    The EXPOSED values are exact (``percentile`` ≡ DuckDB
+    ``quantile_cont``, the verified bit-identical pair); the sketch
+    feeds per-probe booleans the oracle asserts TRUE.  The rank-error
+    contract is tested the statistically correct way WITHOUT a second
+    scan: est(q) must lie in [exact(q−ε), exact(q+ε)] — equivalent to
+    "rank error ≤ ε" up to interpolation, and all 3·|probes| exact
+    quantiles come from ONE ``percentile(x, array(...))`` aggregate
+    sharing the single scan with the sketch build.  ε=0.02 is ~1.5×
+    the k=200 99%-confidence bound.  Output: (q, n, exact_q, kll_ok),
+    one row per probe.
+    """
+    lohiq = []
+    for q in probes:
+        lohiq += [max(0.0, q - eps), q, min(1.0, q + eps)]
+    arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lohiq)
+    one = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x").agg(
+        F.expr("kll_sketch_agg_double(x)").alias("sk"),
+        F.expr(f"percentile(x, array({arr}))").alias("ex"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+    )
+    return _kll_probe_readout(one, probes)
+
+
+def _kll_probe_readout(one: DataFrame, probes: tuple[float, ...]) -> DataFrame:
+    """Shared (q, n, exact_q, kll_ok) explosion over the 1-row
+    (sk, ex, n) aggregate — used by both the single-level and the
+    merged two-level KLL profiles."""
+    structs = []
+    for i, q in enumerate(probes):
+        lo, mid, hi = f"ex[{3 * i}]", f"ex[{3 * i + 1}]", f"ex[{3 * i + 2}]"
+        est = f"kll_sketch_get_quantile_double(sk, CAST({q!r} AS DOUBLE))"
+        structs.append(
+            f"named_struct('q', CAST({q!r} AS DOUBLE), "
+            f"'exact_q', floor({mid} * 1000000) / 1000000, "
+            f"'kll_ok', {est} >= {lo} AND {est} <= {hi})"
+        )
+    return one.selectExpr("n", f"inline(array({', '.join(structs)}))").select(
+        "q", "n", "exact_q", "kll_ok"
+    )
+
+
+def kll_quantile_profile_oracle(
+    table: str,
+    value_col: str,
+    probes: tuple[float, ...] = _KLL_PROBES,
+) -> str:
+    # quantile_cont needs a CONSTANT quantile parameter in DuckDB, so
+    # the probes unroll as a UNION ALL of 1-row aggregates over v
+    arms = "\nUNION ALL\n".join(
+        f"  SELECT CAST({q!r} AS DOUBLE) AS q, quantile_cont(x, {q!r}) AS eq FROM v"
+        for q in probes
+    )
+    return f"""WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS x FROM {table}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS (
+{arms})
+SELECT u.q, n.n, floor(u.eq * 1000000) / 1000000 AS exact_q, TRUE AS kll_ok
+FROM u CROSS JOIN n
+ORDER BY q"""
+
+
+def kll_quantile_profile_merged(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probes: tuple[float, ...] = _KLL_PROBES,
+    eps: float = 0.02,
+) -> DataFrame:
+    """TWO-LEVEL KLL: one sketch per group, merged with
+    ``kll_merge_agg`` into a global sketch whose quantile estimates
+    must satisfy the SAME rank-error gate as the single-level build —
+    this pins the MERGE path, which is the entire point of the
+    structure at 100 TB (per-partition/per-day sketches roll up without
+    re-reading history; exact percentile cannot).  Plan: grouped
+    sketch agg → |groups|-row merge agg; the exact companion
+    percentile shares the first scan via its own global aggregate
+    (separate agg, then a 1×1 join — the sketch_summary plan note:
+    never mix percentile buffers into the grouped sketch agg).
+    Output: (q, n, exact_q, kll_ok) — identical contract and oracle
+    as :func:`kll_quantile_profile`.
+    """
+    lohiq = []
+    for q in probes:
+        lohiq += [max(0.0, q - eps), q, min(1.0, q + eps)]
+    arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lohiq)
+    base = df.selectExpr(f"{group_col} AS g", f"CAST({value_col} AS DOUBLE) AS x")
+    merged = (
+        base.groupBy("g")
+        .agg(F.expr("kll_sketch_agg_double(x)").alias("gsk"))
+        .agg(F.expr("kll_merge_agg_double(gsk)").alias("sk"))
+    )
+    exact = base.agg(
+        F.expr(f"percentile(x, array({arr}))").alias("ex"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+    )
+    one = exact.crossJoin(F.broadcast(merged))
+    return _kll_probe_readout(one, probes)
+
+
+def theta_set_profile(
+    events: DataFrame,
+    event_type: str = "purchase",
+    day_a_max: int = 7,
+    day_b_min: int = 22,
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """Theta-sketch SET ALGEBRA across two activity snapshots — the
+    mergeable structure for "distinct users new / retained / churned
+    between versions" at 100 TB, where exact COUNT(DISTINCT) per
+    combination needs a fresh shuffle each but theta sketches support
+    union / intersection / difference on the sketches themselves
+    (Datasketches theta, the set-operations generalization of HLL —
+    which cannot intersect).
+
+    Sets: A = users with a ``event_type`` event in days ≤ ``day_a_max``
+    of the month, B = same in days ≥ ``day_b_min`` (EXTRACT(DAY) —
+    identical text both engines).  EXPOSED values are the exact counts;
+    the five sketch estimates feed asserted booleans (error ≤
+    max(rel_tol·exact, 2) — default k=4096 rsd ≈1.6%, and BOTH sets
+    sit in exact mode at harness scale so observed error is 0).
+    Exact intersection/difference are DERIVED from inclusion-exclusion
+    over three COUNT(DISTINCT)s — no extra distinct shuffles.  The
+    distinct aggregate and the sketch aggregate run as SEPARATE
+    aggregates joined 1×1 (the sketch_summary plan note: mixing
+    multi-DISTINCT with buffer aggs routes every buffer through the
+    Expand).  Output: (n_a, n_b, n_union, n_intersect, n_only_a,
+    ok_a, ok_b, ok_union, ok_intersect, ok_diff).
+    """
+    base = events.where(F.col("event_type") == event_type).selectExpr(
+        "user_id", "EXTRACT(DAY FROM ts) AS d"
+    )
+    exact = base.selectExpr(
+        f"CASE WHEN d <= {day_a_max} THEN user_id END AS ua",
+        f"CASE WHEN d >= {day_b_min} THEN user_id END AS ub",
+        f"CASE WHEN d <= {day_a_max} OR d >= {day_b_min} THEN user_id END AS uu",
+    ).agg(
+        F.expr("CAST(COUNT(DISTINCT ua) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(COUNT(DISTINCT ub) AS BIGINT)").alias("n_b"),
+        F.expr("CAST(COUNT(DISTINCT uu) AS BIGINT)").alias("n_union"),
+    )
+    sk = base.agg(
+        F.expr(f"theta_sketch_agg(CASE WHEN d <= {day_a_max} THEN user_id END)").alias("ska"),
+        F.expr(f"theta_sketch_agg(CASE WHEN d >= {day_b_min} THEN user_id END)").alias("skb"),
+    )
+    def ok(est: str, exact_col: str) -> str:
+        return (
+            f"abs(CAST({est} AS DOUBLE) - {exact_col}) <= "
+            f"greatest({rel_tol!r} * {exact_col}, CAST(2 AS DOUBLE))"
+        )
+
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_a + n_b - n_union AS n_intersect",
+            "n_union - n_b AS n_only_a",
+            "theta_sketch_estimate(ska) AS e_a",
+            "theta_sketch_estimate(skb) AS e_b",
+            "theta_sketch_estimate(theta_union(ska, skb)) AS e_union",
+            "theta_sketch_estimate(theta_intersection(ska, skb)) AS e_intersect",
+            "theta_sketch_estimate(theta_difference(ska, skb)) AS e_diff",
+        )
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "n_union",
+            "n_intersect",
+            "n_only_a",
+            ok("e_a", "n_a") + " AS ok_a",
+            ok("e_b", "n_b") + " AS ok_b",
+            ok("e_union", "n_union") + " AS ok_union",
+            ok("e_intersect", "n_intersect") + " AS ok_intersect",
+            ok("e_diff", "n_only_a") + " AS ok_diff",
+        )
+    )
+
+
+def theta_set_profile_oracle(
+    event_type: str = "purchase", day_a_max: int = 7, day_b_min: int = 22
+) -> str:
+    return f"""WITH p AS (
+  SELECT user_id, EXTRACT(DAY FROM ts) AS d FROM events
+  WHERE event_type = '{event_type}'),
+agg AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN d <= {day_a_max} THEN user_id END) AS BIGINT) AS n_a,
+    CAST(COUNT(DISTINCT CASE WHEN d >= {day_b_min} THEN user_id END) AS BIGINT) AS n_b,
+    CAST(COUNT(DISTINCT CASE WHEN d <= {day_a_max} OR d >= {day_b_min} THEN user_id END) AS BIGINT) AS n_union
+  FROM p)
+SELECT n_a, n_b, n_union,
+  n_a + n_b - n_union AS n_intersect,
+  n_union - n_b AS n_only_a,
+  TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_union,
+  TRUE AS ok_intersect, TRUE AS ok_diff
+FROM agg"""
+
+
 def column_profile(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
     """Table-stats collector (the ANALYZE primitive): one scan, one
     partial-aggregated reduce producing per-column min/max/nulls/ndv.

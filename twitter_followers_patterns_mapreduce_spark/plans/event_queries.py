@@ -125,6 +125,32 @@ def events_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_kll_value_merged",
+    oracle=ST.kll_quantile_profile_oracle("events", "value"),
+    description="TWO-LEVEL KLL merge: per-event_type value sketches rolled up via "
+    "kll_merge_agg into one global sketch that must satisfy the same rank-error "
+    "gate as a single-level build — pins the MERGE path (per-partition/per-day "
+    "rollup without re-reading history, the 100 TB reason the structure exists); "
+    "exact companions from percentile(array), oracle asserts the booleans",
+)
+def events_kll_value_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.kll_quantile_profile_merged(load_events(spark, sf_dir), "event_type", "value")
+
+
+@register(
+    "events_theta_retention",
+    oracle=ST.theta_set_profile_oracle(),
+    description="theta-sketch set algebra across two purchase-activity snapshots "
+    "(days<=7 vs days>=22): distinct-user union/intersection/difference on the "
+    "SKETCHES (the set ops HLL cannot do) vs exact inclusion-exclusion companions; "
+    "five error-bound booleans asserted TRUE by the oracle — the mergeable "
+    "new/retained/churned path for snapshot versions at 100 TB",
+)
+def events_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.theta_set_profile(load_events(spark, sf_dir))
+
+
+@register(
     "events_type_pivot",
     oracle=E.USER_DECILE_PIVOT_ORACLE,
     description="declared-values pivot: one conditional-aggregate shuffle, "

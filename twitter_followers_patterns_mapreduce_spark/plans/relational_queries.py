@@ -760,6 +760,19 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_kll_quantiles",
+    oracle=ST.kll_quantile_profile_oracle("lineitem", "l_extendedprice"),
+    description="Datasketches KLL quantile-sketch profile of extended price vs exact "
+    "percentile companions: the mergeable fixed-size one-pass quantile structure for "
+    "100 TB; per-probe rank-error booleans (est within [exact(q-eps), exact(q+eps)]) "
+    "asserted TRUE by the oracle, all exact quantiles from ONE percentile(array) agg "
+    "sharing the sketch's single scan",
+)
+def lineitem_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.kll_quantile_profile(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@register(
     "lineitem_benford_audit",
     oracle=ST.benford_profile_oracle("lineitem", "l_extendedprice"),
     description="Benford's-law first-digit audit of extended price (fabricated-data "
