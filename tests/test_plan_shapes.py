@@ -87,6 +87,25 @@ ALLOWED_BRUTE_FORCE = {
     #   * funnel timing — the 1-row delta summary crossed with the 1-row
     #     funnel-entry count: 1 × 1
     "events_funnel_timing",
+    #   * mergeable-sketch gates — the exact-companion aggregate (1 row:
+    #     percentile array / inclusion-exclusion distincts) crossed with
+    #     the 1-row sketch aggregate: 1 × 1, both sides global reduces
+    #     (the fact scan feeds only hash aggs; the KLL merged variant
+    #     additionally crosses its |groups|-row rollup with the 1-row
+    #     exact side — cardinality × 1)
+    "lineitem_kll_quantiles",
+    "events_kll_value_merged",
+    "events_theta_retention",
+    "graph_effective_diameter_anf",  # composes reach_anf → same 1-row node-count cross
+    #   * join planner family — |matched keys|-row degree spine crossed
+    #     with the 1-row output total (skew shares), and the sampled-
+    #     estimate 1-row reduce crossed with the exact 1-row companion:
+    #     cardinality × 1 / 1 × 1; the fact tables feed only hash aggs
+    "join_skew_planner",
+    "join_universe_sample",
+    #   * calibration — the ≤10-bin cell table crossed with the 1-row
+    #     total (the woe/psi shape); scoring itself is scan-side
+    "embedding_logreg_calibration",
 }
 
 

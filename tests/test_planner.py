@@ -1,0 +1,221 @@
+"""Join planning & estimation operators (operators/planner.py):
+degree-product cardinality against a materialized join, skew-planner
+salt prescriptions on a constructed hot key, and universe-sample
+determinism — plus the new relational/event/calibration round-8 ops'
+structural invariants on the sf0.001 harness tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_followers_patterns_mapreduce_spark.operators import planner as PL
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lr_tables(spark):
+    # left: key 1 ×3, key 2 ×2, key 3 ×1, key 9 ×4 (right-unmatched)
+    left = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 2 + [(3,)] + [(9,)] * 4, schema="k BIGINT"
+    )
+    # right: key 1 ×2, key 2 ×5, key 7 ×1 (left-unmatched)
+    right = spark.createDataFrame([(1,)] * 2 + [(2,)] * 5 + [(7,)], schema="k BIGINT")
+    return left, right
+
+
+def test_cardinality_matches_materialized_join(lr_tables):
+    left, right = lr_tables
+    row = PL.join_cardinality_estimate(left, right, "k", "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert row["exact_join_rows"] == actual == 3 * 2 + 2 * 5
+    assert row["left_rows"] == 10 and row["right_rows"] == 8
+    assert row["left_keys"] == 4 and row["right_keys"] == 3
+    assert row["match_keys"] == 2
+    # uniform estimate: 10*8 / max(4,3) = 20.0; exact/uniform = 0.8
+    assert row["uniform_estimate"] == pytest.approx(20.0)
+    assert row["skew_ratio"] == pytest.approx(0.8)
+
+
+def test_cardinality_empty_intersection(spark):
+    left = spark.createDataFrame([(1,)], schema="k BIGINT")
+    right = spark.createDataFrame([(2,)], schema="k BIGINT")
+    row = PL.join_cardinality_estimate(left, right, "k", "k").collect()[0]
+    assert row["exact_join_rows"] == 0
+    assert row["match_keys"] == 0
+    assert row["skew_ratio"] is None  # guarded, not NaN/div0
+
+
+def test_skew_planner_salt_prescription(lr_tables):
+    left, right = lr_tables
+    rows = PL.join_skew_planner(left, right, "k", "k", target_rows_per_task=4, k=10).collect()
+    # only matched keys appear, ordered by output contribution
+    assert [r["key"] for r in rows] == [2, 1]
+    by_key = {r["key"]: r for r in rows}
+    assert by_key[2]["out_rows"] == 10 and by_key[2]["salt_factor"] == 3  # ceil(10/4)
+    assert by_key[1]["out_rows"] == 6 and by_key[1]["salt_factor"] == 2  # ceil(6/4)
+    assert by_key[2]["out_share"] == pytest.approx(10 / 16, abs=1e-6)
+
+
+def test_universe_sample_deterministic_and_exact_side(spark):
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    events = load_table(spark, SF, "events")
+    orders = load_table(spark, SF, "orders")
+    df = PL.join_universe_sample_estimate(events, orders, "user_id", "o_custkey", pct=10)
+    r1, r2 = df.collect()[0], df.collect()[0]
+    assert r1 == r2  # md5-derived sampling: no RNG, rerun-identical
+    exact = PL.join_cardinality_estimate(events, orders, "user_id", "o_custkey").collect()[
+        0
+    ]["exact_join_rows"]
+    assert r1["exact_join_rows"] == exact
+    assert r1["scaled_estimate"] == r1["sampled_join_rows"] * 10
+
+
+def test_rfm_tile_structure(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import relational as R
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    cells = R.customer_rfm_segments(orders, customer)
+    bad = cells.where(
+        "r < 1 OR r > 4 OR f < 1 OR f > 4 OR m < 1 OR m > 4"
+    ).count()
+    assert bad == 0
+    # every customer with ≥1 order lands in exactly one cell
+    n_active = orders.select("o_custkey").distinct().count()
+    assert cells.agg(F.sum("n_customers")).collect()[0][0] == n_active
+
+
+def test_monthly_ivm_merge_equals_recompute(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import relational as R
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF, "orders")
+    merged = {r["order_month"]: r for r in R.orders_monthly_ivm(orders).collect()}
+    direct = {
+        r["order_month"]: r
+        for r in orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for mth, row in merged.items():
+        assert row["n_orders"] == direct[mth]["n_orders"]
+        assert row["sum_price"] == pytest.approx(direct[mth]["sum_price"])
+
+
+def test_seasonal_baseline_spine(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+
+    events = load_events(spark, SF)
+    prof = E.seasonal_baseline(events).collect()
+    assert len(prof) <= 168
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23 for r in prof)
+    # the profile partitions all events: cell totals sum to |events|
+    assert sum(r["total_events"] for r in prof) == events.count()
+    # anomalies are a subset of the hours in each cell
+    assert all(r["n_anomalies"] <= r["n_hours"] for r in prof)
+
+
+def test_calibration_bins_populate_and_partition(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import clustering as KM
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = KM.logreg_calibration(emb).collect()
+    # range-adaptive binning: >1 bin even for a compressed scorer
+    assert len(rows) > 1
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    assert sum(r["n"] for r in rows) == emb.count()
+    assert all(0.0 <= r["pos_rate"] <= 1.0 for r in rows)
+
+
+def test_cms_cellwise_mergeable(spark):
+    """Per-partition CMS grids summed cell-wise == the global grid —
+    the property that makes the sketch usable at 100 TB (each executor
+    builds its local grid; the reduce is elementwise addition)."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_bucket_sql,
+        h64_sql,
+    )
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    events = load_table(spark, SF, "events")
+    h = h64_sql("CAST(CAST(user_id AS BIGINT) AS STRING)", "spark")
+    stack_args = ", ".join(f"{j}, {cms_bucket_sql('h', j, CMS_WIDTH)}" for j in range(CMS_DEPTH))
+    fan = events.selectExpr(f"{h} AS h", "event_type").selectExpr(
+        "event_type", f"stack({CMS_DEPTH}, {stack_args}) AS (j, bucket)"
+    )
+    global_cells = {
+        (r["j"], r["bucket"]): r["n"]
+        for r in fan.groupBy("j", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    merged = {
+        (r["j"], r["bucket"]): r["n"]
+        for r in fan.groupBy("event_type", "j", "bucket")
+        .agg(F.count("*").alias("c"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("n"))
+        .collect()
+    }
+    assert merged == global_cells
+
+
+def test_cms_never_underestimates(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import stats as ST
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    rows = ST.cms_frequency_profile(load_table(spark, SF, "events"), "user_id", k=10).collect()
+    assert len(rows) == 10
+    assert all(r["never_under"] for r in rows)
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
+
+
+def test_pmi_min_count_floor(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    rows = CP.pmi_collocations(load_table(spark, SF, "documents"), min_count=5, k=20).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["c_bg"] >= 5 for r in rows)
+    # descending PMI order with deterministic tie-break
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_multitouch_credit_conservation(spark):
+    """Σ credited revenue == Σ value of attributed conversions (each
+    conversion's value splits across its touches, never duplicated) —
+    up to the 1e-6 micro-unit rounding per pair."""
+    from twitter_followers_patterns_mapreduce_spark.operators import temporal as TJ
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+
+    events = load_events(spark, SF)
+    out = TJ.multitouch_attribution(events, "view", "purchase")
+    total_credit = out.agg(F.sum("credited_revenue")).collect()[0][0]
+    # conversions that have ≥1 preceding view in-window
+    t = F.unix_micros(F.col("ts"))
+    views = events.where("event_type = 'view'").select(
+        F.col("user_id").alias("u"), t.alias("v_us")
+    )
+    purch = events.where("event_type = 'purchase'").select(
+        "user_id", t.alias("p_us"), "event_id", "value"
+    )
+    attributed = (
+        purch.join(views, (purch["user_id"] == views["u"]))
+        .where("p_us >= v_us AND p_us - v_us < 14400000000")
+        .select("event_id", "value")
+        .distinct()
+    )
+    total_value = attributed.agg(F.sum("value")).collect()[0][0]
+    n_pairs = out.agg(F.sum("n_touches")).collect()[0][0]
+    assert abs(total_credit - total_value) <= n_pairs * 1e-6 + 1e-6

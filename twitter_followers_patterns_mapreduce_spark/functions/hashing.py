@@ -61,3 +61,27 @@ def minhash_perm_sql(h: str, j: int) -> str:
     permutation (md5 dominates; the affine step is ~free)."""
     a, b = minhash_coeffs()[j]
     return f"(({a} * ({h} % {P_MERSENNE_31}) + {b}) % {P_MERSENNE_31})"
+
+
+#: Count-min-sketch hash family: depth (rows) and width (buckets per
+#: row).  w=512 → expected per-key overcount N/512 per row; d=4 rows
+#: take the min.  Both are literals shared by engine and oracle.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_coeffs(d: int = CMS_DEPTH) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the CMS rows — same universal-hash
+    family as the minhash permutations but a DIFFERENT fixed seed, so
+    the two sketch families stay statistically independent."""
+    rnd = random.Random(20260816)
+    return [
+        (rnd.randrange(1, P_MERSENNE_31), rnd.randrange(0, P_MERSENNE_31)) for _ in range(d)
+    ]
+
+
+def cms_bucket_sql(h: str, j: int, w: int = CMS_WIDTH) -> str:
+    """Row-j CMS bucket for an ALREADY-h64-hashed key ``h`` — pure int64
+    affine-mod arithmetic, dialect-free (the minhash_perm_sql shape)."""
+    a, b = cms_coeffs()[j]
+    return f"((({a} * ({h} % {P_MERSENNE_31}) + {b}) % {P_MERSENNE_31}) % {w})"

@@ -670,3 +670,97 @@ SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
              / CAST(SUM(n) AS DOUBLE), 6) AS brier
 FROM ranked"""
     )
+
+
+def logreg_calibration(
+    embeddings: DataFrame,
+    target_label: int = 0,
+    iters: int = 3,
+    lr: float = 0.5,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for the trained curation filter: bucket the
+    predicted probabilities into ``n_bins`` equal-width bins over the
+    OBSERVED score range and
+    compare mean predicted probability with the observed positive rate
+    per bin — plus each bin's Expected-Calibration-Error contribution
+    (|acc − conf| · n/N).  A quality-score model that keeps documents
+    at "score ≥ 0.9" is only trustworthy if 0.9 means 90%; this is the
+    operator that checks it, and it is how you pick the keep-threshold
+    for a 100 TB curation sweep without labeling more data.
+
+    Scale shape: scoring is the same scan-side literal-model fold as
+    :func:`logreg_score` (no join), binning is integer floor math, and
+    everything reduces in ONE |bins|-row hash agg; the bin table then
+    takes the house 1-row totals cross for the ECE share (declared
+    cardinality × 1).  Scores are floored at 1e-6 BEFORE binning so
+    both engines bin identical grid values; bin n_bins (score exactly
+    1.0) folds into the last bin, the standard reliability-diagram
+    convention.
+    Output: (bin, n, mean_score, pos_rate, ece_term) — ≤ n_bins rows.
+    """
+    emb, w, b = _logreg_weights(embeddings, target_label, iters, lr)
+    score = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-_fold_dot(w, b)))) * 1_000_000
+    ) / F.lit(1_000_000.0)
+    raw = emb.select(F.col("y").cast("long").alias("y"), score.alias("score"))
+    # range-adaptive bins: a few-iteration GD scorer compresses its
+    # scores into a narrow band (measured: full corpus inside one
+    # absolute 0.1-wide bin), which would leave the diagram 1 row and
+    # the gate vacuous — so bin over the OBSERVED [min, max] score
+    # range (1-row broadcast, declared cross), the standard move for
+    # compressed scorers; thresholds read off the same mean_score axis
+    rng = raw.agg(F.min("score").alias("_lo"), F.max("score").alias("_hi"))
+    binexpr = (
+        f"CASE WHEN _hi > _lo THEN least(CAST(floor((score - _lo) / (_hi - _lo)"
+        f" * {n_bins}) AS BIGINT), {n_bins - 1}) ELSE CAST(0 AS BIGINT) END"
+    )
+    scored = raw.crossJoin(F.broadcast(rng)).selectExpr(
+        "y", "score", f"{binexpr} AS bin"
+    )
+    cells = scored.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        # score is a 1e-6 grid point: accumulate as exact micro-units
+        F.sum(F.expr("CAST(round(score * 1000000) AS BIGINT)")).alias("_sum_micro"),
+    )
+    tot = scored.agg(F.count("*").cast("long").alias("nt"))
+    conf = "(CAST(_sum_micro AS DOUBLE) / n / 1000000)"
+    acc = "(CAST(n_pos AS DOUBLE) / n)"
+    return cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin",
+        "n",
+        f"floor({conf} * 1000000) / 1000000 AS mean_score",
+        f"floor({acc} * 1000000) / 1000000 AS pos_rate",
+        f"floor(abs({acc} - {conf}) * CAST(n AS DOUBLE) / nt * 1000000) / 1000000"
+        " AS ece_term",
+    )
+
+
+def logreg_calibration_oracle(
+    target_label: int = 0, iters: int = 3, lr: float = 0.5, n_bins: int = 10
+) -> str:
+    conf = "(CAST(_sum_micro AS DOUBLE) / n / 1000000)"
+    acc = "(CAST(n_pos AS DOUBLE) / n)"
+    return (
+        _logreg_cte_chain(target_label, iters, lr)
+        + _logreg_scored_cte(iters)
+        + f""",
+rng AS (SELECT MIN(score) AS _lo, MAX(score) AS _hi FROM scored),
+binned AS (
+  SELECT y, score,
+         CASE WHEN _hi > _lo THEN least(CAST(floor((score - _lo) / (_hi - _lo)
+           * {n_bins}) AS BIGINT), {n_bins - 1}) ELSE CAST(0 AS BIGINT) END AS bin
+  FROM scored CROSS JOIN rng),
+cells AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS _sum_micro
+  FROM binned GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM binned)
+SELECT bin, n,
+  floor({conf} * 1000000) / 1000000 AS mean_score,
+  floor({acc} * 1000000) / 1000000 AS pos_rate,
+  floor(abs({acc} - {conf}) * CAST(n AS DOUBLE) / nt * 1000000) / 1000000 AS ece_term
+FROM cells CROSS JOIN tot"""
+    )

@@ -1551,3 +1551,78 @@ SELECT n AS n_types,
   floor((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) / n / 1000000000 * 1000000) / 1000000 AS intercept,
   floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 AS r2
 FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level PMI collocations (the association upgrade of bigram counts)
+# ---------------------------------------------------------------------------
+
+def pmi_collocations(df: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    phrase-mining signal (Church & Hanks 1990): PMI(t1, t2) =
+    ln(P(t1,t2) / (P(t1·*)·P(*·t2))) over bigram positions, with a
+    ``min_count`` floor so hapax pairs (PMI's known pathology: two
+    tokens that co-occur exactly once score maximal) never rank.
+    Feeds tokenizer-vocab phrase induction and boilerplate detection —
+    a corpus-level statistic, where :func:`doc_bigram_surprisal` is
+    per-document.
+
+    Plan shape (100 TB): ONE bigram materialization feeds three hash
+    aggregates — bigram counts, prefix marginals (t1·*), suffix
+    marginals (*·t2); scoring is two vocabulary-sized equi-joins plus
+    the 1-row total-bigrams cross (declared cardinality × 1, the woe
+    shape); top-k is TakeOrdered, never a global sort.  All counts
+    exact BIGINT; PMI is ONE closed-form ``ln`` over an exact integer
+    ratio, identical text both engines, floored at 1e-6.
+
+    Output (≤ k rows): (t1, t2, c_bg, pmi).
+    """
+    toks = df.selectExpr(f"{tokens_sql('text', 'spark')} AS toks")
+    bi = toks.selectExpr(
+        "explode(CASE WHEN size(toks) >= 2 THEN transform("
+        "sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS t1, element_at(toks, i + 1) AS t2))"
+        " ELSE array() END) AS bg",
+    ).selectExpr("bg.t1 AS t1", "bg.t2 AS t2").localCheckpoint(eager=False)
+    cnt_bg = bi.groupBy("t1", "t2").agg(F.count("*").cast("long").alias("c_bg"))
+    cnt_pre = bi.groupBy("t1").agg(F.count("*").cast("long").alias("c_pre"))
+    cnt_suf = bi.groupBy("t2").agg(F.count("*").cast("long").alias("c_suf"))
+    tot = bi.agg(F.count("*").cast("long").alias("t_bg"))
+    pmi = (
+        "ln(CAST(c_bg AS DOUBLE) * t_bg / (CAST(c_pre AS DOUBLE) * c_suf))"
+    )
+    return (
+        cnt_bg.where(F.col("c_bg") >= min_count)
+        .join(cnt_pre, "t1")
+        .join(cnt_suf, "t2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "t1", "t2", "c_bg",
+            f"floor({pmi} * 1000000) / 1000000 AS pmi",
+        )
+        .orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(k)
+    )
+
+
+def pmi_collocations_oracle(min_count: int = 5, k: int = 20) -> str:
+    toks = tokens_sql("text", "duckdb")
+    pmi = "ln(CAST(c_bg AS DOUBLE) * t_bg / (CAST(c_pre AS DOUBLE) * c_suf))"
+    return f"""WITH toks AS (SELECT {toks} AS toks FROM documents),
+bi AS (
+  SELECT toks[CAST(i AS INT)] AS t1, toks[CAST(i AS INT) + 1] AS t2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM toks WHERE len(toks) >= 2)),
+cnt_bg AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bi GROUP BY 1, 2),
+cnt_pre AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c_pre FROM bi GROUP BY 1),
+cnt_suf AS (SELECT t2, CAST(COUNT(*) AS BIGINT) AS c_suf FROM bi GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_bg FROM bi)
+SELECT cnt_bg.t1, cnt_bg.t2, c_bg,
+  floor({pmi} * 1000000) / 1000000 AS pmi
+FROM cnt_bg
+JOIN cnt_pre ON cnt_bg.t1 = cnt_pre.t1
+JOIN cnt_suf ON cnt_bg.t2 = cnt_suf.t2
+CROSS JOIN tot
+WHERE c_bg >= {min_count}
+ORDER BY pmi DESC, cnt_bg.t1 ASC, cnt_bg.t2 ASC
+LIMIT {k}"""

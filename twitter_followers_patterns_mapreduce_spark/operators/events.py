@@ -1379,3 +1379,95 @@ agg AS (
   FROM deltas)
 SELECT n_first, n_converted, p50_sec, p90_sec
 FROM agg CROSS JOIN nf"""
+
+
+def seasonal_baseline(events: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+    """Day-of-week × hour-of-day seasonal traffic profile with an
+    anomaly count per cell — the seasonal-naive baseline every
+    event-volume monitor starts from (events_hourly_anomaly flags
+    hours against a GLOBAL mean; this decomposes the weekly
+    seasonality first, so a quiet Sunday 3am isn't "anomalous" just
+    for being Sunday 3am).
+
+    Scale shape: the fact table collapses to hourly counts in one
+    map-side-combinable agg (|hours| rows ≈ 8.8k/year regardless of
+    data size); the 168-cell profile and the anomaly re-join both ride
+    that bounded hourly spine.  Day-of-week is pure epoch-day
+    arithmetic — ``(days_since_epoch + 4) % 7`` (1970-01-01 was a
+    Thursday), Monday = 0 … Sunday = 6 after the shift — identical
+    integer math in both engines, immune to the Spark-vs-DuckDB
+    ``dayofweek`` numbering mismatch.
+
+    Exactness: counts BIGINT; the per-cell mean/std come from exact
+    Σn and Σn² (LONG squares — n is an hourly count, wrap is beyond
+    any real traffic); anomaly rule |n − mean| > z·std evaluated as
+    one closed-form double comparison, identical text both engines.
+    Output: (dow, hod, n_hours, total_events, mean_n, std_n,
+    n_anomalies) — 168 rows.
+    """
+    hourly = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .selectExpr(
+            "h",
+            "n",
+            "CAST((datediff(CAST(h AS DATE), DATE '1970-01-01') + 4) % 7 AS INT) AS dow",
+            "CAST(hour(h) AS INT) AS hod",
+        )
+    )
+    prof = hourly.groupBy("dow", "hod").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.sum(F.expr("n * n")).cast("long").alias("_sq"),
+    )
+    mean = "(CAST(total_events AS DOUBLE) / n_hours)"
+    var = f"(CAST(_sq AS DOUBLE) / n_hours - {mean} * {mean})"
+    prof = prof.selectExpr(
+        "dow",
+        "hod",
+        "n_hours",
+        "total_events",
+        f"floor({mean} * 1000000) / 1000000 AS mean_n",
+        f"CASE WHEN {var} > 0 THEN floor(sqrt({var}) * 1000000) / 1000000"
+        " ELSE 0.0 END AS std_n",
+    )
+    flagged = hourly.join(prof, ["dow", "hod"]).where(
+        F.expr(f"abs(CAST(n AS DOUBLE) - mean_n) > {z_thresh} * std_n AND std_n > 0")
+    )
+    anom = flagged.groupBy("dow", "hod").agg(
+        F.count("*").cast("long").alias("n_anomalies")
+    )
+    return (
+        prof.join(anom, ["dow", "hod"], "left")
+        .withColumn("n_anomalies", F.coalesce("n_anomalies", F.lit(0)).cast("long"))
+        .select("dow", "hod", "n_hours", "total_events", "mean_n", "std_n", "n_anomalies")
+    )
+
+
+def seasonal_baseline_oracle(z_thresh: float = 3.0) -> str:
+    mean = "(CAST(total_events AS DOUBLE) / n_hours)"
+    var = f"(CAST(_sq AS DOUBLE) / n_hours - {mean} * {mean})"
+    return f"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST((datediff('day', DATE '1970-01-01', CAST(date_trunc('hour', ts) AS DATE)) + 4) % 7 AS INT) AS dow,
+    CAST(hour(date_trunc('hour', ts)) AS INT) AS hod
+  FROM events GROUP BY 1),
+prof0 AS (
+  SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n) AS BIGINT) AS total_events,
+         CAST(SUM(n * n) AS BIGINT) AS _sq
+  FROM hourly GROUP BY 1, 2),
+prof AS (
+  SELECT dow, hod, n_hours, total_events,
+    floor({mean} * 1000000) / 1000000 AS mean_n,
+    CASE WHEN {var} > 0 THEN floor(sqrt({var}) * 1000000) / 1000000
+         ELSE 0.0 END AS std_n
+  FROM prof0),
+anom AS (
+  SELECT hourly.dow, hourly.hod, CAST(COUNT(*) AS BIGINT) AS n_anomalies
+  FROM hourly JOIN prof ON hourly.dow = prof.dow AND hourly.hod = prof.hod
+  WHERE abs(CAST(n AS DOUBLE) - mean_n) > {z_thresh} * std_n AND std_n > 0
+  GROUP BY 1, 2)
+SELECT prof.dow, prof.hod, n_hours, total_events, mean_n, std_n,
+  CAST(coalesce(n_anomalies, 0) AS BIGINT) AS n_anomalies
+FROM prof LEFT JOIN anom ON prof.dow = anom.dow AND prof.hod = anom.hod"""

@@ -2150,3 +2150,150 @@ def price_position_profile_oracle(sample_mod: int = 997) -> str:
   FROM orders
   WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC))
 SELECT * FROM ranked WHERE o_orderkey % {sample_mod} = 0"""
+
+
+def customer_rfm_segments(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-curation grid, as one per-customer aggregate plus three
+    partitioned NTILE(4) windows.
+
+    Scale shape: orders collapse to one row per customer FIRST (one
+    map-side-combinable hash agg — the only pass over the fact table),
+    then join the |C|-row profile to customer for the segment/nation
+    partition keys.  The quartile windows partition on
+    (mktsegment, nationkey) — ~125 bounded partitions, never the
+    banned global sort — with custkey tie-breaks so tile assignment is
+    total-order deterministic (the customer_balance_ntiles discipline).
+    Recency anchors on a FIXED literal date (no max(o_orderdate)
+    scalar cross): at 100 TB the anchor is pipeline metadata, not a
+    second scan.
+
+    Output: one row per (segment, nation, r, f, m) cell with customer
+    count and exact total monetary (≤ |segments|·|nations|·64 rows).
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary"),
+    )
+    prof = per_cust.join(
+        customer.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        per_cust["o_custkey"] == F.col("c_custkey"),
+    )
+    w = lambda order_cols: Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        *order_cols
+    )
+    tiled = prof.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "monetary",
+        # recency: smaller = better = tile 1; frequency/monetary:
+        # larger = better = tile 1
+        F.ntile(4)
+        .over(w([F.col("recency_days").asc(), F.col("c_custkey").asc()]))
+        .alias("r"),
+        F.ntile(4)
+        .over(w([F.col("frequency").desc(), F.col("c_custkey").asc()]))
+        .alias("f"),
+        F.ntile(4)
+        .over(w([F.col("monetary").desc(), F.col("c_custkey").asc()]))
+        .alias("m"),
+    )
+    return tiled.groupBy("c_mktsegment", "c_nationkey", "r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary").cast("double").alias("sum_monetary"),
+    )
+
+
+CUSTOMER_RFM_ORACLE = """WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '1998-12-31') AS BIGINT)
+      AS recency_days,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+  FROM orders GROUP BY 1),
+prof AS (
+  SELECT c_mktsegment, c_nationkey, c_custkey, recency_days, frequency, monetary
+  FROM per_cust JOIN customer ON o_custkey = c_custkey),
+tiled AS (
+  SELECT c_mktsegment, c_nationkey, monetary,
+    NTILE(4) OVER (PARTITION BY c_mktsegment, c_nationkey
+                   ORDER BY recency_days ASC, c_custkey ASC) AS r,
+    NTILE(4) OVER (PARTITION BY c_mktsegment, c_nationkey
+                   ORDER BY frequency DESC, c_custkey ASC) AS f,
+    NTILE(4) OVER (PARTITION BY c_mktsegment, c_nationkey
+                   ORDER BY monetary DESC, c_custkey ASC) AS m
+  FROM prof)
+SELECT c_mktsegment, c_nationkey, r, f, m,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(monetary) AS DOUBLE) AS sum_monetary
+FROM tiled GROUP BY 1, 2, 3, 4, 5"""
+
+
+def orders_monthly_ivm(orders: DataFrame, cutover: str = "1997-01-01") -> DataFrame:
+    """Aggregate-level incremental view maintenance: maintain a monthly
+    revenue rollup as MERGEABLE ALGEBRAIC STATE (count, exact decimal
+    sum, min, max) so a new partition of data updates the view by
+    merging two small state tables instead of rescanning history —
+    THE pattern that makes a 100 TB rolling aggregate affordable
+    (row-level CDC merge is ``orders_cdc_merge``; this is its
+    aggregate-state twin).
+
+    Here the base (< ``cutover``) and delta (≥ ``cutover``) states are
+    built from disjoint slices of the same table and merged by a
+    union → re-aggregate — SUM-of-sums, SUM-of-counts, MIN-of-mins,
+    MAX-of-maxes; AVG is derived at readout (sum/count), never stored,
+    because averages don't merge.  The DuckDB oracle computes the
+    rollup DIRECTLY in one pass over all rows: the hash match IS the
+    proof that merged incremental state equals full recompute.
+
+    Output: (order_month, n_orders, sum_price, min_price, max_price,
+    avg_price) per month.
+    """
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_dec"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    cut = F.lit(cutover).cast("timestamp")
+    base = state(orders.where(F.col("o_orderdate") < cut))
+    delta = state(orders.where(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("order_month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
+    return merged.selectExpr(
+        "order_month",
+        "n_orders",
+        "CAST(sum_dec AS DOUBLE) AS sum_price",
+        "min_price",
+        "max_price",
+        "floor(CAST(sum_dec AS DOUBLE) / n_orders * 1000000) / 1000000 AS avg_price",
+    )
+
+
+ORDERS_MONTHLY_IVM_ORACLE = """SELECT
+  strftime(o_orderdate, '%Y-%m') AS order_month,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1000000)
+    / 1000000 AS avg_price
+FROM orders GROUP BY 1"""

@@ -1442,3 +1442,123 @@ SELECT grp, n,
   CASE WHEN {den} > 0 AND {dy} > 0 THEN
     floor({num} * {num} / ({den} * {dy}) * 1000000) / 1000000 END AS r2
 FROM m"""
+
+
+def cms_frequency_profile(
+    df: DataFrame,
+    key_col: str,
+    w: int = None,
+    k: int = 10,
+) -> DataFrame:
+    """Count-min-sketch frequency profile — the third mergeable-sketch
+    family next to KLL (quantiles) and theta (distinct set algebra):
+    a d×w counter grid where every key increments one counter per row
+    (universal hash) and a key's estimate is the MIN over its d cells —
+    never an underestimate, overcount bounded by colliding mass ~N/w
+    per row.  At 100 TB the grid is the fixed-size (d·w counters)
+    mergeable-by-cell-addition answer to "how often does key X occur"
+    without a |keys|-sized exact table.
+
+    Unlike the JVM-internal KLL/theta buffers, this CMS is built from
+    the engine's OWN md5-derived h64 + affine universal hashes
+    (``functions/hashing.py`` — the minhash discipline), so the DuckDB
+    oracle reconstructs the ENTIRE sketch bit-identically and the
+    ESTIMATES themselves hash-gate, not just error-bound booleans.
+
+    Scale shape: one scan fans each row to d (j, bucket) pairs
+    (``stack`` — the degrees union-of-projections shape) into a
+    map-side-combinable agg of ≤ d·w cells; the exact top-k companion
+    is its own hash agg; probing joins k·d rows against the d·w-cell
+    grid.  Cell-wise mergeability (sum of per-partition grids == global
+    grid) is pinned by test, the KLL-merged precedent.
+
+    Output (k rows): (key, exact_n, cms_est, never_under,
+    within_bound) — within_bound asserts overcount ≤ ceil(4·N/w), 4×
+    the expected colliding mass per row (informative, deterministic,
+    and recomputed identically by the oracle either way).
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_bucket_sql,
+        h64_sql,
+    )
+
+    w = w or CMS_WIDTH
+    h = h64_sql(f"CAST(CAST({key_col} AS BIGINT) AS STRING)", "spark")
+    keyed = df.selectExpr(f"CAST({key_col} AS BIGINT) AS key", f"{h} AS h")
+    stack_args = ", ".join(
+        f"{j}, {cms_bucket_sql('h', j, w)}" for j in range(CMS_DEPTH)
+    )
+    cells = (
+        keyed.selectExpr(f"stack({CMS_DEPTH}, {stack_args}) AS (j, bucket)")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("cell_n"))
+    )
+    topk = (
+        keyed.groupBy("key", "h")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("key").asc())
+        .limit(k)
+    )
+    probe = topk.selectExpr(
+        "key", "exact_n", f"stack({CMS_DEPTH}, {stack_args}) AS (j, bucket)"
+    )
+    est = (
+        probe.join(cells, ["j", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cell_n").cast("long").alias("cms_est"))
+    )
+    tot = keyed.agg(F.count("*").cast("long").alias("nt"))
+    return est.crossJoin(F.broadcast(tot)).selectExpr(
+        "key",
+        "exact_n",
+        "cms_est",
+        "cms_est >= exact_n AS never_under",
+        f"cms_est - exact_n <= ceil(4.0 * nt / {w}) AS within_bound",
+    )
+
+
+def cms_frequency_profile_oracle(
+    table: str,
+    key_col: str,
+    w: int = None,
+    k: int = 10,
+) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_bucket_sql,
+        h64_sql,
+    )
+
+    w = w or CMS_WIDTH
+    h = h64_sql(f"CAST(CAST({key_col} AS BIGINT) AS VARCHAR)", "duckdb")
+    cell_arms = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, {cms_bucket_sql('h', j, w)} AS bucket FROM keyed"
+        for j in range(CMS_DEPTH)
+    )
+    probe_arms = "\n  UNION ALL\n".join(
+        f"  SELECT key, exact_n, {j} AS j, {cms_bucket_sql('h', j, w)} AS bucket FROM topk"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""WITH keyed AS (
+  SELECT CAST({key_col} AS BIGINT) AS key, {h} AS h FROM {table}),
+fan AS (
+{cell_arms}),
+cells AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cell_n FROM fan GROUP BY 1, 2),
+topk AS (
+  SELECT key, h, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM keyed GROUP BY 1, 2
+  ORDER BY exact_n DESC, key ASC LIMIT {k}),
+probe AS (
+{probe_arms}),
+est AS (
+  SELECT key, exact_n, CAST(MIN(cell_n) AS BIGINT) AS cms_est
+  FROM probe JOIN cells USING (j, bucket) GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM keyed)
+SELECT key, exact_n, cms_est,
+  cms_est >= exact_n AS never_under,
+  cms_est - exact_n <= ceil(4.0 * nt / {w}) AS within_bound
+FROM est CROSS JOIN tot"""

@@ -177,3 +177,85 @@ JOIN (SELECT * FROM events WHERE event_type = '{right_type}') r
  AND epoch_us(r.ts) >= epoch_us(l.ts)
  AND epoch_us(r.ts) - epoch_us(l.ts) < {window_us}
 GROUP BY 1"""
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    touch_type: str = "view",
+    convert_type: str = "purchase",
+    window_us: int = RANGE_WINDOW_US,
+) -> DataFrame:
+    """Linear multi-touch revenue attribution: each conversion's value
+    splits EQUALLY across its preceding touches within the window
+    (``t.ts <= c.ts < t.ts + window``), and credited revenue rolls up
+    by touch hour-of-day — the marketing-analytics staple one level up
+    from :func:`range_join_attribution`'s pair counts (first/last-touch
+    are the n=1 degenerate cases; linear is the one that needs the
+    credit-splitting machinery).
+
+    Plan shape: same time-bin equi-join candidate generation as the
+    range join (explode×2 on the touch side, never a nested-loop theta
+    join), then ONE window count per conversion (partitioned by the
+    conversion's event_id — bounded per-user fan-in, no global sort)
+    and a 24-row hash agg.
+
+    Exactness: credit = value / n_touches is one closed-form double
+    division, immediately rounded to micro-units BIGINT per pair and
+    summed exactly — double-sum order-dependence never reaches the
+    comparable output.  Output (≤ 24 rows): (touch_hour, n_touches,
+    credited_revenue).
+    """
+    t = F.unix_micros(F.col("ts"))
+    touch = events.where(F.col("event_type") == touch_type).select(
+        F.col("user_id").alias("t_user"),
+        t.alias("t_us"),
+    )
+    tbin = F.expr(f"t_us div {window_us}")
+    touch_binned = touch.withColumn("t_bin", F.explode(F.array(tbin, tbin + F.lit(1))))
+    conv = events.where(F.col("event_type") == convert_type).select(
+        F.col("user_id").alias("c_user"),
+        t.alias("c_us"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("value").alias("c_value"),
+    ).withColumn("c_bin", F.expr(f"c_us div {window_us}"))
+    pairs = touch_binned.join(
+        conv,
+        (F.col("t_user") == F.col("c_user")) & (F.col("t_bin") == F.col("c_bin")),
+    ).where((F.col("c_us") >= F.col("t_us")) & (F.col("c_us") - F.col("t_us") < window_us))
+    w = Window.partitionBy("c_event_id")
+    credited = pairs.select(
+        F.hour(F.timestamp_micros(F.col("t_us"))).cast("int").alias("touch_hour"),
+        (F.col("c_value") / F.count("*").over(w)).alias("credit"),
+    ).selectExpr(
+        "touch_hour",
+        "CAST(round(credit * 1000000) AS BIGINT) AS credit_micro",
+    )
+    return credited.groupBy("touch_hour").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.expr("floor(CAST(SUM(credit_micro) AS DOUBLE)) / 1000000").alias(
+            "credited_revenue"
+        ),
+    )
+
+
+def multitouch_attribution_oracle(
+    touch_type: str = "view",
+    convert_type: str = "purchase",
+    window_us: int = RANGE_WINDOW_US,
+) -> str:
+    return f"""WITH pairs AS (
+  SELECT epoch_us(t.ts) AS t_us, c.event_id AS c_event_id, c.value AS c_value
+  FROM (SELECT * FROM events WHERE event_type = '{touch_type}') t
+  JOIN (SELECT * FROM events WHERE event_type = '{convert_type}') c
+    ON t.user_id = c.user_id
+   AND epoch_us(c.ts) >= epoch_us(t.ts)
+   AND epoch_us(c.ts) - epoch_us(t.ts) < {window_us}),
+credited AS (
+  SELECT CAST(hour(make_timestamp(t_us)) AS INT) AS touch_hour,
+         CAST(round(c_value / (COUNT(*) OVER (PARTITION BY c_event_id)) * 1000000)
+              AS BIGINT) AS credit_micro
+  FROM pairs)
+SELECT touch_hour,
+  CAST(COUNT(*) AS BIGINT) AS n_touches,
+  floor(CAST(SUM(credit_micro) AS DOUBLE)) / 1000000 AS credited_revenue
+FROM credited GROUP BY 1"""

@@ -868,3 +868,41 @@ def events_top_users_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     return spark.table("events_top_users_streamed_sink")
+
+
+@register(
+    "events_seasonal_baseline",
+    oracle=E.seasonal_baseline_oracle(z_thresh=3.0),
+    description="day-of-week × hour-of-day seasonal traffic profile with per-cell "
+    "anomaly counts — weekly seasonality decomposed before flagging (vs the global-"
+    "mean events_hourly_anomaly); dow via epoch-day arithmetic, immune to the "
+    "Spark/DuckDB dayofweek numbering mismatch; everything rides the bounded "
+    "hourly-count spine",
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.seasonal_baseline(load_events(spark, sf_dir), z_thresh=3.0)
+
+
+@register(
+    "events_cms_frequency",
+    oracle=ST.cms_frequency_profile_oracle("events", "user_id", k=10),
+    description="count-min-sketch frequency profile (third mergeable-sketch family "
+    "after KLL/theta): 4×512 counter grid from the engine's OWN md5-h64 universal "
+    "hashes, so the DuckDB oracle rebuilds the sketch bit-identically and the "
+    "ESTIMATES hash-gate — exact top-10 companion, never_under + within-bound "
+    "booleans",
+)
+def events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.cms_frequency_profile(load_events(spark, sf_dir), "user_id", k=10)
+
+
+@register(
+    "events_multitouch_attribution",
+    oracle=TJ.multitouch_attribution_oracle("view", "purchase"),
+    description="linear multi-touch revenue attribution by touch hour-of-day: "
+    "time-bin equi-join candidates (the range-join shape), per-conversion window "
+    "count for the credit split, micro-unit BIGINT credit sums — double-sum order "
+    "never reaches the output",
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TJ.multitouch_attribution(load_events(spark, sf_dir), "view", "purchase")

@@ -887,3 +887,97 @@ def orders_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.iqr_outlier_profile(load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=R.CUSTOMER_RFM_ORACLE,
+    description="RFM customer segmentation: per-customer aggregate (one fact-table "
+    "pass) + three partitioned NTILE(4) windows on (segment, nation) — never a "
+    "global sort; fixed literal recency anchor, no scalar cross",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_rfm_segments(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "orders_monthly_ivm",
+    oracle=R.ORDERS_MONTHLY_IVM_ORACLE,
+    description="aggregate-level incremental view maintenance: base + delta algebraic "
+    "state (count/sum/min/max) merged by union→re-agg; the oracle recomputes the "
+    "rollup in one pass — hash match proves merged state == full recompute",
+)
+def orders_monthly_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_monthly_ivm(load_table(spark, sf_dir, "orders"))
+
+
+# ---- join planning & estimation (operators/planner.py) ------------------
+from twitter_followers_patterns_mapreduce_spark.operators import planner as PL  # noqa: E402
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=PL.join_cardinality_oracle("events", "orders", "user_id", "o_custkey"),
+    description="exact join cardinality without the join: Σ c_L(k)·c_R(k) over "
+    "full-outer-joined key-degree tables, plus the uniform-keys optimizer estimate "
+    "and the skew ratio saying how wrong it is — one degree agg per side, spine is "
+    "|keys| rows never |data| rows",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+
+    return PL.join_cardinality_estimate(
+        load_events(spark, sf_dir),
+        load_table(spark, sf_dir, "orders"),
+        "user_id",
+        "o_custkey",
+    )
+
+
+@register(
+    "join_skew_planner",
+    oracle=PL.join_skew_planner_oracle(
+        "events", "orders", "user_id", "o_custkey", target_rows_per_task=100, k=10
+    ),
+    description="hot-key skew diagnosis for a planned equi-join: top-10 keys by exact "
+    "join-output contribution with per-key salt-factor prescription "
+    "(ceil(out_rows/target)) — the measurement half of the salting playbook",
+)
+def join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+
+    # target_rows_per_task=100 so salt factors BIND at test sf (>1 for
+    # hot keys); production would pass ~5e6
+    return PL.join_skew_planner(
+        load_events(spark, sf_dir),
+        load_table(spark, sf_dir, "orders"),
+        "user_id",
+        "o_custkey",
+        target_rows_per_task=100,
+        k=10,
+    )
+
+
+@register(
+    "join_universe_sample",
+    oracle=PL.join_universe_sample_oracle(
+        "events", "orders", "user_id", "o_custkey", pct=10, bound=0.15
+    ),
+    description="hash-universe sampled join-size estimate (keep key iff h64(key)%100<10, "
+    "same md5-derived hash both sides AND both engines) gated against the exact "
+    "degree-product count with an asserted ≤15% error boolean — the only sampling "
+    "scheme unbiased for equi-join COUNT",
+)
+def join_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+
+    return PL.join_universe_sample_estimate(
+        load_events(spark, sf_dir),
+        load_table(spark, sf_dir, "orders"),
+        "user_id",
+        "o_custkey",
+        pct=10,
+        bound=0.15,
+    )

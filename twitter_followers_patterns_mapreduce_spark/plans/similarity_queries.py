@@ -208,3 +208,17 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_logreg_calibration",
+    oracle=KM.logreg_calibration_oracle(target_label=0, iters=3, lr=0.5, n_bins=10),
+    description="reliability diagram + per-bin ECE for the in-DAG-trained logreg "
+    "curation filter: scan-side literal-model scoring, 10-bin floor binning on the "
+    "1e-6 score grid, one |bins|-row agg + the house 1-row totals cross — how you "
+    "pick a keep-threshold without labeling more data",
+)
+def embedding_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.logreg_calibration(
+        load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5, n_bins=10
+    )

@@ -503,3 +503,15 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_curriculum(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_pmi_collocations",
+    oracle=CP.pmi_collocations_oracle(min_count=5, k=20),
+    description="top-20 collocations by pointwise mutual information (min-count 5 "
+    "floor against the hapax pathology): one bigram materialization → three hash "
+    "aggs + two vocab-sized equi-joins + the 1-row total cross; PMI is one ln over "
+    "exact BIGINT counts",
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.pmi_collocations(load_table(spark, sf_dir, "documents"), min_count=5, k=20)
