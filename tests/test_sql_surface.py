@@ -4,7 +4,7 @@ reproduce the DataFrame plans' results bit-for-bit (same normalize as
 the oracle gate).
 
 This is the "a user of the reference could switch" claim at the SQL
-level: 65 of the registry's oracle strings are engine-portable — one
+level: 67 of the registry's oracle strings are engine-portable — one
 query text, three engines (DuckDB, Spark SQL, and the DataFrame API) —
 pinned here so a dialect regression (a DuckDB-ism creeping into an
 ANSI oracle, or a Spark-incompatible rewrite) fails loudly.
@@ -57,6 +57,8 @@ PORTABLE = [
     "follow_recommendations",
     "fuzzy_match_fastss",
     "graph_clustering_coefficient",
+    "join_cardinality_estimate",
+    "join_skew_planner",
     "graph_hits",
     "graph_kcore",
     "graph_kcore_k16",
