@@ -106,6 +106,11 @@ ALLOWED_BRUTE_FORCE = {
     #   * calibration — the ≤10-bin cell table crossed with the 1-row
     #     total (the woe/psi shape); scoring itself is scan-side
     "embedding_logreg_calibration",
+    #   * PMI / CMS — vocabulary-/k-sized cell tables crossed with the
+    #     1-row totals aggregate (the woe shape); the bigram and fan
+    #     materializations feed only hash aggs and equi-joins
+    "doc_pmi_collocations",
+    "events_cms_frequency",
 }
 
 

@@ -159,6 +159,22 @@ HEADLINE = [
     "basket_association_rules",
     "events_funnel_timing",
     "part_discount_elasticity",
+    # round 8
+    "lineitem_kll_quantiles",
+    "events_kll_value_merged",
+    "events_theta_retention",
+    "graph_coreness_k17",
+    "graph_effective_diameter_anf",
+    "join_cardinality_estimate",
+    "join_skew_planner",
+    "join_universe_sample",
+    "customer_rfm_segments",
+    "orders_monthly_ivm",
+    "events_seasonal_baseline",
+    "embedding_logreg_calibration",
+    "doc_pmi_collocations",
+    "events_cms_frequency",
+    "events_multitouch_attribution",
 ]
 
 
