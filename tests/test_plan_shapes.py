@@ -111,6 +111,10 @@ ALLOWED_BRUTE_FORCE = {
     #     materializations feed only hash aggs and equi-joins
     "doc_pmi_collocations",
     "events_cms_frequency",
+    "events_cms_streamed",  # same probe readout over the streamed grid
+    #   * Kaplan-Meier — the bounded duration spine crossed with the
+    #     1-row subject total (n_risk derivation): cardinality × 1
+    "orders_survival_km",
 }
 
 

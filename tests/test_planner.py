@@ -219,3 +219,99 @@ def test_multitouch_credit_conservation(spark):
     total_value = attributed.agg(F.sum("value")).collect()[0][0]
     n_pairs = out.agg(F.sum("n_touches")).collect()[0][0]
     assert abs(total_credit - total_value) <= n_pairs * 1e-6 + 1e-6
+
+
+def test_sssp_weighted_golden(spark):
+    """w(s,d) = 1 + (s+d) % 5 on a hand-priced diamond: direct edge
+    beats the 2-hop detour; hop bound gates reachability."""
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+    from tests.conftest import make_edges
+
+    edges = make_edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    # weights: (0,1)=2, (1,2)=4, (0,2)=3, (2,3)=1
+    d = {r["id"]: r["dist"] for r in GI.sssp_weighted(edges, source=0, max_hops=6).collect()}
+    assert d == {0: 0, 1: 2, 2: 3, 3: 4}
+    # bounded hops: 3 needs two edges from 0, so max_hops=1 excludes it
+    d1 = {r["id"]: r["dist"] for r in GI.sssp_weighted(edges, source=0, max_hops=1).collect()}
+    assert d1 == {0: 0, 1: 2, 2: 3}
+
+
+def test_sssp_rerelaxation_beats_settle_once(spark):
+    """A cheap long path must beat an expensive short path — the case
+    BFS-style settle-once gets wrong under weights."""
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+    from tests.conftest import make_edges
+
+    # (0,4): w = 1+4%5 = 5 (direct, 1 hop).  0→5→4: (0,5)=1+5%5=1,
+    # (5,4)=1+9%5=5 → 6, worse.  0→10→4: (0,10)=1+10%5=1, (10,4)=1+14%5=5 → 6.
+    # 0→5→9→4: (5,9)=1+14%5=5... construct an actually-cheaper 2-hop:
+    # (0,9)=1+9%5=5; (0,14)=1+14%5=5; (0,10)=1; (10,19)=1+29%5=5;
+    # use (0,10)=1 then (10,4)=1+14%5=5 → 6 > 5.  Need sum < 5:
+    # (0,10)=1, (10,25)=1+35%5=1, so 0→10→25 costs 2 while
+    # (0,25)=1+25%5=1 direct... pick target 25 with no direct edge.
+    edges = make_edges(spark, [(0, 10), (10, 25), (0, 14), (14, 25)])
+    # (0,14)=5, (14,25)=1+39%5=5 → 10; (0,10)=1, (10,25)=1 → 2
+    d = {r["id"]: r["dist"] for r in GI.sssp_weighted(edges, source=0, max_hops=4).collect()}
+    assert d[25] == 2
+
+
+def test_kaplan_meier_invariants(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import stats as ST
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF, "orders")
+    rows = sorted(
+        ST.kaplan_meier_survival(orders).collect(), key=lambda r: r["t_months"]
+    )
+    n_subjects = orders.select("o_custkey").distinct().count()
+    assert rows[0]["n_risk"] == n_subjects  # everyone at risk at t=min
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)  # at-risk set only shrinks
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert surv == sorted(surv, reverse=True)  # survival non-increasing
+    # censored subjects never decrement the curve: at event-free times
+    # survival equals the previous step
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["n_events"] == 0:
+            assert cur["survival"] == prev["survival"]
+
+
+def test_streaming_cms_grid_equals_batch_grid(spark):
+    """The streamed CMS grid (aggregate state drained availableNow)
+    must equal the batch grid cell-for-cell — sketch-as-streaming-state
+    is only useful if maintenance == rebuild."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_bucket_sql,
+        h64_sql,
+    )
+    from twitter_followers_patterns_mapreduce_spark.plans.event_queries import (
+        _staged_events_dir,
+    )
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_events
+    from twitter_followers_patterns_mapreduce_spark.streaming.cms import cms_grid_stream
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+    )
+
+    stream = cms_grid_stream(events_file_stream(spark, _staged_events_dir(SF)))
+    run_available_now(stream, "cms_grid_parity_sink", output_mode="complete", state_partitions=4)
+    streamed = {
+        (r["j"], r["bucket"]): r["cell_n"]
+        for r in spark.table("cms_grid_parity_sink").collect()
+    }
+    h = h64_sql("CAST(CAST(user_id AS BIGINT) AS STRING)", "spark")
+    stack_args = ", ".join(f"{j}, {cms_bucket_sql('h', j, CMS_WIDTH)}" for j in range(CMS_DEPTH))
+    batch = {
+        (r["j"], r["bucket"]): r["n"]
+        for r in load_events(spark, SF)
+        .selectExpr(f"{h} AS h")
+        .selectExpr(f"stack({CMS_DEPTH}, {stack_args}) AS (j, bucket)")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch

@@ -1731,3 +1731,70 @@ FROM hit h
 LEFT JOIN prev p ON h.k_star = p.k_star
 JOIN cur c ON h.k_star = c.k_star
 CROSS JOIN total t"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded-hop Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def sssp_weighted(edges: DataFrame, source: int, max_hops: int = 6) -> DataFrame:
+    """Weighted single-source shortest distances by synchronous
+    Bellman-Ford relaxation, bounded at ``max_hops`` edges — the
+    weighted upgrade of :func:`bfs_distances` (hop counts can't rank
+    routes when edges carry costs; BFS's settle-once trick is invalid
+    under weights, so every pass re-relaxes: union candidates, MIN per
+    node).
+
+    Edge weights are derived deterministically from the endpoints
+    (``1 + (src + dst) % 5`` — the harness has no weight column), so
+    the DuckDB oracle prices every edge identically.
+
+    Semantics: after k passes, dist(v) = min total weight over paths
+    from ``source`` with ≤ k edges — EXACTLY the oracle's hop-bounded
+    recursive walk, so bounded-round output is comparable even if the
+    graph's weighted eccentricity exceeds ``max_hops`` (the k-core
+    bounded-rounds discipline).
+
+    Scale shape: per pass ONE frontier ⋈ edges equi-join (AQE splits
+    hub keys) and one MIN hash-agg over O(|V reachable|) rows; state
+    is (id, dist) — aggregate-sized, never edges; lazy-checkpoint
+    severance per pass (``_ckpt``).  O(max_hops) passes with NO
+    per-pass driver action: the loop is a fixed-depth plan chain, the
+    one materializing action is the final readout.
+    Output: (id, dist) for every node reachable within ``max_hops``.
+    """
+    e = edges.selectExpr(
+        "src", "dst", "CAST(1 + (src + dst) % 5 AS BIGINT) AS w"
+    ).transform(_ckpt)
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("dist"),
+    ).transform(_ckpt)
+    for _ in range(max_hops):
+        cand = (
+            dist.join(e, dist["id"] == e["src"])
+            .select(e["dst"].alias("id"), (dist["dist"] + e["w"]).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .transform(_ckpt)
+        )
+    return dist
+
+
+def sssp_weighted_oracle(edges_cte: str, source: int, max_hops: int = 6) -> str:
+    """DuckDB oracle: hop-bounded recursive walk over the same priced
+    edges, MIN total weight per node."""
+    return f"""WITH RECURSIVE e AS (
+  SELECT src, dst, CAST(1 + (src + dst) % 5 AS BIGINT) AS w
+  FROM ({edges_cte})),
+walk(id, d, h) AS (
+  SELECT CAST({source} AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + e.w, w.h + 1 FROM walk w JOIN e ON w.id = e.src
+  WHERE w.h < {max_hops}
+)
+SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY id"""

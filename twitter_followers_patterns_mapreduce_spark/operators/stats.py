@@ -30,7 +30,7 @@ route through DECIMAL as everywhere else in the engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,6)"
@@ -1495,6 +1495,22 @@ def cms_frequency_profile(
         .groupBy("j", "bucket")
         .agg(F.count("*").cast("long").alias("cell_n"))
     )
+    return cms_probe_readout(cells, keyed, w=w, k=k)
+
+
+def cms_probe_readout(cells: DataFrame, keyed: DataFrame, w: int, k: int) -> DataFrame:
+    """Shared estimate readout over a built CMS grid ``cells``
+    (j, bucket, cell_n) and the hashed key stream ``keyed`` (key, h) —
+    used by both the batch build and the streaming-maintained grid
+    (``streaming/cms.py``), so batch/stream parity is one code path."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        CMS_DEPTH,
+        cms_bucket_sql,
+    )
+
+    stack_args = ", ".join(
+        f"{j}, {cms_bucket_sql('h', j, w)}" for j in range(CMS_DEPTH)
+    )
     topk = (
         keyed.groupBy("key", "h")
         .agg(F.count("*").cast("long").alias("exact_n"))
@@ -1562,3 +1578,115 @@ SELECT key, exact_n, cms_est,
   cms_est >= exact_n AS never_under,
   cms_est - exact_n <= ceil(4.0 * nt / {w}) AS within_bound
 FROM est CROSS JOIN tot"""
+
+
+def kaplan_meier_survival(
+    orders: DataFrame,
+    churn_cutoff: str = "1998-01-01",
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve over customer active
+    lifespans — THE censoring-aware retention estimator (naive "mean
+    lifetime of churned customers" is biased low because still-active
+    customers are silently excluded; KM handles them as right-censored).
+
+    Subject = customer; duration T = days between first and last order
+    (monthly grain to keep the spine bounded and the curve readable:
+    ``T_months = T_days div 30``); event = churned (last order before
+    ``churn_cutoff``), else right-censored at the observed lifespan.
+    Then per event time t:  S(t) = Π_{u ≤ t} (1 − d_u / n_u)  with
+    n_u = subjects whose T ≥ u (at risk), d_u = events at u.
+
+    Scale shape: the fact table collapses to one row per customer
+    (map-side-combinable agg — the only data-sized pass), then the
+    whole estimator rides the bounded duration spine (≤ ~80 months):
+    n_risk is total − a cumulative count over the spine, and the
+    product is ``exp(Σ ln(1 − d/n))`` as a spine window — the
+    degree_gini discipline (global windows only over bounded spines).
+
+    Exactness: counts BIGINT; the product is the single closed-form
+    ``exp``/``ln`` chain with identical text both engines, floored at
+    1e-6; the ``d = n`` terminal step (everyone at risk dies) is
+    CASE-guarded so ``ln(0)`` is never evaluated (DuckDB hard-errors
+    where Spark returns -inf) — survival is exactly 0.0 from that step
+    on via the cumulative zero flag.
+    Output: (t_months, n_risk, n_events, n_censored, survival).
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    subj = per_cust.selectExpr(
+        "CAST(datediff(last_d, first_d) AS BIGINT) div 30 AS t_months",
+        f"CAST(last_d < DATE '{churn_cutoff}' AS INT) AS event",
+    )
+    spine = subj.groupBy("t_months").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("event").cast("long").alias("n_events"),
+    ).withColumn("n_censored", (F.col("n_total") - F.col("n_events")).cast("long"))
+    w_all = Window.orderBy("t_months").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t_months").rowsBetween(Window.unboundedPreceding, 0)
+    tot = spine.agg(F.sum("n_total").cast("long").alias("nt"))
+    # n_risk(t) = total − Σ_{u<t} n_total(u); the dead-end step d == n
+    # contributes a cumulative zero flag instead of ln(0)
+    cur = (
+        spine.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (F.col("nt") - F.coalesce(F.sum("n_total").over(w_all), F.lit(0))).cast("long"),
+        )
+        .withColumn(
+            "_lnterm",
+            F.expr(
+                "CASE WHEN n_events < n_risk THEN"
+                " ln(1.0 - CAST(n_events AS DOUBLE) / n_risk) ELSE 0.0 END"
+            ),
+        )
+        .withColumn("_dead", F.expr("CAST(n_events >= n_risk AS INT)"))
+        .withColumn("_cum_ln", F.sum("_lnterm").over(w_cum))
+        .withColumn("_cum_dead", F.sum("_dead").over(w_cum))
+    )
+    return cur.selectExpr(
+        "t_months",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "CASE WHEN _cum_dead > 0 THEN 0.0"
+        " ELSE floor(exp(_cum_ln) * 1000000) / 1000000 END AS survival",
+    )
+
+
+def kaplan_meier_oracle(churn_cutoff: str = "1998-01-01") -> str:
+    return f"""WITH per_cust AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1),
+subj AS (
+  SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) // 30 AS t_months,
+         CAST(last_d < DATE '{churn_cutoff}' AS INT) AS event
+  FROM per_cust),
+spine AS (
+  SELECT t_months, CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(event) AS BIGINT) AS n_events,
+         CAST(COUNT(*) - SUM(event) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_total) AS BIGINT) AS nt FROM spine),
+cur AS (
+  SELECT t_months, n_events, n_censored,
+    CAST(nt - coalesce(SUM(n_total) OVER (ORDER BY t_months
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+    n_total
+  FROM spine CROSS JOIN tot),
+terms AS (
+  SELECT t_months, n_risk, n_events, n_censored,
+    CASE WHEN n_events < n_risk THEN
+      ln(1.0 - CAST(n_events AS DOUBLE) / n_risk) ELSE 0.0 END AS _lnterm,
+    CAST(n_events >= n_risk AS INT) AS _dead
+  FROM cur)
+SELECT t_months, n_risk, n_events, n_censored,
+  CASE WHEN SUM(_dead) OVER (ORDER BY t_months
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0 THEN 0.0
+       ELSE floor(exp(SUM(_lnterm) OVER (ORDER BY t_months
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000) / 1000000
+  END AS survival
+FROM terms"""

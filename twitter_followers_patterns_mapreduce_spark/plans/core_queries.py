@@ -864,3 +864,15 @@ def graph_effective_diameter_anf_q(spark: SparkSession, sf_dir: str) -> DataFram
 def graph_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _sparse_edges(spark, sf_dir)
     return GI.modularity(e, GI.label_propagation(e, rounds=4))
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=GI.sssp_weighted_oracle(EDGES_ORACLE_CTE, source=_BFS_SOURCE, max_hops=6),
+    description="iterative: bounded-hop Bellman-Ford weighted shortest paths — "
+    "per pass one frontier equi-join + MIN hash-agg, re-relaxation replaces BFS's "
+    "settle-once (invalid under weights); deterministic endpoint-derived weights; "
+    "oracle = hop-bounded recursive walk",
+)
+def graph_sssp_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.sssp_weighted(derived_edges(spark, sf_dir), source=_BFS_SOURCE, max_hops=6)

@@ -906,3 +906,36 @@ def events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TJ.multitouch_attribution(load_events(spark, sf_dir), "view", "purchase")
+
+
+@register(
+    "events_cms_streamed",
+    oracle=ST.cms_frequency_profile_oracle("events", "user_id", k=10),
+    description="streaming CMS (eleventh gated streaming class): the d×w counter "
+    "grid maintained as streaming aggregate state — fixed-size state regardless of "
+    "stream length — drained availableNow, then the shared probe readout over the "
+    "streamed grid; same oracle as the batch CMS, so streaming maintenance == "
+    "one-shot batch == DuckDB rebuild",
+)
+def events_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+    from twitter_followers_patterns_mapreduce_spark.streaming.cms import cms_grid_stream
+    from twitter_followers_patterns_mapreduce_spark.streaming.windows import (
+        events_file_stream,
+        run_available_now,
+    )
+
+    stream = cms_grid_stream(events_file_stream(spark, _staged_events_dir(sf_dir)))
+    run_available_now(
+        stream,
+        "events_cms_streamed_sink",
+        output_mode="complete",
+        # state is the d×w grid: 2048 cells, not data-sized
+        state_partitions=8,
+    )
+    cells = spark.table("events_cms_streamed_sink")
+    h = h64_sql("CAST(CAST(user_id AS BIGINT) AS STRING)", "spark")
+    keyed = load_events(spark, sf_dir).selectExpr("CAST(user_id AS BIGINT) AS key", f"{h} AS h")
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import CMS_WIDTH
+
+    return ST.cms_probe_readout(cells, keyed, w=CMS_WIDTH, k=10)

@@ -981,3 +981,18 @@ def join_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct=10,
         bound=0.15,
     )
+
+
+from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # noqa: E402
+
+
+@register(
+    "orders_survival_km",
+    oracle=ST.kaplan_meier_oracle(churn_cutoff="1998-01-01"),
+    description="Kaplan-Meier product-limit survival over customer active lifespans "
+    "(monthly grain, churn-cutoff censoring): one per-customer agg is the only "
+    "data-sized pass; n_risk and the exp(Σln) product ride the bounded duration "
+    "spine — the degree_gini bounded-spine-window discipline",
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.kaplan_meier_survival(load_table(spark, sf_dir, "orders"))
