@@ -115,6 +115,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * Kaplan-Meier — the bounded duration spine crossed with the
     #     1-row subject total (n_risk derivation): cardinality × 1
     "orders_survival_km",
+    #   * CUSUM — the bounded hourly spine crossed with the 1-row
+    #     (total events, total hours) aggregate: cardinality × 1
+    "events_cusum_changepoints",
 }
 
 

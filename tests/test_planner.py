@@ -315,3 +315,85 @@ def test_streaming_cms_grid_equals_batch_grid(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_frequent_triples_downward_closure(spark):
+    """Every emitted triple's three constituent pairs must each meet
+    min_support — the Apriori invariant the pruning relies on."""
+    from twitter_followers_patterns_mapreduce_spark.operators import relational as R
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    trips = R.basket_frequent_triples(li, modulus=53, min_support=5, k=20).collect()
+    assert len(trips) > 0  # the category rollup makes level 3 BIND
+    items = (
+        li.selectExpr("l_orderkey AS okey", "CAST(l_partkey % 53 AS BIGINT) AS part")
+        .distinct()
+    )
+    a, b = items.select("okey", F.col("part").alias("p1")), items.select(
+        "okey", F.col("part").alias("p2")
+    )
+    pair_n = {
+        (r["p1"], r["p2"]): r["n"]
+        for r in a.join(b, "okey")
+        .where("p1 < p2")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for t in trips:
+        for pair in [(t["p1"], t["p2"]), (t["p1"], t["p3"]), (t["p2"], t["p3"])]:
+            assert pair_n[pair] >= 5
+        # support monotonicity: a superset is never more frequent
+        assert t["n_baskets"] <= min(
+            pair_n[(t["p1"], t["p2"])],
+            pair_n[(t["p1"], t["p3"])],
+            pair_n[(t["p2"], t["p3"])],
+        )
+
+
+def test_concurrency_curve_golden(spark):
+    """Hand-built overlap: 3 users with interleaved sessions on one day;
+    a second day carries one session across midnight via the day-level
+    carry-in."""
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    H = 3_600  # seconds
+    rows = []
+    # day 0 (1970-01-01): u1 session 00:00-01:00, u2 00:30-01:30,
+    # u3 00:45-00:50 -> peak 3 concurrent
+    for uid, times in [(1, [0, H]), (2, [H // 2, H + H // 2]), (3, [2700, 3000])]:
+        for i, s in enumerate(times):
+            rows.append((uid * 100 + i, s, uid))
+    df = spark.createDataFrame(
+        [(eid, float(s), uid) for eid, s, uid in rows],
+        schema="event_id LONG, sec DOUBLE, user_id LONG",
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(CAST(sec * 1000000 AS BIGINT)) AS ts"
+    )
+    out = {r["day"]: r for r in E.concurrency_curve(df, gap_us=2 * H * 1_000_000).collect()}
+    assert out["1970-01-01"]["max_concurrent"] == 3
+    assert out["1970-01-01"]["n_starts"] == 3
+
+
+def test_cusum_flags_constructed_step(spark):
+    """A series that jumps from 10/hour to 100/hour must place its
+    top-|CUSUM| hour at the step boundary."""
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 10 if h < 24 else 100
+        for i in range(n):
+            eid += 1
+            rows.append((eid, float(h * 3600 + i), 1))
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, sec DOUBLE, user_id LONG"
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(CAST(sec * 1000000 AS BIGINT)) AS ts"
+    )
+    top = E.cusum_changepoints(df, k=1).collect()[0]
+    # |CUSUM| peaks at the LAST pre-shift hour (23:00)
+    assert top["hour"] == "1970-01-01 23:00:00"
+    assert top["cusum"] < 0  # below-mean regime accumulated

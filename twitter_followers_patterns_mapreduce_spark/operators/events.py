@@ -1471,3 +1471,179 @@ anom AS (
 SELECT prof.dow, prof.hod, n_hours, total_events, mean_n, std_n,
   CAST(coalesce(n_anomalies, 0) AS BIGINT) AS n_anomalies
 FROM prof LEFT JOIN anom ON prof.dow = anom.dow AND prof.hod = anom.hod"""
+
+
+def concurrency_curve(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning readout
+    (how many users are on AT ONCE, not per-hour event counts), via the
+    classic sweep line over session boundaries computed as a
+    DISTRIBUTED TWO-LEVEL PREFIX SUM: a global running sum over
+    boundary events would be the banned single-partition window, so
+    the cumsum splits into (a) a within-day window partitioned by day
+    and (b) a carry-in per day from the bounded day spine — the
+    textbook parallel-scan decomposition, each piece shuffle-partitioned.
+
+    Sessions are :func:`sessionize`'s gap-based intervals (closed:
+    a session is active at its last event), so boundary order at equal
+    timestamps is start(+1) BEFORE end(−1) — two sessions touching at
+    t ARE concurrent at t.  Equal-(t, kind) rows carry identical
+    deltas, so the per-day MAX is order-invariant even though row-level
+    prefixes are not (documented; only the max is emitted).
+
+    Output: (day, n_starts, max_concurrent) — one row per active day.
+    """
+    w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    t = F.unix_micros(F.col("ts"))
+    flagged = events.select(
+        "user_id",
+        t.alias("t_us"),
+        F.when(t - F.lag(t).over(w_user) > gap_us, 1).otherwise(0).alias("new_session"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("t_us").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    bounds = flagged.groupBy("user_id", "session_seq").agg(
+        F.min("t_us").alias("s_us"), F.max("t_us").alias("e_us")
+    )
+    deltas = bounds.selectExpr(
+        "s_us AS t_us", "0 AS kind", "CAST(1 AS BIGINT) AS delta"
+    ).unionAll(
+        bounds.selectExpr("e_us AS t_us", "1 AS kind", "CAST(-1 AS BIGINT) AS delta")
+    ).withColumn("day", F.expr("t_us div 86400000000"))
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t_us").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = deltas.withColumn("run", F.sum("delta").over(w_in))
+    day_tot = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("day_sum"),
+        F.sum(F.expr("CAST(kind = 0 AS BIGINT)")).cast("long").alias("n_starts"),
+    )
+    w_carry = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_tot.select(
+        "day",
+        "n_starts",
+        F.coalesce(F.sum("day_sum").over(w_carry), F.lit(0)).cast("long").alias("carry_in"),
+    )
+    return (
+        within.join(carry, "day")
+        .groupBy("day", "n_starts", "carry_in")
+        .agg(F.max(F.col("carry_in") + F.col("run")).cast("long").alias("max_concurrent"))
+        .selectExpr(
+            "date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd') AS day",
+            "n_starts",
+            "max_concurrent",
+        )
+    )
+
+
+def concurrency_curve_oracle(gap_us: int = SESSION_GAP_US) -> str:
+    return f"""WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+sessioned AS (
+  SELECT user_id, t_us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged),
+bounds AS (
+  SELECT user_id, session_seq, MIN(t_us) AS s_us, MAX(t_us) AS e_us
+  FROM sessioned GROUP BY 1, 2),
+deltas AS (
+  SELECT s_us AS t_us, 0 AS kind, CAST(1 AS BIGINT) AS delta, s_us // 86400000000 AS day
+  FROM bounds
+  UNION ALL
+  SELECT e_us, 1, CAST(-1 AS BIGINT), e_us // 86400000000 FROM bounds),
+within AS (
+  SELECT day, t_us, kind, delta,
+    SUM(delta) OVER (PARTITION BY day ORDER BY t_us ASC, kind ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM deltas),
+day_tot AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS day_sum,
+         CAST(SUM(CAST(kind = 0 AS BIGINT)) AS BIGINT) AS n_starts
+  FROM deltas GROUP BY 1),
+carry AS (
+  SELECT day, n_starts,
+    CAST(coalesce(SUM(day_sum) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry_in
+  FROM day_tot)
+SELECT strftime(make_timestamp(w.day * 86400000000), '%Y-%m-%d') AS day,
+  c.n_starts,
+  CAST(MAX(c.carry_in + w.run) AS BIGINT) AS max_concurrent
+FROM within w JOIN carry c ON w.day = c.day
+GROUP BY 1, 2"""
+
+
+def cusum_changepoints(events: DataFrame, k: int = 5) -> DataFrame:
+    """CUSUM level-shift detection over hourly event volume: the
+    cumulative sum of deviations from the global mean peaks (in
+    absolute value) exactly where the series' level changes — the
+    standard nonparametric changepoint locator (the argmax of \\|CUSUM\\|
+    is the single-changepoint MLE under a mean-shift model).  Returns
+    the top-``k`` candidate hours by \\|CUSUM\\| with their statistics.
+
+    Scale shape: the fact table collapses to the bounded hourly spine
+    in one map-side-combinable agg; the mean is a 1-row broadcast
+    cross (the woe shape) and the running sum is a window over the
+    bounded spine (degree_gini discipline) — nothing downstream of the
+    first agg is data-sized.
+
+    Exactness: deviations stay exact by scaling — ``dev_n = n·H − T``
+    (count times total-hours minus total-events, all BIGINT) is the
+    1e0-exact integer form of ``n − mean`` times H, so the running sum
+    is an exact integer and \\|CUSUM\\| ordering has no float ties;
+    cusum is reported as the floored double dev-sum / H.
+    Output (k rows): (hour, n_events, cusum, abs_rank).
+    """
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("long").alias("t_ev"), F.count("*").cast("long").alias("t_hr")
+    )
+    w_run = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hourly.crossJoin(F.broadcast(tot))
+        .withColumn("dev_h", F.expr("n * t_hr - t_ev"))
+        .withColumn("cusum_h", F.sum("dev_h").over(w_run))
+    )
+    w_rank = Window.orderBy(F.abs(F.col("cusum_h")).desc(), F.col("h").asc())
+    return (
+        cum.withColumn("abs_rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("abs_rank") <= k)
+        .selectExpr(
+            "date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour",
+            "n AS n_events",
+            "floor(CAST(cusum_h AS DOUBLE) / t_hr * 1000000) / 1000000 AS cusum",
+            "abs_rank",
+        )
+    )
+
+
+def cusum_changepoints_oracle(k: int = 5) -> str:
+    return f"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t_ev, CAST(COUNT(*) AS BIGINT) AS t_hr FROM hourly),
+cum AS (
+  SELECT h, n, t_hr,
+    SUM(n * t_hr - t_ev) OVER (ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_h
+  FROM hourly CROSS JOIN tot),
+ranked AS (
+  SELECT h, n, t_hr, cusum_h,
+    CAST(ROW_NUMBER() OVER (ORDER BY abs(cusum_h) DESC, h ASC) AS BIGINT) AS abs_rank
+  FROM cum)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+  n AS n_events,
+  floor(CAST(cusum_h AS DOUBLE) / t_hr * 1000000) / 1000000 AS cusum,
+  abs_rank
+FROM ranked WHERE abs_rank <= {k}"""

@@ -2297,3 +2297,92 @@ ORDERS_MONTHLY_IVM_ORACLE = """SELECT
   floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1000000)
     / 1000000 AS avg_price
 FROM orders GROUP BY 1"""
+
+
+def basket_frequent_triples(
+    lineitem: DataFrame,
+    modulus: int = 53,
+    min_support: int = 5,
+    k: int = 20,
+    basket_cap: int | None = 64,
+) -> DataFrame:
+    """Level-3 Apriori: top-``k`` frequent category TRIPLES, mined with
+    the classic level-wise pruning that made Apriori THE original
+    MapReduce-scale itemset algorithm — a candidate triple (a, b, c)
+    is counted only if all three of its pairs are frequent (downward
+    closure), so the cubic Σ|basket|³ expansion never materializes for
+    the infrequent mass.
+
+    Items are part CATEGORIES (``l_partkey % modulus``) rather than raw
+    parts: TPC-H-ish baskets draw parts near-uniformly, so raw-part
+    triples are almost all singletons and level 3 would be vacuous; the
+    category rollup is the realistic granularity ("deodorant + razors +
+    blades"), and the coarsening is itself standard itemset practice.
+
+    Plan shape: DISTINCT capped baskets (the copurchase guard), L2 =
+    frequent pairs (one self-join + agg); the triple expansion extends
+    ONLY basket pairs that survive an L2 LEFT SEMI (the Apriori prune —
+    measured fan-in, not argued), then two more L2 semi-joins prune
+    (a, c) and (b, c) BEFORE the support count.  All joins equi, the
+    L2 side broadcasts (it is min-support-thresholded, hence small by
+    construction).  Output (≤ k): (p1, p2, p3, n_baskets).
+    """
+    items = _capped_baskets(lineitem, basket_cap).select(
+        "okey", (F.col("part") % modulus).cast("long").alias("part")
+    ).distinct()
+    a = items.select("okey", F.col("part").alias("p1"))
+    b = items.select("okey", F.col("part").alias("p2"))
+    c = items.select("okey", F.col("part").alias("p3"))
+    pairs = a.join(b, "okey").where(F.col("p1") < F.col("p2"))
+    l2 = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= min_support)
+        .select("p1", "p2")
+    )
+    pruned = pairs.join(F.broadcast(l2), ["p1", "p2"], "left_semi")
+    trip = (
+        pruned.join(c, "okey")
+        .where(F.col("p2") < F.col("p3"))
+        .join(
+            F.broadcast(l2.selectExpr("p1", "p2 AS p3")), ["p1", "p3"], "left_semi"
+        )
+        .join(
+            F.broadcast(l2.selectExpr("p1 AS p2", "p2 AS p3")), ["p2", "p3"], "left_semi"
+        )
+    )
+    return (
+        trip.groupBy("p1", "p2", "p3")
+        .agg(F.count("*").cast("long").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_support)
+        .orderBy(F.desc("n_baskets"), F.asc("p1"), F.asc("p2"), F.asc("p3"))
+        .limit(k)
+    )
+
+
+def basket_frequent_triples_oracle(
+    modulus: int = 53, min_support: int = 5, k: int = 20, basket_cap: int = 64
+) -> str:
+    return f"""WITH items0 AS (
+  SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey % {modulus} AS BIGINT) AS part
+  FROM lineitem),
+okb AS (SELECT okey FROM (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem)
+        GROUP BY okey HAVING COUNT(*) <= {basket_cap}),
+items AS (SELECT DISTINCT i.okey, i.part FROM items0 i JOIN okb USING (okey)),
+pairs AS (
+  SELECT a.okey, a.part AS p1, b.part AS p2
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part),
+l2 AS (
+  SELECT p1, p2 FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}),
+pruned AS (
+  SELECT pairs.okey, pairs.p1, pairs.p2 FROM pairs
+  WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.p1 = pairs.p1 AND l2.p2 = pairs.p2)),
+trip AS (
+  SELECT pr.p1, pr.p2, c.part AS p3
+  FROM pruned pr JOIN items c ON pr.okey = c.okey AND pr.p2 < c.part
+  WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.p1 = pr.p1 AND l2.p2 = c.part)
+    AND EXISTS (SELECT 1 FROM l2 WHERE l2.p1 = pr.p2 AND l2.p2 = c.part))
+SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS n_baskets
+FROM trip GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_support}
+ORDER BY n_baskets DESC, p1, p2, p3
+LIMIT {k}"""

@@ -939,3 +939,26 @@ def events_cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from twitter_followers_patterns_mapreduce_spark.functions.hashing import CMS_WIDTH
 
     return ST.cms_probe_readout(cells, keyed, w=CMS_WIDTH, k=10)
+
+
+@register(
+    "events_concurrency_curve",
+    oracle=E.concurrency_curve_oracle(),
+    description="peak concurrent sessions per day: sweep line over gap-session "
+    "boundaries as a DISTRIBUTED two-level prefix sum — within-day windows "
+    "partitioned by day + a carry-in from the bounded day spine (the parallel-scan "
+    "decomposition; a global running sum would be the banned single-partition window)",
+)
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.concurrency_curve(load_events(spark, sf_dir))
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle=E.cusum_changepoints_oracle(k=5),
+    description="CUSUM level-shift detection on hourly volume: top-5 |CUSUM| hours "
+    "(the mean-shift changepoint MLE) — deviations kept exact by integer scaling "
+    "(n*H - T), running sum and rank ride the bounded hourly spine",
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.cusum_changepoints(load_events(spark, sf_dir), k=5)

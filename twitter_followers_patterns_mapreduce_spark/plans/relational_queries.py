@@ -996,3 +996,16 @@ from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # 
 )
 def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.kaplan_meier_survival(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "basket_frequent_triples",
+    oracle=R.basket_frequent_triples_oracle(modulus=53, min_support=5, k=20),
+    description="level-3 Apriori over category baskets: downward-closure pruning — "
+    "only L2-frequent pairs extend to candidate triples, two more L2 semi-joins "
+    "prune (a,c)/(b,c) before the support count; broadcast L2, capped baskets",
+)
+def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.basket_frequent_triples(
+        load_table(spark, sf_dir, "lineitem"), modulus=53, min_support=5, k=20
+    )
