@@ -118,6 +118,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * CUSUM — the bounded hourly spine crossed with the 1-row
     #     (total events, total hours) aggregate: cardinality × 1
     "events_cusum_changepoints",
+    #   * Neyman — the |sources|-row strata table crossed with the
+    #     1-row Σ(N·σ) total: cardinality × 1
+    "corpus_neyman_allocation",
 }
 
 

@@ -397,3 +397,55 @@ def test_cusum_flags_constructed_step(spark):
     # |CUSUM| peaks at the LAST pre-shift hour (23:00)
     assert top["hour"] == "1970-01-01 23:00:00"
     assert top["cusum"] < 0  # below-mean regime accumulated
+
+
+def test_neyman_allocation_shares(spark):
+    """Shares sum to ~1 and n_alloc never exceeds the budget; a
+    constant-length stratum gets zero weight (σ = 0)."""
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 300), ("a", 500), ("b", 200), ("b", 200), ("c", 10)],
+        schema="source STRING, n_chars LONG",
+    )
+    rows = {r["source"]: r for r in CP.neyman_allocation(df, budget=1000).collect()}
+    assert rows["b"]["alloc_share"] == 0.0  # zero variance stratum
+    assert rows["c"]["alloc_share"] == 0.0  # single doc: σ = 0
+    assert rows["a"]["alloc_share"] == 1.0
+    assert sum(r["n_alloc"] for r in rows.values()) <= 1000
+
+
+def test_markov_accuracy_golden(spark):
+    """a→b twice, a→c once ⇒ modal(a) = b, accuracy(a) = 2/3."""
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    seq = ["a", "b", "a", "b", "a", "c"]
+    rows = [(i, float(i), 1, t) for i, t in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, sec DOUBLE, user_id LONG, event_type STRING"
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "timestamp_micros(CAST(sec * 1000000 AS BIGINT)) AS ts",
+    )
+    out = {r["cur_type"]: r for r in E.markov_prediction_accuracy(df).collect()}
+    assert out["a"]["modal_next"] == "b"
+    assert out["a"]["n_trans"] == 3 and out["a"]["n_hits"] == 2
+    assert out["a"]["accuracy"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["b"]["modal_next"] == "a" and out["b"]["accuracy"] == 1.0
+
+
+def test_nearest_centroid_perfect_on_separated_clusters(spark):
+    """Two well-separated synthetic label clusters classify perfectly;
+    confusion matrix is diagonal and counts partition the corpus."""
+    from twitter_followers_patterns_mapreduce_spark.operators import clustering as KM
+
+    rows = []
+    for vid in range(20):
+        label = vid % 2
+        base = 1.0 if label else -1.0
+        vec = [base + (vid % 5) * 1e-3] * 64
+        rows.append((vid, vec, label))
+    df = spark.createDataFrame(rows, schema="vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    cells = KM.nearest_centroid_eval(df).collect()
+    assert all(r["true_label"] == r["pred_label"] for r in cells)
+    assert sum(r["n"] for r in cells) == 20

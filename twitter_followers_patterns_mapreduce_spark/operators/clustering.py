@@ -764,3 +764,84 @@ SELECT bin, n,
   floor(abs({acc} - {conf}) * CAST(n AS DOUBLE) / nt * 1000000) / 1000000 AS ece_term
 FROM cells CROSS JOIN tot"""
     )
+
+
+def nearest_centroid_eval(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid (Rocchio) multiclass classifier evaluated
+    in-corpus as a confusion matrix — the supervised complement of
+    :func:`kmeans_fit` (same centroid machinery, but centroids come
+    from the LABELS) and the multiclass sibling of the binary logreg
+    family.  A centroid classifier is the cheapest possible multiclass
+    baseline over 100 TB of embeddings: training is one aggregate,
+    inference is |labels| distance expressions per row.
+
+    Exactness end-to-end in integers: elements scale to micro-BIGINT
+    (``floor(x·1e6)``, |x| ≤ 3 ⇒ |xi| ≤ 3e6); per-(label, dim)
+    centroids are exact floor-divided means (DECIMAL sum, BIGINT
+    divide); squared distances are Σ(xi − ci)² ≤ 64·(6e6)² ≈ 2.3e15 —
+    LONG-safe, so the argmin has NO float ties and the label tie-break
+    (smaller label wins) is total.  Spark-side the per-element fan is
+    a posexplode equi-joined to the |labels|·d centroid table on dim
+    (bounded dimension table, broadcasts), then one (vec, label) hash
+    agg + a row_number argmin — |V|·d·L intermediate rows, L = 8
+    bounded.  Output: (true_label, pred_label, n) confusion cells.
+    """
+    el = embeddings.select(
+        F.col("vec_id"),
+        F.col("label").cast("long").alias("true_label"),
+        F.posexplode(as_double("embedding")).alias("dim", "x"),
+    ).selectExpr(
+        "vec_id", "true_label", "dim", "CAST(floor(x * 1000000) AS BIGINT) AS xi"
+    )
+    cent = (
+        el.groupBy(F.col("true_label").alias("c_label"), F.col("dim").alias("c_dim"))
+        .agg(
+            F.sum(F.expr("CAST(xi AS DECIMAL(38,0))")).alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .selectExpr("c_label", "c_dim", "CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS ci")
+    )
+    dists = (
+        el.join(F.broadcast(cent), el["dim"] == cent["c_dim"])
+        .selectExpr(
+            "vec_id",
+            "true_label",
+            "c_label",
+            "(xi - ci) * (xi - ci) AS sq",
+        )
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(F.sum("sq").cast("long").alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    pred = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def nearest_centroid_eval_oracle() -> str:
+    return f"""WITH el AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+         CAST(i - 1 AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+  FROM embeddings, (SELECT unnest(range(1, {DIMS + 1})) AS i) dims),
+cent AS (
+  SELECT true_label AS c_label, dim AS c_dim,
+    CAST(floor(CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+  FROM el GROUP BY 1, 2),
+dists AS (
+  SELECT vec_id, true_label, c_label,
+         CAST(SUM((xi - ci) * (xi - ci)) AS BIGINT) AS d2
+  FROM el JOIN cent ON el.dim = cent.c_dim
+  GROUP BY 1, 2, 3),
+pred AS (
+  SELECT vec_id, true_label, c_label AS pred_label FROM (
+    SELECT vec_id, true_label, c_label,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rk
+    FROM dists) WHERE rk = 1)
+SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2"""

@@ -1626,3 +1626,83 @@ CROSS JOIN tot
 WHERE c_bg >= {min_count}
 ORDER BY pmi DESC, cnt_bg.t1 ASC, cnt_bg.t2 ASC
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: variance-optimal stratified sampling budgets
+# ---------------------------------------------------------------------------
+
+def neyman_allocation(df: DataFrame, budget: int = 10_000) -> DataFrame:
+    """Variance-optimal stratified sample budgets per source — Neyman
+    allocation n_h ∝ N_h·σ_h: when building an eval/held-out set from
+    a mixed corpus under a fixed labeling budget, equal or
+    proportional quotas waste budget on low-variance strata; Neyman is
+    the allocation that minimizes the stratified estimator's variance
+    (here over ``n_chars``, the cheapest length proxy).  Pairs with
+    :func:`splits.stratified_sample`, which consumes per-stratum
+    quotas exactly like these.
+
+    Scale shape: ONE map-side-combinable agg to |sources| rows, then a
+    1-row Σ(N_h·σ_h) cross (the woe shape).  Exactness: n_chars is
+    already integer, so Σx and Σx² are exact DECIMAL(38,0) sums; σ_h
+    floors to a 1e-6-grid micro-BIGINT so N_h·σ_h products and their
+    Σ are EXACT (decimal-widened N·σ products) — the allocation shares never touch an
+    order-dependent double sum.  Output: (source, n_docs, mean_chars,
+    std_chars, alloc_share, n_alloc).
+    """
+    cells = df.selectExpr("source", "CAST(n_chars AS BIGINT) AS x").groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("s2"),
+    )
+    mean = "(CAST(s1 AS DOUBLE) / n_docs)"
+    var = f"(CAST(s2 AS DOUBLE) / n_docs - {mean} * {mean})"
+    sigma_micro = (
+        f"CASE WHEN {var} > 0 THEN CAST(floor(sqrt({var}) * 1000000) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    scored = cells.selectExpr(
+        "source",
+        "n_docs",
+        f"floor({mean} * 1000000) / 1000000 AS mean_chars",
+        f"CAST(({sigma_micro}) AS DOUBLE) / 1000000 AS std_chars",
+        f"CAST(n_docs AS DECIMAL(38,0)) * ({sigma_micro}) AS w_micro",
+    )
+    tot = scored.agg(F.sum("w_micro").alias("w_tot"))
+    share = "(CAST(w_micro AS DOUBLE) / CAST(w_tot AS DOUBLE))"
+    return scored.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "mean_chars",
+        "std_chars",
+        f"floor({share} * 1000000) / 1000000 AS alloc_share",
+        f"CAST(floor({budget} * {share}) AS BIGINT) AS n_alloc",
+    )
+
+
+def neyman_allocation_oracle(budget: int = 10_000) -> str:
+    mean = "(CAST(s1 AS DOUBLE) / n_docs)"
+    var = f"(CAST(s2 AS DOUBLE) / n_docs - {mean} * {mean})"
+    sigma_micro = (
+        f"CASE WHEN {var} > 0 THEN CAST(floor(sqrt({var}) * 1000000) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    share = "(CAST(w_micro AS DOUBLE) / CAST(w_tot AS DOUBLE))"
+    return f"""WITH cells AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(CAST(n_chars AS BIGINT) AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT) AS DECIMAL(38,0))) AS s2
+  FROM documents GROUP BY 1),
+scored AS (
+  SELECT source, n_docs,
+    floor({mean} * 1000000) / 1000000 AS mean_chars,
+    CAST(({sigma_micro}) AS DOUBLE) / 1000000 AS std_chars,
+    CAST(n_docs AS DECIMAL(38,0)) * ({sigma_micro}) AS w_micro
+  FROM cells),
+tot AS (SELECT SUM(w_micro) AS w_tot FROM scored)
+SELECT source, n_docs, mean_chars, std_chars,
+  floor({share} * 1000000) / 1000000 AS alloc_share,
+  CAST(floor({budget} * {share}) AS BIGINT) AS n_alloc
+FROM scored CROSS JOIN tot"""

@@ -1647,3 +1647,86 @@ SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
   floor(CAST(cusum_h AS DOUBLE) / t_hr * 1000000) / 1000000 AS cusum,
   abs_rank
 FROM ranked WHERE abs_rank <= {k}"""
+
+
+def markov_prediction_accuracy(events: DataFrame) -> DataFrame:
+    """First-order Markov next-event prediction, evaluated in-corpus:
+    the modal next event type per current type IS the order-1 Markov
+    predictor, and its hit rate per state is the natural baseline every
+    sequence model must beat (``events_type_transitions`` counts the
+    transition matrix; this turns it into a classifier + its accuracy
+    in one plan).
+
+    Scale shape: transitions come from one per-user lag window
+    (scan-bound, partitioned by user); the modal pick is a row_number
+    over the |types|² count table; the accuracy join sends each
+    transition against the broadcast |types|-row predictor.  Ties on
+    the modal pick break by event-type string order — deterministic on
+    both engines.
+    Output: (cur_type, modal_next, n_trans, n_hits, accuracy).
+    """
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w_user).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .select("cur_type", "next_type")
+    )
+    counts = trans.groupBy("cur_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w_modal = Window.partitionBy("cur_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    modal = (
+        counts.withColumn("rk", F.row_number().over(w_modal))
+        .where(F.col("rk") == 1)
+        .select("cur_type", F.col("next_type").alias("modal_next"))
+    )
+    return (
+        trans.join(F.broadcast(modal), "cur_type")
+        .groupBy("cur_type", "modal_next")
+        .agg(
+            F.count("*").cast("long").alias("n_trans"),
+            F.sum(F.expr("CAST(next_type = modal_next AS BIGINT)"))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .selectExpr(
+            "cur_type",
+            "modal_next",
+            "n_trans",
+            "n_hits",
+            "floor(CAST(n_hits AS DOUBLE) / n_trans * 1000000) / 1000000 AS accuracy",
+        )
+    )
+
+
+MARKOV_ACCURACY_ORACLE = """WITH trans AS (
+  SELECT event_type AS cur_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS next_type
+  FROM events),
+t2 AS (SELECT cur_type, next_type FROM trans WHERE next_type IS NOT NULL),
+counts AS (
+  SELECT cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t2 GROUP BY 1, 2),
+modal AS (
+  SELECT cur_type, next_type AS modal_next FROM (
+    SELECT cur_type, next_type, n,
+      ROW_NUMBER() OVER (PARTITION BY cur_type ORDER BY n DESC, next_type ASC) AS rk
+    FROM counts) WHERE rk = 1)
+SELECT t2.cur_type, modal_next,
+  CAST(COUNT(*) AS BIGINT) AS n_trans,
+  CAST(SUM(CAST(next_type = modal_next AS BIGINT)) AS BIGINT) AS n_hits,
+  floor(CAST(SUM(CAST(next_type = modal_next AS BIGINT)) AS DOUBLE) / COUNT(*) * 1000000)
+    / 1000000 AS accuracy
+FROM t2 JOIN modal ON t2.cur_type = modal.cur_type
+GROUP BY 1, 2"""

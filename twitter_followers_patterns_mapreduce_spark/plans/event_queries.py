@@ -962,3 +962,15 @@ def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.cusum_changepoints(load_events(spark, sf_dir), k=5)
+
+
+@register(
+    "events_markov_accuracy",
+    oracle=E.MARKOV_ACCURACY_ORACLE,
+    description="order-1 Markov next-event predictor + in-corpus hit rate per state: "
+    "per-user lead window for transitions, modal pick via row_number over the "
+    "|types|^2 count table (string tie-break), broadcast predictor join — the "
+    "baseline every sequence model must beat",
+)
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.markov_prediction_accuracy(load_events(spark, sf_dir))

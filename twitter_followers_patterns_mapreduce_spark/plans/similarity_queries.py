@@ -222,3 +222,14 @@ def embedding_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.logreg_calibration(
         load_table(spark, sf_dir, "embeddings"), target_label=0, iters=3, lr=0.5, n_bins=10
     )
+
+
+@register(
+    "embedding_nearest_centroid",
+    oracle=KM.nearest_centroid_eval_oracle(),
+    description="nearest-centroid (Rocchio) multiclass eval as a confusion matrix: "
+    "one aggregate trains the |labels|*d centroid table (broadcast dim join), "
+    "distances are exact micro-BIGINT integers so the argmin has no float ties",
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.nearest_centroid_eval(load_table(spark, sf_dir, "embeddings"))

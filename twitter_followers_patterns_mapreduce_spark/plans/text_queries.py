@@ -515,3 +515,15 @@ def corpus_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.pmi_collocations(load_table(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+@register(
+    "corpus_neyman_allocation",
+    oracle=CP.neyman_allocation_oracle(budget=10_000),
+    description="Neyman variance-optimal stratified sample budgets per source "
+    "(n_h proportional to N_h*sigma_h over n_chars): one agg to |sources| rows + the 1-row "
+    "total cross; sigma floors to the micro grid so allocation weights are exact "
+    "decimals, never an order-dependent double sum",
+)
+def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.neyman_allocation(load_table(spark, sf_dir, "documents"), budget=10_000)
