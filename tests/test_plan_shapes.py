@@ -121,6 +121,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * Neyman — the |sources|-row strata table crossed with the
     #     1-row Σ(N·σ) total: cardinality × 1
     "corpus_neyman_allocation",
+    #   * trimmed mean — the 1-row exact-percentile band broadcast back
+    #     over the scan: cardinality × 1 (the target-encoding shape)
+    "lineitem_trimmed_mean",
 }
 
 

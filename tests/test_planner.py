@@ -449,3 +449,37 @@ def test_nearest_centroid_perfect_on_separated_clusters(spark):
     cells = KM.nearest_centroid_eval(df).collect()
     assert all(r["true_label"] == r["pred_label"] for r in cells)
     assert sum(r["n"] for r in cells) == 20
+
+
+def test_jl_audit_ratios_and_determinism(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import similarity as S
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    df = S.jl_projection_audit(emb)
+    rows1 = sorted(df.collect())
+    rows2 = sorted(df.collect())
+    assert rows1 == rows2  # literal sign matrix: rerun-identical
+    assert len(rows1) > 10  # the pair sample binds
+    assert all(r["within_bound"] for r in rows1 if r["within_bound"] is not None)
+    # unbiasedness shows up as ratios straddling 1
+    rts = [r["ratio"] for r in rows1 if r["ratio"] is not None]
+    assert min(rts) < 1.0 < max(rts)
+
+
+def test_trimmed_mean_robust_to_outlier(spark):
+    """One absurd outlier moves the raw mean but not the trimmed or
+    winsorized means (beyond the band clamp)."""
+    from twitter_followers_patterns_mapreduce_spark.operators import stats as ST
+
+    clean = [(float(v),) for v in range(1, 101)]  # 1..100
+    dirty = clean + [(1e9,)]
+    d_clean = ST.trimmed_mean(
+        spark.createDataFrame(clean, schema="l_extendedprice DOUBLE"), "l_extendedprice"
+    ).collect()[0]
+    d_dirty = ST.trimmed_mean(
+        spark.createDataFrame(dirty, schema="l_extendedprice DOUBLE"), "l_extendedprice"
+    ).collect()[0]
+    assert d_dirty["mean"] > 1e6  # raw mean wrecked
+    assert abs(d_dirty["trimmed_mean"] - d_clean["trimmed_mean"]) < 2.0
+    assert d_dirty["winsorized_mean"] < 110  # clamped to the p95 edge

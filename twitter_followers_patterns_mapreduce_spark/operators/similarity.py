@@ -1108,3 +1108,134 @@ SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
   ELSE 0.0 END AS std,
   MIN(x) AS min_val, MAX(x) AS max_val
 FROM el GROUP BY dim"""
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distance-preservation audit
+# ---------------------------------------------------------------------------
+
+def jl_projection_audit(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    pair_mod: int = 17,
+    bound_lo: float = 0.4,
+    bound_hi: float = 2.5,
+) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection (d → ``out_dims``)
+    with a distance-preservation audit — the DATA-INDEPENDENT
+    dimensionality sketch that complements the corpus-trained PCA
+    (``embedding_label_pca``): no fit pass, any node can project any
+    vector with just the seed, which is what a 1000-executor ingest
+    wants.  For R with ±1 entries, (1/k)·‖R(a−b)‖² is unbiased for
+    ‖a−b‖², so projected distances estimate true distances with
+    relative error ~√(1/k).
+
+    Cross-engine exactness: the sign matrix is derived from the
+    engine's md5-h64 (``sign(k, j) = ±1 by h64('k_j') parity``), and
+    elements scale to micro-BIGINT, so projected coordinates y_k =
+    Σ_j ±x_j are EXACT INTEGERS on both engines; the audited pair
+    distances (true and projected) are exact integer sums, and only
+    the final ratio is a floored double.  The audit runs on the
+    deterministic pair sample ``vec_id % pair_mod == (0, 1)``.
+
+    Scale shape: projection is k per-row integer fold expressions
+    (scan-side codegen, no shuffle, no fit); the audit joins the two
+    bounded sample sides.  Output (per sampled pair): (id_a, id_b,
+    true_d2, proj_d2_scaled, ratio, within_bound).
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    def signed_fold(k: int) -> str:
+        # Σ_j sign(k,j)·xi_j over the micro-int elements, one fold per
+        # output dim; signs resolve to literal ±1 at plan build time
+        terms = []
+        for j in range(64):
+            import hashlib
+
+            h = int(hashlib.md5(f"jl_{k}_{j}".encode()).hexdigest()[:15], 16)
+            sgn = "+" if h % 2 == 0 else "-"
+            terms.append(f"{sgn} xi[{j}]")
+        return "(" + " ".join(terms).lstrip("+ ") + ")"
+
+    base = embeddings.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi0",
+    ).selectExpr("vec_id", "xi0 AS xi")
+    proj = base.selectExpr(
+        "vec_id",
+        "xi",
+        f"array({', '.join(signed_fold(k) for k in range(out_dims))}) AS y",
+    )
+    # pair key = vec_id div pair_mod: id_a = m·mod, id_b = m·mod + 1
+    # share key m — an EQUI join, never a nested-loop inequality join
+    a = proj.where(F.expr(f"vec_id % {pair_mod} = 0")).selectExpr(
+        f"vec_id div {pair_mod} AS m", "vec_id AS id_a", "xi AS xa", "y AS ya"
+    )
+    b = proj.where(F.expr(f"vec_id % {pair_mod} = 1")).selectExpr(
+        f"vec_id div {pair_mod} AS m", "vec_id AS id_b", "xi AS xb", "y AS yb"
+    )
+    pairs = a.join(b, "m")
+    true_d2 = (
+        "aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    proj_d2 = (
+        "aggregate(zip_with(ya, yb, (p, q) -> (p - q) * (p - q)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    ratio = f"(CAST({proj_d2} AS DOUBLE) / {out_dims} / CAST({true_d2} AS DOUBLE))"
+    return pairs.selectExpr(
+        "id_a",
+        "id_b",
+        f"{true_d2} AS true_d2",
+        f"{proj_d2} AS proj_d2_scaled",
+        f"CASE WHEN {true_d2} > 0 THEN floor({ratio} * 1000000) / 1000000 END AS ratio",
+        f"CASE WHEN {true_d2} > 0 THEN {ratio} >= {bound_lo} AND {ratio} <= {bound_hi} END"
+        " AS within_bound",
+    )
+
+
+def jl_projection_audit_oracle(
+    out_dims: int = 16,
+    pair_mod: int = 17,
+    bound_lo: float = 0.4,
+    bound_hi: float = 2.5,
+) -> str:
+    import hashlib
+
+    def signed_fold(k: int, arr: str) -> str:
+        terms = []
+        for j in range(64):
+            h = int(hashlib.md5(f"jl_{k}_{j}".encode()).hexdigest()[:15], 16)
+            sgn = "+" if h % 2 == 0 else "-"
+            terms.append(f"{sgn} {arr}[{j + 1}]")
+        return "(" + " ".join(terms).lstrip("+ ") + ")"
+
+    y_a = ", ".join(signed_fold(k, "xa") for k in range(out_dims))
+    y_b = ", ".join(signed_fold(k, "xb") for k in range(out_dims))
+    true_d2 = (
+        "list_aggregate(list_transform(range(1, 65),"
+        " i -> (xa[i] - xb[i]) * (xa[i] - xb[i])), 'sum')"
+    )
+    proj_d2 = (
+        f"list_aggregate(list_transform(range(1, {out_dims + 1}),"
+        " i -> (ya[i] - yb[i]) * (ya[i] - yb[i])), 'sum')"
+    )
+    ratio = f"(CAST({proj_d2} AS DOUBLE) / {out_dims} / CAST({true_d2} AS DOUBLE))"
+    return f"""WITH base AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+  FROM embeddings),
+a AS (SELECT vec_id // {pair_mod} AS m, vec_id AS id_a, xi AS xa
+      FROM base WHERE vec_id % {pair_mod} = 0),
+b AS (SELECT vec_id // {pair_mod} AS m, vec_id AS id_b, xi AS xb
+      FROM base WHERE vec_id % {pair_mod} = 1),
+pairs AS (
+  SELECT id_a, id_b, xa, xb, [{y_a}] AS ya, [{y_b}] AS yb
+  FROM a JOIN b USING (m))
+SELECT id_a, id_b,
+  CAST({true_d2} AS BIGINT) AS true_d2,
+  CAST({proj_d2} AS BIGINT) AS proj_d2_scaled,
+  CASE WHEN {true_d2} > 0 THEN floor({ratio} * 1000000) / 1000000 END AS ratio,
+  CASE WHEN {true_d2} > 0 THEN {ratio} >= {bound_lo} AND {ratio} <= {bound_hi} END AS within_bound
+FROM pairs"""

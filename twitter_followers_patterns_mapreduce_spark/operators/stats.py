@@ -1690,3 +1690,90 @@ SELECT t_months, n_risk, n_events, n_censored,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000) / 1000000
   END AS survival
 FROM terms"""
+
+
+def trimmed_mean(df: DataFrame, value_col: str, trim: float = 0.05) -> DataFrame:
+    """Trimmed and winsorized means — the robust-location pair every
+    metrics pipeline needs next to the raw mean (one corrupt ETL batch
+    of 1e9-valued rows moves a mean arbitrarily; it moves a 5%-trimmed
+    mean almost nothing).  Trimmed = drop values outside the
+    [trim, 1−trim] exact quantile band; winsorized = CLAMP them to the
+    band edges (keeps n constant — the estimator of choice when
+    downstream weights by count).
+
+    Shape: ONE percentile aggregate (exact ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the verified bit-identical pair) broadcasts the
+    two band edges back over the scan (1-row cross, the woe shape);
+    the three means come from exact cents-BIGINT conditional sums in a
+    single second pass.  ``percentile`` buffers per-partition values —
+    fine to ~1e9 rows/partition; at 100 TB swap the band computation
+    for the bounded-memory histogram-refinement selector
+    (:func:`exact_quantiles_refine`), which the comparison contract
+    (exact quantiles) admits verbatim.  Output (1 row): n, mean,
+    trimmed_mean, winsorized_mean, lo, hi.
+    """
+    band = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x").agg(
+        F.expr(f"percentile(x, CAST({trim!r} AS DOUBLE))").alias("lo"),
+        F.expr(f"percentile(x, CAST({1 - trim!r} AS DOUBLE))").alias("hi"),
+    )
+    base = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x").crossJoin(
+        F.broadcast(band)
+    )
+    cents = "CAST(round(x * 100) AS BIGINT)"
+    lo_c = "CAST(round(lo * 100) AS BIGINT)"
+    hi_c = "CAST(round(hi * 100) AS BIGINT)"
+    wins = f"greatest(least({cents}, {hi_c}), {lo_c})"
+    agg = base.selectExpr(
+        f"{cents} AS xc",
+        f"CASE WHEN x >= lo AND x <= hi THEN {cents} END AS tc",
+        f"{wins} AS wc",
+        "lo",
+        "hi",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(xc AS DECIMAL(38,0))")).alias("s_all"),
+        F.count("tc").cast("long").alias("n_trim"),
+        F.sum(F.expr("CAST(tc AS DECIMAL(38,0))")).alias("s_trim"),
+        F.sum(F.expr("CAST(wc AS DECIMAL(38,0))")).alias("s_wins"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+    )
+    return agg.selectExpr(
+        "n",
+        "floor(CAST(s_all AS DOUBLE) / n / 100 * 1000000) / 1000000 AS mean",
+        "floor(CAST(s_trim AS DOUBLE) / n_trim / 100 * 1000000) / 1000000 AS trimmed_mean",
+        "floor(CAST(s_wins AS DOUBLE) / n / 100 * 1000000) / 1000000 AS winsorized_mean",
+        "floor(lo * 1000000) / 1000000 AS lo",
+        "floor(hi * 1000000) / 1000000 AS hi",
+    )
+
+
+def trimmed_mean_oracle(table: str, value_col: str, trim: float = 0.05) -> str:
+    cents = "CAST(round(x * 100) AS BIGINT)"
+    lo_c = "CAST(round(lo * 100) AS BIGINT)"
+    hi_c = "CAST(round(hi * 100) AS BIGINT)"
+    wins = f"greatest(least({cents}, {hi_c}), {lo_c})"
+    return f"""WITH v AS (SELECT CAST({value_col} AS DOUBLE) AS x FROM {table}),
+band AS (
+  SELECT quantile_cont(x, {trim!r}) AS lo, quantile_cont(x, {1 - trim!r}) AS hi FROM v),
+base AS (SELECT x, lo, hi FROM v CROSS JOIN band),
+cells AS (
+  SELECT {cents} AS xc,
+         CASE WHEN x >= lo AND x <= hi THEN {cents} END AS tc,
+         {wins} AS wc, lo, hi
+  FROM base),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(xc AS DECIMAL(38,0))) AS s_all,
+         CAST(COUNT(tc) AS BIGINT) AS n_trim,
+         SUM(CAST(tc AS DECIMAL(38,0))) AS s_trim,
+         SUM(CAST(wc AS DECIMAL(38,0))) AS s_wins,
+         MIN(lo) AS lo, MIN(hi) AS hi
+  FROM cells)
+SELECT n,
+  floor(CAST(s_all AS DOUBLE) / n / 100 * 1000000) / 1000000 AS mean,
+  floor(CAST(s_trim AS DOUBLE) / n_trim / 100 * 1000000) / 1000000 AS trimmed_mean,
+  floor(CAST(s_wins AS DOUBLE) / n / 100 * 1000000) / 1000000 AS winsorized_mean,
+  floor(lo * 1000000) / 1000000 AS lo,
+  floor(hi * 1000000) / 1000000 AS hi
+FROM agg"""

@@ -1009,3 +1009,14 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.basket_frequent_triples(
         load_table(spark, sf_dir, "lineitem"), modulus=53, min_support=5, k=20
     )
+
+
+@register(
+    "lineitem_trimmed_mean",
+    oracle=ST.trimmed_mean_oracle("lineitem", "l_extendedprice", trim=0.05),
+    description="robust location: 5% trimmed + winsorized means vs the raw mean — "
+    "one exact-percentile band broadcast over the scan, conditional cents-BIGINT "
+    "sums in a single second pass",
+)
+def lineitem_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.trimmed_mean(load_table(spark, sf_dir, "lineitem"), "l_extendedprice", trim=0.05)

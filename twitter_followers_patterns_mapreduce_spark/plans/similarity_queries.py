@@ -233,3 +233,15 @@ def embedding_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.nearest_centroid_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_jl_audit",
+    oracle=S.jl_projection_audit_oracle(out_dims=16, pair_mod=17),
+    description="Johnson-Lindenstrauss Rademacher projection 64->16 with a "
+    "distance-preservation audit on deterministic pairs: signs from md5-h64 parity "
+    "so projected coordinates are exact integers on both engines — the "
+    "data-independent vector sketch next to the corpus-trained PCA",
+)
+def embedding_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.jl_projection_audit(load_table(spark, sf_dir, "embeddings"))
