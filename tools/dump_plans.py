@@ -175,6 +175,17 @@ HEADLINE = [
     "doc_pmi_collocations",
     "events_cms_frequency",
     "events_multitouch_attribution",
+    "events_cms_streamed",
+    "orders_survival_km",
+    "graph_sssp_weighted",
+    "basket_frequent_triples",
+    "events_concurrency_curve",
+    "events_cusum_changepoints",
+    "corpus_neyman_allocation",
+    "events_markov_accuracy",
+    "embedding_nearest_centroid",
+    "embedding_jl_audit",
+    "lineitem_trimmed_mean",
 ]
 
 
