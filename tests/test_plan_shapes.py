@@ -124,6 +124,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * trimmed mean — the 1-row exact-percentile band broadcast back
     #     over the scan: cardinality × 1 (the target-encoding shape)
     "lineitem_trimmed_mean",
+    #   * hub attack — four 1-row summaries (totals/before/after/
+    #     isolated) combined by declared 1 × 1 crosses
+    "graph_hub_attack",
 }
 
 

@@ -483,3 +483,21 @@ def test_trimmed_mean_robust_to_outlier(spark):
     assert d_dirty["mean"] > 1e6  # raw mean wrecked
     assert abs(d_dirty["trimmed_mean"] - d_clean["trimmed_mean"]) < 2.0
     assert d_dirty["winsorized_mean"] < 110  # clamped to the p95 edge
+
+
+def test_hub_attack_golden_star_plus_chain(spark):
+    """A star (hub 0 with 5 leaves) plus a separate chain: removing the
+    hub strands the leaves as singletons; the chain survives intact."""
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+    from tests.conftest import make_edges
+
+    edges = make_edges(
+        spark,
+        [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (10, 11), (11, 12)],
+    )
+    r = GI.hub_attack_tolerance(edges, top_k=1).collect()[0]
+    assert r["n_nodes"] == 9
+    assert r["n_comp_before"] == 2 and r["giant_before"] == 6
+    # hub 0 removed: leaves 1-5 isolated, chain 10-11-12 untouched
+    assert r["n_isolated_after"] == 5
+    assert r["n_comp_after"] == 6 and r["giant_after"] == 3

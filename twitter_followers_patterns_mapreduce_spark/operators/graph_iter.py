@@ -1798,3 +1798,128 @@ walk(id, d, h) AS (
   WHERE w.h < {max_hops}
 )
 SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY id"""
+
+
+# ---------------------------------------------------------------------------
+# Hub-attack tolerance: robustness of the component structure
+# ---------------------------------------------------------------------------
+
+def hub_attack_tolerance(edges: DataFrame, top_k: int = 5, max_iter: int = 30) -> DataFrame:
+    """Targeted-attack robustness readout: remove the ``top_k``
+    highest-degree hubs and measure what happens to the component
+    structure — the scale-free-network fragility experiment (Albert,
+    Jeong & Barabási 2000: power-law graphs shrug off random failures
+    but shatter under targeted hub removal).  For a follower graph
+    this is "how much of the network's connectivity is carried by the
+    top accounts".
+
+    Composition of existing scale paths: undirected degrees (one hash
+    agg), hub pick by (degree DESC, id ASC) TakeOrdered — total-order
+    deterministic; two :func:`connected_components` runs (full and
+    hub-removed, O(log n) two-star rounds each); survivors that lost ALL
+    their edges with the hubs are counted as singleton components via
+    one anti-join count (CC only labels nodes with ≥1 edge).  The
+    before/after summaries are 1-row reduces combined by declared 1×1
+    crosses.
+
+    Output (1 row): n_nodes, n_hubs_removed, n_comp_before,
+    giant_before, n_comp_after, giant_after, n_isolated_after.
+    """
+    # materialize the (possibly expensive) edge derivation ONCE — five
+    # downstream consumers (degrees, both CC runs, kept, survivors)
+    # otherwise each re-run the scan + DISTINCT
+    edges = edges.select("src", "dst").transform(_ckpt)
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    deg = und.groupBy(F.col("a").alias("id")).agg(F.count("*").cast("long").alias("d"))
+    hubs = (
+        deg.orderBy(F.col("d").desc(), F.col("id").asc())
+        .limit(top_k)
+        .select("id")
+    )
+    nodes = deg.select("id")
+
+    def summary(e: DataFrame, prefix: str) -> DataFrame:
+        # two-star contraction, not hash-min: the sparse slice's
+        # diameter makes label propagation ~2x slower per run here
+        # (O(diameter) vs O(log n) rounds) — measured 21 s -> 12 s at
+        # sf0.1 for the pair of runs
+        comp = connected_components_twostar(e, max_iter=max_iter)
+        sizes = comp.groupBy("comp").agg(F.count("*").cast("long").alias("sz"))
+        return sizes.agg(
+            F.count("*").cast("long").alias(f"n_comp_{prefix}"),
+            F.max("sz").cast("long").alias(f"giant_{prefix}"),
+        )
+
+    before = summary(edges, "before")
+    kept = (
+        edges.join(F.broadcast(hubs), edges["src"] == hubs["id"], "left_anti")
+        .join(F.broadcast(hubs), F.col("dst") == hubs["id"], "left_anti")
+    )
+    after_conn = summary(kept, "after0")
+    survivors = nodes.join(F.broadcast(hubs), "id", "left_anti")
+    connected_after = (
+        kept.select(F.col("src").alias("id"))
+        .union(kept.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    isolated = survivors.join(connected_after, "id", "left_anti").agg(
+        F.count("*").cast("long").alias("n_isolated_after")
+    )
+    totals = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    # four 1-row reduces → three declared 1×1 crosses
+    return (
+        totals.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after_conn))
+        .crossJoin(F.broadcast(isolated))
+        .selectExpr(
+            "n_nodes",
+            f"CAST({top_k} AS BIGINT) AS n_hubs_removed",
+            "n_comp_before",
+            "giant_before",
+            "n_comp_after0 + n_isolated_after AS n_comp_after",
+            "giant_after0 AS giant_after",
+            "n_isolated_after",
+        )
+    )
+
+
+def hub_attack_tolerance_oracle(edges_cte: str, top_k: int = 5) -> str:
+    return f"""WITH RECURSIVE s AS ({edges_cte}),
+und AS (SELECT src AS a, dst AS b FROM s UNION SELECT dst, src FROM s),
+deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+hubs AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT {top_k}),
+walk(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT w.id, u.b FROM walk w JOIN und u ON w.r = u.a
+),
+comp_b AS (SELECT id, MIN(r) AS comp FROM walk GROUP BY id),
+sizes_b AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp_b GROUP BY 1),
+before AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comp_before,
+                  CAST(MAX(sz) AS BIGINT) AS giant_before FROM sizes_b),
+kept AS (
+  SELECT src, dst FROM s
+  WHERE src NOT IN (SELECT id FROM hubs) AND dst NOT IN (SELECT id FROM hubs)),
+undk AS (SELECT src AS a, dst AS b FROM kept UNION SELECT dst, src FROM kept),
+walk2(id, r) AS (
+  SELECT a, a FROM undk
+  UNION
+  SELECT w.id, u.b FROM walk2 w JOIN undk u ON w.r = u.a
+),
+comp_a AS (SELECT id, MIN(r) AS comp FROM walk2 GROUP BY id),
+sizes_a AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp_a GROUP BY 1),
+after0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comp_after0,
+                  CAST(coalesce(MAX(sz), 0) AS BIGINT) AS giant_after0 FROM sizes_a),
+survivors AS (SELECT id FROM deg WHERE id NOT IN (SELECT id FROM hubs)),
+isolated AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_isolated_after FROM survivors
+  WHERE id NOT IN (SELECT id FROM comp_a)),
+totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, CAST({top_k} AS BIGINT) AS n_hubs_removed,
+  n_comp_before, giant_before,
+  n_comp_after0 + n_isolated_after AS n_comp_after,
+  giant_after0 AS giant_after,
+  n_isolated_after
+FROM totals CROSS JOIN before CROSS JOIN after0 CROSS JOIN isolated"""

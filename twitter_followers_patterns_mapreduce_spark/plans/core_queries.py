@@ -876,3 +876,14 @@ def graph_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_sssp_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.sssp_weighted(derived_edges(spark, sf_dir), source=_BFS_SOURCE, max_hops=6)
+
+
+@register(
+    "graph_hub_attack",
+    oracle=GI.hub_attack_tolerance_oracle(_SPARSE_CTE, top_k=5),
+    description="targeted-attack robustness (Albert-Barabási): remove the 5 "
+    "highest-degree hubs, re-run components, count fragmentation + stranded "
+    "singletons — two label-propagation runs + deterministic hub TakeOrdered",
+)
+def graph_hub_attack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GI.hub_attack_tolerance(_sparse_edges(spark, sf_dir), top_k=5)
