@@ -501,3 +501,68 @@ def test_hub_attack_golden_star_plus_chain(spark):
     # hub 0 removed: leaves 1-5 isolated, chain 10-11-12 untouched
     assert r["n_isolated_after"] == 5
     assert r["n_comp_after"] == 6 and r["giant_after"] == 3
+
+
+def test_heaps_law_invariants(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    rows = sorted(CP.heaps_law_fit(docs).collect(), key=lambda r: r["prefix"])
+    assert len(rows) == 10
+    vocab = [r["vocab_cum"] for r in rows]
+    toks = [r["n_tokens_cum"] for r in rows]
+    assert vocab == sorted(vocab) and toks == sorted(toks)  # cumulative
+    # final point covers the whole corpus exactly
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
+
+    total_vocab = (
+        docs.selectExpr(f"explode({tokens_sql('text', 'spark')}) AS t").select("t").distinct().count()
+    )
+    assert vocab[-1] == total_vocab
+    # the harness corpus is generated from a FIXED 31-word pool, so the
+    # correct Heaps readout is saturation: beta ~ 0 ("fully templated")
+    assert abs(rows[0]["beta"]) < 0.05
+    assert len({r["beta"] for r in rows}) == 1  # one fit shared by all rows
+
+
+def test_heaps_law_growing_vocabulary(spark):
+    """Docs with disjoint vocabularies: V grows ~linearly in tokens, so
+    the fitted exponent approaches 1 with a near-perfect fit."""
+    from twitter_followers_patterns_mapreduce_spark.operators import corpus as CP
+
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(20)), "en", "s", 100)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        docs, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    rows = CP.heaps_law_fit(df).collect()
+    assert rows[0]["beta"] > 0.95
+    assert rows[0]["r2"] > 0.99
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    """Metronome cadence → B = −1 (zero variance); heavy-tailed gaps →
+    B > 0."""
+    from twitter_followers_patterns_mapreduce_spark.operators import events as E
+
+    rows = []
+    # user 1, type 'bot': perfectly periodic every 10 s
+    for i in range(20):
+        rows.append((i, float(i * 10), 1, "bot"))
+    # user 2, type 'human': 18 tiny gaps then one huge gap
+    t, eid = 0.0, 100
+    for i in range(19):
+        t += 1.0 if i < 18 else 10_000.0
+        rows.append((eid + i, t, 2, "human"))
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, sec DOUBLE, user_id LONG, event_type STRING"
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "timestamp_micros(CAST(sec * 1000000 AS BIGINT)) AS ts",
+    )
+    out = {r["event_type"]: r for r in E.interarrival_burstiness(df).collect()}
+    assert out["bot"]["burstiness"] == -1.0 and out["bot"]["std_gap_s"] == 0.0
+    assert out["human"]["burstiness"] > 0.5

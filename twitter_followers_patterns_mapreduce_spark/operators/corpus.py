@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
 
@@ -1706,3 +1706,135 @@ SELECT source, n_docs, mean_chars, std_chars,
   floor({share} * 1000000) / 1000000 AS alloc_share,
   CAST(floor({budget} * {share}) AS BIGINT) AS n_alloc
 FROM scored CROSS JOIN tot"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: vocabulary growth V(n) ~ k·n^beta (the dual of the Zipf screen)
+# ---------------------------------------------------------------------------
+
+def heaps_law_fit(df: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Vocabulary-growth curve + Heaps'-law fit — THE dedup/coverage
+    planning statistic (how fast does new vocabulary appear as the
+    corpus grows: β ≈ 0.5 for natural text; β near 1 screams
+    boilerplate-free unique junk, β near 0 screams duplication), the
+    corpus-growth dual of the rank-frequency Zipf screen
+    (:func:`doc_zipf_fit`).
+
+    The growth curve needs NO multi-pass rescan: docs land in
+    ``n_buckets`` deterministic h64 buckets; each token's FIRST bucket
+    (min bucket containing it) says exactly where it enters the
+    cumulative vocabulary, so V(prefix m) = Σ_{b ≤ m} first_seen(b) —
+    one distinct-token agg + a cumulative window over the bounded
+    bucket spine (the degree_gini discipline).  The β/k fit is
+    closed-form OLS on the ≤ n_buckets (ln n, ln V) points, computed
+    with window sums over the same spine; every float op identical
+    text on both engines, floored at 1e-6.
+
+    Output (n_buckets rows): (prefix, n_tokens_cum, vocab_cum, beta,
+    ln_k, r2) — fit columns repeated per row for one-query readout.
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS STRING)", "spark")
+    toks = df.selectExpr(
+        f"{h} % {n_buckets} AS bucket",
+        f"explode({tokens_sql('text', 'spark')}) AS tok",
+    )
+    per_bucket_tokens = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    first_seen = (
+        toks.groupBy("tok")
+        .agg(F.min("bucket").cast("long").alias("b0"))
+        .groupBy(F.col("b0").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("v_new"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    spine = (
+        per_bucket_tokens.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w_cum).cast("long").alias("n_tokens_cum"),
+            F.sum(F.coalesce("v_new", F.lit(0))).over(w_cum).cast("long").alias("vocab_cum"),
+        )
+        .selectExpr(
+            "bucket + 1 AS prefix",
+            "n_tokens_cum",
+            "vocab_cum",
+            "ln(CAST(n_tokens_cum AS DOUBLE)) AS lx",
+            "ln(CAST(vocab_cum AS DOUBLE)) AS ly",
+        )
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fit = spine.select(
+        "prefix",
+        "n_tokens_cum",
+        "vocab_cum",
+        "lx",
+        "ly",
+        F.count("*").over(w_all).alias("np"),
+        F.sum("lx").over(w_all).alias("sx"),
+        F.sum("ly").over(w_all).alias("sy"),
+        F.sum(F.expr("lx * lx")).over(w_all).alias("sxx"),
+        F.sum(F.expr("lx * ly")).over(w_all).alias("sxy"),
+        F.sum(F.expr("ly * ly")).over(w_all).alias("syy"),
+    )
+    beta = "((np * sxy - sx * sy) / (np * sxx - sx * sx))"
+    lnk = f"((sy - {beta} * sx) / np)"
+    r2 = (
+        f"((np * sxy - sx * sy) * (np * sxy - sx * sy)"
+        f" / ((np * sxx - sx * sx) * (np * syy - sy * sy)))"
+    )
+    return fit.selectExpr(
+        "prefix",
+        "n_tokens_cum",
+        "vocab_cum",
+        f"floor({beta} * 1000000) / 1000000 AS beta",
+        f"floor({lnk} * 1000000) / 1000000 AS ln_k",
+        f"floor({r2} * 1000000) / 1000000 AS r2",
+    )
+
+
+def heaps_law_fit_oracle(n_buckets: int = 10) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    toks = tokens_sql("text", "duckdb")
+    beta = "((np * sxy - sx * sy) / (np * sxx - sx * sx))"
+    lnk = f"((sy - {beta} * sx) / np)"
+    r2 = (
+        f"((np * sxy - sx * sy) * (np * sxy - sx * sy)"
+        f" / ((np * sxx - sx * sx) * (np * syy - sy * sy)))"
+    )
+    return f"""WITH toks AS (
+  SELECT {h} % {n_buckets} AS bucket, unnest({toks}) AS tok FROM documents),
+pbt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+fs AS (
+  SELECT b0 AS bucket, CAST(COUNT(*) AS BIGINT) AS v_new FROM (
+    SELECT tok, CAST(MIN(bucket) AS BIGINT) AS b0 FROM toks GROUP BY 1)
+  GROUP BY 1),
+spine AS (
+  SELECT pbt.bucket + 1 AS prefix,
+    CAST(SUM(n_tok) OVER w AS BIGINT) AS n_tokens_cum,
+    CAST(SUM(coalesce(v_new, 0)) OVER w AS BIGINT) AS vocab_cum
+  FROM pbt LEFT JOIN fs ON pbt.bucket = fs.bucket
+  WINDOW w AS (ORDER BY pbt.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+pts AS (
+  SELECT prefix, n_tokens_cum, vocab_cum,
+         ln(CAST(n_tokens_cum AS DOUBLE)) AS lx,
+         ln(CAST(vocab_cum AS DOUBLE)) AS ly
+  FROM spine),
+fit AS (
+  SELECT prefix, n_tokens_cum, vocab_cum, lx, ly,
+    COUNT(*) OVER wa AS np, SUM(lx) OVER wa AS sx, SUM(ly) OVER wa AS sy,
+    SUM(lx * lx) OVER wa AS sxx, SUM(lx * ly) OVER wa AS sxy,
+    SUM(ly * ly) OVER wa AS syy
+  FROM pts
+  WINDOW wa AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT prefix, n_tokens_cum, vocab_cum,
+  floor({beta} * 1000000) / 1000000 AS beta,
+  floor({lnk} * 1000000) / 1000000 AS ln_k,
+  floor({r2} * 1000000) / 1000000 AS r2
+FROM fit"""

@@ -1730,3 +1730,71 @@ SELECT t2.cur_type, modal_next,
     / 1000000 AS accuracy
 FROM t2 JOIN modal ON t2.cur_type = modal.cur_type
 GROUP BY 1, 2"""
+
+
+def interarrival_burstiness(events: DataFrame) -> DataFrame:
+    """Per-event-type inter-arrival statistics + the Goh-Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ) of the within-user gap
+    distribution — the temporal-texture screen (B → −1 periodic/bot
+    cadence, B ≈ 0 Poisson/organic, B → 1 bursty sessions) that
+    complements the volume-based anomaly ops: a scraper with PERFECTLY
+    average volume still shows machine cadence here.
+
+    Scale shape: gaps come from ONE per-(user, type) lag window
+    (scan-bound, partitioned); everything after is a |types|-row
+    exact-moment reduce — gaps are integer micro-seconds, Σg and Σg²
+    are exact DECIMAL(38,0), so μ/σ/B are the house closed-form
+    doubles (zero-variance CASE-guarded) floored at 1e-6.
+    Output (|types| rows): (event_type, n_gaps, mean_gap_s, std_gap_s,
+    burstiness).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    t = F.unix_micros(F.col("ts"))
+    gaps = (
+        events.select(
+            "event_type", (t - F.lag(t).over(w)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("s2"),
+    )
+    mean = "(CAST(s1 AS DOUBLE) / n_gaps)"
+    var = f"(CAST(s2 AS DOUBLE) / n_gaps - {mean} * {mean})"
+    sd = f"sqrt({var})"
+    return agg.selectExpr(
+        "event_type",
+        "n_gaps",
+        f"floor({mean} / 1000000 * 1000000) / 1000000 AS mean_gap_s",
+        f"CASE WHEN {var} > 0 THEN floor({sd} / 1000000 * 1000000) / 1000000"
+        " ELSE 0.0 END AS std_gap_s",
+        f"CASE WHEN {var} > 0 THEN"
+        f" floor(({sd} - {mean}) / ({sd} + {mean}) * 1000000) / 1000000"
+        " WHEN n_gaps > 0 THEN -1.0 END AS burstiness",
+    )
+
+
+INTERARRIVAL_BURSTINESS_ORACLE = """WITH gaps AS (
+  SELECT event_type,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+      ORDER BY ts ASC, event_id ASC) AS g
+  FROM events),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(g AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(g AS DECIMAL(38,0)) * g) AS s2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps,
+  floor((CAST(s1 AS DOUBLE) / n_gaps) / 1000000 * 1000000) / 1000000 AS mean_gap_s,
+  CASE WHEN (CAST(s2 AS DOUBLE) / n_gaps - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps)) > 0
+       THEN floor(sqrt(CAST(s2 AS DOUBLE) / n_gaps - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps)) / 1000000 * 1000000) / 1000000
+       ELSE 0.0 END AS std_gap_s,
+  CASE WHEN (CAST(s2 AS DOUBLE) / n_gaps - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps)) > 0
+       THEN floor((sqrt(CAST(s2 AS DOUBLE) / n_gaps - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps)) - (CAST(s1 AS DOUBLE) / n_gaps))
+                  / (sqrt(CAST(s2 AS DOUBLE) / n_gaps - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps)) + (CAST(s1 AS DOUBLE) / n_gaps)) * 1000000) / 1000000
+       WHEN n_gaps > 0 THEN -1.0 END AS burstiness
+FROM agg"""

@@ -974,3 +974,15 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.markov_prediction_accuracy(load_events(spark, sf_dir))
+
+
+@register(
+    "events_burstiness",
+    oracle=E.INTERARRIVAL_BURSTINESS_ORACLE,
+    description="Goh-Barabasi burstiness B=(sigma-mu)/(sigma+mu) of within-user "
+    "inter-arrival gaps per event type (bot-cadence vs organic-session screen): "
+    "one lag window + a |types|-row exact-moment reduce over micro-second BIGINT "
+    "gaps",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.interarrival_burstiness(load_events(spark, sf_dir))

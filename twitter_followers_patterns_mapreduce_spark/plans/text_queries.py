@@ -527,3 +527,15 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.neyman_allocation(load_table(spark, sf_dir, "documents"), budget=10_000)
+
+
+@register(
+    "doc_heaps_law",
+    oracle=CP.heaps_law_fit_oracle(n_buckets=10),
+    description="Heaps'-law vocabulary growth V(n)~k*n^beta, the corpus-growth dual "
+    "of the Zipf screen: token first-seen buckets make the growth curve ONE "
+    "distinct agg + a bounded-spine cumsum (no multi-pass rescans); closed-form OLS "
+    "fit over the <=10 (ln n, ln V) points",
+)
+def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.heaps_law_fit(load_table(spark, sf_dir, "documents"), n_buckets=10)
