@@ -186,6 +186,9 @@ HEADLINE = [
     "embedding_nearest_centroid",
     "embedding_jl_audit",
     "lineitem_trimmed_mean",
+    "graph_hub_attack",
+    "doc_heaps_law",
+    "events_burstiness",
 ]
 
 
