@@ -1496,13 +1496,17 @@ def concurrency_curve(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFr
     t = F.unix_micros(F.col("ts"))
     flagged = events.select(
         "user_id",
+        "event_id",
         t.alias("t_us"),
         F.when(t - F.lag(t).over(w_user) > gap_us, 1).otherwise(0).alias("new_session"),
     ).withColumn(
+        # event_id tie-break matches sessionize: duplicate (user_id, ts)
+        # rows must prefix-sum in a deterministic order or session
+        # bounds become order-dependent
         "session_seq",
         F.sum("new_session").over(
             Window.partitionBy("user_id")
-            .orderBy(F.col("t_us").asc())
+            .orderBy(F.col("t_us").asc(), F.col("event_id").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
@@ -1544,13 +1548,13 @@ def concurrency_curve(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFr
 
 def concurrency_curve_oracle(gap_us: int = SESSION_GAP_US) -> str:
     return f"""WITH flagged AS (
-  SELECT user_id, epoch_us(ts) AS t_us,
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
 sessioned AS (
   SELECT user_id, t_us,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us ASC
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged),
 bounds AS (

@@ -1849,7 +1849,10 @@ def hub_attack_tolerance(edges: DataFrame, top_k: int = 5, max_iter: int = 30) -
         sizes = comp.groupBy("comp").agg(F.count("*").cast("long").alias("sz"))
         return sizes.agg(
             F.count("*").cast("long").alias(f"n_comp_{prefix}"),
-            F.max("sz").cast("long").alias(f"giant_{prefix}"),
+            # coalesce: hub removal can strip EVERY edge (small graph /
+            # large top_k), and max over zero rows is NULL — both
+            # engines must emit 0 for the empty component set
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias(f"giant_{prefix}"),
         )
 
     before = summary(edges, "before")
@@ -1898,7 +1901,7 @@ walk(id, r) AS (
 comp_b AS (SELECT id, MIN(r) AS comp FROM walk GROUP BY id),
 sizes_b AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp_b GROUP BY 1),
 before AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comp_before,
-                  CAST(MAX(sz) AS BIGINT) AS giant_before FROM sizes_b),
+                  CAST(coalesce(MAX(sz), 0) AS BIGINT) AS giant_before FROM sizes_b),
 kept AS (
   SELECT src, dst FROM s
   WHERE src NOT IN (SELECT id FROM hubs) AND dst NOT IN (SELECT id FROM hubs)),

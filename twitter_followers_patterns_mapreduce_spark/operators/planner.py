@@ -253,14 +253,18 @@ def join_universe_sample_estimate(
     )
     # 1 × 1 declared cross: sampled reduce × exact reduce (gate shape)
     both = sampled.crossJoin(F.broadcast(exact))
-    factor = 100 // pct
+    # 100.0/pct, not 100//pct: integer division silently biases the
+    # estimate low for pct not dividing 100 (15 -> x6 instead of x6.67);
+    # IEEE double math + explicit floor is bit-identical cross-engine
+    factor = f"* 100.0 / {pct}"
     err = (
-        f"abs(CAST(coalesce(_samp_dec, 0) AS DOUBLE) * {factor}"
+        f"abs(CAST(coalesce(_samp_dec, 0) AS DOUBLE) {factor}"
         " - CAST(_exact_dec AS DOUBLE)) / CAST(_exact_dec AS DOUBLE)"
     )
     return both.selectExpr(
         "CAST(coalesce(_samp_dec, 0) AS BIGINT) AS sampled_join_rows",
-        f"CAST(coalesce(_samp_dec, 0) * {factor} AS BIGINT) AS scaled_estimate",
+        f"CAST(floor(CAST(coalesce(_samp_dec, 0) AS DOUBLE) {factor}) AS BIGINT)"
+        " AS scaled_estimate",
         "CAST(coalesce(_exact_dec, 0) AS BIGINT) AS exact_join_rows",
         f"CASE WHEN coalesce(_exact_dec, 0) > 0 THEN floor({err} {_F6} END AS abs_rel_err",
         f"CASE WHEN coalesce(_exact_dec, 0) > 0 THEN {err} <= {bound} END AS within_bound",
@@ -277,9 +281,9 @@ def join_universe_sample_oracle(
 ) -> str:
     h_l = h64_sql(f"CAST(CAST({left_key} AS BIGINT) AS VARCHAR)", "duckdb")
     h_r = h64_sql(f"CAST(CAST({right_key} AS BIGINT) AS VARCHAR)", "duckdb")
-    factor = 100 // pct
+    factor = f"* 100.0 / {pct}"
     err = (
-        f"abs(CAST(coalesce(_samp_dec, 0) AS DOUBLE) * {factor}"
+        f"abs(CAST(coalesce(_samp_dec, 0) AS DOUBLE) {factor}"
         " - CAST(_exact_dec AS DOUBLE)) / CAST(_exact_dec AS DOUBLE)"
     )
     return f"""WITH sl AS (
@@ -301,7 +305,7 @@ ex AS (
   SELECT SUM(CAST(cl AS DECIMAL(38,0)) * cr) AS _exact_dec
   FROM el JOIN er ON el.k = er.k)
 SELECT CAST(coalesce(_samp_dec, 0) AS BIGINT) AS sampled_join_rows,
-  CAST(coalesce(_samp_dec, 0) * {factor} AS BIGINT) AS scaled_estimate,
+  CAST(floor(CAST(coalesce(_samp_dec, 0) AS DOUBLE) {factor}) AS BIGINT) AS scaled_estimate,
   CAST(coalesce(_exact_dec, 0) AS BIGINT) AS exact_join_rows,
   CASE WHEN coalesce(_exact_dec, 0) > 0 THEN floor({err} {_F6} END AS abs_rel_err,
   CASE WHEN coalesce(_exact_dec, 0) > 0 THEN {err} <= {bound} END AS within_bound

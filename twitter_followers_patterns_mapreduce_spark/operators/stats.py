@@ -1447,7 +1447,7 @@ FROM m"""
 def cms_frequency_profile(
     df: DataFrame,
     key_col: str,
-    w: int = None,
+    w: int | None = None,
     k: int = 10,
 ) -> DataFrame:
     """Count-min-sketch frequency profile — the third mergeable-sketch
@@ -1484,7 +1484,9 @@ def cms_frequency_profile(
         h64_sql,
     )
 
-    w = w or CMS_WIDTH
+    if w is not None and w <= 0:
+        raise ValueError(f"CMS width must be positive, got {w}")
+    w = w if w is not None else CMS_WIDTH
     h = h64_sql(f"CAST(CAST({key_col} AS BIGINT) AS STRING)", "spark")
     keyed = df.selectExpr(f"CAST({key_col} AS BIGINT) AS key", f"{h} AS h")
     stack_args = ", ".join(
@@ -1538,7 +1540,7 @@ def cms_probe_readout(cells: DataFrame, keyed: DataFrame, w: int, k: int) -> Dat
 def cms_frequency_profile_oracle(
     table: str,
     key_col: str,
-    w: int = None,
+    w: int | None = None,
     k: int = 10,
 ) -> str:
     from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
@@ -1548,7 +1550,9 @@ def cms_frequency_profile_oracle(
         h64_sql,
     )
 
-    w = w or CMS_WIDTH
+    if w is not None and w <= 0:
+        raise ValueError(f"CMS width must be positive, got {w}")
+    w = w if w is not None else CMS_WIDTH
     h = h64_sql(f"CAST(CAST({key_col} AS BIGINT) AS VARCHAR)", "duckdb")
     cell_arms = "\n  UNION ALL\n".join(
         f"  SELECT {j} AS j, {cms_bucket_sql('h', j, w)} AS bucket FROM keyed"
