@@ -458,3 +458,53 @@ def test_bucket_pairs_hot_bucket_fallback_is_lossless(spark):
     uncapped = {(r["da"], r["db"]) for r in _bucket_pairs(keyed, ["key"]).collect()}
     assert capped == expected
     assert uncapped == expected
+
+
+# ---------------------------------------------------------------------------
+# Sampled LSH recall audit (the registered scale path)
+# ---------------------------------------------------------------------------
+
+def test_lsh_recall_sampled_equals_audit_of_hash_slice(spark):
+    """The sampled audit must be EXACTLY the full audit run on the
+    h64(doc_id)%100 < pct slice — the sample is applied before both
+    paths, so the two compositions are the same computation."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        lsh_recall_audit,
+        lsh_recall_audit_sampled,
+    )
+    from pyspark.sql import functions as F
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text if i % 3 else text + f" tail{i}") for i in range(40)],
+        schema="doc_id LONG, text STRING",
+    )
+    got = lsh_recall_audit_sampled(docs, pct=50, threshold=0.5).collect()[0]
+    h = h64_sql("cast(doc_id as string)", "spark")
+    sliced = docs.where(F.expr(f"{h} % 100 < 50"))
+    want = lsh_recall_audit(sliced, threshold=0.5).collect()[0]
+    assert got["n_docs_sampled"] == sliced.count()
+    assert 0 < got["n_docs_sampled"] < 40  # the sample actually bites
+    for c in ("n_truth", "n_found", "n_missed", "recall"):
+        assert got[c] == want[c]
+
+
+def test_lsh_recall_sampled_pct100_is_full_audit(spark):
+    """pct=100 keeps every doc — the sampled form degenerates to the
+    full-corpus audit (the anchor the scale path must agree with)."""
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        lsh_recall_audit,
+        lsh_recall_audit_sampled,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text + (f" t{i}" if i % 2 else "")) for i in range(12)],
+        schema="doc_id LONG, text STRING",
+    )
+    got = lsh_recall_audit_sampled(docs, pct=100, threshold=0.5).collect()[0]
+    want = lsh_recall_audit(docs, threshold=0.5).collect()[0]
+    assert got["n_docs_sampled"] == 12
+    for c in ("n_truth", "n_found", "n_missed", "recall"):
+        assert got[c] == want[c]

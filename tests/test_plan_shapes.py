@@ -103,6 +103,9 @@ ALLOWED_BRUTE_FORCE = {
     #     cardinality × 1 / 1 × 1; the fact tables feed only hash aggs
     "join_skew_planner",
     "join_universe_sample",
+    #   * sampled recall audit — the 1-row sampled-doc count crossed
+    #     with the 1-row audit reduce: 1 × 1, both global reduces
+    "dedup_lsh_recall_sampled",
     #   * calibration — the ≤10-bin cell table crossed with the 1-row
     #     total (the woe/psi shape); scoring itself is scan-side
     "embedding_logreg_calibration",

@@ -455,6 +455,30 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert se / 3 < half < se * 3 * 1.96
 
 
+def test_bootstrap_ci_key_col_breaks_value_clusters(spark):
+    """With key_col, rows sharing a VALUE draw independent Poisson
+    weights.  On a two-valued column the value-hash form degenerates to
+    a cluster bootstrap over two draws (grossly wide CI); the keyed
+    form concentrates per the CLT — its CI must be strictly tighter and
+    still nonzero, and it must replay deterministically."""
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, 0.0 if i % 2 else 10.0) for i in range(1, 401)],
+        schema="k LONG, x DOUBLE",
+    )
+    (keyed,) = bootstrap_mean_ci(df, "x", key_col="k").collect()
+    (clustered,) = bootstrap_mean_ci(df, "x").collect()
+    assert keyed["n"] == clustered["n"] == 400
+    kw = keyed["ci_hi"] - keyed["ci_lo"]
+    cw = clustered["ci_hi"] - clustered["ci_lo"]
+    assert 0 < kw < cw
+    # keyed width tracks sigma/sqrt(n) = 5/20 = 0.25 (loose bounds)
+    assert 0.25 / 3 < kw / 2 / 1.96 * 2 < 0.25 * 6
+    (again,) = bootstrap_mean_ci(df, "x", key_col="k").collect()
+    assert (again["ci_lo"], again["ci_hi"]) == (keyed["ci_lo"], keyed["ci_hi"])
+
+
 def test_grouped_ols_matches_numpy_per_group(spark):
     import numpy as np
 

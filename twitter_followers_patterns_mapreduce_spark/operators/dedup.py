@@ -273,7 +273,9 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
+def minhash_lsh_pairs_oracle(
+    threshold: float = 0.5, n_shingle: int = 3, table: str = "documents"
+) -> str:
     """DuckDB oracle reproducing minhash_lsh_pairs bit-for-bit."""
     sh = _shingle_expr("duckdb", n=n_shingle)
     sig_exprs = ",\n    ".join(
@@ -290,7 +292,7 @@ def minhash_lsh_pairs_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
         for k in range(LSH_BANDS)
     )
     return f"""WITH sh AS (
-  SELECT doc_id, {sh} AS s FROM documents
+  SELECT doc_id, {sh} AS s FROM {table}
 ), sh2 AS (
   SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
 ), hashed AS (
@@ -485,10 +487,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_oracle(threshold: float = 0.5, n_shingle: int = 3) -> str:
+def ngram_jaccard_pairs_oracle(
+    threshold: float = 0.5, n_shingle: int = 3, table: str = "documents"
+) -> str:
     sh = _shingle_expr("duckdb", n=n_shingle)
     return f"""WITH sh AS (
-  SELECT doc_id, {sh} AS s FROM documents
+  SELECT doc_id, {sh} AS s FROM {table}
 ), sized AS (
   SELECT doc_id, len(s) AS n, s FROM sh WHERE len(s) > 0
 ), postings AS (
@@ -1253,3 +1257,66 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
          floor(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
        END AS recall
 FROM joined"""
+
+
+def lsh_recall_audit_sampled(
+    documents: DataFrame,
+    pct: int = 25,
+    threshold: float = 0.5,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Sample-bounded form of :func:`lsh_recall_audit` — THE registered
+    scale path for the recall gate.  The full-corpus audit inherits the
+    exact truth's Σdf² posting expansion on BOTH sides (measured 48×
+    growth per 10× docs, SCALE.md), so at 100 TB the contract is:
+    hash-mod the doc_id to a deterministic ``pct``% corpus sample
+    BEFORE both the LSH path and the exact-truth path, then run the
+    identical audit on the slice.  Recall is a per-pair property and
+    the h64 sample is key-uniform, so the sampled recall estimates the
+    corpus recall unbiasedly while the audit's cost is bounded by the
+    sample, not the corpus (cost shrinks ~pct² on the quadratic truth
+    side).  Same h64-mod discipline as ``assign_split`` — the sample is
+    reproducible in any engine, which is what lets the oracle replay it.
+
+    The full-corpus form stays registered as the gate-scale exact
+    anchor; this is the form a 100 TB run schedules.
+
+    Output (1 row): n_docs_sampled, n_truth, n_found, n_missed, recall.
+    """
+    h = h64_sql("cast(doc_id as string)", "spark")
+    sampled = documents.where(F.expr(f"{h} % 100 < {pct}"))
+    audit = lsh_recall_audit(sampled, threshold, n_shingle)
+    n = sampled.agg(F.count("*").cast("long").alias("n_docs_sampled"))
+    # 1 × 1 declared cross: doc-count reduce × audit reduce (gate shape)
+    return n.crossJoin(F.broadcast(audit)).select(
+        "n_docs_sampled", "n_truth", "n_found", "n_missed", "recall"
+    )
+
+
+def lsh_recall_audit_sampled_oracle(
+    pct: int = 25, threshold: float = 0.5, n_shingle: int = 3
+) -> str:
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    truth = ngram_jaccard_pairs_oracle(threshold, n_shingle, table="docs_s")
+    found = minhash_lsh_pairs_oracle(threshold, n_shingle, table="docs_s")
+    return f"""WITH docs_s AS (
+  SELECT * FROM documents WHERE {h} % 100 < {pct}
+), truth AS (
+  SELECT doc_a, doc_b FROM ({truth})
+), found AS (
+  SELECT doc_a, doc_b, 1 AS hit FROM ({found})
+), joined AS (
+  SELECT t.doc_a, t.doc_b, COALESCE(f.hit, 0) AS hit
+  FROM truth t LEFT JOIN found f
+    ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+), audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(SUM(hit) AS BIGINT) AS n_found,
+         CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_missed,
+         CASE WHEN COUNT(*) = 0 THEN 1.0 ELSE
+           floor(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+         END AS recall
+  FROM joined
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_sampled FROM docs_s)
+SELECT n_docs_sampled, n_truth, n_found, n_missed, recall
+FROM n CROSS JOIN audit"""

@@ -1235,7 +1235,11 @@ _POISSON1_THRESHOLDS = (367879, 735758, 919698, 981011)
 
 
 def bootstrap_mean_ci(
-    df: DataFrame, value_col: str, n_replicas: int = 32, scale: int = 100
+    df: DataFrame,
+    value_col: str,
+    n_replicas: int = 32,
+    scale: int = 100,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Poisson-bootstrap confidence interval for a column mean — THE
     scale-out bootstrap (each row independently drawn Poisson(1) times
@@ -1275,6 +1279,15 @@ def bootstrap_mean_ci(
     explode — it was B md5s per row (48M at sf1); hashing once and
     permuting B× removes 97% of that.  Fan rows cost ~10 long ops each
     and never materialize beyond the pipeline buffer, at any scale.
+
+    Row identity: the hash seeds each row's draws, so it must be
+    row-UNIQUE — pass ``key_col`` (orders → ``o_orderkey``) and the
+    draw hashes key:value (value as tiebreak only).  Without a key the
+    hash falls back to the value alone, which makes duplicated values
+    draw IDENTICAL weights in every replica — a cluster bootstrap at
+    value granularity that degenerates on low-cardinality columns
+    (fine on mostly-distinct ones); callers with any unique key should
+    always pass it.
     Output: (n, n_replicas, mean, ci_lo, ci_hi) at 2.5/97.5%.
     """
     t = _POISSON1_THRESHOLDS
@@ -1285,7 +1298,12 @@ def bootstrap_mean_ci(
     )
 
     coeffs = minhash_coeffs(n_replicas)
-    h = h64_sql("CAST(x6 AS STRING)", "spark")
+    seed = (
+        f"CONCAT(CAST({key_col} AS STRING), ':', CAST(x6 AS STRING))"
+        if key_col is not None
+        else "CAST(x6 AS STRING)"
+    )
+    h = h64_sql("seed", "spark")
     vals = ", ".join(
         f"named_struct('b', {b}, 'a', CAST({a} AS BIGINT), 'c', CAST({c} AS BIGINT))"
         for b, (a, c) in enumerate(coeffs)
@@ -1295,7 +1313,11 @@ def bootstrap_mean_ci(
         f"WHEN u < {t[2]} THEN 2 WHEN u < {t[3]} THEN 3 ELSE 4 END"
     )
     rep = (
-        df.selectExpr(f"CAST(round({value_col} * {scale}) AS BIGINT) AS x6")
+        df.selectExpr(
+            f"CAST(round({value_col} * {scale}) AS BIGINT) AS x6",
+            *( [f"{key_col}"] if key_col is not None else [] ),
+        )
+        .selectExpr("x6", f"{seed} AS seed")
         .selectExpr("x6", f"{h} % {P_MERSENNE_31} AS hp")
         .selectExpr("x6", "hp", f"inline(array({vals}))")
         .selectExpr("x6", "b", f"((a * hp + c) % {P_MERSENNE_31}) % 1000000 AS u")
@@ -1332,7 +1354,11 @@ def bootstrap_mean_ci(
 
 
 def bootstrap_mean_ci_oracle(
-    table: str, value_col: str, n_replicas: int = 32, scale: int = 100
+    table: str,
+    value_col: str,
+    n_replicas: int = 32,
+    scale: int = 100,
+    key_col: str | None = None,
 ) -> str:
     from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
 
@@ -1346,13 +1372,20 @@ def bootstrap_mean_ci_oracle(
         minhash_coeffs,
     )
 
-    h = h64_sql("CAST(x6 AS VARCHAR)", "duckdb")
+    seed = (
+        f"CAST({key_col} AS VARCHAR) || ':' || CAST(x6 AS VARCHAR)"
+        if key_col is not None
+        else "CAST(x6 AS VARCHAR)"
+    )
+    h = h64_sql("seed", "duckdb")
     vals = ", ".join(
         f"({b}, {a}, {c})" for b, (a, c) in enumerate(minhash_coeffs(n_replicas))
     )
+    key_sel = f", {key_col}" if key_col is not None else ""
     return f"""WITH v AS (
-  SELECT CAST(round({value_col} * {scale}) AS BIGINT) AS x6 FROM {table}),
-hv AS (SELECT x6, ({h}) % {P_MERSENNE_31} AS hp FROM v),
+  SELECT CAST(round({value_col} * {scale}) AS BIGINT) AS x6{key_sel} FROM {table}),
+vs AS (SELECT x6, {seed} AS seed FROM v),
+hv AS (SELECT x6, ({h}) % {P_MERSENNE_31} AS hp FROM vs),
 co AS (SELECT * FROM (VALUES {vals}) vals(b, a, c)),
 u AS (
   SELECT x6, b, ((a * hp + c) % {P_MERSENNE_31}) % 1000000 AS u

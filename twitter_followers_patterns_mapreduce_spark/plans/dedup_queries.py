@@ -197,3 +197,18 @@ def doc_exact_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_recall_audit(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_lsh_recall_sampled",
+    oracle=D.lsh_recall_audit_sampled_oracle(pct=25, threshold=0.5),
+    description="the recall audit's registered SCALE path: hash-mod doc_id to a "
+    "deterministic 25% corpus sample BEFORE both the LSH and exact-truth paths — "
+    "recall is a per-pair property so the uniform sample estimates it unbiasedly, "
+    "while the quadratic truth side shrinks ~pct^2; the full-corpus form stays as "
+    "the gate-scale exact anchor",
+)
+def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_recall_audit_sampled(
+        load_table(spark, sf_dir, "documents"), pct=25, threshold=0.5
+    )

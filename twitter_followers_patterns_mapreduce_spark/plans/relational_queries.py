@@ -749,14 +749,17 @@ def part_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_bootstrap_ci",
-    oracle=ST.bootstrap_mean_ci_oracle("orders", "o_totalprice"),
+    oracle=ST.bootstrap_mean_ci_oracle("orders", "o_totalprice", key_col="o_orderkey"),
     description="deterministic Poisson-bootstrap 95% CI for the mean total price: "
-    "per-(row, replica) weight = h64 content hash through the Poisson(1) inverse "
-    "CDF (one-pass streaming bootstrap, no resample shuffles, rerun/retry/oracle "
-    "identical), 32 exact integer replica aggregates, type-7 percentile bounds",
+    "per-(row, replica) weight = h64 ROW-IDENTITY hash (o_orderkey:value — duplicate "
+    "values draw independently) through the Poisson(1) inverse CDF (one-pass "
+    "streaming bootstrap, no resample shuffles, rerun/retry/oracle identical), "
+    "32 exact integer replica aggregates, type-7 percentile bounds",
 )
 def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ST.bootstrap_mean_ci(load_table(spark, sf_dir, "orders"), "o_totalprice")
+    return ST.bootstrap_mean_ci(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", key_col="o_orderkey"
+    )
 
 
 @register(
