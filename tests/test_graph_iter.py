@@ -582,3 +582,50 @@ def test_ckpt_severs_plan_history_flat_cost_over_deep_chain(spark):
         alive = surv.select("v")
         assert alive.count() == 9  # K9: nothing ever peels at k=2
     assert time.time() - t0 < 120.0
+
+
+def test_ckpt_fast_path_engages_on_this_spark(spark):
+    """The bare-LogicalRDD rebuild must actually run on the pinned
+    Spark version — if the private internalCreateDataFrame API drifts,
+    this fails instead of every >=17-pass chain silently re-hitting the
+    exponential localCheckpoint wall."""
+    import warnings as _w
+
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+
+    df = spark.range(8).selectExpr("id AS a", "id * 2 AS b").where("a >= 0")
+    before = GI._CKPT_FAST_PATH_USES
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = GI._ckpt(df)
+    assert GI._CKPT_FAST_PATH_USES == before + 1
+    assert not [c for c in caught if issubclass(c.category, RuntimeWarning)]
+    # values survive the rebuild byte-identically
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == [
+        (i, 2 * i) for i in range(8)
+    ]
+
+
+def test_ckpt_fallback_warns_loudly_once(spark, monkeypatch):
+    """API drift must be LOUD: when the private method is gone, _ckpt
+    still returns correct rows but emits one RuntimeWarning per
+    process naming the exponential cost it can no longer remove."""
+    import warnings as _w
+
+    from twitter_followers_patterns_mapreduce_spark.operators import graph_iter as GI
+
+    class _NoPrivateApi:
+        def __getattr__(self, name):  # internalCreateDataFrame lookup fails
+            raise AttributeError(name)
+
+    df = spark.range(5).selectExpr("id AS a")
+    monkeypatch.setattr(spark, "_jsparkSession", _NoPrivateApi())
+    monkeypatch.setattr(GI, "_CKPT_FALLBACK_WARNED", False)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = GI._ckpt(df)
+        GI._ckpt(df)  # second call: warned flag suppresses the repeat
+    warns = [c for c in caught if issubclass(c.category, RuntimeWarning)]
+    assert len(warns) == 1
+    assert "localCheckpoint" in str(warns[0].message)
+    assert sorted(r["a"] for r in out.collect()) == [0, 1, 2, 3, 4]

@@ -33,11 +33,19 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: decimal type used for the order-independent rank reduction
 _DEC = "decimal(28,12)"
+
+#: fast-path instrumentation: count of successful bare-LogicalRDD
+#: rebuilds (pinned by test — a Spark upgrade that drops the private
+#: API must fail loudly, not silently re-hit the exponential wall)
+_CKPT_FAST_PATH_USES = 0
+_CKPT_FALLBACK_WARNED = False
 
 
 def _ckpt(df: DataFrame) -> DataFrame:
@@ -66,15 +74,30 @@ def _ckpt(df: DataFrame) -> DataFrame:
     buy back.
 
     The bare-rebuild path touches one ``private[sql]`` JVM method, so it
-    degrades gracefully to the plain form if the API drifts."""
+    degrades gracefully to the plain form if the API drifts — but LOUDLY
+    (one RuntimeWarning per process): silent degradation would re-hit
+    the exponential wall with no signal.  ``_CKPT_FAST_PATH_USES`` pins
+    the fast path in tests against exactly that drift."""
+    global _CKPT_FAST_PATH_USES, _CKPT_FALLBACK_WARNED
     spark = df.sparkSession
     try:
         jdf = df._jdf
         jrdd = jdf.queryExecution().toRdd()
         j2 = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
         df = DataFrame(j2, spark)
-    except Exception:  # pragma: no cover - private-API drift fallback
-        pass
+        _CKPT_FAST_PATH_USES += 1
+    except Exception as exc:  # private-API drift fallback
+        if not _CKPT_FALLBACK_WARNED:
+            _CKPT_FALLBACK_WARNED = True
+            warnings.warn(
+                "_ckpt bare-LogicalRDD rebuild unavailable"
+                f" ({type(exc).__name__}: {exc}); falling back to plain"
+                " localCheckpoint — iterative chains of ~17+ passes will"
+                " hit the exponential driver-side localCheckpoint cost"
+                " this fast path exists to remove",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return df.localCheckpoint(eager=False)
 
 
