@@ -15,8 +15,81 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
+
+
+def _worker(out_path: str, runs: int, mode: str, names: list[str]) -> int:
+    """Fresh-JVM timing worker (``bench.py --worker``): min-of-``runs``
+    for each named query in a brand-new process.  Exists because both
+    r7 and r8 burned a round chasing sidecar numbers that were sweep-JVM
+    state artifacts (dedup_jaccard_prefix read 86 s isolated-in-sweep,
+    10 s in a fresh session) — diagnostic numbers need a fresh JVM."""
+    os.environ.setdefault(
+        "PYTHONWARNINGS", "ignore::FutureWarning,ignore::DeprecationWarning"
+    )
+    from twitter_followers_patterns_mapreduce_spark.plans.registry import all_queries
+    from twitter_followers_patterns_mapreduce_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="bench_fresh",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    spark.range(10).count()  # JVM warm-up, no parquet side effects
+    results: dict[str, float] = {}
+    for name in names:
+        if name not in qs:
+            continue
+        per = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            if mode == "collect":
+                df.collect()
+            else:
+                df.write.mode("overwrite").format("noop").save()
+            per.append(round(time.time() - t0, 3))
+        results[name] = min(per)
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+    spark.stop()
+    return 0
+
+
+def _fresh_times(runs: int, mode: str, names: list[str]) -> dict[str, float]:
+    """Spawn one fresh-JVM worker over ``names``; {} on any failure —
+    fresh numbers are diagnostics, never worth failing the bench."""
+    if not names:
+        return {}
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        out_path = tf.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", out_path,
+             str(runs), mode, *names],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            print(f"bench: fresh worker rc={proc.returncode}", file=sys.stderr)
+            return {}
+        with open(out_path) as f:
+            return json.load(f)
+    except Exception as ex:
+        print(f"bench: fresh worker failed: {ex}", file=sys.stderr)
+        return {}
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
 
 
 def main() -> int:
@@ -117,22 +190,16 @@ def main() -> int:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extended[name] = round(time.time() - t0, 3)
 
-    # isolated re-timing of extended-sweep outliers: the 120-query
-    # single-JVM sweep interleaves GC/shuffle-file pressure across
-    # queries, which round 3 showed can inflate an individual number
-    # 5-10× (doc_fingerprint read 5.96s in-sweep, 0.8s standalone).
-    # Re-run every slow-looking query AFTER the sweep, alone, min of 2 —
-    # the sidecar then separates "really slow" from "sweep artifact".
-    isolated: dict[str, float] = {}
-    for name, t in sorted(extended.items(), key=lambda kv: -kv[1]):
-        if t < 3.0:
-            break
-        per_run = []
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            per_run.append(round(time.time() - t0, 3))
-        isolated[name] = min(per_run)
+    # isolated re-timing of extended-sweep outliers IN A FRESH JVM: the
+    # 250-query single-JVM sweep interleaves GC/broadcast/shuffle-file
+    # pressure across queries, which can inflate an individual number
+    # 5-10× (doc_fingerprint 5.96 s in-sweep vs 0.8 s standalone, r3;
+    # dedup_jaccard_prefix 86 s last-in-sweep vs 10 s fresh, r8).
+    # Last-in-sweep re-runs inherited that state and burned two rounds
+    # on phantom regressions — so the sidecar now runs in a subprocess
+    # with its own JVM, min of 2; these numbers are diagnostic as-is.
+    outliers = [n for n, t in sorted(extended.items(), key=lambda kv: -kv[1]) if t >= 3.0]
+    isolated = _fresh_times(2, "noop", outliers)
 
     # headline recheck (round-6 advice): re-time the 15 headline queries
     # AFTER the full extended sweep, min of 2 — separates "the plan got
@@ -150,6 +217,13 @@ def main() -> int:
         headline_recheck[name] = min(per_run)
         times[name] = min(times[name], headline_recheck[name])
 
+    # fresh-session min-of-3 for the headliners (round-8 advice): r7→r8
+    # headline deltas of +21-29% on UNCHANGED sub-second queries were
+    # pure JVM footprint aliasing; this field gives round-over-round
+    # comparisons a footprint-free baseline.  NOT folded into the
+    # metric — the metric stays min-over-in-JVM-runs for continuity.
+    headline_fresh = _fresh_times(3, "collect", names)
+
     total = round(sum(times.values()), 3)
     # The driver captures only the last ~2 KB of output and parses the
     # final JSON line (BENCH_r02 failed to parse because the 91-query
@@ -164,11 +238,14 @@ def main() -> int:
         "cold_total": round(sum(cold.values()), 3),
         "headline_recheck": headline_recheck,
         "headline_recheck_total": round(sum(headline_recheck.values()), 3),
-        "runs_per_query": "2-4 adaptive + 2 post-sweep recheck",
+        "headline_fresh": headline_fresh,
+        "headline_fresh_total": round(sum(headline_fresh.values()), 3),
+        "runs_per_query": "2-4 adaptive + 2 post-sweep recheck + 3 fresh-JVM",
         "missing": missing,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "isolated": isolated,
+        "isolated_protocol": "fresh JVM subprocess, min of 2, noop sink",
         "sf": sf,
     }
     # best-effort: the sidecar is trend data — a write failure must not
@@ -206,6 +283,8 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        os._exit(_worker(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5:]))
     rc = main()
     # skip atexit teardown (pyspark registers handlers that can print
     # after main returns) — the JSON line above must stay last

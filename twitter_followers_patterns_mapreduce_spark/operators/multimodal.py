@@ -8,9 +8,11 @@ Design for 100 TB:
     partition/prune/filter on the metadata, never decode to plan;
   * decode / feature-extract runs as Arrow-batched ``mapInPandas``
     (one Python process per partition, columnar batches — never a
-    row-at-a-time UDF); real codecs aren't in this container, so the
-    *decode* step is a clearly-marked stub while the Spark-side
-    plumbing (schema, batch shape, partitioning) is real and tested;
+    row-at-a-time UDF); heavyweight codec libraries (Pillow/opencv)
+    aren't in this container, so the decode step carries its own
+    stdlib-only BMP parser (``decode_image``) — real header parsing,
+    stride padding, bottom-up row order, BGR→RGB — exercised against a
+    spec-valid BMP the engine synthesizes JVM-side;
   * the synthetic payload is ``unhex(md5(text))`` so every byte-level
     feature has a bit-for-bit DuckDB oracle via hex arithmetic.
 """
@@ -184,30 +186,121 @@ def image_resize_pool_oracle() -> str:
 FROM documents"""
 
 
-def decode_image(mm: DataFrame) -> DataFrame:
-    """Decode the binary column into pixel arrays.
+#: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B) for a 2×2 24-bit
+#: uncompressed BMP, hex-encoded: 'BM', file size 70, pixel offset 54,
+#: header size 40, width 2, height 2 (positive → bottom-up), 1 plane,
+#: 24 bpp, BI_RGB, image size 16 (two 8-byte stride-padded rows),
+#: 2835 ppm (72 dpi) both axes.
+_BMP_2X2_HEADER_HEX = (
+    "424d" "46000000" "00000000" "36000000"
+    "28000000" "02000000" "02000000" "0100" "1800"
+    "00000000" "10000000" "130b0000" "130b0000" "00000000" "00000000"
+)
 
-    STUB: image codecs (Pillow/opencv) are not in this container.  The
-    surrounding plumbing (binary column in, ``mapInPandas`` batch shape,
-    array<float> feature column out) is the real production shape —
-    only the per-batch decode body is unimplemented.
-    """
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("pixels", T.ArrayType(T.FloatType())),
-        ]
+
+def with_fake_bmp(documents: DataFrame) -> DataFrame:
+    """Attach a REAL (spec-valid) 2×2 24-bit BMP whose pixel bytes are
+    the md5 digest of the text — built entirely JVM-side (one concat +
+    unhex per row), so a closed-form hex oracle can recompute every
+    decoded pixel.  Stored layout per the format: bottom row first,
+    each 6-byte BGR row padded to an 8-byte stride."""
+    return documents.selectExpr(
+        "doc_id",
+        "unhex(concat("
+        f"'{_BMP_2X2_HEADER_HEX}', "
+        "substring(md5(text), 1, 12), '0000', "
+        "substring(md5(text), 13, 12), '0000'"
+        ")) AS image",
     )
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires a codec library not present in this "
-            "container; plug a Pillow/opencv decode body into this "
-            "mapInPandas slot"
-        )
-        yield  # pragma: no cover — marks this as a generator
 
-    return mm.mapInPandas(_decode, schema=schema)
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def parse_bmp(buf: bytes) -> tuple[int, int, list[float]]:
+    """Stdlib-only BMP decoder: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    uncompressed 24/32-bit, bottom-up or top-down, 4-byte row stride.
+    Returns (width, height, pixels) with pixels row-major top-down RGB
+    floats in [0, 255] (alpha dropped).  Raises ValueError on anything
+    that isn't a decodable BMP — corrupt media must fail loudly, not
+    emit garbage features."""
+    import struct
+
+    if len(buf) < 54 or buf[0:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if data_off + stride * h > len(buf):
+        raise ValueError("truncated pixel data")
+    pixels: list[float] = []
+    for row in range(h):
+        src = row if top_down else h - 1 - row
+        off = data_off + src * stride
+        for x in range(w):
+            px = buf[off + x * nch : off + (x + 1) * nch]
+            pixels.extend((float(px[2]), float(px[1]), float(px[0])))
+    return w, h, pixels
+
+
+def decode_image(mm: DataFrame) -> DataFrame:
+    """Decode a binary BMP column into pixel arrays via Arrow-batched
+    ``mapInPandas`` — the production decode slot, with a real
+    stdlib-only codec body (:func:`parse_bmp`): header struct-parse,
+    stride padding, bottom-up row order, BGR→RGB.  Swapping in
+    Pillow/opencv for other formats changes one function.  Output:
+    (doc_id, width, height, channels, pixels row-major top-down RGB).
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [parse_bmp(b) for b in pdf["image"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "channels": pd.Series([3] * len(decoded), dtype="int32"),
+                    "pixels": [d[2] for d in decoded],
+                }
+            )
+
+    return mm.mapInPandas(_decode, schema=_DECODE_SCHEMA)
+
+
+#: decoded-pixel position → md5 digest byte index for the 2×2 fake BMP:
+#: top row is the SECOND stored row (bottom-up), BGR reversed to RGB
+_BMP_2X2_PIXEL_SRC = [8, 7, 6, 11, 10, 9, 2, 1, 0, 5, 4, 3]
+
+
+def decode_image_oracle() -> str:
+    """Closed-form pixel oracle: the BMP payload is header + md5 bytes,
+    so each decoded pixel value is one hex pair of the digest (the
+    position map inverts bottom-up row order and BGR channel order)."""
+    arms = ",".join(f"({pos},{src})" for pos, src in enumerate(_BMP_2X2_PIXEL_SRC))
+    return f"""WITH px AS (SELECT doc_id, md5(text) AS m FROM documents),
+pos_map(pos, src) AS (SELECT * FROM (VALUES {arms}))
+SELECT doc_id, CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+  CAST(pos AS INT) AS pos,
+  CAST(CAST(concat('0x', substring(m, 2 * src + 1, 2)) AS BIGINT) AS DOUBLE) AS val
+FROM px CROSS JOIN pos_map"""
 
 
 def doc_embedding_profile(documents: DataFrame, embeddings: DataFrame) -> DataFrame:

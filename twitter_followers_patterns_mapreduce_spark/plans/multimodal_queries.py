@@ -74,6 +74,24 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_decode",
+    oracle=M.decode_image_oracle(),
+    description="REAL image decode: a spec-valid 2x2 24-bit BMP is synthesized "
+    "JVM-side (header + md5 pixel bytes), then parsed by a stdlib-only BMP codec "
+    "in Arrow mapInPandas (struct headers, stride padding, bottom-up rows, "
+    "BGR->RGB); decoded pixels explode to rows and hash-gate against the "
+    "closed-form hex oracle",
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dec = M.decode_image(M.with_fake_bmp(load_table(spark, sf_dir, "documents")))
+    return dec.select(
+        "doc_id", "width", "height", F.posexplode("pixels").alias("pos", "val")
+    ).selectExpr("doc_id", "width", "height", "pos", "CAST(val AS DOUBLE) AS val")
+
+
+@register(
     "mm_image_byte_stats_arrow",
     oracle=M.image_byte_stats_oracle(),
     description="the byte-stats extraction via mapInArrow (zero-copy RecordBatch tier "
