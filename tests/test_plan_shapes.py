@@ -103,6 +103,12 @@ ALLOWED_BRUTE_FORCE = {
     #     cardinality × 1 / 1 × 1; the fact tables feed only hash aggs
     "join_skew_planner",
     "join_universe_sample",
+    #   * theta join-overlap — exact 1-row distinct reduce × 1-row
+    #     sketch reduce (the theta_set_profile shape)
+    "join_key_overlap_theta",
+    #   * bucket advisor — |keys|-row degree spine × 1-row totals
+    #     (bucket assignment needs n_buckets), then 1 × 1 readout
+    "layout_bucket_advisor",
     #   * sampled recall audit — the 1-row sampled-doc count crossed
     #     with the 1-row audit reduce: 1 × 1, both global reduces
     "dedup_lsh_recall_sampled",

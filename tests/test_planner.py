@@ -566,3 +566,52 @@ def test_burstiness_periodic_vs_bursty(spark):
     out = {r["event_type"]: r for r in E.interarrival_burstiness(df).collect()}
     assert out["bot"]["burstiness"] == -1.0 and out["bot"]["std_gap_s"] == 0.0
     assert out["human"]["burstiness"] > 0.5
+
+
+def test_key_overlap_profile_exact_sets(lr_tables):
+    left, right = lr_tables  # left keys {1,2,3,9}, right keys {1,2,7}
+    row = PL.join_key_overlap_profile(left, right, "k", "k").collect()[0]
+    assert (row["n_left_keys"], row["n_right_keys"]) == (4, 3)
+    assert (row["n_common"], row["n_left_only"], row["n_right_only"]) == (2, 2, 1)
+    # default-k theta is exact at this size: the ok gates must all hold
+    assert row["ok_left"] and row["ok_right"] and row["ok_common"]
+
+
+def test_bucket_advisor_sizing_and_hot_key(spark):
+    # 100 rows of one hot key + 28 singles, target 16/bucket:
+    # ceil(128/16)=8 -> n_buckets=8; the hot key's 100 rows land in ONE
+    # bucket, so max_bucket_rows >= 100 and salt_advice fires
+    rows = [(77,)] * 100 + [(i,) for i in range(28)]
+    df = spark.createDataFrame(rows, schema="k BIGINT")
+    row = PL.bucket_layout_advisor(df, "k", target_rows_per_bucket=16).collect()[0]
+    assert (row["n_rows"], row["n_keys"], row["max_key_rows"]) == (128, 29, 100)
+    assert row["n_buckets"] == 8
+    assert row["avg_bucket_rows"] == 16
+    assert row["max_bucket_rows"] >= 100
+    assert row["salt_advice"]  # 100 > 2 * 128/8
+    assert row["imbalance"] >= 100 / 16.0 - 1e-6
+
+
+def test_bucket_advisor_uniform_no_salt(spark):
+    df = spark.createDataFrame([(i,) for i in range(64)], schema="k BIGINT")
+    row = PL.bucket_layout_advisor(df, "k", target_rows_per_bucket=16).collect()[0]
+    assert row["n_buckets"] == 4
+    assert not row["salt_advice"]  # every key degree 1 <= 2*16
+
+
+def test_partition_advisor_recommends_finest_clearing_floor(spark):
+    # 90 consecutive days x 10 rows: day avg 10, week avg ~64, month avg
+    # 225-310; floor 50 -> week is the finest meeting it
+    rows = [(d, i) for d in range(90) for i in range(10)]
+    df = spark.createDataFrame(rows, schema="d INT, i INT").selectExpr(
+        "date_add(DATE '1995-03-01', d) AS dt"
+    )
+    out = {r["granularity"]: r for r in
+           PL.partition_layout_advisor(df, "dt", min_rows_per_partition=50).collect()}
+    assert out["day"]["n_partitions"] == 90
+    assert out["day"]["avg_partition_rows"] == 10
+    assert not out["day"]["meets_target"] and not out["day"]["recommended"]
+    assert out["week"]["meets_target"] and out["week"]["recommended"]
+    assert out["month"]["meets_target"] and not out["month"]["recommended"]
+    assert out["month"]["n_partitions"] == 3  # Mar 31 + Apr 30 + May 29 = 90
+    assert sum(r["n_rows"] for r in out.values()) == 3 * 900

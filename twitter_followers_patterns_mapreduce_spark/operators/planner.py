@@ -310,3 +310,305 @@ SELECT CAST(coalesce(_samp_dec, 0) AS BIGINT) AS sampled_join_rows,
   CASE WHEN coalesce(_exact_dec, 0) > 0 THEN floor({err} {_F6} END AS abs_rel_err,
   CASE WHEN coalesce(_exact_dec, 0) > 0 THEN {err} <= {bound} END AS within_bound
 FROM samp CROSS JOIN ex"""
+
+
+def join_key_overlap_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """Theta-sketch KEY-OVERLAP profile for a prospective join — the
+    sketch-side companion of :func:`join_cardinality_estimate`: how many
+    distinct keys are left-only / common / right-only, answered by two
+    fixed-size mergeable theta sketches instead of a key-universe
+    shuffle.  At 100 TB this is the first question before choosing a
+    join strategy (a near-empty intersection says semi-join-prefilter;
+    containment says broadcast the smaller key set), and theta sketches
+    answer it from independent per-table scans whose partial states
+    merge — no co-shuffle of the two key universes ever happens.
+
+    The exact companion (the kll/theta gate discipline) rides ONE
+    tagged union scan: three COUNT(DISTINCT CASE...) give left/right/
+    union exactly, and inclusion-exclusion derives the intersection —
+    the sketch estimates then feed asserted ``ok_*`` booleans (error ≤
+    max(rel_tol·exact, 2); default-k theta sits in exact mode at
+    harness scale so observed error is 0, and the DuckDB oracle pins
+    the booleans TRUE).  Distinct aggs and sketch aggs run as SEPARATE
+    aggregates joined 1×1 (the theta_set_profile plan note: mixing
+    multi-DISTINCT with buffer aggs routes every buffer through the
+    Expand).
+
+    Output (1 row): n_left_keys, n_right_keys, n_common, n_left_only,
+    n_right_only, ok_left, ok_right, ok_common.
+    """
+    tagged = left.selectExpr(
+        f"CAST({left_key} AS BIGINT) AS k", "1 AS is_l"
+    ).unionAll(right.selectExpr(f"CAST({right_key} AS BIGINT) AS k", "0 AS is_l"))
+    exact = tagged.agg(
+        F.expr(
+            "CAST(COUNT(DISTINCT CASE WHEN is_l = 1 THEN k END) AS BIGINT)"
+        ).alias("n_left_keys"),
+        F.expr(
+            "CAST(COUNT(DISTINCT CASE WHEN is_l = 0 THEN k END) AS BIGINT)"
+        ).alias("n_right_keys"),
+        F.expr("CAST(COUNT(DISTINCT k) AS BIGINT)").alias("n_union"),
+    )
+    sk = tagged.agg(
+        F.expr("theta_sketch_agg(CASE WHEN is_l = 1 THEN k END)").alias("skl"),
+        F.expr("theta_sketch_agg(CASE WHEN is_l = 0 THEN k END)").alias("skr"),
+    )
+
+    def ok(est: str, exact_col: str) -> str:
+        return (
+            f"abs(CAST({est} AS DOUBLE) - {exact_col}) <= "
+            f"greatest({rel_tol!r} * {exact_col}, CAST(2 AS DOUBLE))"
+        )
+
+    # 1 × 1 declared cross: exact reduce × sketch reduce (gate shape)
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .selectExpr(
+            "n_left_keys",
+            "n_right_keys",
+            "n_left_keys + n_right_keys - n_union AS n_common",
+            "n_union - n_right_keys AS n_left_only",
+            "n_union - n_left_keys AS n_right_only",
+            "theta_sketch_estimate(skl) AS e_l",
+            "theta_sketch_estimate(skr) AS e_r",
+            "theta_sketch_estimate(theta_intersection(skl, skr)) AS e_common",
+        )
+        .selectExpr(
+            "n_left_keys",
+            "n_right_keys",
+            "n_common",
+            "n_left_only",
+            "n_right_only",
+            ok("e_l", "n_left_keys") + " AS ok_left",
+            ok("e_r", "n_right_keys") + " AS ok_right",
+            ok("e_common", "n_common") + " AS ok_common",
+        )
+    )
+
+
+def join_key_overlap_oracle(
+    left_table: str, right_table: str, left_key: str, right_key: str
+) -> str:
+    return f"""WITH t AS (
+  SELECT CAST({left_key} AS BIGINT) AS k, 1 AS is_l FROM {left_table}
+  UNION ALL
+  SELECT CAST({right_key} AS BIGINT) AS k, 0 AS is_l FROM {right_table}),
+agg AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN is_l = 1 THEN k END) AS BIGINT) AS n_left_keys,
+    CAST(COUNT(DISTINCT CASE WHEN is_l = 0 THEN k END) AS BIGINT) AS n_right_keys,
+    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_union
+  FROM t)
+SELECT n_left_keys, n_right_keys,
+  n_left_keys + n_right_keys - n_union AS n_common,
+  n_union - n_right_keys AS n_left_only,
+  n_union - n_left_keys AS n_right_only,
+  TRUE AS ok_left, TRUE AS ok_right, TRUE AS ok_common
+FROM agg"""
+
+
+def bucket_layout_advisor(
+    df: DataFrame, key: str, target_rows_per_bucket: int = 50000
+) -> DataFrame:
+    """Physical-layout prescription for bucketing a table on ``key``:
+    pick the bucket count (next power of two of rows/target — the
+    convention bucketed-table ecosystems expect so bucket counts
+    compose by halving), then MEASURE the realized distribution by
+    pushing every key's degree through the engine's own h64 bucket
+    assignment — max bucket rows, imbalance vs the uniform ideal, and
+    a salt flag when one key alone overflows a bucket (a hot key's
+    whole degree lands in ONE bucket no matter how many buckets).
+
+    Scale shape: one key-degree hash agg touches the data (|keys|-row
+    spine, the planner-family discipline); bucket assignment,
+    per-bucket sums, and the readout all run on the spine.  The same
+    h64 both engines compute bit-identically assigns buckets, so the
+    oracle reproduces the REALIZED distribution, not just the formula.
+
+    Output (1 row): n_rows, n_keys, max_key_rows, n_buckets,
+    n_nonempty_buckets, avg_bucket_rows, max_bucket_rows, imbalance,
+    salt_advice.
+    """
+    deg = _degree_counts(df, key)
+    totals = deg.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+    ).selectExpr(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        # next power of two of ceil(rows/target); log2/power on small
+        # integers are IEEE-exact in both engines
+        "CAST(power(2, ceil(log2(greatest(CAST(ceil(CAST(n_rows AS DOUBLE)"
+        f" / {target_rows_per_bucket}) AS DOUBLE), 1.0)))) AS BIGINT) AS n_buckets",
+    )
+    h = h64_sql("CAST(k AS STRING)", "spark")
+    # |keys|-row spine × 1-row totals: declared cardinality × 1 cross
+    per_bucket = (
+        deg.crossJoin(F.broadcast(totals))
+        .selectExpr(f"{h} % n_buckets AS b", "c")
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("rows_b"))
+    )
+    realized = per_bucket.agg(
+        F.max("rows_b").cast("long").alias("max_bucket_rows"),
+        F.count("*").cast("long").alias("n_nonempty_buckets"),
+    )
+    return totals.crossJoin(F.broadcast(realized)).selectExpr(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "n_buckets",
+        "n_nonempty_buckets",
+        "n_rows div n_buckets AS avg_bucket_rows",
+        "max_bucket_rows",
+        "floor(CAST(max_bucket_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_buckets)"
+        f" {_F6} AS imbalance",
+        "max_key_rows > 2 * (CAST(n_rows AS DOUBLE) / n_buckets) AS salt_advice",
+    )
+
+
+def bucket_layout_oracle(
+    table: str, key: str, target_rows_per_bucket: int = 50000
+) -> str:
+    h = h64_sql("CAST(k AS VARCHAR)", "duckdb")
+    return f"""WITH deg AS (
+  SELECT CAST({key} AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1),
+totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(power(2, ceil(log2(greatest(CAST(ceil(CAST(SUM(c) AS DOUBLE)
+           / {target_rows_per_bucket}) AS DOUBLE), 1.0)))) AS BIGINT) AS n_buckets
+  FROM deg),
+per_bucket AS (
+  SELECT {h} % n_buckets AS b, CAST(SUM(c) AS BIGINT) AS rows_b
+  FROM deg CROSS JOIN totals GROUP BY 1),
+realized AS (
+  SELECT CAST(MAX(rows_b) AS BIGINT) AS max_bucket_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_nonempty_buckets
+  FROM per_bucket)
+SELECT n_rows, n_keys, max_key_rows, n_buckets, n_nonempty_buckets,
+  n_rows // n_buckets AS avg_bucket_rows,
+  max_bucket_rows,
+  floor(CAST(max_bucket_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_buckets)
+    {_F6} AS imbalance,
+  max_key_rows > 2 * (CAST(n_rows AS DOUBLE) / n_buckets) AS salt_advice
+FROM totals CROSS JOIN realized"""
+
+
+def partition_layout_advisor(
+    df: DataFrame, date_col: str, min_rows_per_partition: int = 20000
+) -> DataFrame:
+    """Partition-granularity prescription for a date-partitioned table:
+    profile day / week / month partitioning from ONE fact scan and
+    recommend the FINEST granularity whose average partition still
+    clears ``min_rows_per_partition`` — the small-files rule every
+    lakehouse layout doc states and every 100 TB ingest job needs
+    decided before the first write.
+
+    Scale shape: the fact table collapses once to the bounded day
+    spine (epoch-day arithmetic, the engine's dayofweek-proof
+    discipline — never date_trunc('week')); week and month profiles
+    REGROUP the day spine, so granularity comparison costs day-spine
+    rows, not data rows.  The recommendation is a 3-row unpartitioned
+    window over the granularity spine (bounded by construction).
+
+    Output (3 rows): granularity, n_partitions, n_rows,
+    avg_partition_rows, max_partition_rows, skew, meets_target,
+    recommended.
+    """
+    dayspine = (
+        df.selectExpr(
+            f"datediff({date_col}, DATE '1970-01-01') AS d",
+            f"(EXTRACT(YEAR FROM {date_col}) * 12 + EXTRACT(MONTH FROM {date_col})) AS m",
+        )
+        .groupBy("d", "m")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+    def profile(spine: DataFrame, name: str, ordn: int) -> DataFrame:
+        return spine.agg(
+            F.count("*").cast("long").alias("n_partitions"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_partition_rows"),
+        ).selectExpr(
+            f"'{name}' AS granularity",
+            f"{ordn} AS ord",
+            "n_partitions",
+            "n_rows",
+            "max_partition_rows",
+        )
+
+    day = profile(dayspine, "day", 1)
+    week = profile(
+        dayspine.groupBy(F.expr("d div 7").alias("w")).agg(
+            F.sum("c").cast("long").alias("c")
+        ),
+        "week",
+        2,
+    )
+    month = profile(
+        dayspine.groupBy("m").agg(F.sum("c").cast("long").alias("c")), "month", 3
+    )
+    from pyspark.sql import Window
+
+    rows = day.unionAll(week).unionAll(month).selectExpr(
+        "granularity",
+        "ord",
+        "n_partitions",
+        "n_rows",
+        "n_rows div n_partitions AS avg_partition_rows",
+        "max_partition_rows",
+        "floor(CAST(max_partition_rows AS DOUBLE)"
+        f" / (CAST(n_rows AS DOUBLE) / n_partitions) {_F6} AS skew",
+        f"n_rows div n_partitions >= {min_rows_per_partition} AS meets_target",
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return rows.withColumn(
+        "recommended",
+        F.col("meets_target")
+        & (F.col("ord") == F.min(F.when(F.col("meets_target"), F.col("ord"))).over(w)),
+    ).drop("ord")
+
+
+def partition_layout_oracle(
+    table: str, date_col: str, min_rows_per_partition: int = 20000
+) -> str:
+    return f"""WITH dayspine AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST({date_col} AS DATE)) AS d,
+         (EXTRACT(YEAR FROM {date_col}) * 12 + EXTRACT(MONTH FROM {date_col})) AS m,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2),
+day_p AS (
+  SELECT 'day' AS granularity, 1 AS ord, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+         CAST(SUM(c) AS BIGINT) AS n_rows, CAST(MAX(c) AS BIGINT) AS max_partition_rows
+  FROM dayspine),
+week_sp AS (SELECT d // 7 AS w, CAST(SUM(c) AS BIGINT) AS c FROM dayspine GROUP BY 1),
+week_p AS (
+  SELECT 'week', 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT), CAST(MAX(c) AS BIGINT)
+  FROM week_sp),
+month_sp AS (SELECT m, CAST(SUM(c) AS BIGINT) AS c FROM dayspine GROUP BY 1),
+month_p AS (
+  SELECT 'month', 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT), CAST(MAX(c) AS BIGINT)
+  FROM month_sp),
+u AS (SELECT * FROM day_p UNION ALL SELECT * FROM week_p UNION ALL SELECT * FROM month_p),
+rows_ AS (
+  SELECT granularity, ord, n_partitions, n_rows,
+    n_rows // n_partitions AS avg_partition_rows,
+    max_partition_rows,
+    floor(CAST(max_partition_rows AS DOUBLE)
+      / (CAST(n_rows AS DOUBLE) / n_partitions) {_F6} AS skew,
+    n_rows // n_partitions >= {min_rows_per_partition} AS meets_target
+  FROM u)
+SELECT granularity, n_partitions, n_rows, avg_partition_rows, max_partition_rows,
+  skew, meets_target,
+  meets_target AND ord = MIN(CASE WHEN meets_target THEN ord END) OVER () AS recommended
+FROM rows_"""

@@ -986,6 +986,50 @@ def join_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_key_overlap_theta",
+    oracle=PL.join_key_overlap_oracle("orders", "customer", "o_custkey", "c_custkey"),
+    description="theta-sketch key-overlap profile for a prospective join (left-only / "
+    "common / right-only distinct keys from two fixed-size mergeable sketches — the "
+    "strategy question before any 100 TB join), gated by exact COUNT(DISTINCT) "
+    "inclusion-exclusion over one tagged union scan",
+)
+def join_key_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PL.join_key_overlap_profile(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+@register(
+    "layout_bucket_advisor",
+    oracle=PL.bucket_layout_oracle("lineitem", "l_orderkey", target_rows_per_bucket=5000),
+    description="bucket-count prescription for bucketing lineitem on l_orderkey: "
+    "next-power-of-two sizing plus the REALIZED h64-assigned distribution (max bucket, "
+    "imbalance, salt flag when one hot key alone overflows a bucket) measured on the "
+    "key-degree spine, never the data",
+)
+def layout_bucket_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PL.bucket_layout_advisor(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", target_rows_per_bucket=5000
+    )
+
+
+@register(
+    "layout_partition_advisor",
+    oracle=PL.partition_layout_oracle("orders", "o_orderdate", min_rows_per_partition=2000),
+    description="partition-granularity prescription (day/week/month) for date-partitioning "
+    "orders: one fact scan collapses to the epoch-day spine, week/month profiles regroup "
+    "the spine, and the finest granularity clearing the small-files floor is recommended",
+)
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PL.partition_layout_advisor(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", min_rows_per_partition=2000
+    )
+
+
 from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # noqa: E402
 
 
