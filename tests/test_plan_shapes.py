@@ -109,6 +109,10 @@ ALLOWED_BRUTE_FORCE = {
     #   * bucket advisor — |keys|-row degree spine × 1-row totals
     #     (bucket assignment needs n_buckets), then 1 × 1 readout
     "layout_bucket_advisor",
+    #   * z-order benefit — 1-row min/max stats broadcast onto the fact
+    #     scan (the q22 discipline: cell normalization needs the range)
+    #     and onto the 256-block spines (probe-rectangle re-derivation)
+    "layout_zorder_benefit",
     #   * sampled recall audit — the 1-row sampled-doc count crossed
     #     with the 1-row audit reduce: 1 × 1, both global reduces
     "dedup_lsh_recall_sampled",

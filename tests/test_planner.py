@@ -615,3 +615,22 @@ def test_partition_advisor_recommends_finest_clearing_floor(spark):
     assert out["month"]["meets_target"] and not out["month"]["recommended"]
     assert out["month"]["n_partitions"] == 3  # Mar 31 + Apr 30 + May 29 = 90
     assert sum(r["n_rows"] for r in out.values()) == 3 * 900
+
+
+def test_zorder_benefit_exact_on_uniform_grid(spark):
+    """64x64 uniform grid, bits=4: linear layout slices x into 64
+    nonempty stripes (full y-width each), z-order tiles 4x4 cells.
+    The 1/8 x 1/8 probe ([16,24) squared) touches 8 stripes = 512 rows
+    under linear (amplification 8.0) but exactly the 4 covering z-cells
+    = 64 rows (amplification 1.0) — every number closed-form."""
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, schema="x BIGINT, y BIGINT")
+    out = {r["layout"]: r for r in
+           PL.zorder_benefit_estimate(df, "x", "y", bits=4).collect()}
+    lin, z = out["linear_x"], out["zorder"]
+    assert lin["true_rows"] == z["true_rows"] == 64
+    assert (lin["n_blocks"], z["n_blocks"]) == (64, 256)
+    assert lin["blocks_touched"] == 8 and z["blocks_touched"] == 4
+    assert lin["rows_scanned"] == 512 and z["rows_scanned"] == 64
+    assert lin["scan_amplification"] == 8.0
+    assert z["scan_amplification"] == 1.0

@@ -612,3 +612,165 @@ SELECT granularity, n_partitions, n_rows, avg_partition_rows, max_partition_rows
   skew, meets_target,
   meets_target AND ord = MIN(CASE WHEN meets_target THEN ord END) OVER () AS recommended
 FROM rows_"""
+
+
+def _morton_sql(xc: str, yc: str, bits: int, dialect: str) -> str:
+    """Morton (z-curve) interleave of two ``bits``-bit cells — pure
+    integer bit arithmetic, spelled per dialect."""
+    if dialect == "spark":
+        terms = [
+            f"shiftleft(shiftright({xc}, {i}) & 1, {2 * i})"
+            f" + shiftleft(shiftright({yc}, {i}) & 1, {2 * i + 1})"
+            for i in range(bits)
+        ]
+    else:
+        terms = [
+            f"((({xc} >> {i}) & 1) << {2 * i}) + ((({yc} >> {i}) & 1) << {2 * i + 1})"
+            for i in range(bits)
+        ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zb_cells(dialect: str, bits: int) -> list[str]:
+    """Shared cell/probe expressions for the z-order benefit estimator
+    (x, y, min_x..max_y in scope).  Normalized integer cells make the
+    comparison scale-free: both layouts get the same 4^bits-block
+    universe at any data size.  Probe = the center-left 1/8 x 1/8 value
+    rectangle, derived from the same stats row."""
+    d = "div" if dialect == "spark" else "//"
+    k_lin = 4**bits
+    k = 2**bits
+    rx = "(max_x - min_x + 1)"
+    ry = "(max_y - min_y + 1)"
+    cell_lin = f"(((x - min_x) * {k_lin}) {d} {rx})"
+    xc = f"(((x - min_x) * {k}) {d} {rx})"
+    yc = f"(((y - min_y) * {k}) {d} {ry})"
+    probe = (
+        f"x >= min_x + (({rx} * 2) {d} 8) AND x < min_x + (({rx} * 3) {d} 8)"
+        f" AND y >= min_y + (({ry} * 2) {d} 8) AND y < min_y + (({ry} * 3) {d} 8)"
+    )
+    return [
+        f"{cell_lin} AS block_lin",
+        f"{_morton_sql(xc, yc, bits, dialect)} AS block_z",
+        f"CAST({probe} AS BIGINT) AS in_probe",
+    ]
+
+
+def zorder_benefit_estimate(
+    df: DataFrame, col_x: str, col_y: str, bits: int = 4
+) -> DataFrame:
+    """Z-order vs linear-sort layout benefit, estimated WITHOUT writing
+    files: assign every row to its block under (a) a linear sort on x
+    sliced into 4^bits equal value ranges and (b) a Morton-interleaved
+    z-curve over 2^bits x 2^bits cells — the same block-count universe —
+    then replay min-max file pruning for a fixed 1/8 x 1/8 probe
+    rectangle against the per-block statistics each layout would write.
+    ``rows_scanned / true_rows`` is the scan amplification a parquet
+    reader would pay; the z layout keeps BOTH dimensions narrow per
+    block, the linear layout leaves every block full-width in y (the
+    write_zordered rationale, measured here as a query instead of a
+    filesystem test).
+
+    Scale shape: one 1-row min/max stats reduce, one scan computing both
+    block ids (the stats row attaches by broadcast — the q22 discipline),
+    two spine-sized per-block aggregates, two 1-row readouts unioned.
+    Exact: normalized integer cells, integer row counts, ratios floored
+    1e-6.
+
+    Output (2 rows): layout, n_blocks, blocks_touched, rows_scanned,
+    true_rows, scan_amplification, block_prune_frac.
+    """
+    base = df.selectExpr(
+        f"CAST({col_x} AS BIGINT) AS x", f"CAST({col_y} AS BIGINT) AS y"
+    )
+    stats = base.agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    # data x 1-row stats: declared cardinality x 1 broadcast cross
+    cells = base.crossJoin(F.broadcast(stats)).selectExpr(
+        "x", "y", *_zb_cells("spark", bits)
+    )
+
+    def layout(block_col: str, name: str) -> DataFrame:
+        blk = cells.groupBy(block_col).agg(
+            F.count("*").cast("long").alias("rows_b"),
+            F.min("x").alias("bx0"),
+            F.max("x").alias("bx1"),
+            F.min("y").alias("by0"),
+            F.max("y").alias("by1"),
+            F.sum("in_probe").cast("long").alias("true_b"),
+        )
+        # the probe rectangle re-derives from the same 1-row stats
+        touched = (
+            f"NOT (bx1 < min_x + (((max_x - min_x + 1) * 2) div 8)"
+            f" OR bx0 >= min_x + (((max_x - min_x + 1) * 3) div 8)"
+            f" OR by1 < min_y + (((max_y - min_y + 1) * 2) div 8)"
+            f" OR by0 >= min_y + (((max_y - min_y + 1) * 3) div 8))"
+        )
+        return (
+            blk.crossJoin(F.broadcast(stats))
+            .selectExpr("rows_b", "true_b", f"CAST({touched} AS BIGINT) AS hit")
+            .agg(
+                F.count("*").cast("long").alias("n_blocks"),
+                F.sum("hit").cast("long").alias("blocks_touched"),
+                F.expr("CAST(SUM(hit * rows_b) AS BIGINT)").alias("rows_scanned"),
+                F.sum("true_b").cast("long").alias("true_rows"),
+            )
+            .selectExpr(
+                f"'{name}' AS layout",
+                "n_blocks",
+                "blocks_touched",
+                "rows_scanned",
+                "true_rows",
+                "CASE WHEN true_rows > 0 THEN floor(CAST(rows_scanned AS DOUBLE)"
+                f" / true_rows {_F6} END AS scan_amplification",
+                "floor((1.0 - CAST(blocks_touched AS DOUBLE) / n_blocks)"
+                f" {_F6} AS block_prune_frac",
+            )
+        )
+
+    return layout("block_lin", "linear_x").unionAll(layout("block_z", "zorder"))
+
+
+def zorder_benefit_oracle(table: str, col_x: str, col_y: str, bits: int = 4) -> str:
+    cell_exprs = ",\n    ".join(_zb_cells("duckdb", bits))
+    touched = (
+        "NOT (bx1 < min_x + (((max_x - min_x + 1) * 2) // 8)"
+        " OR bx0 >= min_x + (((max_x - min_x + 1) * 3) // 8)"
+        " OR by1 < min_y + (((max_y - min_y + 1) * 2) // 8)"
+        " OR by0 >= min_y + (((max_y - min_y + 1) * 3) // 8))"
+    )
+
+    def layout(block_col: str, name: str) -> str:
+        return f"""SELECT '{name}' AS layout, n_blocks, blocks_touched, rows_scanned, true_rows,
+  CASE WHEN true_rows > 0 THEN floor(CAST(rows_scanned AS DOUBLE) / true_rows {_F6} END
+    AS scan_amplification,
+  floor((1.0 - CAST(blocks_touched AS DOUBLE) / n_blocks) {_F6} AS block_prune_frac
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(hit) AS BIGINT) AS blocks_touched,
+         CAST(SUM(hit * rows_b) AS BIGINT) AS rows_scanned,
+         CAST(SUM(true_b) AS BIGINT) AS true_rows
+  FROM (
+    SELECT rows_b, true_b, CAST({touched} AS BIGINT) AS hit
+    FROM (
+      SELECT {block_col}, CAST(COUNT(*) AS BIGINT) AS rows_b,
+             MIN(x) AS bx0, MAX(x) AS bx1, MIN(y) AS by0, MAX(y) AS by1,
+             CAST(SUM(in_probe) AS BIGINT) AS true_b
+      FROM cells GROUP BY 1) b
+    CROSS JOIN stats) h) a"""
+
+    return f"""WITH base AS (
+  SELECT CAST({col_x} AS BIGINT) AS x, CAST({col_y} AS BIGINT) AS y FROM {table}),
+stats AS (
+  SELECT MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y FROM base),
+cells AS (
+  SELECT x, y,
+    {cell_exprs}
+  FROM base CROSS JOIN stats)
+{layout('block_lin', 'linear_x')}
+UNION ALL
+{layout('block_z', 'zorder')}"""

@@ -1030,6 +1030,20 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "layout_zorder_benefit",
+    oracle=PL.zorder_benefit_oracle("lineitem", "l_partkey", "l_suppkey", bits=4),
+    description="z-order vs linear-sort layout benefit WITHOUT writing files: rows "
+    "assign to 256 blocks under each layout (normalized integer cells, Morton "
+    "interleave), min-max file pruning replays for a 1/8x1/8 probe rectangle, and "
+    "scan amplification + block prune fraction quantify what ZORDER BY would buy",
+)
+def layout_zorder_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PL.zorder_benefit_estimate(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey", bits=4
+    )
+
+
 from twitter_followers_patterns_mapreduce_spark.operators import stats as ST  # noqa: E402
 
 
