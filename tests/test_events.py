@@ -554,3 +554,41 @@ def test_funnel_step_timing_hand_case(spark):
     (r,) = E.funnel_step_timing(df).collect()
     assert r["n_first"] == 3 and r["n_converted"] == 1
     assert r["p50_sec"] == 120.0 and r["p90_sec"] == 120.0
+
+
+def test_hourly_acf_periodic_series(spark):
+    """A strict period-2 hourly series: acf(2) = 1 exactly, acf(1) < 0
+    (anti-phase), pair counts = dense span minus lag."""
+    import itertools
+
+    # hours 0..47, counts alternate 1 and 3 events per hour
+    rows = []
+    eid = itertools.count()
+    for h in range(48):
+        for _ in range(1 if h % 2 == 0 else 3):
+            rows.append((next(eid), 7, "click", h * 3600_000_000))
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, user_id LONG, event_type STRING, us LONG"
+    ).selectExpr("event_id", "user_id", "event_type", "timestamp_micros(us) AS ts")
+    from twitter_followers_patterns_mapreduce_spark.operators.events import hourly_acf
+
+    out = {r["lag"]: r for r in hourly_acf(df, lags=(1, 2)).collect()}
+    assert out[1]["n_pairs"] == 47 and out[2]["n_pairs"] == 46
+    assert out[2]["acf"] == 1.0
+    assert out[1]["acf"] < -0.9
+
+
+def test_hourly_acf_gaps_count_as_zero(spark):
+    """Missing hours must enter the series as 0, not be skipped: two
+    events 3 hours apart make a 4-hour dense span, so lag-1 has 3
+    pairs over (x, 0, 0, y)."""
+    df = spark.createDataFrame(
+        [(1, 1, "c", 0), (2, 1, "c", 3 * 3600_000_000)],
+        schema="event_id LONG, user_id LONG, event_type STRING, us LONG",
+    ).selectExpr("event_id", "user_id", "event_type", "timestamp_micros(us) AS ts")
+    from twitter_followers_patterns_mapreduce_spark.operators.events import hourly_acf
+
+    out = {r["lag"]: r for r in hourly_acf(df, lags=(1, 3)).collect()}
+    assert out[1]["n_pairs"] == 3
+    assert out[3]["n_pairs"] == 1  # single pair -> zero variance -> NULL
+    assert out[3]["acf"] is None

@@ -119,6 +119,10 @@ ALLOWED_BRUTE_FORCE = {
     #   * calibration — the ≤10-bin cell table crossed with the 1-row
     #     total (the woe/psi shape); scoring itself is scan-side
     "embedding_logreg_calibration",
+    #   * conformal — bounded score histogram × 1-row calibration total
+    #     (the rank threshold), then the 1-row q̂ broadcast onto the
+    #     test half and the 1 × 1 readout
+    "embedding_conformal_coverage",
     #   * PMI / CMS — vocabulary-/k-sized cell tables crossed with the
     #     1-row totals aggregate (the woe shape); the bigram and fan
     #     materializations feed only hash aggs and equi-joins

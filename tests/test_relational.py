@@ -500,3 +500,31 @@ def test_basket_cap_excludes_constructed_mega_basket(spark):
     assert r12["n_pair"] == 4
     assert r12["support"] == fl(4 / 7)  # 7 baskets now
     assert r12["lift"] == fl(4 * 7 / (5 * 5))  # n1 = n2 = 5 with mega
+
+
+def test_join_delta_ivm_equals_direct_join_rollup(spark):
+    """The bilinear delta expansion merged over four slice-joins must
+    equal the one-shot join rollup — the IVM correctness property."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import join_delta_ivm
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lineitem, orders = load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    merged = {r["order_month"]: r for r in join_delta_ivm(lineitem, orders).collect()}
+    rev = "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+    direct = {
+        r["order_month"]: r
+        for r in lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.expr(f"CAST(SUM({rev}) AS DOUBLE)").alias("revenue"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for mth in merged:
+        assert merged[mth]["n_items"] == direct[mth]["n_items"]
+        assert merged[mth]["revenue"] == direct[mth]["revenue"]  # decimal-exact merge

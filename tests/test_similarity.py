@@ -264,3 +264,20 @@ def test_mmr_step_counts_and_distinct_picks(spark):
         assert sorted(p["step"] for p in picks) == [1, 2, 3, 4]
         ids = [p["neighbor_id"] for p in picks]
         assert len(set(ids)) == 4 and qid not in ids
+
+
+def test_conformal_coverage_guarantee_and_determinism(spark):
+    from twitter_followers_patterns_mapreduce_spark.operators import clustering as KM
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    (row,) = KM.conformal_coverage(emb, target_label=0, alpha=0.1, cal_pct=50).collect()
+    assert row["n_cal"] + row["n_test"] == emb.count()
+    assert 0.0 <= row["qhat"] <= 1.0
+    # distribution-free guarantee: coverage ~ 0.9 in expectation; allow
+    # finite-sample slack but catch a broken threshold (coverage ~ 0.5)
+    assert row["coverage"] >= 0.8
+    assert 0.0 <= row["avg_set_size"] <= 2.0
+    assert row["meets_target"] == (row["coverage"] >= 0.9 - 1e-9)
+    (again,) = KM.conformal_coverage(emb, target_label=0, alpha=0.1, cal_pct=50).collect()
+    assert again == row  # h64 split + floored scores: fully deterministic

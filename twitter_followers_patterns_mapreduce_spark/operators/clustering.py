@@ -845,3 +845,141 @@ pred AS (
     FROM dists) WHERE rk = 1)
 SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
 FROM pred GROUP BY 1, 2"""
+
+
+def conformal_coverage(
+    embeddings: DataFrame,
+    target_label: int = 0,
+    alpha: float = 0.1,
+    cal_pct: int = 50,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Split-conformal prediction audit over the logreg scorer — the
+    distribution-free step past :func:`logreg_calibration`: an h64
+    vec_id split carves out a calibration set, the (1−α)(n+1)/n
+    empirical quantile of calibration nonconformity (1 − p̂(true
+    class)) becomes the threshold q̂, and the TEST half reports realized
+    coverage (P[true class ∈ prediction set] — guaranteed ≥ 1−α in
+    expectation by exchangeability) plus the average prediction-set
+    size, the efficiency metric that says whether the guarantee is
+    vacuous (sets of size 2 cover trivially).
+
+    Determinism: scores are the already-gated 6dp-floored sigmoid, the
+    split is the house h64-mod, and the conformal quantile comes from a
+    cumulative window over the BOUNDED distinct-score histogram (the
+    logreg_eval AUC discipline — never a data-sized rank).  The
+    ``meets_target`` boolean is informative (finite-sample coverage
+    fluctuates around the guarantee); the oracle recomputes it
+    identically.
+
+    Output (1 row): n_cal, n_test, qhat, coverage, avg_set_size,
+    meets_target.
+    """
+    from pyspark.sql import Window
+
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    scored = logreg_score(embeddings, target_label, iters, lr).localCheckpoint(
+        eager=False
+    )
+    h = h64_sql("CAST(vec_id AS STRING)", "spark")
+    tagged = scored.selectExpr(
+        "score",
+        "CASE WHEN y = 1 THEN 1.0 - score ELSE score END AS s",
+        f"{h} % 100 < {cal_pct} AS is_cal",
+    ).localCheckpoint(eager=False)
+    cal = tagged.where("is_cal")
+    tot = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    hist = cal.groupBy("s").agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    k = f"CAST(ceil((n_cal + 1) * {1.0 - alpha!r}) AS BIGINT)"
+    # bounded histogram × 1-row total: the conformal rank threshold
+    qrow = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.expr(f"cum >= {k}"))
+        .agg(F.min("s").alias("q_raw"))
+        # rank beyond the calibration set (tiny n_cal) -> cover all
+        .selectExpr("coalesce(q_raw, 1.0) AS qhat")
+    )
+    readout = (
+        tagged.where("NOT is_cal")
+        .crossJoin(F.broadcast(qrow))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.expr("CAST(s <= qhat AS BIGINT)")).cast("long").alias("n_cov"),
+            F.sum(
+                F.expr(
+                    "CAST(1.0 - score <= qhat AS BIGINT)"
+                    " + CAST(score <= qhat AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("set_sum"),
+            F.max("qhat").alias("qhat"),
+        )
+    )
+    return readout.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_cal",
+        "n_test",
+        "qhat",
+        "CASE WHEN n_test > 0 THEN"
+        " floor(CAST(n_cov AS DOUBLE) / n_test * 1000000) / 1000000 END AS coverage",
+        "CASE WHEN n_test > 0 THEN"
+        " floor(CAST(set_sum AS DOUBLE) / n_test * 1000000) / 1000000 END"
+        " AS avg_set_size",
+        f"CASE WHEN n_test > 0 THEN"
+        f" CAST(n_cov AS DOUBLE) / n_test >= {1.0 - alpha!r} END AS meets_target",
+    )
+
+
+def conformal_coverage_oracle(
+    target_label: int = 0,
+    alpha: float = 0.1,
+    cal_pct: int = 50,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(vec_id AS VARCHAR)", "duckdb")
+    return (
+        _logreg_cte_chain(target_label, iters, lr)
+        + _logreg_scored_cte(iters)
+        + f""",
+tagged AS (
+  SELECT score,
+         CASE WHEN y = 1 THEN 1.0 - score ELSE score END AS s,
+         ({h}) % 100 < {cal_pct} AS is_cal
+  FROM scored),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM tagged WHERE is_cal),
+hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM tagged WHERE is_cal GROUP BY 1),
+cum AS (
+  SELECT s, SUM(n) OVER (ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+qrow AS (
+  SELECT COALESCE(MIN(s), 1.0) AS qhat
+  FROM cum CROSS JOIN tot
+  WHERE cum >= CAST(ceil((n_cal + 1) * {1.0 - alpha!r}) AS BIGINT)),
+readout AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CAST(s <= qhat AS BIGINT)) AS BIGINT) AS n_cov,
+         CAST(SUM(CAST(1.0 - score <= qhat AS BIGINT)
+                  + CAST(score <= qhat AS BIGINT)) AS BIGINT) AS set_sum,
+         MAX(qhat) AS qhat
+  FROM tagged CROSS JOIN qrow WHERE NOT is_cal)
+SELECT n_cal, n_test, qhat,
+  CASE WHEN n_test > 0 THEN
+    floor(CAST(n_cov AS DOUBLE) / n_test * 1000000) / 1000000 END AS coverage,
+  CASE WHEN n_test > 0 THEN
+    floor(CAST(set_sum AS DOUBLE) / n_test * 1000000) / 1000000 END AS avg_set_size,
+  CASE WHEN n_test > 0 THEN
+    CAST(n_cov AS DOUBLE) / n_test >= {1.0 - alpha!r} END AS meets_target
+FROM readout CROSS JOIN tot"""
+    )

@@ -1802,3 +1802,90 @@ SELECT event_type, n_gaps,
                   / (sqrt(CAST(s2 AS DOUBLE) / n_gaps - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps)) + (CAST(s1 AS DOUBLE) / n_gaps)) * 1000000) / 1000000
        WHEN n_gaps > 0 THEN -1.0 END AS burstiness
 FROM agg"""
+
+
+def hourly_acf(events: DataFrame, lags: tuple[int, ...] = (1, 2, 24, 168)) -> DataFrame:
+    """Autocorrelation function of the hourly event-volume series at
+    the named lags — THE seasonality detector (lag-24 ≈ daily cycle,
+    lag-168 ≈ weekly) that :func:`seasonal_baseline` assumes and this
+    measures: if acf(24) is high the (dow, hod) profile is the right
+    baseline, if not the series is trend/burst-driven.
+
+    The series is the DENSE hourly spine (missing hours count 0 — gaps
+    ARE signal for autocorrelation); Pearson r at lag L pairs hour t
+    with t+L via a spine self-join.  Exactness: counts are BIGINT,
+    cross/square products sum as DECIMAL(38,0) (an hour can hold 1e9+
+    events at 100 TB before the data does anything wrong), r is one
+    double expression over the exact moments — ``sqrt`` is IEEE
+    correctly-rounded on both engines (unlike ``ln``) — floored 1e-6,
+    zero-variance guarded.
+
+    Scale shape: ONE fact scan collapses to the bounded hourly spine
+    (map-side combinable); the dense spine, the per-lag self-joins, and
+    the moment reduces are all spine-sized (~years·8766 rows).  Output
+    (|lags| rows): (lag, n_pairs, acf).
+    """
+    hourly = events.selectExpr("unix_micros(ts) div 3600000000 AS h").groupBy(
+        "h"
+    ).agg(F.count("*").cast("long").alias("c"))
+    rng = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    dense = (
+        rng.selectExpr("explode(sequence(h0, h1)) AS h")
+        .join(hourly, "h", "left")
+        .selectExpr("h", "coalesce(c, CAST(0 AS BIGINT)) AS c")
+        .localCheckpoint(eager=False)
+    )
+
+    def arm(lag: int) -> DataFrame:
+        a = dense.selectExpr("h", "c AS xa")
+        b = dense.selectExpr(f"h - {lag} AS h", "c AS xb")
+        m = a.join(b, "h").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("xa").cast("long").alias("sx"),
+            F.sum("xb").cast("long").alias("sy"),
+            F.expr("SUM(CAST(xa AS DECIMAL(38,0)) * xb)").alias("sxy"),
+            F.expr("SUM(CAST(xa AS DECIMAL(38,0)) * xa)").alias("sxx"),
+            F.expr("SUM(CAST(xb AS DECIMAL(38,0)) * xb)").alias("syy"),
+        )
+        num = "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        dx = "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        dy = "CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        return m.selectExpr(
+            f"CAST({lag} AS BIGINT) AS lag",
+            "n AS n_pairs",
+            f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN"
+            f" floor({num} / sqrt({dx} * {dy}) * 1000000) / 1000000 END AS acf",
+        )
+
+    out = arm(lags[0])
+    for lag in lags[1:]:
+        out = out.unionAll(arm(lag))
+    return out
+
+
+def hourly_acf_oracle(lags: tuple[int, ...] = (1, 2, 24, 168)) -> str:
+    def arm(lag: int) -> str:
+        num = "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        dx = "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        dy = "CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        return f"""SELECT CAST({lag} AS BIGINT) AS lag, n AS n_pairs,
+  CASE WHEN {dx} > 0 AND {dy} > 0 THEN
+    floor({num} / sqrt({dx} * {dy}) * 1000000) / 1000000 END AS acf
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+         SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS sxy,
+         SUM(CAST(a.c AS DECIMAL(38,0)) * a.c) AS sxx,
+         SUM(CAST(b.c AS DECIMAL(38,0)) * b.c) AS syy
+  FROM dense a JOIN dense b ON b.h = a.h + {lag}) m"""
+
+    arms = "\nUNION ALL\n".join(arm(lag) for lag in lags)
+    return f"""WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+rng AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM rng),
+dense AS (
+  SELECT s.h, COALESCE(hourly.c, CAST(0 AS BIGINT)) AS c
+  FROM spine s LEFT JOIN hourly ON s.h = hourly.h)
+{arms}"""

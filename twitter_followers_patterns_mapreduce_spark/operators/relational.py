@@ -2299,6 +2299,77 @@ ORDERS_MONTHLY_IVM_ORACLE = """SELECT
 FROM orders GROUP BY 1"""
 
 
+def join_delta_ivm(
+    lineitem: DataFrame, orders: DataFrame, cutover: str = "1997-01-01"
+) -> DataFrame:
+    """JOIN-level incremental view maintenance — the delta-join rule
+    that :func:`orders_monthly_ivm` (aggregate-state IVM) builds on top
+    of: maintain a monthly revenue view over lineitem ⋈ orders when
+    BOTH sides receive new slices, using the classic bilinear expansion
+
+        Δ(L ⋈ R) = ΔL ⋈ R₀  ∪  L₀ ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    so an ingest only ever joins the delta slices against the other
+    side — never history × history again.  Here L₀/ΔL split lineitem on
+    ``l_shipdate`` and R₀/ΔR split orders on ``o_orderdate`` at the same
+    cutover, the four slice-joins (base ⋈ base plus the three delta
+    terms) each produce mergeable algebraic state (count + exact
+    decimal revenue sum), and the states merge by union → re-aggregate.
+    The DuckDB oracle computes the view DIRECTLY from the full join:
+    the hash match is the proof that delta-join maintenance equals full
+    recompute.
+
+    At 100 TB the base⋈base term is the standing view (never re-run);
+    a daily ingest pays |ΔL|·fanout + |ΔR|·fanout + |ΔL⋈ΔR| — bucketed
+    on orderkey, all three are co-located joins of a day's data.
+
+    Output: (order_month, n_items, revenue) per month of o_orderdate.
+    """
+    cut = F.lit(cutover).cast("timestamp")
+    l0 = lineitem.where(F.col("l_shipdate") < cut)
+    ld = lineitem.where(F.col("l_shipdate") >= cut)
+    r0 = orders.where(F.col("o_orderdate") < cut)
+    rd = orders.where(F.col("o_orderdate") >= cut)
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+    def state(lf: DataFrame, rf: DataFrame) -> DataFrame:
+        return (
+            lf.join(rf, lf["l_orderkey"] == rf["o_orderkey"])
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.sum(rev).alias("rev_dec"),
+            )
+        )
+
+    merged = (
+        state(l0, r0)
+        .unionAll(state(ld, r0))
+        .unionAll(state(l0, rd))
+        .unionAll(state(ld, rd))
+        .groupBy("order_month")
+        .agg(
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+    )
+    return merged.selectExpr(
+        "order_month", "n_items", "CAST(rev_dec AS DOUBLE) AS revenue"
+    )
+
+
+JOIN_DELTA_IVM_ORACLE = """SELECT
+  strftime(o_orderdate, '%Y-%m') AS order_month,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1"""
+
+
 def basket_frequent_triples(
     lineitem: DataFrame,
     modulus: int = 53,

@@ -884,6 +884,17 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_acf",
+    oracle=E.hourly_acf_oracle(lags=(1, 2, 24, 168)),
+    description="autocorrelation of hourly event volume at lags 1/2/24/168 — the "
+    "seasonality detector behind the (dow, hod) baseline: dense hourly spine "
+    "(gaps count 0), per-lag spine self-joins, exact DECIMAL moments, IEEE sqrt",
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.hourly_acf(load_events(spark, sf_dir), lags=(1, 2, 24, 168))
+
+
+@register(
     "events_cms_frequency",
     oracle=ST.cms_frequency_profile_oracle("events", "user_id", k=10),
     description="count-min-sketch frequency profile (third mergeable-sketch family "

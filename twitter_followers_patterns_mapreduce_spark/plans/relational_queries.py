@@ -916,6 +916,21 @@ def orders_monthly_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.orders_monthly_ivm(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "join_delta_ivm",
+    oracle=R.JOIN_DELTA_IVM_ORACLE,
+    description="JOIN-level incremental view maintenance: the bilinear delta rule "
+    "d(LxR) = dLxR0 + L0xdR + dLxdR maintains a monthly revenue view over "
+    "lineitem x orders when both sides ingest new slices — four slice-joins "
+    "produce mergeable count+decimal state, merged by union re-agg; the oracle "
+    "recomputes the view directly from the full join",
+)
+def join_delta_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.join_delta_ivm(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
 # ---- join planning & estimation (operators/planner.py) ------------------
 from twitter_followers_patterns_mapreduce_spark.operators import planner as PL  # noqa: E402
 

@@ -175,6 +175,20 @@ def embedding_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_conformal_coverage",
+    oracle=KM.conformal_coverage_oracle(target_label=0, alpha=0.1, cal_pct=50),
+    description="split-conformal prediction audit: h64 calibration split, the "
+    "(1-alpha)(n+1)/n nonconformity quantile from a bounded-histogram window, and "
+    "realized test coverage + average prediction-set size (the efficiency check that "
+    "says whether the distribution-free guarantee is vacuous)",
+)
+def embedding_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.conformal_coverage(
+        load_table(spark, sf_dir, "embeddings"), target_label=0, alpha=0.1, cal_pct=50
+    )
+
+
+@register(
     "ann_radius_search",
     oracle=S.ann_radius_search_oracle(),
     description="range (radius) similarity search: all corpus vectors within "
