@@ -538,3 +538,31 @@ def test_temperature_mixture_sqrt_shares_and_determinism(spark):
     assert 0 <= out["srcA"]["n_kept"] <= 16 and 0 <= out["srcB"]["n_kept"] <= 4
     again = {r["source"]: r["n_kept"] for r in corpus_temperature_mixture(df).collect()}
     assert again == {s: r["n_kept"] for s, r in out.items()}
+
+
+def test_doc_keyphrases_rank_by_corpus_pmi(spark):
+    """Phrase pairs that always co-occur outrank promiscuous pairs, the
+    min_count floor drops hapax bigrams, and ranks are per-doc."""
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import doc_keyphrases
+
+    # "alpha beta" always adjacent (PMI high); "the xN" spreads "the"
+    # over many successors (PMI low); "rare once" appears once (floored)
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta the x{i} the x{i + 1} rare once" if i == 0
+             else f"alpha beta the x{i} the x{i + 1}")
+            for i in range(8)
+        ],
+        schema="doc_id LONG, text STRING",
+    )
+    out = doc_keyphrases(docs, min_count=5, per_doc=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(8))
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # the always-adjacent pair ranks first everywhere
+        assert (rows[0]["t1"], rows[0]["t2"]) == ("alpha", "beta")
+        assert all((r["t1"], r["t2"]) != ("rare", "once") for r in rows)

@@ -351,3 +351,19 @@ def test_degree_gini_ring_zero_and_star_matches_reference(spark):
     expect = 2 * rsum / (n * dsum) - (n + 1) / n
     assert s["n_nodes"] == 10 and s["n_edges"] == 9
     assert s["gini"] == math.floor(expect * 1e6) / 1e6
+
+
+def test_rich_club_clique_plus_pendants(spark):
+    """K5 (every node degree 4) plus 5 pendant edges hanging off node 0
+    (degree 9): at k=4 the club is {0} (phi NULL, <2 members); at k=3
+    the club is the K5 and phi = 1.0 (all 10 club edges present)."""
+    from twitter_followers_patterns_mapreduce_spark.operators.graph import rich_club
+
+    k5 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    pendants = [(0, 100 + i) for i in range(5)]
+    edges = spark.createDataFrame(k5 + pendants, schema="src LONG, dst LONG")
+    out = {r["k"]: r for r in rich_club(edges, ks=(3, 4)).collect()}
+    assert out[3]["n_club"] == 5 and out[3]["e_club"] == 10
+    assert out[3]["phi"] == 1.0
+    assert out[4]["n_club"] == 1 and out[4]["e_club"] == 0
+    assert out[4]["phi"] is None

@@ -123,6 +123,12 @@ ALLOWED_BRUTE_FORCE = {
     #     (the rank threshold), then the 1-row q̂ broadcast onto the
     #     test half and the 1 × 1 readout
     "embedding_conformal_coverage",
+    #   * rich club — 1-row edge-side conditional reduce × 1-row
+    #     node-side conditional reduce (all thresholds in one pass)
+    "graph_rich_club",
+    #   * mutual information — bounded (x, y) cell table × 1-row total
+    #     (the entropy/chi² shape), then three 1-row reduces crossed
+    "events_type_hour_mi",
     #   * PMI / CMS — vocabulary-/k-sized cell tables crossed with the
     #     1-row totals aggregate (the woe shape); the bigram and fan
     #     materializations feed only hash aggs and equi-joins

@@ -612,3 +612,28 @@ def test_theta_set_profile_constructed_overlap(spark):
     assert (r["n_a"], r["n_b"], r["n_union"]) == (100, 100, 150)
     assert (r["n_intersect"], r["n_only_a"]) == (50, 50)
     assert all(r[c] is True for c in ("ok_a", "ok_b", "ok_union", "ok_intersect", "ok_diff"))
+
+
+def test_mutual_information_independent_and_determined(spark):
+    """MI = 0 for independent uniform columns; MI = H(x) = H(y) = ln 2
+    when y is a function of x (and NMI = 1)."""
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.stats import mutual_information
+
+    # independent: every (x, y) cell equally likely
+    indep = spark.createDataFrame(
+        [(x, y) for x in range(2) for y in range(2) for _ in range(25)],
+        schema="a LONG, b LONG",
+    )
+    (row,) = mutual_information(indep, "a", "b").collect()
+    assert row["n"] == 100 and row["n_x_vals"] == 2 and row["n_y_vals"] == 2
+    assert abs(row["mi_nats"]) < 1e-6
+    assert abs(row["h_x"] - math.log(2)) < 1e-6
+    # determined: b = a
+    det = spark.createDataFrame(
+        [(x, x) for x in range(2) for _ in range(50)], schema="a LONG, b LONG"
+    )
+    (row,) = mutual_information(det, "a", "b").collect()
+    assert abs(row["mi_nats"] - math.log(2)) < 1e-6
+    assert abs(row["nmi"] - 1.0) < 1e-5

@@ -1838,3 +1838,99 @@ SELECT prefix, n_tokens_cum, vocab_cum,
   floor({lnk} * 1000000) / 1000000 AS ln_k,
   floor({r2} * 1000000) / 1000000 AS r2
 FROM fit"""
+
+
+def doc_keyphrases(
+    df: DataFrame, min_count: int = 5, per_doc: int = 3
+) -> DataFrame:
+    """Per-document keyphrases: each doc's top-``per_doc`` bigrams
+    ranked by the CORPUS-level PMI score (:func:`pmi_collocations` is
+    the corpus top-k; this projects the same statistic back onto every
+    document — the "what is this doc about" extraction a curation UI
+    or a topic-sampling mixture needs per row).  The ``min_count``
+    floor keeps hapax pairs (PMI's pathology) out of every doc.
+
+    Plan shape: ONE bigram materialization feeds the corpus counts AND
+    the per-doc distinct bigram sets; scoring is a vocabulary-sized
+    equi-join; the per-doc top-k is a window PARTITIONED BY doc_id
+    (defined shuffle key — never a global rank).  PMI is the family's
+    single closed-form ``ln`` over exact integer counts, floored 1e-6;
+    ties break (t1, t2) so ranks are deterministic.
+
+    Output (≤ per_doc rows per doc): (doc_id, rank, t1, t2, c_bg, pmi).
+    """
+    from pyspark.sql import Window
+
+    toks = df.selectExpr("doc_id", f"{tokens_sql('text', 'spark')} AS toks")
+    bi = (
+        toks.selectExpr(
+            "doc_id",
+            "explode(CASE WHEN size(toks) >= 2 THEN transform("
+            "sequence(1, size(toks) - 1),"
+            " i -> struct(element_at(toks, i) AS t1, element_at(toks, i + 1) AS t2))"
+            " ELSE array() END) AS bg",
+        )
+        .selectExpr("doc_id", "bg.t1 AS t1", "bg.t2 AS t2")
+        .localCheckpoint(eager=False)
+    )
+    cnt_bg = bi.groupBy("t1", "t2").agg(F.count("*").cast("long").alias("c_bg"))
+    cnt_pre = bi.groupBy("t1").agg(F.count("*").cast("long").alias("c_pre"))
+    cnt_suf = bi.groupBy("t2").agg(F.count("*").cast("long").alias("c_suf"))
+    tot = bi.agg(F.count("*").cast("long").alias("t_bg")).selectExpr(
+        "t_bg", "t_bg - t_bg AS _z"
+    )
+    scored = (
+        cnt_bg.where(F.col("c_bg") >= min_count)
+        .join(cnt_pre, "t1")
+        .join(cnt_suf, "t2")
+        .withColumn("_z", F.expr("pmod(c_bg, 1)"))
+        .join(F.broadcast(tot), "_z")
+        .selectExpr(
+            "t1",
+            "t2",
+            "c_bg",
+            "floor(ln(CAST(c_bg AS DOUBLE) * t_bg"
+            " / (CAST(c_pre AS DOUBLE) * c_suf)) * 1000000) / 1000000 AS pmi",
+        )
+    )
+    doc_bg = bi.select("doc_id", "t1", "t2").distinct()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc()
+    )
+    return (
+        doc_bg.join(scored, ["t1", "t2"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_doc)
+        .selectExpr("doc_id", "CAST(rank AS BIGINT) AS rank", "t1", "t2", "c_bg", "pmi")
+    )
+
+
+def doc_keyphrases_oracle(min_count: int = 5, per_doc: int = 3) -> str:
+    toks = tokens_sql("text", "duckdb")
+    pmi = (
+        "floor(ln(CAST(c_bg AS DOUBLE) * t_bg"
+        " / (CAST(c_pre AS DOUBLE) * c_suf)) * 1000000) / 1000000"
+    )
+    return f"""WITH toks AS (SELECT doc_id, {toks} AS toks FROM documents),
+bi AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS t1, toks[CAST(i AS INT) + 1] AS t2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM toks WHERE len(toks) >= 2)),
+cnt_bg AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bi GROUP BY 1, 2),
+cnt_pre AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c_pre FROM bi GROUP BY 1),
+cnt_suf AS (SELECT t2, CAST(COUNT(*) AS BIGINT) AS c_suf FROM bi GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_bg FROM bi),
+scored AS (
+  SELECT cnt_bg.t1, cnt_bg.t2, c_bg, {pmi} AS pmi
+  FROM cnt_bg JOIN cnt_pre ON cnt_bg.t1 = cnt_pre.t1
+  JOIN cnt_suf ON cnt_bg.t2 = cnt_suf.t2
+  CROSS JOIN tot
+  WHERE c_bg >= {min_count}),
+doc_bg AS (SELECT DISTINCT doc_id, t1, t2 FROM bi),
+ranked AS (
+  SELECT d.doc_id, s.t1, s.t2, s.c_bg, s.pmi,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+           ORDER BY s.pmi DESC, s.t1 ASC, s.t2 ASC) AS rank
+  FROM doc_bg d JOIN scored s ON d.t1 = s.t1 AND d.t2 = s.t2)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, t1, t2, c_bg, pmi
+FROM ranked WHERE rank <= {per_doc}"""

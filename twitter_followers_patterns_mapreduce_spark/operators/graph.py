@@ -896,3 +896,96 @@ SELECT CAST(n AS BIGINT) AS n_nodes,
   floor((CAST(rsum2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(dsum AS DOUBLE))
     - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000) / 1000000 AS gini
 FROM agg"""
+
+
+def rich_club(edges: DataFrame, ks: tuple[int, ...] = (2, 4, 8, 16)) -> DataFrame:
+    """Rich-club coefficient φ(k) at several degree thresholds — do the
+    hubs preferentially follow EACH OTHER?  φ(k) = E_k / C(N_k, 2)
+    where N_k = nodes of undirected degree > k and E_k = simple edges
+    with both endpoints in that club; φ → 1 means the k-club is a
+    near-clique (the "elite wiring" signal; degree_assortativity is the
+    correlation version, this is the subgraph-density version).
+
+    One pass per table: canonical undirected simple edges (least/
+    greatest, self-loops dropped) → degree agg → edges annotated with
+    both endpoint degrees (two |V|-sized equi-joins) → ALL thresholds
+    fold into one conditional aggregate each on the edge table and the
+    degree table, crossed 1 × 1 — never one job per k.  Exact BIGINT
+    counts, φ floored 1e-6, |club| < 2 guarded.
+
+    Output (|ks| rows): (k, n_club, e_club, phi).
+    """
+    und = (
+        edges.selectExpr(
+            "least(src, dst) AS a", "greatest(src, dst) AS b"
+        )
+        .where("a <> b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.selectExpr("a AS id")
+        .unionAll(und.selectExpr("b AS id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    da = deg.selectExpr("id AS a", "d AS da")
+    db = deg.selectExpr("id AS b", "d AS db")
+    ewd = und.join(da, "a").join(db, "b")
+    e_aggs = [
+        F.sum(F.expr(f"CAST(da > {k} AND db > {k} AS BIGINT)"))
+        .cast("long")
+        .alias(f"e{k}")
+        for k in ks
+    ]
+    n_aggs = [
+        F.sum(F.expr(f"CAST(d > {k} AS BIGINT)")).cast("long").alias(f"n{k}")
+        for k in ks
+    ]
+    # 1 x 1 declared cross: edge-side reduce x node-side reduce
+    both = ewd.agg(*e_aggs).crossJoin(F.broadcast(deg.agg(*n_aggs)))
+    stack_args = ", ".join(f"{k}, n{k}, e{k}" for k in ks)
+    return both.selectExpr(
+        f"stack({len(ks)}, {stack_args}) AS (k, n_club, e_club)"
+    ).selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "n_club",
+        "e_club",
+        "CASE WHEN n_club > 1 THEN"
+        " floor(CAST(e_club AS DOUBLE) * 2 / (CAST(n_club AS DOUBLE) * (n_club - 1))"
+        " * 1000000) / 1000000 END AS phi",
+    )
+
+
+def rich_club_oracle(edges_cte: str, ks: tuple[int, ...] = (2, 4, 8, 16)) -> str:
+    e_sums = ",\n         ".join(
+        f"CAST(SUM(CAST(da > {k} AND db > {k} AS BIGINT)) AS BIGINT) AS e{k}"
+        for k in ks
+    )
+    n_sums = ",\n         ".join(
+        f"CAST(SUM(CAST(d > {k} AS BIGINT)) AS BIGINT) AS n{k}" for k in ks
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({k} AS BIGINT) AS k, n{k} AS n_club, e{k} AS e_club FROM agg2"
+        for k in ks
+    )
+    return f"""WITH s AS ({edges_cte}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM s WHERE src <> dst),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) u GROUP BY 1),
+ewd AS (
+  SELECT da.d AS da, db.d AS db
+  FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id),
+e_agg AS (SELECT {e_sums} FROM ewd),
+n_agg AS (SELECT {n_sums} FROM deg),
+agg2 AS (SELECT * FROM e_agg CROSS JOIN n_agg),
+rows_ AS (
+{arms})
+SELECT k, n_club, e_club,
+  CASE WHEN n_club > 1 THEN
+    floor(CAST(e_club AS DOUBLE) * 2 / (CAST(n_club AS DOUBLE) * (n_club - 1))
+      * 1000000) / 1000000 END AS phi
+FROM rows_"""

@@ -1814,3 +1814,104 @@ SELECT n,
   floor(lo * 1000000) / 1000000 AS lo,
   floor(hi * 1000000) / 1000000 AS hi
 FROM agg"""
+
+
+def mutual_information(df: DataFrame, x_expr: str, y_expr: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    dependence scalar completing :func:`categorical_entropy_kl` (MI is
+    exactly the KL of the joint vs the product of marginals): "does
+    event type carry information about the hour" asked of exact counts,
+    plus both marginal entropies and the normalized MI
+    (MI / √(H(x)·H(y)), the feature-selection score) so 0.3 nats is
+    interpretable.
+
+    Same exactness discipline as the entropy/chi² family: one
+    (x, y) hash agg to the bounded cell table, marginals regroup it,
+    every pointwise term p·ln(p_xy/(p_x·p_y)) is one double expression
+    over exact BIGINT counts floored to 1e-9-scaled BIGINTs and summed
+    order-independently.  Absent cells contribute 0 (0·ln 0 = 0).
+
+    Scale shape: the fact table is touched once; everything downstream
+    is |x-values|·|y-values| cells.  Output (1 row): n, n_x_vals,
+    n_y_vals, h_x, h_y, mi_nats, nmi.
+    """
+    base = df.selectExpr(f"{x_expr} AS x", f"{y_expr} AS y")
+    cells = base.groupBy("x", "y").agg(F.count("*").cast("long").alias("nxy"))
+    xm = cells.groupBy("x").agg(F.sum("nxy").cast("long").alias("nx"))
+    ym = cells.groupBy("y").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    mi = (
+        cells.join(F.broadcast(xm), "x")
+        .join(F.broadcast(ym), "y")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(floor((CAST(nxy AS DOUBLE) / n)"
+            " * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))"
+            " * 1000000000) AS BIGINT) AS mi9",
+        )
+        .agg(F.sum("mi9").cast("long").alias("mi9"))
+    )
+
+    def marg_entropy(m: DataFrame, cnt: str, vals: str) -> DataFrame:
+        return (
+            m.crossJoin(F.broadcast(tot))
+            .selectExpr(
+                f"CAST(floor(-(CAST({cnt} AS DOUBLE) / n)"
+                f" * ln(CAST({cnt} AS DOUBLE) / n) * 1000000000) AS BIGINT) AS h9",
+            )
+            .agg(
+                F.count("*").cast("long").alias(vals),
+                F.sum("h9").cast("long").alias(f"h9_{vals}"),
+            )
+        )
+
+    hx = marg_entropy(xm, "nx", "n_x_vals")
+    hy = marg_entropy(ym, "ny", "n_y_vals")
+    return (
+        tot.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(mi))
+        .selectExpr(
+            "n",
+            "n_x_vals",
+            "n_y_vals",
+            "CAST(h9_n_x_vals AS DOUBLE) / 1000000000.0 AS h_x",
+            "CAST(h9_n_y_vals AS DOUBLE) / 1000000000.0 AS h_y",
+            "CAST(mi9 AS DOUBLE) / 1000000000.0 AS mi_nats",
+            "CASE WHEN h9_n_x_vals > 0 AND h9_n_y_vals > 0 THEN"
+            " floor(CAST(mi9 AS DOUBLE)"
+            " / sqrt(CAST(h9_n_x_vals AS DOUBLE) * h9_n_y_vals)"
+            " * 1000000) / 1000000 END AS nmi",
+        )
+    )
+
+
+def mutual_information_oracle(table: str, x_expr: str, y_expr: str) -> str:
+    return f"""WITH base AS (SELECT {x_expr} AS x, {y_expr} AS y FROM {table}),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM base GROUP BY 1, 2),
+xm AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+ym AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+mi AS (
+  SELECT CAST(SUM(CAST(floor((CAST(nxy AS DOUBLE) / n)
+    * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))
+    * 1000000000) AS BIGINT)) AS BIGINT) AS mi9
+  FROM cells JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN tot),
+hx AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_x_vals,
+         CAST(SUM(CAST(floor(-(CAST(nx AS DOUBLE) / n)
+           * ln(CAST(nx AS DOUBLE) / n) * 1000000000) AS BIGINT)) AS BIGINT) AS hx9
+  FROM xm CROSS JOIN tot),
+hy AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_y_vals,
+         CAST(SUM(CAST(floor(-(CAST(ny AS DOUBLE) / n)
+           * ln(CAST(ny AS DOUBLE) / n) * 1000000000) AS BIGINT)) AS BIGINT) AS hy9
+  FROM ym CROSS JOIN tot)
+SELECT n, n_x_vals, n_y_vals,
+  CAST(hx9 AS DOUBLE) / 1000000000.0 AS h_x,
+  CAST(hy9 AS DOUBLE) / 1000000000.0 AS h_y,
+  CAST(mi9 AS DOUBLE) / 1000000000.0 AS mi_nats,
+  CASE WHEN hx9 > 0 AND hy9 > 0 THEN
+    floor(CAST(mi9 AS DOUBLE) / sqrt(CAST(hx9 AS DOUBLE) * hy9)
+      * 1000000) / 1000000 END AS nmi
+FROM tot CROSS JOIN hx CROSS JOIN hy CROSS JOIN mi"""

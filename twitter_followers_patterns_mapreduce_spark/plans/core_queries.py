@@ -251,6 +251,18 @@ def graph_degree_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_rich_club",
+    oracle=G.rich_club_oracle(_SPARSE_CTE, ks=(2, 4, 8, 16)),
+    description="rich-club coefficient phi(k) at degree thresholds 2/4/8/16 — do hubs "
+    "preferentially wire to each other (subgraph-density companion of assortativity); "
+    "all thresholds fold into ONE conditional aggregate each on the degree-annotated "
+    "edge table and the degree table, crossed 1x1",
+)
+def graph_rich_club_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.rich_club(_sparse_edges(spark, sf_dir), ks=(2, 4, 8, 16))
+
+
+@register(
     "graph_kcore",
     oracle=GI.k_core_oracle(_SPARSE_CTE, k=2, rounds=8),
     description="iterative: 2-core via synchronous parallel peeling (drop all deg<k "

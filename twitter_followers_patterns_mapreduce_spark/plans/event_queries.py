@@ -830,6 +830,19 @@ def events_segment_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_type_hour_mi",
+    oracle=ST.mutual_information_oracle("events", "event_type", "EXTRACT(HOUR FROM ts)"),
+    description="mutual information between event type and hour-of-day (the KL of the "
+    "joint vs product-of-marginals) plus both entropies and normalized MI — exact "
+    "BIGINT cells, 1e-9-floored pointwise ln terms, order-independent sums",
+)
+def events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ST.mutual_information(
+        load_events(spark, sf_dir), "event_type", "EXTRACT(HOUR FROM ts)"
+    )
+
+
+@register(
     "events_user_ltv_decay",
     oracle=E.user_ltv_decay_oracle(k=100),
     description="exponentially time-decayed per-user value (tau = 1 week, anchored "

@@ -239,6 +239,18 @@ def doc_token_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_keyphrases",
+    oracle=CP.doc_keyphrases_oracle(min_count=5, per_doc=3),
+    description="per-document top-3 keyphrases by corpus PMI (pmi_collocations "
+    "projected back onto every doc): one bigram materialization feeds corpus counts "
+    "and per-doc distinct sets, scoring is a vocab-sized equi-join, top-k is a "
+    "doc-partitioned window with deterministic tie-breaks",
+)
+def doc_keyphrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.doc_keyphrases(load_table(spark, sf_dir, "documents"), min_count=5, per_doc=3)
+
+
+@register(
     "corpus_pack_sequences",
     oracle=CP.pack_sequences_oracle(seq_len=256, window=64),
     description="training-sequence packing: non-overlapping token chunks stream "
