@@ -1889,3 +1889,37 @@ dense AS (
   SELECT s.h, COALESCE(hourly.c, CAST(0 AS BIGINT)) AS c
   FROM spine s LEFT JOIN hourly ON s.h = hourly.h)
 {arms}"""
+
+
+def bottomk_sample(events: DataFrame, k: int = 200) -> DataFrame:
+    """Deterministic bottom-k uniform sample — THE distributed sampling
+    primitive: the k rows with the smallest h64(event_id) are a uniform
+    without-replacement sample of the table (conditioning on a fixed
+    hash, any k-subset is equally likely over the key universe), and
+    bottom-k state is MERGEABLE — the bottom-k of a union is the
+    bottom-k of the partial bottom-ks, which is why every engine's
+    reservoir/sample operator is really this under the hood and why
+    the streaming twin maintains it per micro-batch.
+
+    Unlike rand()-based sampling the draw replays identically on rerun,
+    retry, and in the DuckDB oracle (the h64-mod split discipline
+    applied to sampling); TakeOrdered computes it as per-partition
+    bottom-k + merge, never a global sort.  Output (k rows):
+    (event_id, user_id, event_type, hk).
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(event_id AS STRING)", "spark")
+    return (
+        events.selectExpr("event_id", "user_id", "event_type", f"{h} AS hk")
+        .orderBy(F.col("hk").asc(), F.col("event_id").asc())
+        .limit(k)
+    )
+
+
+def bottomk_sample_oracle(k: int = 200) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(event_id AS VARCHAR)", "duckdb")
+    return f"""SELECT event_id, user_id, event_type, {h} AS hk
+FROM events ORDER BY hk ASC, event_id ASC LIMIT {k}"""

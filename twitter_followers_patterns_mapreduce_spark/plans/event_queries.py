@@ -749,11 +749,19 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.heavy_hitters(load_events(spark, sf_dir), phi=0.008)
 
 
-def _stage_event_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
-    """Stage (event_id, user_id) as ``n_batches`` parquet files split by
-    ``event_id % n_batches`` — a deterministic micro-batch replay of the
-    events table.  Returns (feed_dir, state_dir, checkpoint_dir); state
-    and checkpoint are wiped per invocation for a fresh replay."""
+def _stage_event_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    cols: tuple[str, ...] = ("event_id", "user_id"),
+    name: str = "hh",
+):
+    """Stage the named event columns as ``n_batches`` parquet files split
+    by ``event_id % n_batches`` — a deterministic micro-batch replay of
+    the events table.  Returns (feed_dir, state_dir, checkpoint_dir);
+    state and checkpoint are wiped per invocation for a fresh replay.
+    ``name`` keys the cached feed so consumers with different column
+    sets never read each other's staging."""
     import glob as _glob
     import hashlib
     import os
@@ -763,7 +771,7 @@ def _stage_event_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
     from pyspark.sql import functions as F
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_hh_{tag}")
+    root = os.path.join(tempfile.gettempdir(), f"spark_{name}_{tag}")
     feed_dir = os.path.join(root, "feed")
     state_dir = os.path.join(root, "state")
     ckpt_dir = os.path.join(root, "ckpt")
@@ -771,7 +779,7 @@ def _stage_event_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
         shutil.rmtree(d, ignore_errors=True)
     if not os.path.exists(feed_dir):
         os.makedirs(feed_dir)
-        ev = load_events(spark, sf_dir).select("event_id", "user_id")
+        ev = load_events(spark, sf_dir).select(*cols)
         for b in range(n_batches):
             tmp = os.path.join(root, f"stage_b{b}")
             ev.where(F.col("event_id") % n_batches == b).coalesce(1).write.mode(
@@ -804,6 +812,42 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, user_event_stream(spark, feed_dir), state_dir, ckpt_dir
     )
     return heavy_hitters_from_view(spark, state_dir, phi=0.008)
+
+
+@register(
+    "events_bottomk_sample",
+    oracle=E.bottomk_sample_oracle(k=200),
+    description="deterministic bottom-k uniform sample: the 200 rows with the "
+    "smallest h64(event_id) are a uniform without-replacement draw that replays "
+    "identically on rerun/retry/oracle (no rand()); TakeOrdered computes it as "
+    "per-partition bottom-k + merge, never a global sort",
+)
+def events_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.bottomk_sample(load_events(spark, sf_dir), k=200)
+
+
+@register(
+    "events_bottomk_streamed",
+    oracle=E.bottomk_sample_oracle(k=200),
+    description="streaming bottom-k uniform sample under the oracle gate (twelfth "
+    "streaming class): 4 micro-batches each contribute a |batch|-local bottom-k "
+    "merged into <=200-row versioned state (bottom-k is mergeable and order-free), "
+    "so the final state equals the batch operator and the plain-SQL oracle exactly",
+)
+def events_bottomk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.bottomk import (
+        bottomk_apply_stream,
+        bottomk_from_view,
+        sample_event_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_event_batches(
+        spark, sf_dir, cols=("event_id", "user_id", "event_type"), name="bk"
+    )
+    bottomk_apply_stream(
+        spark, sample_event_stream(spark, feed_dir), state_dir, ckpt_dir, k=200
+    )
+    return bottomk_from_view(spark, state_dir)
 
 
 @register(
