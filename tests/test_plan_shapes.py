@@ -28,6 +28,7 @@ SF = "/root/testdata/sf0.001"
 #:     cross against the broadcast centroid table (k = 8)
 ALLOWED_BRUTE_FORCE = {
     "ann_topk_bruteforce",
+    "embedding_hard_negatives",  # same broadcast-anchor x corpus scan
     "embedding_top_pairs",
     "ann_topk_ivf",
     "embedding_kmeans",

@@ -281,3 +281,29 @@ def test_conformal_coverage_guarantee_and_determinism(spark):
     assert row["meets_target"] == (row["coverage"] >= 0.9 - 1e-9)
     (again,) = KM.conformal_coverage(emb, target_label=0, alpha=0.1, cal_pct=50).collect()
     assert again == row  # h64 split + floored scores: fully deterministic
+
+
+def test_hard_negative_mining_picks_and_margin_flag(spark):
+    """Anchor at (1,0): nearest same-label is id 1, but the label-1
+    vector id 3 sits even closer — the violating triplet the miner
+    exists to surface."""
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),    # anchor (vec_id % 50 == 0)
+        (1, [1.0, 0.2], 0),    # hardest positive (cos ~ 0.9806)
+        (2, [0.0, 1.0], 0),    # far positive
+        (3, [1.0, 0.1], 1),    # hardest negative (cos ~ 0.9950) -> violation
+        (4, [-1.0, 0.0], 1),   # far negative
+    ]
+    emb = spark.createDataFrame(
+        rows, schema="vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    (row,) = hard_negative_mining(emb, margin=0.05).collect()
+    assert (row["query_id"], row["anchor_label"]) == (0, 0)
+    assert (row["pos_id"], row["neg_id"]) == (1, 3)
+    assert row["sim_neg"] > row["sim_pos"]
+    assert row["triplet_margin"] < 0
+    assert row["violates_margin"]

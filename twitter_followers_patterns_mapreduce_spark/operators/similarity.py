@@ -1239,3 +1239,100 @@ SELECT id_a, id_b,
   CASE WHEN {true_d2} > 0 THEN floor({ratio} * 1000000) / 1000000 END AS ratio,
   CASE WHEN {true_d2} > 0 THEN {ratio} >= {bound_lo} AND {ratio} <= {bound_hi} END AS within_bound
 FROM pairs"""
+
+
+def hard_negative_mining(embeddings: DataFrame, margin: float = 0.05) -> DataFrame:
+    """Triplet mining for contrastive training — per anchor, the
+    hardest positive (nearest SAME-label vector) and hardest negative
+    (nearest DIFFERENT-label vector), with the triplet margin and a
+    ``violates_margin`` flag (sim_neg > sim_pos − margin: the triplets
+    a contrastive run actually trains on; everything else is already
+    separated).  This is the batch-mining step of every
+    embedding-finetuning pipeline (sentence-transformers' mine-hard-
+    negatives), asked as one query.
+
+    Shape: the ann_topk_bruteforce scan (broadcast anchors × corpus,
+    one cosine per pair) with the per-anchor top-1 taken TWICE under
+    different label predicates in the SAME window pass — a conditional
+    row_number per class, not two scans.  Exact: cosines floored 6dp,
+    ties break on neighbor_id; at 100 TB the anchor side stays a
+    broadcast sample and the corpus scan is the one data-sized pass
+    (the IVF-bucketed variant swaps in exactly like ann_topk_ivf).
+
+    Output (1 row per anchor): (query_id, anchor_label, pos_id,
+    sim_pos, neg_id, sim_neg, triplet_margin, violates_margin).
+    """
+    emb = fan_out(embeddings).select(
+        "vec_id", as_double("embedding").alias("v"), F.col("label").cast("long").alias("lbl")
+    ).withColumn("nv", norm(F.col("v")))
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        F.col("lbl").alias("qlbl"),
+    )
+    sim = F.round(
+        cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qlbl",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("lbl") == F.col("qlbl")).alias("same"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    best = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") == 1)
+    pos = best.where("same").selectExpr(
+        "query_id", "qlbl", "neighbor_id AS pos_id", "sim AS sim_pos"
+    )
+    neg = best.where("NOT same").selectExpr(
+        "query_id AS qid2", "neighbor_id AS neg_id", "sim AS sim_neg"
+    )
+    return (
+        pos.join(neg, pos["query_id"] == neg["qid2"])
+        .selectExpr(
+            "query_id",
+            "qlbl AS anchor_label",
+            "pos_id",
+            "sim_pos",
+            "neg_id",
+            "sim_neg",
+            "floor((sim_pos - sim_neg) * 1000000) / 1000000 AS triplet_margin",
+            f"sim_neg > sim_pos - {margin!r} AS violates_margin",
+        )
+    )
+
+
+def hard_negative_mining_oracle(margin: float = 0.05) -> str:
+    cos = cosine_sql_duckdb("q.qv", "c.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS lbl FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, lbl AS qlbl FROM emb WHERE vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, q.qlbl, c.vec_id AS neighbor_id,
+         c.lbl = q.qlbl AS same, round({cos}, 6) AS sim
+  FROM q JOIN emb c ON q.query_id <> c.vec_id
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+    ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+), pos AS (
+  SELECT query_id, qlbl, neighbor_id AS pos_id, sim AS sim_pos
+  FROM best WHERE same AND rank = 1
+), neg AS (
+  SELECT query_id, neighbor_id AS neg_id, sim AS sim_neg
+  FROM best WHERE NOT same AND rank = 1
+)
+SELECT p.query_id, p.qlbl AS anchor_label, p.pos_id, p.sim_pos,
+       n.neg_id, n.sim_neg,
+       floor((p.sim_pos - n.sim_neg) * 1000000) / 1000000 AS triplet_margin,
+       n.sim_neg > p.sim_pos - {margin!r} AS violates_margin
+FROM pos p JOIN neg n ON p.query_id = n.query_id"""

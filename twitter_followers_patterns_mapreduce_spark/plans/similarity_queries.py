@@ -26,6 +26,18 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_hard_negatives",
+    oracle=S.hard_negative_mining_oracle(margin=0.05),
+    description="triplet mining for contrastive training: per anchor the hardest "
+    "same-label positive and hardest cross-label negative from ONE broadcast-anchor "
+    "scan (conditional per-class top-1 in a single window pass), with the triplet "
+    "margin and the violates-margin flag a finetuning run trains on",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.hard_negative_mining(load_table(spark, sf_dir, "embeddings"), margin=0.05)
+
+
+@register(
     "ann_topk_lsh",
     oracle=S.ann_topk_lsh_oracle(k=5),
     description="approximate top-5 neighbors via sign-LSH bucket equi-join",
