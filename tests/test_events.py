@@ -592,3 +592,26 @@ def test_hourly_acf_gaps_count_as_zero(spark):
     assert out[1]["n_pairs"] == 3
     assert out[3]["n_pairs"] == 1  # single pair -> zero variance -> NULL
     assert out[3]["acf"] is None
+
+
+def test_session_trigrams_respect_boundaries(spark):
+    """A 4-event session yields its two contiguous trigrams; a triple
+    spanning a session gap must not count."""
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        SESSION_GAP_US,
+        session_trigrams,
+    )
+
+    gap = SESSION_GAP_US
+    us = [0, 1_000_000, 2_000_000, 3_000_000,          # session 1: a b c d
+          3_000_000 + gap + 1, 3_000_000 + gap + 1_000_001,
+          3_000_000 + gap + 2_000_002]                 # session 2: b c d
+    types = ["a", "b", "c", "d", "b", "c", "d"]
+    df = spark.createDataFrame(
+        [(i, 1, types[i], us[i]) for i in range(7)],
+        schema="event_id LONG, user_id LONG, event_type STRING, us LONG",
+    ).selectExpr("event_id", "user_id", "event_type", "timestamp_micros(us) AS ts")
+    got = {(r["t1"], r["t2"], r["t3"]): r["n_occurrences"]
+           for r in session_trigrams(df, k=20).collect()}
+    # (b,c,d) occurs in BOTH sessions; (c,d,b)/(d,b,c) would span the gap
+    assert got == {("a", "b", "c"): 1, ("b", "c", "d"): 2}

@@ -189,6 +189,21 @@ HEADLINE = [
     "graph_hub_attack",
     "doc_heaps_law",
     "events_burstiness",
+    # round 9
+    "dedup_lsh_recall_sampled",
+    "mm_image_decode",
+    "join_key_overlap_theta",
+    "layout_bucket_advisor",
+    "layout_partition_advisor",
+    "layout_zorder_benefit",
+    "join_delta_ivm",
+    "events_hourly_acf",
+    "embedding_conformal_coverage",
+    "graph_rich_club",
+    "events_type_hour_mi",
+    "doc_keyphrases",
+    "events_bottomk_sample",
+    "embedding_hard_negatives",
 ]
 
 

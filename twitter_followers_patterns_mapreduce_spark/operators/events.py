@@ -1923,3 +1923,92 @@ def bottomk_sample_oracle(k: int = 200) -> str:
     h = h64_sql("CAST(event_id AS VARCHAR)", "duckdb")
     return f"""SELECT event_id, user_id, event_type, {h} AS hk
 FROM events ORDER BY hk ASC, event_id ASC LIMIT {k}"""
+
+
+def session_trigrams(
+    events: DataFrame, gap_us: int = SESSION_GAP_US, k: int = 20
+) -> DataFrame:
+    """Top-k CONTIGUOUS event-type trigrams within sessions — level-3
+    sequential pattern mining (:func:`event_type_transitions` is the
+    bigram Markov view; this surfaces the three-step journeys —
+    "view → click → purchase" — that a funnel definition is usually
+    reverse-engineered from).  Sessions are :func:`sessionize`'s
+    gap-based intervals, so a trigram never spans a session boundary.
+
+    Shape: ONE pass builds session ids (the sessionize window pair),
+    one more window (same partitioning key, already shuffled) leads the
+    next two types, a boundary filter keeps triples whose three events
+    share the session, then a |type³|-bounded hash agg and TakeOrdered
+    top-k.  Ties break lexicographically — fully deterministic.
+
+    Output (≤ k rows): (t1, t2, t3, n_occurrences).
+    """
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    t = F.unix_micros(F.col("ts"))
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(t - F.lag(t).over(w_user) > gap_us, 1).otherwise(0).alias("new_session"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    led = flagged.select(
+        "event_type",
+        "session_seq",
+        F.lead("event_type", 1).over(w_user).alias("t2"),
+        F.lead("event_type", 2).over(w_user).alias("t3"),
+        F.lead("session_seq", 1).over(w_user).alias("s2"),
+        F.lead("session_seq", 2).over(w_user).alias("s3"),
+    )
+    triples = led.where(
+        "t3 IS NOT NULL AND s2 = session_seq AND s3 = session_seq"
+    ).selectExpr("event_type AS t1", "t2", "t3")
+    counted = triples.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
+
+    order = [
+        F.col("n_occurrences").desc(),
+        F.col("t1").asc(),
+        F.col("t2").asc(),
+        F.col("t3").asc(),
+    ]
+    return ranked_top_k(counted, order, k, anchor="t1").select(
+        "t1", "t2", "t3", "n_occurrences"
+    )
+
+
+def session_trigrams_oracle(gap_us: int = SESSION_GAP_US, k: int = 20) -> str:
+    return f"""WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessioned AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), led AS (
+  SELECT event_type AS t1, session_seq,
+    LEAD(event_type, 1) OVER w AS t2,
+    LEAD(event_type, 2) OVER w AS t3,
+    LEAD(session_seq, 1) OVER w AS s2,
+    LEAD(session_seq, 2) OVER w AS s3
+  FROM sessioned
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), counted AS (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM led
+  WHERE t3 IS NOT NULL AND s2 = session_seq AND s3 = session_seq
+  GROUP BY 1, 2, 3)
+SELECT t1, t2, t3, n_occurrences
+FROM counted
+ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
+LIMIT {k}"""

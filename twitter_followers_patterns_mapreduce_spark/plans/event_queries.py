@@ -815,6 +815,18 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_session_trigrams",
+    oracle=E.session_trigrams_oracle(k=20),
+    description="level-3 sequential pattern mining: top-20 contiguous event-type "
+    "trigrams within gap-sessions (the three-step journeys funnels get "
+    "reverse-engineered from) — one sessionize window pass, a lead-2 window on the "
+    "same shuffle key, a |types^3|-bounded agg, TakeOrdered top-k",
+)
+def events_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.session_trigrams(load_events(spark, sf_dir), k=20)
+
+
+@register(
     "events_bottomk_sample",
     oracle=E.bottomk_sample_oracle(k=200),
     description="deterministic bottom-k uniform sample: the 200 rows with the "
