@@ -615,3 +615,25 @@ def test_session_trigrams_respect_boundaries(spark):
            for r in session_trigrams(df, k=20).collect()}
     # (b,c,d) occurs in BOTH sessions; (c,d,b)/(d,b,c) would span the gap
     assert got == {("a", "b", "c"): 1, ("b", "c", "d"): 2}
+
+
+def test_diff_in_diff_closed_form(spark):
+    """Hand-built cells: T pre mean 10, T post mean 25, C pre 5, C post
+    12 -> DiD = (25-10) - (12-5) = 8."""
+    from twitter_followers_patterns_mapreduce_spark.operators.events import diff_in_diff
+
+    def mk(uid, day, vals):
+        return [(uid * 1000 + day * 100 + i, uid, "c",
+                 f"199{5 + day}-06-01 00:00:0{i}", float(v))
+                for i, v in enumerate(vals)]
+
+    rows = (mk(1, 0, [8, 12]) + mk(1, 1, [20, 30])       # treated (odd uid)
+            + mk(2, 0, [4, 6]) + mk(2, 1, [10, 14]))     # control
+    df = spark.createDataFrame(
+        rows, schema="event_id LONG, user_id LONG, event_type STRING, s STRING, value DOUBLE"
+    ).selectExpr("event_id", "user_id", "event_type", "CAST(s AS TIMESTAMP) AS ts", "value")
+    (r,) = diff_in_diff(df, cutover="1996-01-01").collect()
+    assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"], r["n_c_post"]) == (2, 2, 2, 2)
+    assert (r["mean_t_pre"], r["mean_t_post"]) == (10.0, 25.0)
+    assert (r["mean_c_pre"], r["mean_c_post"]) == (5.0, 12.0)
+    assert r["did"] == 8.0

@@ -127,6 +127,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * rich club — 1-row edge-side conditional reduce × 1-row
     #     node-side conditional reduce (all thresholds in one pass)
     "graph_rich_club",
+    #   * Theil — |customers| revenue spine × 1-row totals (the
+    #     entropy-term shape; cardinality × 1)
+    "customer_revenue_theil",
     #   * mutual information — bounded (x, y) cell table × 1-row total
     #     (the entropy/chi² shape), then three 1-row reduces crossed
     "events_type_hour_mi",

@@ -528,3 +528,29 @@ def test_join_delta_ivm_equals_direct_join_rollup(spark):
     for mth in merged:
         assert merged[mth]["n_items"] == direct[mth]["n_items"]
         assert merged[mth]["revenue"] == direct[mth]["revenue"]  # decimal-exact merge
+
+
+def test_revenue_theil_bounds_and_equality_case(spark):
+    """All-equal revenues -> Theil 0; a dominant customer pushes it
+    toward ln n; exact value checked against the Python formula."""
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import revenue_theil
+
+    def mk(prices_by_cust):
+        rows = [(c * 100 + i, c, float(p), f"199{c % 3 + 4}-01-0{i % 9 + 1}")
+                for c, prices in prices_by_cust.items()
+                for i, p in enumerate(prices)]
+        return spark.createDataFrame(
+            rows, schema="o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, d STRING"
+        ).selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+                     "CAST(d AS TIMESTAMP) AS o_orderdate")
+
+    (eq,) = revenue_theil(mk({1: [50.0], 2: [25.0, 25.0], 3: [50.0]})).collect()
+    assert eq["n_customers"] == 3 and eq["theil"] == 0.0
+    xs = [1000.0, 10.0, 10.0, 10.0]
+    (skew,) = revenue_theil(mk({c: [x] for c, x in enumerate(xs, 1)})).collect()
+    mu = sum(xs) / 4
+    want = sum((x / mu) * math.log(x / mu) for x in xs) / 4
+    assert abs(skew["theil"] - want) < 2e-6
+    assert 0 < skew["theil"] < math.log(4)

@@ -2012,3 +2012,90 @@ SELECT t1, t2, t3, n_occurrences
 FROM counted
 ORDER BY n_occurrences DESC, t1 ASC, t2 ASC, t3 ASC
 LIMIT {k}"""
+
+
+def diff_in_diff(events: DataFrame, cutover: str = "1996-01-01") -> DataFrame:
+    """Difference-in-differences estimate of a treatment effect on mean
+    event value — the quasi-experimental workhorse when assignment
+    isn't randomized (:func:`ab_test_proportions` is the randomized
+    twin): treatment = odd user_id, period splits at ``cutover``, and
+    DiD = (T_post − T_pre) − (C_post − C_pre) nets out both the stable
+    group difference and the common time trend.
+
+    Exactness: values scale to cents-BIGINTs, all four cell (n, Σ) pairs
+    ride ONE conditional aggregate over ONE scan, the four means and the
+    DiD are closed-form doubles over exact integers floored 1e-6.
+    Output (1 row): n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre,
+    mean_t_post, mean_c_pre, mean_c_post, did.
+    """
+    cut = f"TIMESTAMP '{cutover} 00:00:00'"
+    cells = events.selectExpr(
+        "CAST(pmod(user_id, 2) = 1 AS INT) AS treat",
+        f"CAST(ts >= {cut} AS INT) AS post",
+        "CAST(round(value * 100) AS BIGINT) AS v6",
+    ).agg(
+        *[
+            a
+            for t in (1, 0)
+            for p in (0, 1)
+            for a in (
+                F.sum(F.expr(f"CAST(treat = {t} AND post = {p} AS BIGINT)"))
+                .cast("long")
+                .alias(f"n_{'t' if t else 'c'}_{'post' if p else 'pre'}"),
+                F.sum(F.expr(f"CASE WHEN treat = {t} AND post = {p} THEN v6 END"))
+                .cast("long")
+                .alias(f"s_{'t' if t else 'c'}_{'post' if p else 'pre'}"),
+            )
+        ]
+    )
+
+    def mean(cell: str) -> str:
+        return f"(CAST(s_{cell} AS DOUBLE) / n_{cell} / 100)"
+
+    means = {c: mean(c) for c in ("t_pre", "t_post", "c_pre", "c_post")}
+    did = (
+        f"(({means['t_post']}) - ({means['t_pre']}))"
+        f" - (({means['c_post']}) - ({means['c_pre']}))"
+    )
+    return cells.selectExpr(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        *[
+            f"floor({expr} * 1000000) / 1000000 AS mean_{c}"
+            for c, expr in means.items()
+        ],
+        # outer parens are load-bearing: did ends in a '- (...)' term, so
+        # an unparenthesized '* 1000000' would bind to that term alone
+        f"floor(({did}) * 1000000) / 1000000 AS did",
+    )
+
+
+def diff_in_diff_oracle(cutover: str = "1996-01-01") -> str:
+    cells = []
+    for t, tn in ((1, "t"), (0, "c")):
+        for p, pn in ((0, "pre"), (1, "post")):
+            cond = f"(user_id % 2 = {t}) AND (ts >= TIMESTAMP '{cutover} 00:00:00') = ({p} = 1)"
+            cells.append(
+                f"CAST(SUM(CAST({cond} AS BIGINT)) AS BIGINT) AS n_{tn}_{pn}"
+            )
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN CAST(round(value * 100) AS BIGINT) END)"
+                f" AS BIGINT) AS s_{tn}_{pn}"
+            )
+    m = {
+        c: f"(CAST(s_{c} AS DOUBLE) / n_{c} / 100)"
+        for c in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    did = (
+        f"(({m['t_post']}) - ({m['t_pre']})) - (({m['c_post']}) - ({m['c_pre']}))"
+    )
+    mean_cols = ",\n  ".join(
+        f"floor({expr} * 1000000) / 1000000 AS mean_{c}" for c, expr in m.items()
+    )
+    return f"""WITH cells AS (SELECT {", ".join(cells)} FROM events)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+  {mean_cols},
+  floor(({did}) * 1000000) / 1000000 AS did
+FROM cells"""

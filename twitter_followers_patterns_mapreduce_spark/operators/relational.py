@@ -2457,3 +2457,62 @@ SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS n_baskets
 FROM trip GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_support}
 ORDER BY n_baskets DESC, p1, p2, p3
 LIMIT {k}"""
+
+
+def revenue_theil(orders: DataFrame) -> DataFrame:
+    """Theil index of per-customer revenue concentration — the
+    entropy-family inequality scalar (0 = every customer spends the
+    same; ln n = one customer is the whole book), decomposable across
+    subgroups where the Pareto 80/20 cut (``nation_revenue_pareto``)
+    and the degree Gini are not: T = (1/n) Σ (xᵢ/μ)·ln(xᵢ/μ).
+
+    Exactness: revenues are exact cent-BIGINT sums per customer; each
+    pointwise term is one double expression over exact integers
+    (x·n/s — scale-invariant, so cents never leave integer space
+    before the ratio), floored to 1e-9-scaled BIGINTs and summed
+    order-independently (the entropy/KL discipline); the final /n is
+    one double division floored 1e-6.
+
+    Scale shape: one fact hash-agg to the |customers| revenue spine,
+    one 1-row totals reduce broadcast back (declared cardinality × 1),
+    one term reduce.  Output (1 row): n_customers, mean_revenue, theil.
+    """
+    per = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "x"
+        )
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    terms = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "n",
+        "s",
+        "CAST(floor((CAST(x AS DOUBLE) * n / s)"
+        " * ln(CAST(x AS DOUBLE) * n / s) * 1000000000) AS BIGINT) AS t9",
+    )
+    return terms.groupBy("n", "s").agg(
+        F.sum("t9").cast("long").alias("t9s")
+    ).selectExpr(
+        "n AS n_customers",
+        "floor(CAST(s AS DOUBLE) / n / 100 * 1000000) / 1000000 AS mean_revenue",
+        "floor(CAST(t9s AS DOUBLE) / n / 1000000000 * 1000000) / 1000000 AS theil",
+    )
+
+
+def revenue_theil_oracle() -> str:
+    return """WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM per),
+terms AS (
+  SELECT n, s,
+    CAST(floor((CAST(x AS DOUBLE) * n / s)
+      * ln(CAST(x AS DOUBLE) * n / s) * 1000000000) AS BIGINT) AS t9
+  FROM per CROSS JOIN tot)
+SELECT n AS n_customers,
+  floor(CAST(s AS DOUBLE) / n / 100 * 1000000) / 1000000 AS mean_revenue,
+  floor(CAST(SUM(t9) AS DOUBLE) / n / 1000000000 * 1000000) / 1000000 AS theil
+FROM terms GROUP BY n, s"""

@@ -815,6 +815,17 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_diff_in_diff",
+    oracle=E.diff_in_diff_oracle(cutover="1996-01-01"),
+    description="difference-in-differences on mean event value (treatment = odd "
+    "user_id, period split at 1996-01-01): all four cell (n, sum) pairs in ONE "
+    "conditional aggregate over one scan, DiD closed-form over exact cent integers",
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.diff_in_diff(load_events(spark, sf_dir), cutover="1996-01-01")
+
+
+@register(
     "events_session_trigrams",
     oracle=E.session_trigrams_oracle(k=20),
     description="level-3 sequential pattern mining: top-20 contiguous event-type "

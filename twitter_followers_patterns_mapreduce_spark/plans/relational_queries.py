@@ -1002,6 +1002,17 @@ def join_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_revenue_theil",
+    oracle=R.revenue_theil_oracle(),
+    description="Theil index of per-customer revenue concentration — the decomposable "
+    "entropy-family inequality scalar next to the Pareto 80/20 cut: exact cent "
+    "revenue spine, 1e-9-floored pointwise terms, one cardinality-x-1 totals cross",
+)
+def customer_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.revenue_theil(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "join_key_overlap_theta",
     oracle=PL.join_key_overlap_oracle("orders", "customer", "o_custkey", "c_custkey"),
     description="theta-sketch key-overlap profile for a prospective join (left-only / "
