@@ -688,10 +688,15 @@ def zorder_benefit_estimate(
         F.max("x").alias("max_x"),
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
-    )
-    # data x 1-row stats: declared cardinality x 1 broadcast cross
-    cells = base.crossJoin(F.broadcast(stats)).selectExpr(
-        "x", "y", *_zb_cells("spark", bits)
+    ).localCheckpoint(eager=False)
+    # data x 1-row stats: declared cardinality x 1 broadcast cross;
+    # lazily checkpointed so the two layout arms share ONE cell
+    # materialization (and one stats job) instead of rescanning the
+    # fact table per arm
+    cells = (
+        base.crossJoin(F.broadcast(stats))
+        .selectExpr("x", "y", *_zb_cells("spark", bits))
+        .localCheckpoint(eager=False)
     )
 
     def layout(block_col: str, name: str) -> DataFrame:
