@@ -637,3 +637,24 @@ def test_diff_in_diff_closed_form(spark):
     assert (r["mean_t_pre"], r["mean_t_post"]) == (10.0, 25.0)
     assert (r["mean_c_pre"], r["mean_c_post"]) == (5.0, 12.0)
     assert r["did"] == 8.0
+
+
+def test_sliding_distinct_theta_window_semantics(spark):
+    """Users 1,2 in hour 0; user 2 again in hour 1; user 3 in hour 30:
+    win 0 = {1,2}, win 1 = {1,2} (trailing union), win 30 = {3} only
+    (hours 0-1 fell out of the 24h window); silent hours don't appear."""
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        sliding_distinct_theta,
+    )
+
+    rows = [(1, 1, 0), (2, 2, 0), (3, 2, 1), (4, 3, 30)]
+    df = spark.createDataFrame(
+        [(e, u, "c", h * 3600_000_000) for e, u, h in rows],
+        schema="event_id LONG, user_id LONG, event_type STRING, us LONG",
+    ).selectExpr("event_id", "user_id", "event_type", "timestamp_micros(us) AS ts")
+    out = {r["win_hour"]: r for r in sliding_distinct_theta(df).collect()}
+    assert set(out) == {0, 1, 30}  # observed hours only
+    assert out[0]["n_users_win"] == 2
+    assert out[1]["n_users_win"] == 2
+    assert out[30]["n_users_win"] == 1
+    assert all(r["ok"] for r in out.values())  # theta exact at this size

@@ -2099,3 +2099,68 @@ SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
   {mean_cols},
   floor(({did}) * 1000000) / 1000000 AS did
 FROM cells"""
+
+
+def sliding_distinct_theta(
+    events: DataFrame, window_hours: int = 24, rel_tol: float = 0.05
+) -> DataFrame:
+    """Sliding-window distinct users (trailing ``window_hours``) per
+    hour via THETA SKETCH UNION — the sliding-DAU query that exact
+    COUNT(DISTINCT) cannot decompose (distinct is not distributive
+    across window panes) but mergeable sketches answer from ONE
+    per-hour sketch table: each hour's sketch is built once, every
+    trailing window unions its panes (``theta_union_agg``), history is
+    never rescanned per window.  Third consumer of the mergeable-sketch
+    machinery (KLL quantiles, CMS frequency, theta set algebra).
+
+    The exact companion rides the same fan-out on the DISTINCT
+    (hour, user) pair table — ``window_hours``·|pairs| rows into one
+    COUNT(DISTINCT) per window, the gate's cost — and each window's
+    sketch estimate feeds an asserted ``ok`` boolean (error ≤
+    max(rel_tol·exact, 2); default-k theta is exact at harness scale so
+    the oracle pins TRUE).  Windows are reported at OBSERVED hours only
+    (a window anchored on a silent hour is the gap-filled variant).
+
+    Output (|observed hours| rows): (win_hour, n_users_win, ok).
+    """
+    ph = events.selectExpr(
+        "unix_micros(ts) div 3600000000 AS h", "user_id"
+    )
+    pairs = ph.distinct().localCheckpoint(eager=False)
+    spine = pairs.select("h").distinct()
+    span = window_hours - 1
+    exact = (
+        pairs.selectExpr("user_id", f"explode(sequence(h, h + {span})) AS win")
+        .groupBy("win")
+        .agg(F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("n_users_win"))
+    )
+    sk = ph.groupBy("h").agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    est = (
+        sk.selectExpr("sk", f"explode(sequence(h, h + {span})) AS win")
+        .groupBy("win")
+        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est"))
+    )
+    return (
+        exact.join(est, "win")
+        .join(spine, exact["win"] == spine["h"], "left_semi")
+        .selectExpr(
+            "win AS win_hour",
+            "n_users_win",
+            f"abs(CAST(est AS DOUBLE) - n_users_win)"
+            f" <= greatest({rel_tol!r} * n_users_win, CAST(2 AS DOUBLE)) AS ok",
+        )
+    )
+
+
+def sliding_distinct_theta_oracle(window_hours: int = 24) -> str:
+    span = window_hours - 1
+    return f"""WITH ph AS (
+  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h, user_id FROM events),
+spine AS (SELECT DISTINCT h FROM ph),
+fan AS (
+  SELECT user_id, unnest(range(h, h + {span} + 1)) AS win FROM ph),
+exact AS (
+  SELECT win, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_win
+  FROM fan GROUP BY 1)
+SELECT e.win AS win_hour, e.n_users_win, TRUE AS ok
+FROM exact e SEMI JOIN spine s ON e.win = s.h"""

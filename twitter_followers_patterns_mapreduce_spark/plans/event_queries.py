@@ -815,6 +815,19 @@ def events_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "events_sliding_distinct_theta",
+    oracle=E.sliding_distinct_theta_oracle(window_hours=24),
+    description="sliding 24h distinct users per hour via theta-sketch UNION "
+    "(distinct is not distributive across panes; mergeable sketches answer every "
+    "trailing window from one per-hour sketch table) — exact COUNT(DISTINCT) "
+    "companion on the fanned pair table gates the values, per-window ok booleans "
+    "assert the estimates; third mergeable-sketch consumer",
+)
+def events_sliding_distinct_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sliding_distinct_theta(load_events(spark, sf_dir), window_hours=24)
+
+
+@register(
     "events_diff_in_diff",
     oracle=E.diff_in_diff_oracle(cutover="1996-01-01"),
     description="difference-in-differences on mean event value (treatment = odd "
