@@ -307,3 +307,37 @@ def test_hard_negative_mining_picks_and_margin_flag(spark):
     assert row["sim_neg"] > row["sim_pos"]
     assert row["triplet_margin"] < 0
     assert row["violates_margin"]
+
+
+def test_split_centroid_drift_parallel_vs_rotated(spark):
+    """Label 0: every vector along (1, 0) in both halves -> cosine 1.
+    Label 1: construct so the two h64 halves point along different
+    axes -> cosine must sag and the ok flag must drop."""
+    import hashlib
+
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        split_centroid_drift,
+    )
+
+    def hold(vid, pct=50):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % 100 < pct
+
+    rows = []
+    for vid in range(40):
+        if vid % 2 == 0:
+            rows.append((vid, [1.0, 0.0], 0))  # label 0: same direction everywhere
+        else:
+            # label 1: holdout half along y, train half along x
+            v = [0.0, 1.0] if hold(vid) else [1.0, 0.0]
+            rows.append((vid, v, 1))
+    emb = spark.createDataFrame(
+        rows, schema="vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    out = {r["label"]: r for r in split_centroid_drift(emb, holdout_pct=50).collect()}
+    assert out[0]["centroid_cosine"] == 1.0 and out[0]["ok"]
+    assert out[1]["centroid_cosine"] == 0.0 and not out[1]["ok"]
+    n = {0: 0, 1: 0}
+    for vid in range(40):
+        n[vid % 2] += 1
+    assert out[0]["n_train"] + out[0]["n_holdout"] == n[0]
+    assert out[1]["n_train"] + out[1]["n_holdout"] == n[1]

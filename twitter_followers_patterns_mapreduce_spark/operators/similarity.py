@@ -1336,3 +1336,102 @@ SELECT p.query_id, p.qlbl AS anchor_label, p.pos_id, p.sim_pos,
        floor((p.sim_pos - n.sim_neg) * 1000000) / 1000000 AS triplet_margin,
        n.sim_neg > p.sim_pos - {margin!r} AS violates_margin
 FROM pos p JOIN neg n ON p.query_id = n.query_id"""
+
+
+def split_centroid_drift(
+    embeddings: DataFrame, holdout_pct: int = 30, rel_tol: float = 0.02
+) -> DataFrame:
+    """Per-label centroid agreement between the h64 train/holdout
+    halves — the embedding-space analogue of ``doc_split_drift_ks``: a
+    sound random split leaves each class's two centroids nearly
+    parallel (cosine → 1); a centroid cosine that sags flags leakage,
+    imbalance, or a class too small to split.  This is the check an
+    embedding-training pipeline runs BEFORE trusting holdout metrics.
+
+    Exactness: elements floor to 1e6-scaled BIGINTs scan-side
+    (dim_stats discipline), per-(label, split, dim) sums are exact
+    BIGINTs, and the cosine between centroids is computed directly on
+    the SUM vectors (the 1/n scaling cancels) with DECIMAL(38,0) cross
+    products — order-independent end to end, floored 1e-6.  ``ok``
+    asserts cosine ≥ 1 − rel_tol (informative; the oracle recomputes
+    identically).
+
+    Scale shape: one posexplode scan → one (label, split, dim) hash agg
+    (≤ |labels|·2·d rows); the drift readout is a d-row equi-join per
+    label.  Output (|labels| rows): (label, n_train, n_holdout,
+    centroid_cosine, ok).
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(vec_id AS STRING)", "spark")
+    base = fan_out(embeddings).selectExpr(
+        "CAST(label AS BIGINT) AS label",
+        f"CAST({h} % 100 < {holdout_pct} AS INT) AS hold",
+        "embedding",
+    )
+    el = base.select(
+        "label", "hold", F.posexplode(as_double("embedding")).alias("dim", "x")
+    ).selectExpr("label", "hold", "dim", "CAST(floor(x * 1000000) AS BIGINT) AS x6")
+    sums = el.groupBy("label", "hold", "dim").agg(
+        F.sum("x6").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    t = sums.where("hold = 0").selectExpr("label", "dim", "s AS st", "n AS nt")
+    hh = sums.where("hold = 1").selectExpr("label", "dim", "s AS sh", "n AS nh")
+    per_label = (
+        t.join(hh, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("nt").cast("long").alias("n_train"),
+            F.max("nh").cast("long").alias("n_holdout"),
+            F.sum(F.expr("CAST(st AS DECIMAL(38,0)) * sh")).alias("dot"),
+            F.sum(F.expr("CAST(st AS DECIMAL(38,0)) * st")).alias("tt"),
+            F.sum(F.expr("CAST(sh AS DECIMAL(38,0)) * sh")).alias("hh2"),
+        )
+    )
+    cos = (
+        "CAST(dot AS DOUBLE) / sqrt(CAST(tt AS DOUBLE) * CAST(hh2 AS DOUBLE))"
+    )
+    return per_label.selectExpr(
+        "label",
+        "n_train",
+        "n_holdout",
+        f"CASE WHEN tt > 0 AND hh2 > 0 THEN floor({cos} * 1000000) / 1000000 END"
+        " AS centroid_cosine",
+        f"CASE WHEN tt > 0 AND hh2 > 0 THEN {cos} >= 1 - {rel_tol!r} END AS ok",
+    )
+
+
+def split_centroid_drift_oracle(holdout_pct: int = 30, rel_tol: float = 0.02) -> str:
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+
+    h = h64_sql("CAST(vec_id AS VARCHAR)", "duckdb")
+    cos = "CAST(dot AS DOUBLE) / sqrt(CAST(tt AS DOUBLE) * CAST(hh2 AS DOUBLE))"
+    return f"""WITH base AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(({h}) % 100 < {holdout_pct} AS INT) AS hold,
+         embedding::DOUBLE[] AS v
+  FROM embeddings),
+el AS (
+  SELECT label, hold, generate_subscripts(v, 1) - 1 AS dim,
+         CAST(floor(unnest(v) * 1000000) AS BIGINT) AS x6
+  FROM base),
+sums AS (
+  SELECT label, hold, dim, CAST(SUM(x6) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM el GROUP BY 1, 2, 3),
+t AS (SELECT label, dim, s AS st, n AS nt FROM sums WHERE hold = 0),
+hh AS (SELECT label, dim, s AS sh, n AS nh FROM sums WHERE hold = 1),
+per_label AS (
+  SELECT t.label, CAST(MAX(nt) AS BIGINT) AS n_train,
+         CAST(MAX(nh) AS BIGINT) AS n_holdout,
+         SUM(CAST(st AS DECIMAL(38,0)) * sh) AS dot,
+         SUM(CAST(st AS DECIMAL(38,0)) * st) AS tt,
+         SUM(CAST(sh AS DECIMAL(38,0)) * sh) AS hh2
+  FROM t JOIN hh ON t.label = hh.label AND t.dim = hh.dim
+  GROUP BY 1)
+SELECT label, n_train, n_holdout,
+  CASE WHEN tt > 0 AND hh2 > 0 THEN floor({cos} * 1000000) / 1000000 END
+    AS centroid_cosine,
+  CASE WHEN tt > 0 AND hh2 > 0 THEN {cos} >= 1 - {rel_tol!r} END AS ok
+FROM per_label"""

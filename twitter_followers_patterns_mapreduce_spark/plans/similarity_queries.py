@@ -187,6 +187,20 @@ def embedding_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_split_drift",
+    oracle=S.split_centroid_drift_oracle(holdout_pct=30, rel_tol=0.02),
+    description="per-label centroid cosine between the h64 train/holdout halves — "
+    "the embedding-space split-soundness check (a sagging cosine flags leakage or "
+    "a class too small to split); exact 1e6-integer element sums, cosine on the "
+    "sum vectors (the 1/n cancels), DECIMAL cross products",
+)
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.split_centroid_drift(
+        load_table(spark, sf_dir, "embeddings"), holdout_pct=30, rel_tol=0.02
+    )
+
+
+@register(
     "embedding_conformal_coverage",
     oracle=KM.conformal_coverage_oracle(target_label=0, alpha=0.1, cal_pct=50),
     description="split-conformal prediction audit: h64 calibration split, the "
