@@ -983,3 +983,47 @@ SELECT n_cal, n_test, qhat,
     CAST(n_cov AS DOUBLE) / n_test >= {1.0 - alpha!r} END AS meets_target
 FROM readout CROSS JOIN tot"""
     )
+
+
+def uncertainty_sample(
+    embeddings: DataFrame,
+    k: int = 25,
+    target_label: int = 0,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Active-learning uncertainty sampling: the ``k`` vectors whose
+    logreg score sits closest to the 0.5 decision boundary — the batch
+    a labeling budget buys next (margin sampling degenerates to this
+    for a binary scorer).  Composes the trained scorer with a
+    TakeOrdered top-k (per-partition heap + merge, never a global
+    sort); scores are the gated 6dp floor so the margin ranking and its
+    vec_id tie-break are deterministic on both engines.
+
+    Output (k rows): (vec_id, y, score, margin).
+    """
+    scored = logreg_score(embeddings, target_label, iters, lr)
+    ranked = scored.selectExpr(
+        "vec_id",
+        "y",
+        "score",
+        "floor(abs(score - 0.5) * 1000000) / 1000000 AS margin",
+    )
+    return ranked.orderBy(
+        F.col("margin").asc(), F.col("vec_id").asc()
+    ).limit(k)
+
+
+def uncertainty_sample_oracle(
+    k: int = 25, target_label: int = 0, iters: int = 3, lr: float = 0.5
+) -> str:
+    return (
+        _logreg_cte_chain(target_label, iters, lr)
+        + _logreg_scored_cte(iters)
+        + f"""
+SELECT vec_id, y, score,
+       floor(abs(score - 0.5) * 1000000) / 1000000 AS margin
+FROM scored
+ORDER BY margin ASC, vec_id ASC
+LIMIT {k}"""
+    )

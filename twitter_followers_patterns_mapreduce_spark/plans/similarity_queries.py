@@ -285,3 +285,16 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.jl_projection_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_uncertainty_sample",
+    oracle=KM.uncertainty_sample_oracle(k=25, target_label=0),
+    description="active-learning uncertainty sampling: the 25 vectors closest to the "
+    "logreg 0.5 decision boundary (the batch a labeling budget buys next) — gated "
+    "6dp scores, deterministic margin + vec_id ordering, TakeOrdered top-k",
+)
+def embedding_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.uncertainty_sample(
+        load_table(spark, sf_dir, "embeddings"), k=25, target_label=0
+    )

@@ -551,3 +551,30 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.heaps_law_fit(load_table(spark, sf_dir, "documents"), n_buckets=10)
+
+
+from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql as _h64  # noqa: E402
+from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql as _toks  # noqa: E402
+from twitter_followers_patterns_mapreduce_spark.operators import stats as _ST  # noqa: E402
+
+_SPLIT_TOKENS_TT = (
+    "(SELECT CAST((" + _h64("CAST(doc_id AS VARCHAR)", "duckdb") + ") % 100 < 30 AS INT)"
+    " AS grp0, unnest(" + _toks("text", "duckdb") + ") AS token FROM documents) tt"
+)
+
+
+@register(
+    "doc_split_vocab_kl",
+    oracle=_ST.categorical_entropy_kl_oracle(_SPLIT_TOKENS_TT, "grp0", "token"),
+    description="TOKEN-distribution drift across the h64 train/holdout split: per-half "
+    "vocab entropy + KL vs the pooled corpus (doc_split_drift_ks checks a scalar "
+    "quality stat; this checks the language itself) — the categorical_entropy_kl "
+    "machinery applied to the exploded token table",
+)
+def doc_split_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _h64("CAST(doc_id AS STRING)", "spark")
+    toks = load_table(spark, sf_dir, "documents").selectExpr(
+        f"CAST({h} % 100 < 30 AS INT) AS grp0",
+        f"explode({_toks('text', 'spark')}) AS token",
+    )
+    return _ST.categorical_entropy_kl(toks, "grp0", "token")
