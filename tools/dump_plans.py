@@ -204,6 +204,13 @@ HEADLINE = [
     "doc_keyphrases",
     "events_bottomk_sample",
     "embedding_hard_negatives",
+    "events_session_trigrams",
+    "events_diff_in_diff",
+    "customer_revenue_theil",
+    "events_sliding_distinct_theta",
+    "embedding_split_drift",
+    "doc_split_vocab_kl",
+    "embedding_uncertainty_sample",
 ]
 
 

@@ -2102,7 +2102,7 @@ FROM cells"""
 
 
 def sliding_distinct_theta(
-    events: DataFrame, window_hours: int = 24, rel_tol: float = 0.05
+    events: DataFrame, window_hours: int = 24, rel_tol: float = 0.08
 ) -> DataFrame:
     """Sliding-window distinct users (trailing ``window_hours``) per
     hour via THETA SKETCH UNION — the sliding-DAU query that exact
@@ -2117,9 +2117,13 @@ def sliding_distinct_theta(
     (hour, user) pair table — ``window_hours``·|pairs| rows into one
     COUNT(DISTINCT) per window, the gate's cost — and each window's
     sketch estimate feeds an asserted ``ok`` boolean (error ≤
-    max(rel_tol·exact, 2); default-k theta is exact at harness scale so
-    the oracle pins TRUE).  Windows are reported at OBSERVED hours only
-    (a window anchored on a silent hour is the gap-filled variant).
+    max(rel_tol·exact, 2)).  Sketches use lgK=14 (16384 nominal
+    entries): sf1's densest window holds ~13.4k distinct users, so the
+    sketch stays EXACT through sf1 and the oracle can pin TRUE; past
+    exact mode rsd ≈ 0.8%, so the 8% bound is ~10σ — the TRUE pin
+    survives estimation mode too, per window, at any corpus size.
+    Windows are reported at OBSERVED hours only (a window anchored on
+    a silent hour is the gap-filled variant).
 
     Output (|observed hours| rows): (win_hour, n_users_win, ok).
     """
@@ -2134,11 +2138,11 @@ def sliding_distinct_theta(
         .groupBy("win")
         .agg(F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)").alias("n_users_win"))
     )
-    sk = ph.groupBy("h").agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    sk = ph.groupBy("h").agg(F.expr("theta_sketch_agg(user_id, 14)").alias("sk"))
     est = (
         sk.selectExpr("sk", f"explode(sequence(h, h + {span})) AS win")
         .groupBy("win")
-        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est"))
+        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk, 14))").alias("est"))
     )
     return (
         exact.join(est, "win")
