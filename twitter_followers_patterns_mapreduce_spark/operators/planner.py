@@ -355,9 +355,12 @@ def join_key_overlap_profile(
         ).alias("n_right_keys"),
         F.expr("CAST(COUNT(DISTINCT k) AS BIGINT)").alias("n_union"),
     )
+    # lgK=16: exact through 65536 distinct keys per side (covers sf0.1's
+    # 15k custkeys with headroom); past exact mode rsd ~0.4%, so the 5%
+    # ok bound stays ~12 sigma — the oracle's TRUE pin never flakes
     sk = tagged.agg(
-        F.expr("theta_sketch_agg(CASE WHEN is_l = 1 THEN k END)").alias("skl"),
-        F.expr("theta_sketch_agg(CASE WHEN is_l = 0 THEN k END)").alias("skr"),
+        F.expr("theta_sketch_agg(CASE WHEN is_l = 1 THEN k END, 16)").alias("skl"),
+        F.expr("theta_sketch_agg(CASE WHEN is_l = 0 THEN k END, 16)").alias("skr"),
     )
 
     def ok(est: str, exact_col: str) -> str:
