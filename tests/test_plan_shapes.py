@@ -55,6 +55,7 @@ ALLOWED_BRUTE_FORCE = {
     #     table itself only ever feeds hash aggs
     "orders_chi2_status_priority",
     "events_segment_entropy_kl",
+    "doc_split_vocab_kl",  # same machinery over the exploded token table
     #   * ltv decay / reach profile — a 1-row scalar (corpus max ts /
     #     node count) broadcast onto the scan: cardinality × 1
     "events_user_ltv_decay",
