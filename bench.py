@@ -41,10 +41,19 @@ def _worker(out_path: str, runs: int, mode: str, names: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     spark.range(10).count()  # JVM warm-up, no parquet side effects
+    names = [n for n in names if n in qs]
+    # one untimed warm-up execution of the FIRST (cheapest — the caller
+    # orders ascending) query: a cold JVM's first real query pays
+    # Spark-core JIT that would otherwise inflate its timed runs 5-10x
+    # (the inverse of the last-in-sweep trap this worker exists to fix)
+    if names:
+        df = qs[names[0]](spark, sf_dir)
+        if mode == "collect":
+            df.collect()
+        else:
+            df.write.mode("overwrite").format("noop").save()
     results: dict[str, float] = {}
     for name in names:
-        if name not in qs:
-            continue
         per = []
         for _ in range(runs):
             t0 = time.time()
@@ -198,7 +207,9 @@ def main() -> int:
     # Last-in-sweep re-runs inherited that state and burned two rounds
     # on phantom regressions — so the sidecar now runs in a subprocess
     # with its own JVM, min of 2; these numbers are diagnostic as-is.
-    outliers = [n for n, t in sorted(extended.items(), key=lambda kv: -kv[1]) if t >= 3.0]
+    # ASCENDING cost order: the worker's JVM warms on the cheap queries
+    # before the expensive ones are timed
+    outliers = [n for n, t in sorted(extended.items(), key=lambda kv: kv[1]) if t >= 3.0]
     isolated = _fresh_times(2, "noop", outliers)
 
     # headline recheck (round-6 advice): re-time the 15 headline queries
@@ -222,7 +233,10 @@ def main() -> int:
     # pure JVM footprint aliasing; this field gives round-over-round
     # comparisons a footprint-free baseline.  NOT folded into the
     # metric — the metric stays min-over-in-JVM-runs for continuity.
-    headline_fresh = _fresh_times(3, "collect", names)
+    # Ascending order for the same cold-JIT reason as the outliers.
+    headline_fresh = _fresh_times(
+        3, "collect", sorted(names, key=lambda n: times.get(n, 0.0))
+    )
 
     total = round(sum(times.values()), 3)
     # The driver captures only the last ~2 KB of output and parses the
