@@ -29,6 +29,7 @@ SF = "/root/testdata/sf0.001"
 ALLOWED_BRUTE_FORCE = {
     "ann_topk_bruteforce",
     "embedding_hard_negatives",  # same broadcast-anchor x corpus scan
+    "embedding_hard_negatives_ivf",  # |Q| x |labels| declared centroid cross (ann_topk_ivf shape)
     "embedding_top_pairs",
     "ann_topk_ivf",
     "embedding_kmeans",

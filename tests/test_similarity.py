@@ -341,3 +341,28 @@ def test_split_centroid_drift_parallel_vs_rotated(spark):
         n[vid % 2] += 1
     assert out[0]["n_train"] + out[0]["n_holdout"] == n[0]
     assert out[1]["n_train"] + out[1]["n_holdout"] == n[1]
+
+
+def test_hard_negatives_ivf_agrees_when_probes_cover(spark):
+    """With only two labels and n_probe=2 every anchor probes the whole
+    corpus — the IVF twin must then equal the exact miner row-for-row."""
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        hard_negative_mining,
+        hard_negative_mining_ivf,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.2], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [1.0, 0.1], 1),
+        (4, [-1.0, 0.0], 1),
+        (50, [0.0, -1.0], 1),  # second anchor (vec_id % 50 == 0)
+        (6, [0.1, -1.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, schema="vec_id LONG, embedding ARRAY<DOUBLE>, label LONG"
+    )
+    exact = sorted(map(tuple, hard_negative_mining(emb, margin=0.05).collect()))
+    ivf = sorted(map(tuple, hard_negative_mining_ivf(emb, margin=0.05, n_probe=2).collect()))
+    assert exact == ivf and len(exact) == 2

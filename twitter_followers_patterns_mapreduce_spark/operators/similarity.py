@@ -1435,3 +1435,131 @@ SELECT label, n_train, n_holdout,
     AS centroid_cosine,
   CASE WHEN tt > 0 AND hh2 > 0 THEN {cos} >= 1 - {rel_tol!r} END AS ok
 FROM per_label"""
+
+
+def hard_negative_mining_ivf(
+    embeddings: DataFrame, margin: float = 0.05, n_probe: int = IVF_NPROBE
+) -> DataFrame:
+    """The SCALE path of :func:`hard_negative_mining` — same triplet
+    semantics, but candidates come from the ``n_probe`` nearest IVF
+    inverted lists per anchor instead of the whole corpus (the
+    ann_topk_ivf discipline; the dedup_lsh_recall_sampled lesson: an
+    intentionally-exact op whose growth is anchor×corpus needs a
+    REGISTERED bucketed twin).  Candidate volume is |anchors|·(probed
+    list sizes), the corpus is touched once via an equi-join on the
+    list key, and at 100 TB the lists are the bucketing/partition key
+    so the probe join prunes to the selected partitions.
+
+    Anchors whose probed lists lack one of the two classes drop out
+    (documented; hard positives/negatives live in nearby lists by
+    construction — the miss case is the recall the exact twin audits).
+    Output (≤1 row per anchor): (query_id, anchor_label, pos_id,
+    sim_pos, neg_id, sim_neg, triplet_margin, violates_margin).
+    """
+    emb = fan_out(embeddings).select(
+        "vec_id", as_double("embedding").alias("v"),
+        F.col("label").cast("long").alias("lbl"),
+    ).withColumn("nv", norm(F.col("v")))
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        F.col("lbl").alias("qlbl"),
+    )
+    cents = ivf_centroids(embeddings)
+    qc = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "nq", "qlbl", "label",
+        cosine(F.col("qv"), F.col("centroid")).alias("csim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wp))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "nq", "qlbl", "label")
+    )
+    sim = F.round(
+        cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            emb,
+            (probes["label"] == emb["lbl"]) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            "qlbl",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("lbl") == F.col("qlbl")).alias("same"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    best = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") == 1)
+    pos = best.where("same").selectExpr(
+        "query_id", "qlbl", "neighbor_id AS pos_id", "sim AS sim_pos"
+    )
+    neg = best.where("NOT same").selectExpr(
+        "query_id AS qid2", "neighbor_id AS neg_id", "sim AS sim_neg"
+    )
+    return (
+        pos.join(neg, pos["query_id"] == neg["qid2"])
+        .selectExpr(
+            "query_id",
+            "qlbl AS anchor_label",
+            "pos_id",
+            "sim_pos",
+            "neg_id",
+            "sim_neg",
+            "floor((sim_pos - sim_neg) * 1000000) / 1000000 AS triplet_margin",
+            f"sim_neg > sim_pos - {margin!r} AS violates_margin",
+        )
+    )
+
+
+def hard_negative_mining_ivf_oracle(
+    margin: float = 0.05, n_probe: int = IVF_NPROBE
+) -> str:
+    cos_c = cosine_sql_duckdb("q.qv", "c.centroid")
+    cos_v = cosine_sql_duckdb("p.qv", "e.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS lbl FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, lbl AS qlbl FROM emb WHERE vec_id % {QUERY_MOD} = 0
+), cents AS (
+  SELECT label, list(avg ORDER BY i) AS centroid FROM (
+    SELECT label, i, CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg
+    FROM (SELECT vec_id, v, lbl AS label FROM emb), (SELECT unnest(range(1, 65)) AS i) dims
+    GROUP BY label, i
+  ) GROUP BY label
+), probes AS (
+  SELECT query_id, qv, qlbl, label FROM (
+    SELECT q.query_id, q.qv, q.qlbl, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_c} DESC, c.label ASC) AS crank
+    FROM q CROSS JOIN cents c
+  ) WHERE crank <= {n_probe}
+), scored AS (
+  SELECT p.query_id, p.qlbl, e.vec_id AS neighbor_id,
+         e.lbl = p.qlbl AS same, round({cos_v}, 6) AS sim
+  FROM probes p JOIN emb e ON p.label = e.lbl AND p.query_id <> e.vec_id
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+    ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+), pos AS (
+  SELECT query_id, qlbl, neighbor_id AS pos_id, sim AS sim_pos
+  FROM best WHERE same AND rank = 1
+), neg AS (
+  SELECT query_id, neighbor_id AS neg_id, sim AS sim_neg
+  FROM best WHERE NOT same AND rank = 1
+)
+SELECT p.query_id, p.qlbl AS anchor_label, p.pos_id, p.sim_pos,
+       n.neg_id, n.sim_neg,
+       floor((p.sim_pos - n.sim_neg) * 1000000) / 1000000 AS triplet_margin,
+       n.sim_neg > p.sim_pos - {margin!r} AS violates_margin
+FROM pos p JOIN neg n ON p.query_id = n.query_id"""

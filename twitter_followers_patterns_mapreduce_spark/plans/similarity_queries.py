@@ -38,6 +38,20 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_hard_negatives_ivf",
+    oracle=S.hard_negative_mining_ivf_oracle(margin=0.05),
+    description="the triplet miner's SCALE path: candidates restricted to each "
+    "anchor's 2 nearest IVF inverted lists (equi-join on the list key — the "
+    "bucket/partition key at 100 TB) instead of the whole corpus; same per-class "
+    "top-1 window semantics as the exact twin",
+)
+def embedding_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.hard_negative_mining_ivf(
+        load_table(spark, sf_dir, "embeddings"), margin=0.05
+    )
+
+
+@register(
     "ann_topk_lsh",
     oracle=S.ann_topk_lsh_oracle(k=5),
     description="approximate top-5 neighbors via sign-LSH bucket equi-join",
