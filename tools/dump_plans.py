@@ -211,6 +211,7 @@ HEADLINE = [
     "embedding_split_drift",
     "doc_split_vocab_kl",
     "embedding_uncertainty_sample",
+    "embedding_hard_negatives_ivf",
 ]
 
 
