@@ -125,7 +125,12 @@ def test_kaplan_meier_matches_product_limit_model(spark, subjects):
         model_s[t] = 0.0 if dead else math.floor(math.exp(log_s) * 1e6) / 1e6
         assert got[t]["n_risk"] == n_risk
         assert got[t]["n_events"] == d_t
-        assert abs(got[t]["survival"] - model_s[t]) < 1e-9
+        # ±one 1e-6 grid step: Python's libm exp/ln round-trip can land
+        # an ulp below an exactly-representable product (exp(log(0.75))
+        # = 0.74999...9), which the floor amplifies to a full grid step.
+        # Engine↔oracle exactness is the gate's job; the Python model
+        # only needs to pin the product-limit SHAPE.
+        assert abs(got[t]["survival"] - model_s[t]) <= 1.01e-6
     assert set(got) == set(durs)
 
 
