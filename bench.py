@@ -21,12 +21,45 @@ import tempfile
 import time
 
 
+def _jit_warm(spark) -> None:
+    """Tier-up workload for a cold JVM: shuffle-write/read, sort-merge
+    and broadcast joins, hash aggregation, window sort, codegen compile.
+    Round 9's one-cheap-query warm-up left the heavy graph queries 2-5x
+    above their interleaved numbers (rs_triangle 7.55 s fresh vs 1.49 s
+    in-sweep) because C2 had never seen the shuffle/join hot loops; this
+    synthetic pass touches them thousands of times without any parquet
+    side effects, so timed runs measure plans, not JIT tiers."""
+    from pyspark.sql import functions as F
+
+    for _ in range(3):
+        a = spark.range(0, 2_000_000, 1, 32).withColumn(
+            "k", (F.col("id") % 20_000).cast("long")
+        )
+        b = spark.range(0, 20_000).withColumnRenamed("id", "k")
+        (
+            a.join(b.hint("merge"), "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("c"), F.sum("id").alias("s"))
+            .orderBy(F.col("c").desc(), F.col("k"))
+            .limit(16)
+            .collect()
+        )
+        a.join(F.broadcast(b), "k").groupBy((F.col("k") % 64).alias("g")).agg(
+            F.approx_count_distinct("id").alias("d")
+        ).collect()
+
+
 def _worker(out_path: str, runs: int, mode: str, names: list[str]) -> int:
-    """Fresh-JVM timing worker (``bench.py --worker``): min-of-``runs``
-    for each named query in a brand-new process.  Exists because both
-    r7 and r8 burned a round chasing sidecar numbers that were sweep-JVM
-    state artifacts (dedup_jaccard_prefix read 86 s isolated-in-sweep,
-    10 s in a fresh session) — diagnostic numbers need a fresh JVM."""
+    """Fresh-JVM timing worker (``bench.py --worker``): per query, two
+    untimed warm-up executions of THAT query, then min-of-``runs`` timed,
+    in a brand-new process.  Exists because both r7 and r8 burned a round
+    chasing sidecar numbers that were sweep-JVM state artifacts
+    (dedup_jaccard_prefix read 86 s isolated-in-sweep, 10 s in a fresh
+    session) — diagnostic numbers need a fresh JVM.  Round 9's follow-up:
+    a fresh JVM alone is not enough either — without per-query warm-up
+    the first timed runs measure C2 compilation, not the plan (r9
+    headline_fresh sat 2-5x above interleaved), so the worker now warms
+    globally (synthetic shuffle/join/agg) AND per query before timing."""
     os.environ.setdefault(
         "PYTHONWARNINGS", "ignore::FutureWarning,ignore::DeprecationWarning"
     )
@@ -40,30 +73,23 @@ def _worker(out_path: str, runs: int, mode: str, names: list[str]) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    spark.range(10).count()  # JVM warm-up, no parquet side effects
+    _jit_warm(spark)
     names = [n for n in names if n in qs]
-    # one untimed warm-up execution of the FIRST (cheapest — the caller
-    # orders ascending) query: a cold JVM's first real query pays
-    # Spark-core JIT that would otherwise inflate its timed runs 5-10x
-    # (the inverse of the last-in-sweep trap this worker exists to fix)
-    if names:
-        df = qs[names[0]](spark, sf_dir)
+
+    def _run(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
         if mode == "collect":
             df.collect()
         else:
             df.write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 3)
+
     results: dict[str, float] = {}
     for name in names:
-        per = []
-        for _ in range(runs):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            if mode == "collect":
-                df.collect()
-            else:
-                df.write.mode("overwrite").format("noop").save()
-            per.append(round(time.time() - t0, 3))
-        results[name] = min(per)
+        for _ in range(2):  # per-query warm-up: untimed
+            _run(name)
+        results[name] = min(_run(name) for _ in range(runs))
     with open(out_path, "w") as f:
         json.dump(results, f)
     spark.stop()
@@ -83,7 +109,7 @@ def _fresh_times(runs: int, mode: str, names: list[str]) -> dict[str, float]:
              str(runs), mode, *names],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
-            timeout=1800,
+            timeout=2700,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if proc.returncode != 0:

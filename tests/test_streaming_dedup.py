@@ -107,6 +107,168 @@ def test_foreach_batch_ingest_dedups_across_batches(spark, tmp_path):
     assert ids == [1, 2, 4], ids
 
 
+def _write_doc_file(spark, path, rows, mtime):
+    import glob
+    import os
+
+    tmp = str(path) + "_stage"
+    spark.createDataFrame(rows, schema="doc_id LONG, text STRING").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    os.rename(part, str(path))
+    os.utime(str(path), (mtime, mtime))
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+NEAR = BASE.replace("today", "tonight")  # near-dup of BASE
+NEAR2 = BASE.replace("today", "tomorrow")  # near-dup of BASE (and of NEAR)
+FRESH = "completely different corpus text about spark shuffles joins and parquet files"
+FRESH_NEAR = FRESH.replace("files", "footers")  # near-dup of FRESH
+
+
+def test_versioned_admission_folds_only_kept_docs(spark, tmp_path):
+    """The greedy-state semantics the staged oracle unrolls: doc 20
+    (near-dup of the corpus) is rejected; doc 30 near-dups BOTH the
+    rejected doc 20 and corpus doc 0, and its verdict names doc 0 —
+    rejected docs never enter the band index, so 20 can never be a
+    near_dup_of target; doc 50 (near-dup of ADMITTED doc 10) is
+    rejected with near_dup_of=10; doc 60 (exact dup of admitted doc 10)
+    is exact_dup."""
+    import time
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup_admit import (
+        admit_apply_stream,
+        docs_file_stream,
+        verdicts_from_state,
+    )
+
+    bootstrap = spark.createDataFrame([(0, BASE)], schema="doc_id LONG, text STRING")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    now = time.time()
+    # batch 0: 10 kept (fresh), 20 near-dup of corpus doc 0
+    _write_doc_file(spark, feed / "b0.parquet", [(10, FRESH), (20, NEAR)], now)
+    # batch 1: 30 near-dups rejected 20 AND corpus 0; 50 near-dups ADMITTED 10
+    _write_doc_file(
+        spark, feed / "b1.parquet", [(30, NEAR2), (50, FRESH_NEAR)], now + 1
+    )
+    # batch 2: 60 exact dup of admitted 10
+    _write_doc_file(spark, feed / "b2.parquet", [(60, FRESH)], now + 2)
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    ids = []
+    admit_apply_stream(
+        spark, docs_file_stream(spark, str(feed)), bootstrap, state, ckpt,
+        threshold=0.5, batch_ids=ids,
+    )
+    assert ids == [0, 1, 2]
+    got = {
+        r["doc_id"]: (r["status"], r["near_dup_of"])
+        for r in verdicts_from_state(spark, state).collect()
+    }
+    assert got[10] == ("kept", None)
+    assert got[20] == ("near_dup", 0)
+    # 30 is a near-dup of 20, but 20 was rejected -> 30 judged only vs
+    # {0 (corpus), 10 (admitted)}: its jaccard vs 0 ("tomorrow" vs
+    # "today") IS above threshold, so it's near_dup of 0 -- while 50,
+    # near-dup of admitted 10, is rejected with near_dup_of=10
+    assert got[30] == ("near_dup", 0)
+    assert got[50] == ("near_dup", 10)
+    assert got[60] == ("exact_dup", None)
+
+
+def test_versioned_admission_within_batch_independence(spark, tmp_path):
+    """Docs within ONE micro-batch are judged new-vs-corpus only, never
+    new-vs-new (the batch operator's contract): two exact copies
+    arriving together are both kept."""
+    import time
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup_admit import (
+        admit_apply_stream,
+        docs_file_stream,
+        verdicts_from_state,
+    )
+
+    bootstrap = spark.createDataFrame([(0, BASE)], schema="doc_id LONG, text STRING")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_doc_file(
+        spark, feed / "b0.parquet", [(10, FRESH), (12, FRESH)], time.time()
+    )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    admit_apply_stream(
+        spark, docs_file_stream(spark, str(feed)), bootstrap, state, ckpt, threshold=0.5
+    )
+    got = {r["doc_id"]: r["status"] for r in verdicts_from_state(spark, state).collect()}
+    assert got == {10: "kept", 12: "kept"}
+
+
+def test_versioned_admission_restart_resume(spark, tmp_path):
+    """Kill-and-restart: drain two batches, stop, stage two more, restart
+    on the SAME checkpoint + state — the resumed stream continues from
+    batch 2 and the final verdict log equals the one-shot replay."""
+    import time
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup_admit import (
+        admit_apply_stream,
+        docs_file_stream,
+        verdicts_from_state,
+    )
+
+    bootstrap = spark.createDataFrame([(0, BASE)], schema="doc_id LONG, text STRING")
+    rows_by_batch = [
+        [(11, FRESH)],
+        [(13, NEAR)],          # near-dup of corpus doc 0
+        [(15, FRESH_NEAR)],    # near-dup of admitted 11
+        [(17, FRESH)],         # exact dup of admitted 11
+    ]
+
+    def run(feed_root, state, ckpt, upto):
+        feed = tmp_path / feed_root
+        feed.mkdir(exist_ok=True)
+        now = time.time()
+        for b in range(upto):
+            p = feed / f"b{b}.parquet"
+            if not p.exists():
+                _write_doc_file(spark, p, rows_by_batch[b], now + b)
+        ids = []
+        admit_apply_stream(
+            spark, docs_file_stream(spark, str(feed)), bootstrap,
+            state, ckpt, threshold=0.5, batch_ids=ids,
+        )
+        return ids
+
+    state = str(tmp_path / "state_r")
+    ckpt = str(tmp_path / "ckpt_r")
+    ids1 = run("feed_r", state, ckpt, 2)
+    assert ids1 == [0, 1]
+    ids2 = run("feed_r", state, ckpt, 4)  # restart: same ckpt + state
+    assert ids2 == [2, 3]  # resumed, batches 0/1 NOT re-run
+
+    got = {
+        r["doc_id"]: (r["status"], r["near_dup_of"])
+        for r in verdicts_from_state(spark, state).collect()
+    }
+    # one-shot replay on fresh dirs must agree
+    state2, ckpt2 = str(tmp_path / "state_o"), str(tmp_path / "ckpt_o")
+    run("feed_o", state2, ckpt2, 4)
+    got_oneshot = {
+        r["doc_id"]: (r["status"], r["near_dup_of"])
+        for r in verdicts_from_state(spark, state2).collect()
+    }
+    assert got == got_oneshot
+    assert got[11] == ("kept", None)
+    assert got[13] == ("near_dup", 0)
+    assert got[15] == ("near_dup", 11)
+    assert got[17] == ("exact_dup", None)
+
+
 def test_self_union_stream_dedups_to_base(spark, tmp_path):
     """The registered events_dedup_streamed shape: the same dir read by
     two file sources unioned (every event arrives twice) collapses back

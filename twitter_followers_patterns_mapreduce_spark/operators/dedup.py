@@ -815,6 +815,120 @@ LEFT JOIN best b ON n.doc_id = b.new_id
 WHERE n.doc_id % 2 = 1"""
 
 
+def dedup_incremental_staged_oracle(
+    n_stages: int = 4, threshold: float = 0.5, n_shingle: int = 3
+) -> str:
+    """DuckDB mirror of STREAMED admission (streaming/dedup_admit.py):
+    odd docs arrive in ``n_stages`` micro-batches (stage =
+    ``(doc_id // 2) % n_stages``), each judged against evens ∪ odds
+    ADMITTED in earlier stages; only kept docs join the corpus.  The
+    greedy recursion unrolls into one chained CTE per stage — exact for
+    any fixed batch count, which is precisely what the deterministic
+    staging gives us.  Same band join, same best-match rule
+    (max 6dp jaccard, min corpus id) as ``dedup_incremental_oracle``."""
+    sh = _shingle_expr("duckdb", n=n_shingle)
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> {minhash_perm_sql('h', j)})) AS sig{j}"
+        for j in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {k} AS band, {key} AS key FROM sigs".format(
+            k=k,
+            key=" || '-' || ".join(
+                f"CAST(sig{k * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+            ),
+        )
+        for k in range(LSH_BANDS)
+    )
+    adm_ctes = []
+    for s in range(n_stages):
+        if s == 0:
+            avail = "e.old_even"
+            avail_m = "m.old_even"
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM adm{j}" for j in range(s)
+            )
+            avail = f"(e.old_even OR e.old_id IN ({prev}))"
+            avail_m = f"(m.old_even OR m.old_id IN ({prev}))"
+        adm_ctes.append(
+            f"""adm{s} AS (
+  SELECT d.doc_id FROM docs d WHERE d.par = 1 AND d.stg = {s}
+    AND NOT EXISTS (SELECT 1 FROM exact_pairs e
+                    WHERE e.new_id = d.doc_id AND {avail})
+    AND NOT EXISTS (SELECT 1 FROM mtch m
+                    WHERE m.new_id = d.doc_id AND {avail_m})
+)"""
+        )
+    adm_all = " UNION ALL ".join(f"SELECT doc_id FROM adm{s}" for s in range(n_stages))
+    return f"""WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents
+), sh2 AS (
+  SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+), hashed AS (
+  SELECT doc_id, s, n, list_transform(s, s_ -> {h64_sql("s_", "duckdb")}) AS hs FROM sh2
+), sigs AS (
+  SELECT doc_id, s, n,
+    {sig_exprs}
+  FROM hashed
+), bands AS (
+  {band_selects}
+), docs AS (
+  SELECT doc_id, md5(text) AS h, (doc_id // 2) % {n_stages} AS stg,
+         doc_id % 2 AS par
+  FROM documents
+), exact_pairs AS (
+  SELECT dn.doc_id AS new_id, dold.doc_id AS old_id, dold.par = 0 AS old_even
+  FROM docs dn JOIN docs dold
+    ON dn.h = dold.h AND dn.doc_id <> dold.doc_id
+  WHERE dn.par = 1 AND (dold.par = 0 OR dold.stg < dn.stg)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  JOIN docs dn ON dn.doc_id = x.doc_id
+  JOIN docs dold ON dold.doc_id = y.doc_id
+  WHERE dn.par = 1 AND x.doc_id <> y.doc_id
+    AND (dold.par = 0 OR dold.stg < dn.stg)
+), verified AS (
+  SELECT c.new_id, c.old_id,
+         round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (sa.n + sb.n - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+  FROM cand c
+  JOIN sh2 sa ON sa.doc_id = c.new_id
+  JOIN sh2 sb ON sb.doc_id = c.old_id
+), mtch AS (
+  SELECT v.new_id, v.old_id, v.jaccard, dold.par = 0 AS old_even
+  FROM verified v JOIN docs dold ON dold.doc_id = v.old_id
+  WHERE v.jaccard >= {threshold}
+), {", ".join(adm_ctes)}, adm_all AS (
+  {adm_all}
+), avail_exact AS (
+  SELECT DISTINCT e.new_id FROM exact_pairs e
+  WHERE e.old_even OR e.old_id IN (SELECT doc_id FROM adm_all)
+), avail_match AS (
+  SELECT m.new_id, m.old_id, m.jaccard FROM mtch m
+  WHERE m.old_even OR m.old_id IN (SELECT doc_id FROM adm_all)
+), best AS (
+  SELECT new_id, old_id, jaccard FROM (
+    SELECT new_id, old_id, jaccard,
+           row_number() OVER (PARTITION BY new_id
+                              ORDER BY jaccard DESC, old_id ASC) AS rn
+    FROM avail_match
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN ae.new_id IS NOT NULL THEN 'exact_dup'
+            WHEN b.old_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN ae.new_id IS NULL THEN b.old_id END AS near_dup_of,
+       CASE WHEN ae.new_id IS NULL THEN b.jaccard END AS jaccard
+FROM docs d
+LEFT JOIN avail_exact ae ON d.doc_id = ae.new_id
+LEFT JOIN best b ON d.doc_id = b.new_id
+WHERE d.par = 1
+ORDER BY d.doc_id"""
+
+
 def containment_pairs(
     documents: DataFrame, threshold: float = 0.6, n_shingle: int = 3
 ) -> DataFrame:

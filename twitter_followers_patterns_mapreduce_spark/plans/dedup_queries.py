@@ -117,6 +117,83 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _stage_doc_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
+    """Stage the odd-id documents as ``n_batches`` parquet files split by
+    ``(doc_id // 2) % n_batches`` with ASCENDING mtimes — a deterministic
+    ordered micro-batch replay (the file source drains oldest-mtime
+    first, and admission order matters here, unlike the order-free
+    bottom-k/counts stagers).  Returns (feed_dir, state_dir, ckpt_dir);
+    state and checkpoint are wiped per invocation for a fresh replay."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_dedupadm_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(feed_dir):
+        os.makedirs(feed_dir)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        now = _time.time()
+        for b in range(n_batches):
+            tmp = os.path.join(root, f"stage_b{b}")
+            docs.where(
+                (F.col("doc_id") % 2 == 1)
+                & (F.pmod(F.shiftright("doc_id", 1), F.lit(n_batches)) == b)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(feed_dir, f"b{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now + b, now + b))  # strict arrival order
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "dedup_incremental_streamed",
+    oracle=D.dedup_incremental_staged_oracle(n_stages=4, threshold=0.5),
+    description="streamed near-dup admission under the oracle gate (thirteenth "
+    "streaming class): odd docs replayed as 4 ordered micro-batches against "
+    "VERSIONED corpus state (seen-md5 + shingle sets + the persisted LSH band "
+    "index, keep-2 replay-idempotent versions) — only kept docs join the index, "
+    "so a near-dup of a REJECTED arrival is kept; oracle unrolls the greedy "
+    "admission recursion into one CTE per stage",
+)
+def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup_admit import (
+        admit_apply_stream,
+        docs_file_stream,
+        verdicts_from_state,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_doc_batches(spark, sf_dir, n_batches=4)
+    bootstrap = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 2 == 0)
+    )
+    admit_apply_stream(
+        spark,
+        docs_file_stream(spark, feed_dir),
+        bootstrap,
+        state_dir,
+        ckpt_dir,
+        threshold=0.5,
+    )
+    return verdicts_from_state(spark, state_dir).orderBy("doc_id")
+
+
 from twitter_followers_patterns_mapreduce_spark.operators import clustering as CL  # noqa: E402
 
 

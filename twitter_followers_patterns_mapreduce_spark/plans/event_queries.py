@@ -170,7 +170,33 @@ def events_typed_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.typed_json_props(load_events(spark, sf_dir))
 
 
-from twitter_followers_patterns_mapreduce_spark.operators.skew import salted_count  # noqa: E402
+from twitter_followers_patterns_mapreduce_spark.operators.skew import (  # noqa: E402
+    salted_count,
+    salted_skew_join,
+)
+from twitter_followers_patterns_mapreduce_spark.sources.readers import load_table  # noqa: E402
+
+
+@register(
+    "events_salted_dim_join",
+    oracle="SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "ORDER BY e.event_id",
+    description="EXECUTION twin of the join_skew_planner prescription: events "
+    "joined to customer with keys above 70 fact rows salted 8 ways (hot fact rows "
+    "spread across salts, matching dim rows replicated per salt) unioned with the "
+    "plain join of the cold remainder; oracle is the unsalted equi-join, proving "
+    "the split-replicate-union rewrite is semantics-preserving",
+)
+def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_skew_join(
+        events, cust, "user_id", "c_custkey", hot_threshold=70, n_salts=8
+    )
+    return joined.select("event_id", "user_id", "event_type", "c_mktsegment").orderBy(
+        "event_id"
+    )
 
 
 @register(
