@@ -185,3 +185,147 @@ def test_concurrency_max_matches_sweep_model(spark, sessions):
         model[day] = max(model.get(day, 0), cur)
     for day, mx in model.items():
         assert out[day] == mx
+
+
+# ---------------------------------------------------------------------------
+# round-10: advisor-family property pins (round-9 verdict item 7)
+# ---------------------------------------------------------------------------
+
+
+def _h64_py(s: str) -> int:
+    """Python model of functions/hashing.py::h64_sql — first 60 bits of
+    md5 as a non-negative int."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=multisets, target=st.integers(1, 6))
+def test_bucket_advisor_matches_model(spark, data, target):
+    """Power-of-two bucket counts (including n_rows exactly at target
+    multiples), realized h64 distribution, imbalance, and the salt flag
+    all against a direct Python model."""
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        bucket_layout_advisor,
+    )
+
+    df = spark.createDataFrame([(k,) for k in data], schema="k BIGINT")
+    row = bucket_layout_advisor(df, "k", target_rows_per_bucket=target).collect()[0]
+    n_rows, cnt = len(data), Counter(data)
+    nb = 2 ** math.ceil(math.log2(max(math.ceil(n_rows / target), 1)))
+    buckets = Counter()
+    for k, c in cnt.items():
+        buckets[_h64_py(str(k)) % nb] += c
+    assert row["n_rows"] == n_rows
+    assert row["n_keys"] == len(cnt)
+    assert row["max_key_rows"] == max(cnt.values())
+    assert row["n_buckets"] == nb
+    assert row["n_nonempty_buckets"] == len(buckets)
+    assert row["avg_bucket_rows"] == n_rows // nb
+    assert row["max_bucket_rows"] == max(buckets.values())
+    assert row["salt_advice"] == (max(cnt.values()) > 2 * (n_rows / nb))
+    imb = math.floor(max(buckets.values()) / (n_rows / nb) * 1e6) / 1e6
+    # libm ulp tolerance: one floor-grid step (the KM-test precedent)
+    assert abs(row["imbalance"] - imb) <= 1e-6 + 1e-9
+
+
+def test_bucket_advisor_empty_and_single_key(spark):
+    """Degenerate layouts: an empty table yields one all-null-safe row
+    (no crash, no divide-by-zero), a 1-key table lands everything in
+    one bucket with salt advice on."""
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        bucket_layout_advisor,
+    )
+
+    empty = spark.createDataFrame([], schema="k BIGINT")
+    out = bucket_layout_advisor(empty, "k", target_rows_per_bucket=3).collect()
+    assert len(out) == 1  # diagnostic row exists; fields of an empty
+    # profile are NULL/0 rather than an exception
+    assert out[0]["n_keys"] in (0, None)
+
+    one = spark.createDataFrame([(7,)] * 20, schema="k BIGINT")
+    row = bucket_layout_advisor(one, "k", target_rows_per_bucket=2).collect()[0]
+    assert row["n_buckets"] == 16  # 2^ceil(log2(10))
+    assert row["n_nonempty_buckets"] == 1  # a hot key cannot spread
+    assert row["max_bucket_rows"] == 20
+    assert bool(row["salt_advice"]) is True
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    days=st.lists(st.integers(9500, 9620), min_size=1, max_size=25),
+    min_rows=st.integers(1, 4),
+)
+def test_partition_advisor_matches_model(spark, days, min_rows):
+    """Day/week/month profiles and the finest-meeting-target
+    recommendation against a direct Python model (epoch-day // 7 weeks,
+    y*12+m months — the engine's dayofweek-proof discipline)."""
+    import datetime
+
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        partition_layout_advisor,
+    )
+
+    dates = [datetime.date(1970, 1, 1) + datetime.timedelta(days=d) for d in days]
+    df = spark.createDataFrame([(d,) for d in dates], schema="o_d DATE")
+    out = {
+        r["granularity"]: r
+        for r in partition_layout_advisor(
+            df, "o_d", min_rows_per_partition=min_rows
+        ).collect()
+    }
+    spines = {
+        "day": Counter(days),
+        "week": Counter(d // 7 for d in days),
+        "month": Counter(
+            (dt.year * 12 + dt.month) for dt in dates
+        ),
+    }
+    meets = {}
+    for g, spine in spines.items():
+        row = out[g]
+        assert row["n_partitions"] == len(spine)
+        assert row["n_rows"] == len(days)
+        assert row["avg_partition_rows"] == len(days) // len(spine)
+        assert row["max_partition_rows"] == max(spine.values())
+        meets[g] = (len(days) // len(spine)) >= min_rows
+        assert row["meets_target"] == meets[g]
+    finest = next((g for g in ("day", "week", "month") if meets[g]), None)
+    for g in ("day", "week", "month"):
+        assert out[g]["recommended"] == (g == finest)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=multisets,
+    right=multisets,
+    pct=st.sampled_from([7, 15, 30, 100]),
+)
+def test_universe_sample_matches_model(spark, left, right, pct):
+    """pct values that do NOT divide 100 (the round-8 advice fix):
+    sampled count, 100.0/pct scaling, exact count, and the
+    within_bound verdict against a direct Python model."""
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        join_universe_sample_estimate,
+    )
+
+    ldf = spark.createDataFrame([(k,) for k in left], schema="k BIGINT")
+    rdf = spark.createDataFrame([(k,) for k in right], schema="k BIGINT")
+    row = join_universe_sample_estimate(ldf, rdf, "k", "k", pct=pct, bound=0.15).collect()[0]
+    cl, cr = Counter(left), Counter(right)
+    in_sample = {k for k in set(cl) | set(cr) if _h64_py(str(k)) % 100 < pct}
+    samp = sum(cl[k] * cr[k] for k in cl if k in cr and k in in_sample)
+    exact = sum(cl[k] * cr[k] for k in cl)
+    assert row["sampled_join_rows"] == samp
+    assert row["exact_join_rows"] == exact
+    assert row["scaled_estimate"] == math.floor(samp * 100.0 / pct)
+    if exact > 0:
+        err = abs(samp * 100.0 / pct - exact) / exact
+        assert row["within_bound"] == (err <= 0.15)
+    else:
+        assert row["within_bound"] is None

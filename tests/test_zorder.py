@@ -78,6 +78,86 @@ def test_zorder_prunes_2d_box_better_than_linear_sort(spark, tmp_path):
     )
 
 
+def test_zorder_benefit_estimate_matches_realized_file_pruning(spark, tmp_path):
+    """Write-and-measure twin of the registered layout_zorder_benefit
+    estimator (round-9 verdict item 5): materialize each layout's blocks
+    as real parquet partitions, replay the SAME 1/8 x 1/8 probe against
+    the files' actual min-max statistics, and pin that the estimator's
+    n_blocks / blocks_touched / rows_scanned equal the realized numbers
+    EXACTLY — the estimator replays pruning from per-block actual
+    min/max, which is precisely what parquet footers store."""
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        _zb_cells,
+        zorder_benefit_estimate,
+    )
+
+    bits = 3
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    est = {
+        r["layout"]: r
+        for r in zorder_benefit_estimate(
+            df, "l_partkey", "l_suppkey", bits=bits
+        ).collect()
+    }
+
+    base = df.selectExpr(
+        "CAST(l_partkey AS BIGINT) AS x", "CAST(l_suppkey AS BIGINT) AS y"
+    )
+    stats_df = base.agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    st = stats_df.first()
+    cells = base.crossJoin(F.broadcast(stats_df)).selectExpr(
+        "x", "y", *_zb_cells("spark", bits)
+    )
+    # the probe rectangle, re-derived with the estimator's arithmetic
+    rx, ry = st["max_x"] - st["min_x"] + 1, st["max_y"] - st["min_y"] + 1
+    x0, x1 = st["min_x"] + (rx * 2) // 8, st["min_x"] + (rx * 3) // 8
+    y0, y1 = st["min_y"] + (ry * 2) // 8, st["min_y"] + (ry * 3) // 8
+
+    for block_col, layout in (("block_lin", "linear_x"), ("block_z", "zorder")):
+        path = str(tmp_path / layout)
+        cells.select("x", "y", block_col).write.partitionBy(block_col).parquet(path)
+        n_blocks = touched = rows_scanned = 0
+        for d in sorted(glob.glob(os.path.join(path, f"{block_col}=*"))):
+            mins = {"x": [], "y": []}
+            maxs = {"x": [], "y": []}
+            rows = 0
+            for f in glob.glob(os.path.join(d, "part-*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                rows += md.num_rows
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for c in ("x", "y"):
+                    for rg in range(md.num_row_groups):
+                        s = md.row_group(rg).column(idx[c]).statistics
+                        mins[c].append(s.min)
+                        maxs[c].append(s.max)
+            n_blocks += 1
+            hit = not (
+                max(maxs["x"]) < x0
+                or min(mins["x"]) >= x1
+                or max(maxs["y"]) < y0
+                or min(mins["y"]) >= y1
+            )
+            if hit:
+                touched += 1
+                rows_scanned += rows
+        assert n_blocks == est[layout]["n_blocks"], layout
+        assert touched == est[layout]["blocks_touched"], layout
+        assert rows_scanned == est[layout]["rows_scanned"], layout
+
+    # and the headline claim survives materialization: the z layout
+    # touches a smaller row fraction than the linear layout
+    assert est["zorder"]["rows_scanned"] < est["linear_x"]["rows_scanned"]
+
+
 def test_zvalue_interleave_golden(spark):
     rows = spark.range(1).select(
         zvalue(F.lit(0b101), F.lit(0b011), bits=3).alias("z")
