@@ -566,3 +566,35 @@ def test_doc_keyphrases_rank_by_corpus_pmi(spark):
         # the always-adjacent pair ranks first everywhere
         assert (rows[0]["t1"], rows[0]["t2"]) == ("alpha", "beta")
         assert all((r["t1"], r["t2"]) != ("rare", "once") for r in rows)
+
+
+def test_corpus_mixture_ivm_closed_form_and_differential(spark):
+    """IVM recipe on a hand-computable corpus: source A has 4 docs
+    (2 even + 2 odd ids, exercising BOTH the base and delta slices),
+    source B has 1.  w6 = floor(sqrt(n)*1e6): A 2e6, B 1e6; tw6 3e6;
+    n_total div 2 = 2.  And differentially: the IVM output equals a
+    direct single-pass recompute of the same formulas."""
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import (
+        corpus_mixture_ivm,
+    )
+
+    rows = [
+        (0, "t", "en", "A", 10),
+        (1, "t", "en", "A", 20),
+        (2, "t", "en", "A", 30),
+        (3, "t", "en", "A", 40),
+        (4, "t", "en", "B", 50),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r["source"]: r for r in corpus_mixture_ivm(docs, keep_div=2).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_docs"], a["n_chars"], a["w6"]) == (4, 100, 2_000_000)
+    assert (b["n_docs"], b["n_chars"], b["w6"]) == (1, 50, 1_000_000)
+    assert a["share6"] == 0.666666 and b["share6"] == 0.333333
+    # budgets: share * (n_total div keep_div) = share * 2
+    assert a["target_docs"] == 1 and b["target_docs"] == 0
+    # thresholds: floor(min(1, share*2/n_docs)*1e6)
+    assert a["threshold"] == 333_333
+    assert b["threshold"] == 666_666

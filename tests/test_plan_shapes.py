@@ -98,6 +98,7 @@ ALLOWED_BRUTE_FORCE = {
     #     exact side — cardinality × 1)
     "lineitem_kll_quantiles",
     "events_kll_value_merged",
+    "events_kll_streamed",  # same 1 × 1 readout: exact companion × drained state sketch
     "events_theta_retention",
     "graph_effective_diameter_anf",  # composes reach_anf → same 1-row node-count cross
     #   * join planner family — |matched keys|-row degree spine crossed
@@ -156,6 +157,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * hub attack — four 1-row summaries (totals/before/after/
     #     isolated) combined by declared 1 × 1 crosses
     "graph_hub_attack",
+    #   * mixture IVM — the temperature-mixture shape from maintained
+    #     state: |sources|-row spine × 1-row Σweights/N totals
+    "corpus_mixture_ivm",
 }
 
 

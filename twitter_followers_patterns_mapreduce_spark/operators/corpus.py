@@ -941,6 +941,93 @@ SELECT source,
 FROM flagged GROUP BY source"""
 
 
+def corpus_mixture_ivm(documents: DataFrame, keep_div: int = 2) -> DataFrame:
+    """Domain-mixture recipe maintained INCREMENTALLY — the IVM twin of
+    :func:`corpus_temperature_mixture`: per-source (doc, char) totals
+    are mergeable algebraic state, so an ingest updates them from the
+    DELTA alone (union → re-aggregate, the ``orders_monthly_ivm`` /
+    ``join_delta_ivm`` rule) and the whole temperature recipe —
+    sqrt-weights, shares, per-source doc budgets, keep thresholds —
+    recomputes from the |sources|-row state without ever rescanning the
+    corpus.  Here base = even doc_ids, delta = odd (the house parity
+    split); the DuckDB oracle computes the recipe DIRECTLY from the
+    full table — the hash match proves delta maintenance ≡ full
+    recompute.
+
+    At 100 TB the base aggregate is the standing per-source stats
+    table; a daily ingest pays |Δ| + |sources| — and because every
+    downstream quantity (w6 = floor(sqrt(n)·1e6), share, budget,
+    threshold) is a pure function of the state row, the recipe refresh
+    is O(|sources|), the cheapest possible mixture re-plan.
+
+    Output per source: (source, n_docs, n_chars, w6, share6,
+    target_docs, threshold) — exact BIGINT state, floored 1e-6 shares
+    (sqrt is correctly-rounded IEEE, bit-identical cross-engine).
+    """
+    base = documents.where(F.pmod("doc_id", F.lit(2)) == 0)
+    delta = documents.where(F.pmod("doc_id", F.lit(2)) == 1)
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+
+    merged = (
+        state(base)
+        .unionByName(state(delta))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    w6 = merged.selectExpr(
+        "source",
+        "n_docs",
+        "n_chars",
+        "CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w6",
+    )
+    tot = w6.selectExpr(
+        "CAST(SUM(w6) AS BIGINT) AS tw6",
+        "CAST(SUM(n_docs) AS BIGINT) AS n_total",
+    )
+    # |sources|-row spine × 1-row totals: declared cardinality × 1 cross
+    return w6.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "n_chars",
+        "w6",
+        "floor(CAST(w6 AS DOUBLE) / tw6 * 1000000) / 1000000 AS share6",
+        f"CAST(floor((CAST(w6 AS DOUBLE) / tw6) * (n_total div {keep_div}))"
+        " AS BIGINT) AS target_docs",
+        "CAST(floor(least(CAST(1.0 AS DOUBLE),"
+        f" (CAST(w6 AS DOUBLE) / tw6) * (n_total div {keep_div}) / n_docs)"
+        " * 1000000) AS BIGINT) AS threshold",
+    )
+
+
+def corpus_mixture_ivm_oracle(keep_div: int = 2) -> str:
+    return f"""WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_docs, n_chars,
+         CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w6
+  FROM counts),
+tot AS (
+  SELECT CAST(SUM(w6) AS BIGINT) AS tw6, CAST(SUM(n_docs) AS BIGINT) AS n_total FROM w)
+SELECT source, n_docs, n_chars, w6,
+  floor(CAST(w6 AS DOUBLE) / tw6 * 1000000) / 1000000 AS share6,
+  CAST(floor((CAST(w6 AS DOUBLE) / tw6) * (n_total // {keep_div})) AS BIGINT)
+    AS target_docs,
+  CAST(floor(least(CAST(1.0 AS DOUBLE),
+    (CAST(w6 AS DOUBLE) / tw6) * (n_total // {keep_div}) / n_docs)
+    * 1000000) AS BIGINT) AS threshold
+FROM w CROSS JOIN tot"""
+
+
 def corpus_export_shards(documents: DataFrame, n_shards: int = 8) -> DataFrame:
     """Deterministic global shuffle for training export: every doc gets a
     shard by content hash (never by input order or partition id), and

@@ -138,6 +138,31 @@ def events_kll_value_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_kll_streamed",
+    oracle=ST.kll_quantile_profile_oracle("events", "value"),
+    description="streaming KLL quantile view under the oracle gate (fourteenth "
+    "streaming class): 4 micro-batches each build a |batch|-local value sketch "
+    "merged into ONE fixed-size versioned state sketch (keep-2 replay-idempotent "
+    "versions); the drained sketch must satisfy the same rank-error band as the "
+    "batch build — streamed maintenance == batch == plain-SQL oracle",
+)
+def events_kll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.kll import (
+        kll_apply_stream,
+        kll_profile_from_state,
+        value_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_event_batches(
+        spark, sf_dir, cols=("event_id", "value"), name="kll"
+    )
+    kll_apply_stream(spark, value_stream(spark, feed_dir), state_dir, ckpt_dir)
+    return kll_profile_from_state(
+        spark, state_dir, load_events(spark, sf_dir), "value"
+    )
+
+
+@register(
     "events_theta_retention",
     oracle=ST.theta_set_profile_oracle(),
     description="theta-sketch set algebra across two purchase-activity snapshots "

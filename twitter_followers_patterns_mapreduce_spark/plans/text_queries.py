@@ -327,6 +327,20 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_ivm",
+    oracle=CP.corpus_mixture_ivm_oracle(),
+    description="domain-mixture recipe maintained incrementally: per-source "
+    "(doc, char) totals as mergeable state updated from the delta slice alone "
+    "(base=even / delta=odd doc ids, union -> re-aggregate), with the whole "
+    "temperature recipe — sqrt-weights, shares, per-source doc budgets, keep "
+    "thresholds — recomputed from the |sources|-row state; oracle is the direct "
+    "full-table recipe, proving delta maintenance == full recompute",
+)
+def corpus_mixture_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.corpus_mixture_ivm(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_export_shards",
     oracle=CP.corpus_export_shards_oracle(n_shards=8),
     description="deterministic hash-sharded export audit: per-shard row count, "
