@@ -658,3 +658,34 @@ def test_sliding_distinct_theta_window_semantics(spark):
     assert out[1]["n_users_win"] == 2
     assert out[30]["n_users_win"] == 1
     assert all(r["ok"] for r in out.values())  # theta exact at this size
+
+
+def test_topk_churn_closed_form(spark):
+    """Hand-checkable leaderboard: early top-2 = {1, 2}, late top-2 =
+    {2, 3}; user 2 moves rank 2 -> 1 (footrule 1), one newcomer, one
+    dropout, jaccard 1/3."""
+    import datetime as dt
+
+    from twitter_followers_patterns_mapreduce_spark.operators.events import topk_churn
+
+    t0 = dt.datetime(1995, 1, 1)
+    t1 = dt.datetime(1997, 1, 1)
+    rows = []
+    eid = 0
+    for uid, n in [(1, 5), (2, 3), (3, 1)]:  # early counts
+        for _ in range(n):
+            rows.append((eid, t0, uid, "click", 1.0, "{}")); eid += 1
+    for uid, n in [(2, 6), (3, 4), (1, 0)]:  # late counts
+        for _ in range(n):
+            rows.append((eid, t1, uid, "click", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        schema="event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    row = topk_churn(events, cutover="1996-01-01", k=2).first()
+    assert row["n_top_early"] == 2 and row["n_top_late"] == 2
+    assert row["n_common"] == 1  # user 2
+    assert row["newcomers"] == 1 and row["dropouts"] == 1
+    assert row["jaccard"] == 0.333333
+    assert row["rank_footrule"] == 1

@@ -367,3 +367,22 @@ def test_rich_club_clique_plus_pendants(spark):
     assert out[3]["phi"] == 1.0
     assert out[4]["n_club"] == 1 and out[4]["e_club"] == 0
     assert out[4]["phi"] is None
+
+
+def test_triangle_census_directed_sample_graph(sample_edges):
+    """FIXTURES §1.1 graph by hand: cyclic = {1->2->3->1, 4->5->6->4};
+    transitive = {2->5, 5->3, 2->3} and {5->3, 3->6, 5->6}."""
+    got = {
+        r["motif"]: r["n"]
+        for r in G.triangle_census_directed(sample_edges).collect()
+    }
+    assert got == {"cyclic": 2, "transitive": 2}
+
+
+def test_triangle_census_directed_mutual_pair_is_no_triangle(mutual_edges):
+    """A 2-cycle alone produces no 3-motif of either kind."""
+    got = {
+        r["motif"]: r["n"]
+        for r in G.triangle_census_directed(mutual_edges).collect()
+    }
+    assert got == {"cyclic": 0, "transitive": 0}

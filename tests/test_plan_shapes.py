@@ -99,6 +99,7 @@ ALLOWED_BRUTE_FORCE = {
     "lineitem_kll_quantiles",
     "events_kll_value_merged",
     "events_kll_streamed",  # same 1 × 1 readout: exact companion × drained state sketch
+    "events_distinct_theta_streamed",  # ditto for the theta distinct view
     "events_theta_retention",
     "graph_effective_diameter_anf",  # composes reach_anf → same 1-row node-count cross
     #   * join planner family — |matched keys|-row degree spine crossed
@@ -160,6 +161,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * mixture IVM — the temperature-mixture shape from maintained
     #     state: |sources|-row spine × 1-row Σweights/N totals
     "corpus_mixture_ivm",
+    #   * priority-sum estimate — ≤k sample rows × the 1-row τ, then
+    #     the 1 × 1 estimate × exact-companion readout
+    "doc_priority_sum_estimate",
 }
 
 

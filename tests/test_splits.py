@@ -159,3 +159,43 @@ def test_weighted_sample_matches_reference_formula(spark):
     ws = [w for _, _, w in got]
     corpus_mean = sum(d[4] for d in docs) / len(docs)
     assert sum(ws) / len(ws) > corpus_mean
+
+
+def test_priority_sum_estimate_degenerate_and_model(spark):
+    """k >= n: tau = 0 and the estimator IS the exact sum.  k < n: tau,
+    estimate, and error all match a direct Python model of DLT priority
+    sampling with the same hash-derived u."""
+    import hashlib
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.splits import (
+        priority_sum_estimate,
+    )
+
+    rows = [(i, "t", "en", "A", 50 + 37 * i) for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    exact = sum(r[4] for r in rows)
+
+    big = priority_sum_estimate(docs, k=10).collect()[0]
+    assert big["tau"] == 0.0
+    assert big["exact_chars"] == exact
+    assert big["est_chars"] == float(exact)
+    assert big["abs_rel_err"] == 0.0
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    k = 3
+    qs = sorted(
+        ((w / ((h64(str(i)) + 1.0) / 2**60), i, w) for i, _, _, _, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = qs[k][0]
+    est6 = sum(math.floor(max(float(w), tau) * 1e6) for _, _, w in qs[:k])
+    row = priority_sum_estimate(docs, k=k).collect()[0]
+    assert row["n_docs"] == 6
+    assert row["tau"] == tau
+    assert row["est_chars"] == math.floor(est6 / 1e6 * 1e6) / 1e6
+    assert row["abs_rel_err"] == math.floor(abs(est6 / 1e6 - exact) / exact * 1e6) / 1e6

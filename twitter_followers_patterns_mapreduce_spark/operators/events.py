@@ -2168,3 +2168,103 @@ exact AS (
   FROM fan GROUP BY 1)
 SELECT e.win AS win_hour, e.n_users_win, TRUE AS ok
 FROM exact e SEMI JOIN spine s ON e.win = s.h"""
+
+
+def topk_churn(
+    events: DataFrame, cutover: str = "1996-01-01", k: int = 100
+) -> DataFrame:
+    """Top-k leaderboard CHURN across a cutover: rank users by event
+    count in the early and late periods (ties to lower user_id), keep
+    each period's top-k, and summarize how much the leaderboard moved —
+    set overlap (jaccard), newcomers/dropouts, and the Spearman
+    footrule Σ|rank_early − rank_late| over the common members.  The
+    monitoring question every ranked view answers after a data refresh
+    ("did the top customers/queries/domains actually change, or just
+    reshuffle?"), computed exactly.
+
+    Plan shape: one conditional hash agg to the (user, period) spine,
+    per-period rank windows ON that bounded spine (never the fact
+    table), a top-k full-outer self-join of two ≤k-row sides, one 1-row
+    readout.  Everything downstream of the first agg is |users|-sized.
+
+    Output (1 row): k, n_top_early, n_top_late, n_common, newcomers,
+    dropouts, jaccard, rank_footrule.
+    """
+    per = (
+        events.selectExpr(
+            "user_id",
+            f"CAST(ts >= TIMESTAMP '{cutover}' AS INT) AS late",
+        )
+        .groupBy("user_id", "late")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("late").orderBy(F.col("c").desc(), F.col("user_id").asc())
+    ranked = per.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    a = ranked.where(F.col("late") == 0).select(
+        F.col("user_id").alias("ua"), F.col("rn").alias("ra")
+    )
+    b = ranked.where(F.col("late") == 1).select(
+        F.col("user_id").alias("ub"), F.col("rn").alias("rb")
+    )
+    j = a.join(b, a["ua"] == b["ub"], "full_outer")
+    return j.agg(
+        F.count("ua").cast("long").alias("n_top_early"),
+        F.count("ub").cast("long").alias("n_top_late"),
+        F.sum(
+            (F.col("ua").isNotNull() & F.col("ub").isNotNull()).cast("int")
+        ).cast("long").alias("n_common"),
+        F.sum((F.col("ua").isNull() & F.col("ub").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("newcomers"),
+        F.sum((F.col("ua").isNotNull() & F.col("ub").isNull()).cast("int"))
+        .cast("long")
+        .alias("dropouts"),
+        F.sum(
+            F.when(
+                F.col("ua").isNotNull() & F.col("ub").isNotNull(),
+                F.abs(F.col("ra") - F.col("rb")),
+            )
+        ).cast("long").alias("rank_footrule"),
+    ).selectExpr(
+        f"CAST({k} AS BIGINT) AS k",
+        "n_top_early",
+        "n_top_late",
+        "n_common",
+        "newcomers",
+        "dropouts",
+        "floor(CAST(n_common AS DOUBLE)"
+        " / (n_top_early + n_top_late - n_common) * 1000000) / 1000000 AS jaccard",
+        "coalesce(rank_footrule, 0) AS rank_footrule",
+    )
+
+
+def topk_churn_oracle(cutover: str = "1996-01-01", k: int = 100) -> str:
+    return f"""WITH per AS (
+  SELECT user_id,
+         CASE WHEN ts >= TIMESTAMP '{cutover}' THEN 1 ELSE 0 END AS late,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT user_id, late,
+         ROW_NUMBER() OVER (PARTITION BY late ORDER BY c DESC, user_id ASC) AS rn
+  FROM per),
+a AS (SELECT user_id AS ua, rn AS ra FROM r WHERE late = 0 AND rn <= {k}),
+b AS (SELECT user_id AS ub, rn AS rb FROM r WHERE late = 1 AND rn <= {k}),
+j AS (SELECT ua, ub, ra, rb FROM a FULL OUTER JOIN b ON a.ua = b.ub)
+SELECT CAST({k} AS BIGINT) AS k,
+  CAST(COUNT(ua) AS BIGINT) AS n_top_early,
+  CAST(COUNT(ub) AS BIGINT) AS n_top_late,
+  CAST(SUM(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_common,
+  CAST(SUM(CASE WHEN ua IS NULL AND ub IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS newcomers,
+  CAST(SUM(CASE WHEN ua IS NOT NULL AND ub IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS dropouts,
+  floor(CAST(SUM(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE)
+    / (COUNT(ua) + COUNT(ub)
+       - SUM(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL THEN 1 ELSE 0 END))
+    * 1000000) / 1000000 AS jaccard,
+  CAST(coalesce(SUM(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL
+                     THEN abs(ra - rb) END), 0) AS BIGINT) AS rank_footrule
+FROM j"""

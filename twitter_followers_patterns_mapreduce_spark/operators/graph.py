@@ -989,3 +989,70 @@ SELECT k, n_club, e_club,
     floor(CAST(e_club AS DOUBLE) * 2 / (CAST(n_club AS DOUBLE) * (n_club - 1))
       * 1000000) / 1000000 END AS phi
 FROM rows_"""
+
+
+def triangle_census_directed(
+    edges: DataFrame, max_limit: int | None = None
+) -> DataFrame:
+    """Directed triangle MOTIF census — cyclic (a→b→c→a, the feedback
+    loop) vs transitive (a→b, b→c, a→c, the hierarchy motif): the
+    direction-aware refinement of the reference's triangle pipeline
+    (``rsjoin/RSJoinTriangleCount.java`` counts closures of its directed
+    2-paths without classifying them).  On a follower graph the
+    cyclic:transitive ratio is the classic hierarchy-vs-community
+    signal: hierarchical graphs are transitive-heavy, reciprocal
+    communities push cycles.
+
+    Plan: ONE directed 2-path equi-join (the AP/RS wedge shape, MAX
+    cutoff bounding hub fan-out exactly as the reference's jobs do),
+    lazily checkpointed because BOTH closure probes read it; each
+    closure is an equi-join against the distinct edge set.  A cyclic
+    triangle produces 3 closing rotations (÷3); a transitive instance
+    has distinguishable source/middle/sink roles and counts once.
+
+    Output (2 rows): motif ∈ {cyclic, transitive}, n BIGINT.
+    """
+    e = (
+        filter_max(edges, max_limit)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
+        .where(F.col("a") != F.col("c"))
+        .localCheckpoint(eager=False)
+    )
+    cyc = (
+        p.join(
+            e.select(F.col("src").alias("c"), F.col("dst").alias("a")), ["c", "a"]
+        )
+        .agg(F.count("*").alias("n3"))
+        .selectExpr("'cyclic' AS motif", "CAST(n3 div 3 AS BIGINT) AS n")
+    )
+    trans = (
+        p.join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"]
+        )
+        .agg(F.count("*").alias("n1"))
+        .selectExpr("'transitive' AS motif", "CAST(n1 AS BIGINT) AS n")
+    )
+    return cyc.unionAll(trans)
+
+
+def triangle_census_directed_oracle(edges_cte: str) -> str:
+    return f"""WITH s AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+p AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst)
+SELECT 'cyclic' AS motif,
+       CAST((SELECT COUNT(*) FROM p JOIN e e3 ON p.c = e3.src AND e3.dst = p.a) // 3
+            AS BIGINT) AS n
+UNION ALL
+SELECT 'transitive',
+       CAST((SELECT COUNT(*) FROM p JOIN e e3 ON p.a = e3.src AND e3.dst = p.c)
+            AS BIGINT)"""

@@ -393,3 +393,118 @@ FROM (
          floor(-ln({u}) / n_chars * {_ES_GRID}) AS _key
   FROM documents
   ORDER BY _key ASC, doc_id ASC LIMIT {k})"""
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield–Lund–Thorup) subset-sum estimation
+# ---------------------------------------------------------------------------
+
+
+def _priority_expr(dialect: str) -> str:
+    """q_i = w_i / u_i with u_i = (h64(doc_id)+1) / 2^60 ∈ (0, 1] —
+    IDENTICAL expression text both engines.  Unlike the A-ES key
+    (−ln(u)/w, libm ⇒ grid-floored), the priority is two
+    correctly-rounded IEEE ops (add, divide) on exactly-shared inputs,
+    so raw doubles order identically cross-engine with no grid."""
+    cast = "VARCHAR" if dialect == "duckdb" else "string"
+    h = h64_sql(f"CAST(doc_id AS {cast})", dialect)
+    return (
+        "CAST(n_chars AS DOUBLE)"
+        f" / ((CAST({h} AS DOUBLE) + 1.0) / 1152921504606846976.0)"
+    )
+
+
+def priority_sum_estimate(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup 2007): keep the k docs
+    with the largest priorities q_i = w_i/u_i, let τ be the (k+1)-th
+    priority, and Σ max(w_i, τ) over the sample is an UNBIASED
+    estimator of Σ w_i — the property the A-ES race
+    (:func:`weighted_sample`) does not give.  This is how a 100 TB
+    pipeline answers "how many tokens does this filtered slice hold?"
+    from a fixed-size sample instead of a scan: the same k-row sample
+    estimates ANY subset's weight sum by restricting the Σ max(w_i, τ)
+    to the subset's members.
+
+    Determinism: u derives from the content hash (rerun/retry/
+    partition-stable), and every comparable output is either exact
+    BIGINT or derives from the floored-term integer sum — the estimate
+    is Σ floor(max(w_i, τ)·1e6) summed EXACTLY as BIGINT (order-free),
+    never a float accumulation.
+
+    Plan: priorities are scan-side codegen; top-(k+1) is TakeOrdered
+    (per-partition heap + driver merge, never a global sort); the rank
+    window rides the ≤k+1 survivor rows; the exact companion is one
+    plain aggregate sharing nothing but the scan (the gate's cost —
+    the kll/theta discipline).  Output (1 row): k, n_docs, tau,
+    est_chars, exact_chars, abs_rel_err.
+    """
+    from pyspark.sql import Window
+
+    pri = documents.selectExpr(
+        "doc_id", "n_chars", f"{_priority_expr('spark')} AS q"
+    )
+    top = pri.orderBy(F.col("q").desc(), F.col("doc_id").asc()).limit(k + 1)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    # τ = the (k+1)-th priority; 0 when the corpus fits in the sample
+    # (then the estimator degenerates to the exact sum, as it must)
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("q"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    est = (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))  # ≤k rows × 1: declared bounded cross
+        .agg(
+            F.sum(
+                F.floor(
+                    F.greatest(F.col("n_chars").cast("double"), F.col("tau"))
+                    * F.lit(1_000_000)
+                ).cast("long")
+            ).alias("est6"),
+            F.max("tau").alias("tau"),
+        )
+    )
+    exact = documents.agg(
+        F.sum("n_chars").cast("long").alias("exact_chars"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    # 1 × 1 declared cross: sample summary × exact companion
+    return est.crossJoin(F.broadcast(exact)).selectExpr(
+        f"CAST({k} AS BIGINT) AS k",
+        "n_docs",
+        "tau",
+        "floor(CAST(est6 AS DOUBLE) / 1000000 * 1000000) / 1000000 AS est_chars",
+        "exact_chars",
+        "floor(abs(CAST(est6 AS DOUBLE) / 1000000 - exact_chars) / exact_chars"
+        " * 1000000) / 1000000 AS abs_rel_err",
+    )
+
+
+def priority_sum_estimate_oracle(k: int = 100) -> str:
+    q = _priority_expr("duckdb")
+    return f"""WITH pri AS (
+  SELECT doc_id, n_chars, {q} AS q FROM documents
+), ranked AS (
+  SELECT doc_id, n_chars, q,
+         ROW_NUMBER() OVER (ORDER BY q DESC, doc_id ASC) AS rn
+  FROM pri
+), tau AS (
+  SELECT coalesce(MAX(CASE WHEN rn = {k + 1} THEN q END), 0.0) AS tau
+  FROM ranked WHERE rn <= {k + 1}
+), est AS (
+  SELECT CAST(SUM(CAST(floor(greatest(CAST(n_chars AS DOUBLE), tau) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS est6,
+         MAX(tau) AS tau
+  FROM ranked CROSS JOIN tau WHERE rn <= {k}
+), exact AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS exact_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents)
+SELECT CAST({k} AS BIGINT) AS k, n_docs, tau,
+  floor(CAST(est6 AS DOUBLE) / 1000000 * 1000000) / 1000000 AS est_chars,
+  exact_chars,
+  floor(abs(CAST(est6 AS DOUBLE) / 1000000 - exact_chars) / exact_chars
+    * 1000000) / 1000000 AS abs_rel_err
+FROM est CROSS JOIN exact"""

@@ -623,6 +623,22 @@ def triangle_count_oriented_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "triangle_census_directed",
+    oracle=G.triangle_census_directed_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}"
+    ),
+    description="directed triangle motif census: cyclic (a->b->c->a feedback loops, "
+    "counted once per cycle via /3) vs transitive (a->b, b->c, a->c hierarchy "
+    "instances) — the direction-aware refinement of the reference's closure count; "
+    "one MAX-bounded 2-path join feeds both closure probes (MAX=200, the "
+    "materialized-path cutoff: the raw directed wedge volume on the densifying "
+    "mod-997 view is the AP/RS regime, and the census pays it twice)",
+)
+def triangle_census_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_census_directed(derived_edges(spark, sf_dir), MAX_PATHS)
+
+
+@register(
     "triangle_count_sampled",
     oracle=G.triangle_count_sampled_oracle(
         f"{_E} SELECT * FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI}", p=4

@@ -938,6 +938,45 @@ def events_bottomk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_topk_churn",
+    oracle=E.topk_churn_oracle(cutover="1996-01-01", k=100),
+    description="top-k leaderboard churn across the 1996-01-01 cutover: per-period "
+    "user ranks (count desc, id ties) on the |users| spine, top-100 set overlap, "
+    "newcomers/dropouts, and the Spearman footrule over common members — the "
+    "did-the-ranking-actually-move monitor, exact integers + one floored ratio",
+)
+def events_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.topk_churn(load_events(spark, sf_dir), cutover="1996-01-01", k=100)
+
+
+@register(
+    "events_distinct_theta_streamed",
+    oracle="SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, TRUE AS ok "
+    "FROM events",
+    description="streaming theta-sketch distinct view under the oracle gate "
+    "(fifteenth streaming class): 4 micro-batches each build a |batch|-local "
+    "user sketch theta-UNIONED into one fixed-size versioned state sketch "
+    "(keep-2 replay-idempotent versions, lgK=14 sized to the largest gated SF); "
+    "the drained estimate must sit within max(8% of exact, 2) — streamed union "
+    "== batch sketch == plain COUNT(DISTINCT)",
+)
+def events_distinct_theta_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.theta import (
+        distinct_from_state,
+        key_stream,
+        theta_apply_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_event_batches(
+        spark, sf_dir, cols=("event_id", "user_id"), name="th"
+    )
+    theta_apply_stream(spark, key_stream(spark, feed_dir), state_dir, ckpt_dir)
+    return distinct_from_state(
+        spark, state_dir, load_events(spark, sf_dir), "user_id"
+    )
+
+
+@register(
     "events_temporal_triangles",
     oracle=E.temporal_triangle_oracle(),
     description="time-ordered triangle count (delta-temporal motif, 24h window): the "

@@ -373,6 +373,19 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_priority_sum_estimate",
+    oracle=SP.priority_sum_estimate_oracle(k=100),
+    description="priority sampling (Duffield-Lund-Thorup) subset-sum estimation: "
+    "top-k docs by q = weight/hash-u, tau = the (k+1)-th priority, and the exact "
+    "BIGINT sum of floored max(weight, tau) terms estimates total chars unbiasedly "
+    "— the fixed-size sample that answers subset weight-sum questions without a "
+    "scan (what the A-ES race sample cannot do); exact companion gates the error",
+)
+def doc_priority_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.priority_sum_estimate(load_table(spark, sf_dir, "documents"), k=100)
+
+
+@register(
     "doc_bm25_topk",
     oracle=CP.doc_bm25_topk_oracle(k=20),
     description="Okapi BM25 top-20 retrieval for a fixed 4-term query: term-filtered "
