@@ -594,3 +594,40 @@ def test_lsh_recall_sampled_pct100_is_full_audit(spark):
     assert got["n_docs_sampled"] == 12
     for c in ("n_truth", "n_found", "n_missed", "recall"):
         assert got[c] == want[c]
+
+
+def test_split_ngram_novelty_closed_form(spark):
+    """Hand-checkable split: pick ids so the h64 split puts one doc in
+    the holdout, then count its shingles that never occur in train."""
+    import hashlib
+
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        split_ngram_novelty,
+    )
+
+    def is_holdout(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % 100 < 30
+
+    train_text = "alpha beta gamma delta epsilon zeta"
+    hold_text = "alpha beta gamma completely novel phrasing here"
+    ids = list(range(50))
+    hold_ids = [i for i in ids if is_holdout(i)]
+    train_ids = [i for i in ids if not is_holdout(i)]
+    assert hold_ids and train_ids
+    rows = [(train_ids[0], train_text), (hold_ids[0], hold_text)]
+    docs = spark.createDataFrame(rows, schema="doc_id LONG, text STRING")
+    row = split_ngram_novelty(docs, holdout_pct=30).first()
+
+    def sh3(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    train_sh, hold_sh = sh3(train_text), sh3(hold_text)
+    novel = hold_sh - train_sh
+    assert row["n_train_shingles"] == len(train_sh)
+    assert row["n_holdout_shingles"] == len(hold_sh)
+    assert row["n_novel"] == len(novel)
+    import math
+
+    assert row["novelty_rate"] == math.floor(len(novel) / len(hold_sh) * 1e6) / 1e6

@@ -386,3 +386,55 @@ def test_triangle_census_directed_mutual_pair_is_no_triangle(mutual_edges):
         for r in G.triangle_census_directed(mutual_edges).collect()
     }
     assert got == {"cyclic": 0, "transitive": 0}
+
+
+def test_negative_samples_are_non_edges_and_deterministic(sample_edges):
+    """Every sampled (u, v) is a non-edge in BOTH directions, u != v,
+    at most k per node, and the draw replays bit-identically."""
+    pos = {(r["src"], r["dst"]) for r in sample_edges.collect()}
+    rows = G.negative_samples(sample_edges, k=3, n_slots=8).collect()
+    assert rows, "sampler produced nothing"
+    per_u = {}
+    for r in rows:
+        u, v = r["u"], r["v"]
+        assert u != v
+        assert (u, v) not in pos and (v, u) not in pos
+        per_u.setdefault(u, []).append(r["neg_rank"])
+    for u, ranks in per_u.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    replay = G.negative_samples(sample_edges, k=3, n_slots=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))
+
+
+def test_negative_samples_candidate_model(sample_edges):
+    """The candidate for (u, slot) is node_index[h64('u:slot') % |V|] —
+    pinned against a direct Python model of the same hash."""
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    nodes = sorted(
+        {r["src"] for r in sample_edges.collect()}
+        | {r["dst"] for r in sample_edges.collect()}
+    )
+    pos = {(r["src"], r["dst"]) for r in sample_edges.collect()}
+    k, n_slots = 3, 8
+    model = {}
+    for u in nodes:
+        found = []
+        for slot in range(n_slots):
+            v = nodes[h64(f"{u}:{slot}") % len(nodes)]
+            if v == u or (u, v) in pos or (v, u) in pos:
+                continue
+            found.append((slot, v))
+        found.sort()
+        model[u] = [
+            (u, v, slot, i + 1) for i, (slot, v) in enumerate(found[:k])
+        ]
+    want = sorted(t for rows in model.values() for t in rows)
+    got = sorted(
+        map(tuple, G.negative_samples(sample_edges, k=k, n_slots=n_slots).collect())
+    )
+    assert got == want

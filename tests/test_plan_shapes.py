@@ -164,6 +164,13 @@ ALLOWED_BRUTE_FORCE = {
     #   * priority-sum estimate — ≤k sample rows × the 1-row τ, then
     #     the 1 × 1 estimate × exact-companion readout
     "doc_priority_sum_estimate",
+    #   * negative sampling — the |V|·slots candidate spine × the 1-row
+    #     node count (index modulus): cardinality × 1; candidates then
+    #     EQUI-join the node index, never a |V|² cross
+    "graph_negative_samples",
+    #   * split novelty — three 1-row shingle-set reduces combined by
+    #     declared 1 × 1 crosses
+    "doc_split_ngram_novelty",
 }
 
 

@@ -1434,3 +1434,74 @@ def lsh_recall_audit_sampled_oracle(
 ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_sampled FROM docs_s)
 SELECT n_docs_sampled, n_truth, n_found, n_missed, recall
 FROM n CROSS JOIN audit"""
+
+
+def split_ngram_novelty(
+    documents: DataFrame, holdout_pct: int = 30, n_shingle: int = 3
+) -> DataFrame:
+    """n-gram NOVELTY of the holdout split vs train — the memorization/
+    leakage diagnostic that complements ``doc_contamination_check``
+    (overlap vs an external canary) and ``doc_split_vocab_kl``
+    (unigram distribution drift): what fraction of the holdout's
+    distinct 3-shingles were never seen in training?  A near-zero
+    novelty rate means the holdout only re-tests memorized phrasing; a
+    high rate means the split actually probes generalization.  Split =
+    the house h64 membership (``h64(doc_id) % 100 < holdout_pct`` ⇒
+    holdout), the same split every split-family operator uses.
+
+    Plan shape: shingling is scan-side; each side collapses to its
+    DISTINCT shingle set (vocab-sized, not corpus-sized); novelty is
+    one anti-join of the two shingle sets + a 1-row readout.  At
+    100 TB both sides are h64-bucketable on the shingle.
+
+    Output (1 row): n_train_shingles, n_holdout_shingles, n_novel,
+    novelty_rate (floored 1e-6).
+    """
+    h = h64_sql("cast(doc_id as string)", "spark")
+    hs = h64_sql("s_", "spark")
+    # shingles ship as 60-bit h64 hashes, not strings: the distinct and
+    # the anti-join shuffle 8-byte longs instead of ~40-char text (the
+    # ExactSubstr discipline; 60-bit collisions are negligible and the
+    # oracle hashes identically, so the compare stays bit-exact)
+    tagged = shingled_docs(documents, n_shingle).selectExpr(
+        f"CAST({h} % 100 < {holdout_pct} AS INT) AS holdout",
+        f"explode(transform(shingles, s_ -> {hs})) AS s",
+    )
+    train = tagged.where("holdout = 0").select("s").distinct()
+    hold = tagged.where("holdout = 1").select("s").distinct()
+    novel = hold.join(train, "s", "left_anti")
+    counts = (
+        train.agg(F.count("*").cast("long").alias("n_train_shingles"))
+        .crossJoin(hold.agg(F.count("*").cast("long").alias("n_holdout_shingles")))
+        .crossJoin(novel.agg(F.count("*").cast("long").alias("n_novel")))
+    )  # three 1-row reduces: declared 1 × 1 crosses
+    return counts.selectExpr(
+        "n_train_shingles",
+        "n_holdout_shingles",
+        "n_novel",
+        "CASE WHEN n_holdout_shingles > 0 THEN"
+        " floor(CAST(n_novel AS DOUBLE) / n_holdout_shingles * 1000000) / 1000000"
+        " END AS novelty_rate",
+    )
+
+
+def split_ngram_novelty_oracle(holdout_pct: int = 30, n_shingle: int = 3) -> str:
+    h = h64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    sh = _shingle_expr("duckdb", n=n_shingle)
+    hs = h64_sql("s_", "duckdb")
+    return f"""WITH sh AS (
+  SELECT CAST(({h}) % 100 < {holdout_pct} AS INT) AS holdout,
+         unnest(list_transform({sh}, s_ -> {hs})) AS s
+  FROM documents
+), train AS (SELECT DISTINCT s FROM sh WHERE holdout = 0),
+hold AS (SELECT DISTINCT s FROM sh WHERE holdout = 1),
+novel AS (SELECT s FROM hold WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.s = hold.s)),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train_shingles,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hold) AS n_holdout_shingles,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM novel) AS n_novel)
+SELECT n_train_shingles, n_holdout_shingles, n_novel,
+  CASE WHEN n_holdout_shingles > 0 THEN
+    floor(CAST(n_novel AS DOUBLE) / n_holdout_shingles * 1000000) / 1000000
+  END AS novelty_rate
+FROM c"""

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
 from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 
 #: Reference compile-time constants (``countedges/CountEdgesAfterMax.java:34``,
@@ -1056,3 +1057,101 @@ UNION ALL
 SELECT 'transitive',
        CAST((SELECT COUNT(*) FROM p JOIN e e3 ON p.a = e3.src AND e3.dst = p.c)
             AS BIGINT)"""
+
+
+def negative_samples(
+    edges: DataFrame, max_limit: int | None = None, k: int = 5, n_slots: int = 12
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for link-prediction training —
+    the complement of :func:`link_prediction_scores` (which scores
+    positive candidates): every node draws ``k`` non-neighbors as
+    training negatives, reproducibly.  The standard ``rand()`` negative
+    sampler is rerun/retry/partition-unstable and silently resamples on
+    every epoch rebuild; here candidate ``v`` for ``(u, slot)`` is
+    ``node_index[h64(u || ':' || slot) % |V|]`` — a pure function of
+    the graph content, so the training set replays bit-identically
+    (the house h64-membership discipline, splits.py).
+
+    Plan shape at 100 TB: candidates are |V|·n_slots scan-side hash
+    rows equi-joined to the |V|-row node index (never a |V|² cross),
+    anti-joined against the edge set (positives removed in one
+    shuffle), then a per-u rank window keeps the first ``k`` by slot —
+    state per node is n_slots rows, and collisions/self-pairs simply
+    consume slots (n_slots > k buys headroom; nodes whose neighborhood
+    swallows most slots emit fewer than k, the documented behavior a
+    caller tunes n_slots for).
+
+    Output: (u, v, slot, neg_rank) with neg_rank 1..≤k.
+    """
+    e = (
+        filter_max(edges, max_limit)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    # |V|-bounded spine: the index window is the only unpartitioned
+    # sort, and it rides the node spine, never the edge table
+    widx = Window.partitionBy(F.lit(0)).orderBy(F.col("id").asc())
+    indexed = nodes.select(
+        F.col("id").alias("v"), (F.row_number().over(widx) - 1).alias("idx")
+    ).localCheckpoint(eager=False)
+    n_nodes = indexed.selectExpr("CAST(COUNT(*) AS BIGINT) AS n")
+    h = h64_sql(f"concat(cast(u as string), ':', cast(slot as string))", "spark")
+    cand = (
+        nodes.select(F.col("id").alias("u"))
+        .select("u", F.explode(F.array(*[F.lit(s) for s in range(n_slots)])).alias("slot"))
+        .crossJoin(F.broadcast(n_nodes))  # |V|·slots × 1: declared cardinality × 1
+        .selectExpr("u", "slot", f"({h}) % n AS idx")
+        .join(indexed, "idx")
+        .where(F.col("u") != F.col("v"))
+    )
+    # remove positives IN BOTH DIRECTIONS: (u,v) is a negative only if
+    # neither u→v nor v→u exists in the directed edge set
+    neg = cand.join(
+        e, (cand["u"] == e["src"]) & (cand["v"] == e["dst"]), "left_anti"
+    )
+    neg = neg.join(
+        e, (neg["u"] == e["dst"]) & (neg["v"] == e["src"]), "left_anti"
+    )
+    wr = Window.partitionBy("u").orderBy(F.col("slot").asc(), F.col("v").asc())
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(wr))
+        .where(F.col("neg_rank") <= k)
+        .select("u", "v", "slot", "neg_rank")
+    )
+
+
+def negative_samples_oracle(
+    edges_cte: str, k: int = 5, n_slots: int = 12
+) -> str:
+    h = h64_sql("CAST(u AS VARCHAR) || ':' || CAST(slot AS VARCHAR)", "duckdb")
+    return f"""WITH s AS ({edges_cte}),
+e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+indexed AS (
+  SELECT id AS v, ROW_NUMBER() OVER (ORDER BY id ASC) - 1 AS idx FROM nodes),
+n_nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+cand AS (
+  SELECT u, slot, ({h}) % n AS idx
+  FROM (SELECT id AS u FROM nodes) nu
+  CROSS JOIN (SELECT unnest(range({n_slots})) AS slot) sl
+  CROSS JOIN n_nodes),
+withv AS (
+  SELECT c.u, c.slot, i.v FROM cand c JOIN indexed i ON c.idx = i.idx
+  WHERE c.u <> i.v),
+neg AS (
+  SELECT w.u, w.slot, w.v FROM withv w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.u AND e.dst = w.v)
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.v AND e.dst = w.u))
+SELECT u, v, slot, neg_rank FROM (
+  SELECT u, v, slot,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY slot ASC, v ASC) AS neg_rank
+  FROM neg)
+WHERE neg_rank <= {k}"""

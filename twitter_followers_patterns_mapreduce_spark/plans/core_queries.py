@@ -676,6 +676,23 @@ def link_prediction_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_negative_samples",
+    oracle=G.negative_samples_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}",
+        k=5,
+        n_slots=12,
+    ),
+    description="deterministic negative sampling for link-prediction training: each "
+    "node draws 5 reproducible non-neighbors via node_index[h64(u:slot) % |V|] — "
+    "|V|*slots hash candidates equi-joined to the node index (never a |V|^2 cross), "
+    "positives removed both directions by anti-join; replays bit-identically where "
+    "rand() negatives resample every epoch",
+)
+def graph_negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.negative_samples(derived_edges(spark, sf_dir), MAX_PATHS, k=5, n_slots=12)
+
+
+@register(
     "graph_label_propagation",
     oracle=GI.label_propagation_oracle(_SPARSE_CTE, rounds=4),
     description="synchronous label-propagation communities: 4 deterministic rounds, "

@@ -117,6 +117,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_incremental(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "doc_split_ngram_novelty",
+    oracle=D.split_ngram_novelty_oracle(holdout_pct=30),
+    description="holdout 3-shingle novelty vs train under the house h64 split: the "
+    "memorization/leakage diagnostic (contamination_check tests an external canary, "
+    "split_vocab_kl tests unigram drift; this asks what fraction of holdout phrasing "
+    "was never seen in training) — distinct shingle sets per side, one anti-join, "
+    "1-row readout",
+)
+def doc_split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.split_ngram_novelty(
+        load_table(spark, sf_dir, "documents"), holdout_pct=30
+    )
+
+
 def _stage_doc_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
     """Stage the odd-id documents as ``n_batches`` parquet files split by
     ``(doc_id // 2) % n_batches`` with ASCENDING mtimes — a deterministic
