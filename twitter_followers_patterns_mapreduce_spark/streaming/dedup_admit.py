@@ -80,8 +80,27 @@ def docs_file_stream(spark: SparkSession, path: str) -> DataFrame:
 def _sig_table(docs: DataFrame) -> DataFrame:
     """(doc_id, h, shingles, n_shingles): the corpus-state projection of
     a document set — md5 for the exact check, distinct shingle set for
-    jaccard verification.  Scan-side, no shuffle."""
-    sigs = minhash_signatures(docs).select("doc_id", "shingles", "n_shingles")
+    jaccard verification.  Scan-side, no shuffle.
+
+    Shingles persist as h64 BIGINT arrays, not strings: the state
+    parquet and the verification ``array_intersect`` carry 8-byte
+    longs instead of ~40-char text (60-bit collisions are negligible;
+    the intersection/union COUNTS — all jaccard needs — are identical,
+    matching the staged oracle's string-set arithmetic exactly)."""
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+    from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
+        shingled_docs,
+    )
+
+    # straight from the shingle projection — ONE md5 pass per shingle
+    # (going through minhash_signatures and re-hashing would pay md5,
+    # the dominant cost, twice; the signature columns are _band_rows's
+    # business, not the verification table's)
+    sigs = shingled_docs(docs).selectExpr(
+        "doc_id",
+        f"transform(shingles, s_ -> {h64_sql('s_', 'spark')}) AS shingles",
+        "size(shingles) AS n_shingles",
+    )
     return docs.select("doc_id", F.md5("text").alias("h")).join(sigs, "doc_id")
 
 
