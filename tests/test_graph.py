@@ -388,6 +388,36 @@ def test_triangle_census_directed_mutual_pair_is_no_triangle(mutual_edges):
     assert got == {"cyclic": 0, "transitive": 0}
 
 
+def test_triangle_census_sampled_model_and_determinism(sample_edges):
+    """The sampled census equals the exact census computed on the
+    Python-model sampled edge set (hash % p == 0), estimated = sampled
+    * p^3, and the draw replays bit-identically."""
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    p = 2  # small graph: p=4 usually empties it; p=2 keeps ~half
+    rows = G.triangle_census_sampled(sample_edges, p=p).collect()
+    got = {r["motif"]: (r["sampled_n"], r["estimated_n"]) for r in rows}
+    kept = [
+        (r["src"], r["dst"])
+        for r in sample_edges.collect()
+        if h64(f"{r['src']},{r['dst']}") % p == 0
+    ]
+    kept_df = sample_edges.sparkSession.createDataFrame(
+        kept or [(0, 0)], "src long, dst long"
+    )
+    exact = {
+        r["motif"]: r["n"] for r in G.triangle_census_directed(kept_df).collect()
+    }
+    assert got == {
+        m: (exact[m], exact[m] * p**3) for m in ("cyclic", "transitive")
+    }
+    replay = G.triangle_census_sampled(sample_edges, p=p).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))
+
+
 def test_negative_samples_are_non_edges_and_deterministic(sample_edges):
     """Every sampled (u, v) is a non-edge in BOTH directions, u != v,
     at most k per node, and the draw replays bit-identically."""
@@ -409,23 +439,31 @@ def test_negative_samples_are_non_edges_and_deterministic(sample_edges):
 
 def test_negative_samples_candidate_model(sample_edges):
     """The candidate for (u, slot) is node_index[h64('u:slot') % |V|] —
-    pinned against a direct Python model of the same hash."""
+    pinned against a direct Python model of the same hash, including
+    the two-level bucketed dense index (bucket by h64(id) % B, rank
+    within bucket, exclusive prefix-sum offsets)."""
     import hashlib
 
     def h64(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
-    nodes = sorted(
+    node_set = sorted(
         {r["src"] for r in sample_edges.collect()}
         | {r["dst"] for r in sample_edges.collect()}
     )
+    buckets = {}
+    for nid in node_set:
+        buckets.setdefault(h64(str(nid)) % G.NEG_INDEX_BUCKETS, []).append(nid)
+    index = []
+    for bkt in sorted(buckets):
+        index.extend(sorted(buckets[bkt]))
     pos = {(r["src"], r["dst"]) for r in sample_edges.collect()}
     k, n_slots = 3, 8
     model = {}
-    for u in nodes:
+    for u in node_set:
         found = []
         for slot in range(n_slots):
-            v = nodes[h64(f"{u}:{slot}") % len(nodes)]
+            v = index[h64(f"{u}:{slot}") % len(index)]
             if v == u or (u, v) in pos or (v, u) in pos:
                 continue
             found.append((slot, v))

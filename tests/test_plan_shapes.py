@@ -179,6 +179,113 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+#: Queries allowed to plan an UNPARTITIONED Window, each with the
+#: bounded-spine justification (the declared exceptions to the house
+#: rule "windows carry a partition spec").  Everything else in the
+#: registry is gated by test_registry_windows_carry_partition_spec —
+#: this set is asserted EXACT in both directions, so a stale entry
+#: fails just like a new offender.
+WINDOW_BOUNDED_SPINE = {
+    # cumulative token-count windows over per-bucket/vocab aggregates —
+    # the spine is the distinct-bucket / distinct-size table, vocab- or
+    # histogram-sized, never the document or token table:
+    "doc_heaps_law",
+    "doc_zipf_fit",
+    # KS drift — cumulative distribution over the distinct n_chars
+    # spine (splits.py documents why the WindowExec warning is expected)
+    "doc_split_drift_ks",
+    # ≤k-row sample / top-(k+1) priority windows: rank rides rows
+    # already cut to the sample size by TakeOrdered
+    "doc_weighted_sample",
+    "doc_priority_sum_estimate",
+    # score-histogram cumulatives: the spine is the bounded distinct
+    # (rounded) score table, not the embedding corpus
+    "embedding_conformal_coverage",
+    "embedding_logreg_eval",
+    # two-level prefix-sum decompositions: the only unpartitioned piece
+    # is the carry over the bounded day/hour/month spine
+    "events_concurrency_curve",
+    "events_cusum_changepoints",
+    "events_user_growth_accounting",
+    # degree/partition histograms: distinct-degree / ≤n_parts spines
+    "graph_degree_gini",
+    "layout_partition_advisor",
+    # global top-k rank protected by WindowGroupLimit (map-side partial
+    # + final prune to ~k rows per task before the single-partition
+    # sort — pinned scale-safe in the round-10 verdict)
+    "link_prediction_scores",
+    # Kaplan-Meier cumulatives over the distinct duration-month spine
+    "orders_survival_km",
+}
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes with an empty partition spec.  Node format (pinned
+    empirically): 3 bracket groups = [exprs], [part], [order]; 2 groups
+    whose second is an ordering (ASC/DESC NULLS) = unpartitioned
+    ordered; 2 groups otherwise = partition-only (fine); 1 group =
+    unpartitioned unordered."""
+    import re
+
+    bad = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        groups, depth, gstart = [], 0, None
+        for j in range(m.end() - 1, len(line)):
+            ch = line[j]
+            if ch == "[":
+                if depth == 0:
+                    gstart = j
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[gstart + 1 : j])
+            elif depth == 0 and groups and ch not in ", ":
+                break
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC) NULLS", groups[1]):
+            continue
+        bad.append(line.strip()[:200])
+    return bad
+
+
+def test_registry_windows_carry_partition_spec(spark):
+    """Registry-wide promotion of the window discipline (round-10
+    verdict item 2): every Window node in every registered query's plan
+    must carry a partition spec, except the declared bounded-spine
+    queries above — asserted EXACTLY, so the allowlist can't go stale.
+
+    ``localCheckpoint`` is no-op'd for the walk: a checkpoint boundary
+    truncates the visible plan, which is exactly how round 10's
+    single-task |V| window (graph.py negative-sampler node index)
+    shipped unseen by EXPLAINS.  graph_iter's ``_ckpt`` still severs
+    plans via its bare-LogicalRDD rebuild (its exponential-wall fix
+    needs the real checkpoint), so windows inside iterative ROUND
+    BODIES stay out of view here — those loops are pinned by their own
+    operator tests and contain no window sorts by design."""
+    from pyspark.sql import DataFrame
+
+    offenders: dict[str, list[str]] = {}
+    orig = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        for name in all_queries():
+            plan = plan_of(spark, name)
+            bad = _unpartitioned_windows(plan)
+            if bad:
+                offenders[name] = bad
+    finally:
+        DataFrame.localCheckpoint = orig
+    undeclared = {n: b for n, b in offenders.items() if n not in WINDOW_BOUNDED_SPINE}
+    stale = WINDOW_BOUNDED_SPINE - set(offenders)
+    assert undeclared == {}, f"unpartitioned windows outside the allowlist: {undeclared}"
+    assert stale == set(), f"allowlist entries that no longer plan one: {stale}"
+
+
 def test_no_undeclared_cross_joins(spark):
     offenders = []
     for name in all_queries():

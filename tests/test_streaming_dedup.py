@@ -284,3 +284,45 @@ def test_self_union_stream_dedups_to_base(spark, tmp_path):
     )
     got = sorted(r["event_id"] for r in spark.table("dedup_union_t").collect())
     assert got == list(range(6))
+
+
+def test_versioned_admission_covers_unshingleable_docs(spark, tmp_path):
+    """Docs too short to shingle (< 3 tokens) must still get verdict
+    rows, and their md5 must enter the corpus exact-dup state once
+    admitted (round-10 advice: the former inner signature join silently
+    dropped them from both the verdict log and the corpus, so an exact
+    copy arriving later would have been 'kept').  They can never be
+    NEAR-dup candidates — no shingles, no band rows."""
+    import time
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup_admit import (
+        admit_apply_stream,
+        docs_file_stream,
+        verdicts_from_state,
+    )
+
+    bootstrap = spark.createDataFrame([(0, BASE)], schema="doc_id LONG, text STRING")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    now = time.time()
+    # batch 0: a 2-token doc (unshingleable) + a normal fresh doc
+    _write_doc_file(spark, feed / "b0.parquet", [(10, "tiny doc"), (11, FRESH)], now)
+    # batch 1: exact copy of the admitted short doc + a DIFFERENT short doc
+    _write_doc_file(
+        spark, feed / "b1.parquet", [(12, "tiny doc"), (13, "ok")], now + 1
+    )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    admit_apply_stream(
+        spark, docs_file_stream(spark, str(feed)), bootstrap, state, ckpt,
+        threshold=0.5,
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["near_dup_of"])
+        for r in verdicts_from_state(spark, state).collect()
+    }
+    assert set(got) == {10, 11, 12, 13}, got  # a verdict for EVERY arrival
+    assert got[10] == ("kept", None)
+    assert got[11] == ("kept", None)
+    assert got[12] == ("exact_dup", None)  # short docs still exact-dup by md5
+    assert got[13] == ("kept", None)

@@ -2193,7 +2193,11 @@ def topk_churn(
     per = (
         events.selectExpr(
             "user_id",
-            f"CAST(ts >= TIMESTAMP '{cutover}' AS INT) AS late",
+            # CASE, not a bare CAST: CAST(NULL >= ts AS INT) is NULL, which
+            # would shunt NULL-ts events into a third late=NULL group
+            # excluded from both leaderboards — the oracle's ELSE 0 buckets
+            # them into the early period, so mirror it exactly
+            f"CASE WHEN ts >= TIMESTAMP '{cutover}' THEN 1 ELSE 0 END AS late",
         )
         .groupBy("user_id", "late")
         .agg(F.count("*").cast("long").alias("c"))

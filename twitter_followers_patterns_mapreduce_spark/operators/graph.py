@@ -40,6 +40,10 @@ from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 MAX_EDGE_COUNT = 11_316_812
 MAX_JOIN_JOBS = 12_500
 
+#: Bucket count for the negative-sampler's two-level dense node index —
+#: the only unpartitioned window rides this constant-sized bucket spine.
+NEG_INDEX_BUCKETS = 256
+
 
 def filter_max(edges: DataFrame, max_limit: int | None) -> DataFrame:
     """F1, the signature predicate: keep edge iff ``src < MAX AND dst < MAX``
@@ -1059,6 +1063,53 @@ SELECT 'transitive',
             AS BIGINT)"""
 
 
+def triangle_census_sampled(
+    edges: DataFrame, max_limit: int | None = None, p: int = 4
+) -> DataFrame:
+    """DOULION-sampled directed motif census — the registered SCALE
+    PATH past :func:`triangle_census_directed`'s MAX cutoff (the exact
+    census costs one wedge join, quadratic in hub fan-out; measured
+    8.6× from MAX=200→500 at sf0.1, SCALE.md).  Each directed edge
+    survives with probability 1/p via the same DETERMINISTIC content
+    hash as :func:`triangle_count_sampled` (reruns, retries, and the
+    oracle see the identical sampled graph — never ``rand()``); the
+    exact census pipeline runs on the sampled graph (wedge volume
+    drops ~p², closures ~p³) and both motif counts scale by p³, since
+    a triangle of either orientation needs its 3 specific edges to
+    survive (Tsourakakis et al., KDD'09 — unbiased, variance shrinking
+    with the triangle count).
+
+    Output (2 rows): motif ∈ {cyclic, transitive}, sampled_n, and the
+    p³-scaled estimated_n."""
+    h = h64_sql("concat(cast(src as string), ',', cast(dst as string))", "spark")
+    sampled = filter_max(edges, max_limit).where(F.expr(f"({h}) % {p} = 0"))
+    census = triangle_census_directed(sampled, max_limit=None)
+    return census.select(
+        "motif",
+        F.col("n").alias("sampled_n"),
+        (F.col("n") * F.lit(p**3)).cast("long").alias("estimated_n"),
+    )
+
+
+def triangle_census_sampled_oracle(edges_cte: str, p: int = 4) -> str:
+    h = h64_sql("concat(CAST(src AS VARCHAR), ',', CAST(dst AS VARCHAR))", "duckdb")
+    return f"""WITH s AS ({edges_cte}),
+samp AS (SELECT * FROM s WHERE ({h}) % {p} = 0),
+e AS (SELECT DISTINCT src, dst FROM samp WHERE src <> dst),
+p2 AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e1.src <> e2.dst),
+cyc AS (SELECT COUNT(*) // 3 AS n
+        FROM p2 JOIN e e3 ON p2.c = e3.src AND e3.dst = p2.a),
+trn AS (SELECT COUNT(*) AS n
+        FROM p2 JOIN e e3 ON p2.a = e3.src AND e3.dst = p2.c)
+SELECT 'cyclic' AS motif, CAST(n AS BIGINT) AS sampled_n,
+       CAST(n * {p ** 3} AS BIGINT) AS estimated_n FROM cyc
+UNION ALL
+SELECT 'transitive', CAST(n AS BIGINT), CAST(n * {p ** 3} AS BIGINT) FROM trn"""
+
+
 def negative_samples(
     edges: DataFrame, max_limit: int | None = None, k: int = 5, n_slots: int = 12
 ) -> DataFrame:
@@ -1071,6 +1122,18 @@ def negative_samples(
     ``node_index[h64(u || ':' || slot) % |V|]`` — a pure function of
     the graph content, so the training set replays bit-identically
     (the house h64-membership discipline, splits.py).
+
+    The dense node index is a DISTRIBUTED TWO-LEVEL PREFIX SUM (the
+    ``concurrency_curve`` decomposition, events.py): a single global
+    ``row_number`` over |V| nodes would be a one-task sort — at
+    Twitter scale a hundreds-of-millions-row sort on one executor —
+    so nodes bucket by ``pmod(h64(id), B)``, rank within their bucket
+    (shuffle-partitioned window), and add an exclusive prefix sum of
+    bucket sizes computed on the ≤B-row bucket spine (the only
+    unpartitioned window, bounded by the constant B, broadcast back).
+    ``idx = bucket_offset + rn − 1`` is dense 0..|V|−1 and a pure
+    function of the node set, just not globally id-ordered — any
+    deterministic bijection serves the sampler equally.
 
     Plan shape at 100 TB: candidates are |V|·n_slots scan-side hash
     rows equi-joined to the |V|-row node index (never a |V|² cross),
@@ -1096,12 +1159,36 @@ def negative_samples(
     )
     from pyspark.sql import Window
 
-    # |V|-bounded spine: the index window is the only unpartitioned
-    # sort, and it rides the node spine, never the edge table
-    widx = Window.partitionBy(F.lit(0)).orderBy(F.col("id").asc())
-    indexed = nodes.select(
-        F.col("id").alias("v"), (F.row_number().over(widx) - 1).alias("idx")
-    ).localCheckpoint(eager=False)
+    B = NEG_INDEX_BUCKETS
+    hb = h64_sql("cast(id as string)", "spark")
+    bucketed = nodes.selectExpr("id AS v", f"({hb}) % {B} AS bkt")
+    w_in = Window.partitionBy("bkt").orderBy(F.col("v").asc())
+    # exclusive prefix sum of bucket sizes WITHOUT any unpartitioned
+    # window and without a driver collect: aggregate the ≤B-row size
+    # spine into one sorted array, run the O(B²)-expression running
+    # sum inside transform/aggregate (32k int adds on a single row —
+    # free), explode back to ≤B rows, broadcast.  Stays one lazy DAG;
+    # zero "No Partition Defined" windows anywhere in this plan.
+    offs = (
+        bucketed.groupBy("bkt")
+        .agg(F.count("*").alias("bn"))
+        .agg(F.sort_array(F.collect_list(F.struct("bkt", "bn"))).alias("arr"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(arr, (x, i) -> struct(x.bkt AS bkt, "
+                    "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), "
+                    "(a, y) -> a + y.bn) AS off))"
+                )
+            ).alias("o")
+        )
+        .select("o.bkt", "o.off")
+    )
+    indexed = (
+        bucketed.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offs), "bkt")
+        .select("v", (F.col("off") + F.col("rn") - 1).alias("idx"))
+    )
     n_nodes = indexed.selectExpr("CAST(COUNT(*) AS BIGINT) AS n")
     h = h64_sql(f"concat(cast(u as string), ':', cast(slot as string))", "spark")
     cand = (
@@ -1132,11 +1219,20 @@ def negative_samples_oracle(
     edges_cte: str, k: int = 5, n_slots: int = 12
 ) -> str:
     h = h64_sql("CAST(u AS VARCHAR) || ':' || CAST(slot AS VARCHAR)", "duckdb")
+    hb = h64_sql("CAST(id AS VARCHAR)", "duckdb")
+    B = NEG_INDEX_BUCKETS
     return f"""WITH s AS ({edges_cte}),
 e AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
 nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+bucketed AS (SELECT id AS v, ({hb}) % {B} AS bkt FROM nodes),
+sized AS (SELECT bkt, COUNT(*) AS bn FROM bucketed GROUP BY bkt),
+offs AS (
+  SELECT bkt, COALESCE(SUM(bn) OVER (ORDER BY bkt ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM sized),
 indexed AS (
-  SELECT id AS v, ROW_NUMBER() OVER (ORDER BY id ASC) - 1 AS idx FROM nodes),
+  SELECT b.v,
+         o.off + ROW_NUMBER() OVER (PARTITION BY b.bkt ORDER BY b.v ASC) - 1 AS idx
+  FROM bucketed b JOIN offs o ON b.bkt = o.bkt),
 n_nodes AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 cand AS (
   SELECT u, slot, ({h}) % n AS idx

@@ -26,13 +26,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+def _row_salt(df: DataFrame, n_salts: int, salt_col: str | None = None) -> F.Column:
+    """Deterministic per-row salt in [0, n_salts): ``pmod(xxhash64(...),
+    n)`` over a caller-supplied unique key column, or over ALL columns
+    when none is given.  NEVER derived from ``monotonically_increasing_id``
+    / ``rand()``: a non-deterministic expression used as a JOIN or GROUP
+    sub-key means a stage retry after a shuffle fetch failure can
+    re-assign salts to rows whose earlier output was already consumed —
+    duplicating or losing rows (the rerun-instability class the
+    negative-sampler docstring documents).  Content-derived salts replay
+    identically on any recompute.  Caveat a caller tunes ``salt_col``
+    for: rows identical in every hashed column share a salt, so a hot
+    key whose rows are full duplicates needs a unique id column to
+    spread."""
+    cols = [salt_col] if salt_col is not None else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_count(
+    df: DataFrame, key: str, n_salts: int = 16, salt_col: str | None = None
+) -> DataFrame:
     """groupBy(key).count() resistant to a single hot key: stage 1
-    aggregates (key, salt) with salt = crc32(monotonic row id) % n,
-    stage 2 merges the ≤ n_salts shards per key."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(n_salts))
-    )
+    aggregates (key, salt) with a deterministic content-derived salt
+    (see :func:`_row_salt`), stage 2 merges the ≤ n_salts shards."""
+    salted = df.withColumn("_salt", _row_salt(df, n_salts, salt_col))
     partial = salted.groupBy(F.col(key), F.col("_salt")).agg(F.count("*").alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").cast("long").alias("count"))
 
@@ -68,6 +85,7 @@ def salted_skew_join(
     dim_key: str,
     hot_threshold: int = 70,
     n_salts: int = 8,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """EXECUTION twin of :func:`planner.join_skew_planner`'s
     prescription: an inner equi-join ``fact.key = dim.key`` where keys
@@ -88,14 +106,10 @@ def salted_skew_join(
         dim = dim.withColumnRenamed(dim_key, "_dim_key")
         dim_key = "_dim_key"
     hot_keys, fact_hot, fact_cold = skew_split(fact, fact_key, hot_threshold)
-    # salt is distribution-only state: any per-row assignment yields the
-    # same join OUTPUT, so a non-deterministic id source is safe here
-    fact_hot = fact_hot.withColumn(
-        "_fs",
-        F.pmod(
-            F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(n_salts)
-        ).cast("int"),
-    )
+    # salt is distribution-only state (any assignment yields the same
+    # join OUTPUT under one consistent evaluation) but it IS a join key,
+    # so it must be deterministic across stage retries — content-derived
+    fact_hot = fact_hot.withColumn("_fs", _row_salt(fact, n_salts, salt_col))
     hot_dim_keys = F.broadcast(hot_keys.withColumnRenamed(fact_key, dim_key))
     dim_hot = (
         dim.join(hot_dim_keys, dim_key, "left_semi")
@@ -113,14 +127,13 @@ def salted_skew_join(
 
 
 def salted_broadcast_join(
-    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 16
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Inner equi-join on ``key`` with the fact side salted and the dim
     side exploded once per salt, so a skewed fact key spreads across
     ``n_salts`` tasks under a sort-merge join."""
-    f = fact.withColumn(
-        "_salt", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(n_salts))
-    )
+    f = fact.withColumn("_salt", _row_salt(fact, n_salts, salt_col))
     d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     joined = f.join(d, [key, "_salt"]).drop("_salt")
     return joined

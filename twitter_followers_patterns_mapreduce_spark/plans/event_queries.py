@@ -217,7 +217,8 @@ def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = salted_skew_join(
-        events, cust, "user_id", "c_custkey", hot_threshold=70, n_salts=8
+        events, cust, "user_id", "c_custkey", hot_threshold=70, n_salts=8,
+        salt_col="event_id",  # unique id: deterministic salt, full spread
     )
     return joined.select("event_id", "user_id", "event_type", "c_mktsegment").orderBy(
         "event_id"

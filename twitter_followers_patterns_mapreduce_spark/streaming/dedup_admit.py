@@ -56,8 +56,8 @@ from pyspark.sql import functions as F
 
 from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
     LSH_BANDS,
+    MINHASH_K,
     _band_struct,
-    minhash_signatures,
 )
 from twitter_followers_patterns_mapreduce_spark.streaming.graph import (
     _latest_version,
@@ -77,37 +77,76 @@ def docs_file_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _sig_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, h, shingles, n_shingles): the corpus-state projection of
-    a document set — md5 for the exact check, distinct shingle set for
-    jaccard verification.  Scan-side, no shuffle.
+def _state_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, shingles, n_shingles, sig0..sig{K-1}): the ONE
+    shingle+md5 pass a document set pays, with ONE ROW PER INPUT DOC.
+    Both state views derive from it — ``_sig_table`` (corpus
+    projection) and ``_band_rows`` (LSH index rows) — so a micro-batch
+    hashes its shingles exactly once (the earlier shape ran the
+    shingle pipeline independently in each helper, doubling the
+    dominant md5 cost per batch).
+
+    Docs too short to shingle (< n_shingle tokens, dropped by
+    ``shingled_docs``) are kept on the spine via the LEFT join with an
+    EMPTY shingle set and NULL signatures: they can never be near-dup
+    candidates (no band rows, no verification pairs) but their md5
+    participates in the exact-dup check and, once admitted, blocks
+    later identical arrivals — the same contract as the batch
+    ``dedup_incremental`` (spine from new_docs) and the staged oracle
+    (verdict for every arriving doc, exact dups by md5 regardless of
+    length).  The previous INNER join silently dropped such docs from
+    both the verdict log and the corpus state.
 
     Shingles persist as h64 BIGINT arrays, not strings: the state
     parquet and the verification ``array_intersect`` carry 8-byte
     longs instead of ~40-char text (60-bit collisions are negligible;
     the intersection/union COUNTS — all jaccard needs — are identical,
     matching the staged oracle's string-set arithmetic exactly)."""
-    from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+    from twitter_followers_patterns_mapreduce_spark.functions.hashing import (
+        h64_sql,
+        minhash_perm_sql,
+    )
     from twitter_followers_patterns_mapreduce_spark.operators.dedup import (
         shingled_docs,
     )
 
-    # straight from the shingle projection — ONE md5 pass per shingle
-    # (going through minhash_signatures and re-hashing would pay md5,
-    # the dominant cost, twice; the signature columns are _band_rows's
-    # business, not the verification table's)
-    sigs = shingled_docs(docs).selectExpr(
+    # straight from the shingle projection — ONE md5 pass per shingle;
+    # the K signature mins are cheap affine permutations of the already
+    # hashed array (minhash_signatures' own trick, applied here to the
+    # SAME array that persists as corpus state)
+    hashed = shingled_docs(docs).selectExpr(
         "doc_id",
         f"transform(shingles, s_ -> {h64_sql('s_', 'spark')}) AS shingles",
-        "size(shingles) AS n_shingles",
     )
-    return docs.select("doc_id", F.md5("text").alias("h")).join(sigs, "doc_id")
-
-
-def _band_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, key) LSH index rows for a document set."""
+    sig_cols = [
+        f"array_min(transform(shingles, h -> {minhash_perm_sql('h', j)})) AS sig{j}"
+        for j in range(MINHASH_K)
+    ]
+    sigs = hashed.selectExpr(
+        "doc_id", "shingles", "size(shingles) AS n_shingles", *sig_cols
+    )
     return (
-        minhash_signatures(docs)
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(sigs, "doc_id", "left")
+        .withColumn(
+            "shingles",
+            F.coalesce(F.col("shingles"), F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+        )
+        .withColumn("n_shingles", F.coalesce(F.col("n_shingles"), F.lit(0)))
+    )
+
+
+def _sig_table(state: DataFrame) -> DataFrame:
+    """Corpus-state projection of a ``_state_table`` frame."""
+    return state.select("doc_id", "h", "shingles", "n_shingles")
+
+
+def _band_rows(state: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH index rows of a ``_state_table`` frame.
+    Unshingleable docs (n_shingles = 0, NULL signatures) emit no band
+    rows — they cannot be near-dup candidates."""
+    return (
+        state.where(F.col("n_shingles") > 0)
         .select(
             "doc_id",
             F.explode_outer(
@@ -227,18 +266,23 @@ def admit_apply_stream(
             batch_ids.append(batch_id)
         prev = _latest_version(corpus_dir, below=batch_id)
         if prev is None:
-            corpus = _sig_table(bootstrap)
-            corpus_bands = _band_rows(bootstrap)
+            # bootstrap pays its single shingle+md5 pass once too: both
+            # state views derive from one checkpointed projection
+            boot_state = _state_table(bootstrap).localCheckpoint(eager=True)
+            corpus = _sig_table(boot_state)
+            corpus_bands = _band_rows(boot_state)
             prev_verdicts = None
         else:
             corpus = spark.read.parquet(f"{corpus_dir}/v={prev}")
             corpus_bands = spark.read.parquet(f"{bands_dir}/v={prev}")
             prev_verdicts = spark.read.parquet(f"{verdicts_dir}/v={prev}")
-        # the batch's signature projection is referenced by the exact
-        # check, the band join, the verification join AND the admitted
-        # fold — compute it once
-        batch_sigs = _sig_table(batch_df).localCheckpoint(eager=True)
-        batch_bands = _band_rows(batch_df).localCheckpoint(eager=True)
+        # ONE shingle+md5 pass per micro-batch: the checkpointed state
+        # table is referenced by the exact check, the band join, the
+        # verification join AND the admitted fold (the earlier two-helper
+        # shape ran the shingle pipeline twice per batch)
+        batch_state = _state_table(batch_df).localCheckpoint(eager=True)
+        batch_sigs = _sig_table(batch_state)
+        batch_bands = _band_rows(batch_state)
 
         verdicts = _judge_batch(
             batch_sigs, batch_bands, corpus, corpus_bands, threshold
