@@ -413,6 +413,17 @@ def test_topk_plans_take_ordered_not_global_window(spark):
         assert m.group(1).strip(), "window without partition spec"
 
 
+def test_hybrid_rrf_plans_two_take_ordered_retrievers(spark):
+    """doc_hybrid_rrf_topk: both retrievers and the final fused top-k
+    must plan TakeOrderedAndProject (per-partition heaps) — never a
+    data-sized global sort — and the 1-row dense query attaches by the
+    zero-key equi-join, never a nested-loop cross."""
+    plan = plan_of(spark, "doc_hybrid_rrf_topk")
+    assert plan.count("TakeOrderedAndProject") >= 3  # lex, dense, fused
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_follow_recommendations_plans_anti_join(spark):
     plan = plan_of(spark, "follow_recommendations")
     assert "LeftAnti" in plan  # already-followed pairs removed by anti-join

@@ -366,3 +366,47 @@ def test_hard_negatives_ivf_agrees_when_probes_cover(spark):
     exact = sorted(map(tuple, hard_negative_mining(emb, margin=0.05).collect()))
     ivf = sorted(map(tuple, hard_negative_mining_ivf(emb, margin=0.05, n_probe=2).collect()))
     assert exact == ivf and len(exact) == 2
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """The fusion layer is pinned against its own two retrievers: for
+    every fused row, rrf_u == 1e6 div (60+lex_rank) + 1e6 div
+    (60+dense_rank) with absent lists contributing 0, ranks agree with
+    the standalone BM25 / dense top-k orders, output is rrf-desc with
+    doc_id tie-breaks, and <= k rows.  (End-to-end values are pinned by
+    the DuckDB oracle; this isolates the rank arithmetic.)"""
+    from twitter_followers_patterns_mapreduce_spark.operators import similarity as S
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import doc_bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    k, kappa = 10, 60
+    fused = S.doc_hybrid_rrf_topk(docs, emb, k=k, kappa=kappa).collect()
+    assert 0 < len(fused) <= k
+
+    lex_order = [r["doc_id"] for r in doc_bm25_topk(docs, k=k).collect()]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex_order)}
+
+    import math
+    qv = emb.where("vec_id = 0").collect()[0]["embedding"]
+    rows = emb.collect()
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 6)
+    dense_order = sorted(
+        ((-cos(qv, r["embedding"]), r["vec_id"]) for r in rows)
+    )[:k]
+    dense_rank = {vid: i + 1 for i, (_, vid) in enumerate(dense_order)}
+
+    for r in fused:
+        d = r["doc_id"]
+        assert r["lex_rank"] == lex_rank.get(d), (d, r["lex_rank"], lex_rank.get(d))
+        assert r["dense_rank"] == dense_rank.get(d)
+        want = (1_000_000 // (kappa + lex_rank[d]) if d in lex_rank else 0) + (
+            1_000_000 // (kappa + dense_rank[d]) if d in dense_rank else 0
+        )
+        assert r["rrf_u"] == want
+        assert d in lex_rank or d in dense_rank
+    keys = [(-r["rrf_u"], r["doc_id"]) for r in fused]
+    assert keys == sorted(keys)  # rrf desc, doc_id asc

@@ -268,6 +268,29 @@ def test_versioned_admission_restart_resume(spark, tmp_path):
     assert got[15] == ("near_dup", 11)
     assert got[17] == ("exact_dup", None)
 
+    # the one-pass novelty log resumes identically too (16th class):
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup_admit import (
+        novelty_from_state,
+    )
+
+    nov = {
+        r["doc_id"]: (r["status"], r["n_shingles"], r["n_seen"], r["novelty"])
+        for r in novelty_from_state(spark, state).collect()
+    }
+    nov_oneshot = {
+        r["doc_id"]: (r["status"], r["n_shingles"], r["n_seen"], r["novelty"])
+        for r in novelty_from_state(spark, state2).collect()
+    }
+    assert nov == nov_oneshot
+    assert set(nov) == {11, 13, 15, 17}
+    # 11 arrives first against the BASE-only corpus: fully novel
+    assert nov[11][1] > 0 and nov[11][2] == 0 and nov[11][3] == 1.0
+    # 17 is an exact copy of ADMITTED 11: every shingle already seen
+    assert nov[17][0] == "exact_dup" and nov[17][2] == nov[17][1]
+    assert nov[17][3] == 0.0
+    # 13 near-dups corpus doc 0 ("today"->"tonight"): high but <1 overlap
+    assert 0 < nov[13][2] < nov[13][1]
+
 
 def test_self_union_stream_dedups_to_base(spark, tmp_path):
     """The registered events_dedup_streamed shape: the same dir read by

@@ -815,17 +815,16 @@ LEFT JOIN best b ON n.doc_id = b.new_id
 WHERE n.doc_id % 2 = 1"""
 
 
-def dedup_incremental_staged_oracle(
+def _staged_admission_with(
     n_stages: int = 4, threshold: float = 0.5, n_shingle: int = 3
 ) -> str:
-    """DuckDB mirror of STREAMED admission (streaming/dedup_admit.py):
-    odd docs arrive in ``n_stages`` micro-batches (stage =
-    ``(doc_id // 2) % n_stages``), each judged against evens ∪ odds
-    ADMITTED in earlier stages; only kept docs join the corpus.  The
-    greedy recursion unrolls into one chained CTE per stage — exact for
-    any fixed batch count, which is precisely what the deterministic
-    staging gives us.  Same band join, same best-match rule
-    (max 6dp jaccard, min corpus id) as ``dedup_incremental_oracle``."""
+    """The shared WITH-body of the staged-admission oracles: unrolls
+    the greedy keep-only-admitted recursion into one CTE per stage,
+    ending at ``best`` (the per-doc winning near-dup match).  Callers
+    append their own extra CTEs / final SELECT —
+    ``dedup_incremental_staged_oracle`` reads the verdict columns,
+    ``dedup_admission_novelty_staged_oracle`` adds the train-shingle
+    overlap over the same admitted sets."""
     sh = _shingle_expr("duckdb", n=n_shingle)
     sig_exprs = ",\n    ".join(
         f"list_min(list_transform(hs, h -> {minhash_perm_sql('h', j)})) AS sig{j}"
@@ -915,7 +914,22 @@ def dedup_incremental_staged_oracle(
                               ORDER BY jaccard DESC, old_id ASC) AS rn
     FROM avail_match
   ) WHERE rn = 1
-)
+)"""
+
+
+def dedup_incremental_staged_oracle(
+    n_stages: int = 4, threshold: float = 0.5, n_shingle: int = 3
+) -> str:
+    """DuckDB mirror of STREAMED admission (streaming/dedup_admit.py):
+    odd docs arrive in ``n_stages`` micro-batches (stage =
+    ``(doc_id // 2) % n_stages``), each judged against evens ∪ odds
+    ADMITTED in earlier stages; only kept docs join the corpus.  The
+    greedy recursion unrolls into one chained CTE per stage — exact for
+    any fixed batch count, which is precisely what the deterministic
+    staging gives us.  Same band join, same best-match rule
+    (max 6dp jaccard, min corpus id) as ``dedup_incremental_oracle``."""
+    body = _staged_admission_with(n_stages, threshold, n_shingle)
+    return f"""{body}
 SELECT d.doc_id,
        CASE WHEN ae.new_id IS NOT NULL THEN 'exact_dup'
             WHEN b.old_id IS NOT NULL THEN 'near_dup'
@@ -923,6 +937,63 @@ SELECT d.doc_id,
        CASE WHEN ae.new_id IS NULL THEN b.old_id END AS near_dup_of,
        CASE WHEN ae.new_id IS NULL THEN b.jaccard END AS jaccard
 FROM docs d
+LEFT JOIN avail_exact ae ON d.doc_id = ae.new_id
+LEFT JOIN best b ON d.doc_id = b.new_id
+WHERE d.par = 1
+ORDER BY d.doc_id"""
+
+
+def dedup_admission_novelty_staged_oracle(
+    n_stages: int = 4, threshold: float = 0.5, n_shingle: int = 3
+) -> str:
+    """DuckDB mirror of the ONE-PASS streamed ingest gate
+    (streaming/dedup_admit.py): every arriving doc gets its admission
+    verdict AND its train-shingle contamination against the corpus as
+    of the previous batch — train = shingles of the bootstrap evens ∪
+    odds ADMITTED in earlier stages (rejected docs contribute nothing,
+    exactly like the band index).  ``n_seen`` counts the doc's distinct
+    shingles already present in that train set; ``novelty`` is the
+    complementary fraction (NULL for docs too short to shingle — no
+    shingle evidence either way).  The staged recursion is the same
+    ``_staged_admission_with`` unroll the dedup verdict gate uses."""
+    body = _staged_admission_with(n_stages, threshold, n_shingle)
+    seen_ctes = []
+    for s in range(n_stages):
+        if s == 0:
+            train = "dy.par = 0"
+        else:
+            prev = " UNION ALL ".join(f"SELECT doc_id FROM adm{j}" for j in range(s))
+            train = f"(dy.par = 0 OR dy.doc_id IN ({prev}))"
+        seen_ctes.append(
+            f"""seen{s} AS (
+  SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM exploded x JOIN docs d ON d.doc_id = x.doc_id
+  WHERE d.par = 1 AND d.stg = {s} AND x.sh IN (
+    SELECT y.sh FROM exploded y JOIN docs dy ON dy.doc_id = y.doc_id
+    WHERE {train})
+  GROUP BY x.doc_id
+)"""
+        )
+    seen_all = " UNION ALL ".join(
+        f"SELECT * FROM seen{s}" for s in range(n_stages)
+    )
+    return f"""{body}, exploded AS (
+  SELECT h.doc_id, unnest(h.hs) AS sh FROM hashed h
+), {", ".join(seen_ctes)}, seen_all AS (
+  {seen_all}
+)
+SELECT d.doc_id,
+       CASE WHEN ae.new_id IS NOT NULL THEN 'exact_dup'
+            WHEN b.old_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CAST(COALESCE(sh2.n, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sa.n_seen, 0) AS BIGINT) AS n_seen,
+       CASE WHEN COALESCE(sh2.n, 0) > 0 THEN
+         floor((sh2.n - COALESCE(sa.n_seen, 0)) / CAST(sh2.n AS DOUBLE)
+               * 1000000) / 1000000 END AS novelty
+FROM docs d
+LEFT JOIN sh2 ON sh2.doc_id = d.doc_id
+LEFT JOIN seen_all sa ON sa.doc_id = d.doc_id
 LEFT JOIN avail_exact ae ON d.doc_id = ae.new_id
 LEFT JOIN best b ON d.doc_id = b.new_id
 WHERE d.par = 1

@@ -1563,3 +1563,118 @@ SELECT p.query_id, p.qlbl AS anchor_label, p.pos_id, p.sim_pos,
        floor((p.sim_pos - n.sim_neg) * 1000000) / 1000000 AS triplet_margin,
        n.sim_neg > p.sim_pos - {margin!r} AS violates_margin
 FROM pos p JOIN neg n ON p.query_id = n.query_id"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (lexical BM25 + dense cosine, reciprocal-rank)
+# ---------------------------------------------------------------------------
+
+#: RRF discount constant (Cormack/Clarke/Büttcher, SIGIR'09 — k=60).
+RRF_KAPPA = 60
+
+
+def doc_hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = 20,
+    kappa: int = RRF_KAPPA,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-k (``corpus.doc_bm25_topk``, fixed term query) and the dense
+    cosine top-k against one query embedding — the RAG-pipeline closer
+    where neither signal alone suffices (lexical misses paraphrase,
+    dense misses rare exact terms).  RRF (Cormack et al., SIGIR'09)
+    needs only RANKS, so the two retrievers stay independent and the
+    fusion is rank arithmetic:
+
+        rrf_u(d) = Σ_lists  1_000_000 div (kappa + rank_d)
+
+    computed in EXACT integer micro-units (integer division, BIGINT
+    sum — bit-identical on any engine; a float 1/(k+r) sum would hang
+    the oracle gate on summation order).  Absent-from-list contributes
+    0.  Ties break on doc_id; ``vec_id`` is the embedding of document
+    ``doc_id`` (the harness's aligned universes).
+
+    Plan shape (100 TB): each retriever is its own TakeOrdered top-k
+    (per-partition heaps, never a global sort); the dense query is a
+    1-row broadcast attached by the data-derived-zero-key equi-join
+    (never a nested-loop cross); the fusion is a full-outer join of
+    two ≤k-row frames plus a ≤2k-row readout — nothing after the
+    retrievers is data-sized.  Rank columns come from
+    ``ranked_top_k``'s partitioned window (WindowGroupLimit-safe).
+    """
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import (
+        doc_bm25_topk,
+    )
+
+    lex = doc_bm25_topk(documents, k=k)
+    lex_ranked = ranked_top_k(
+        lex, [F.col("bm25").desc(), F.col("doc_id").asc()], k, "doc_id"
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+
+    emb = (
+        fan_out(embeddings)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("nv", norm(F.col("v")))
+    )
+    qv = emb.where(F.col("vec_id") == query_vec_id).selectExpr(
+        "v AS qv", "nv AS nq", "pmod(vec_id, 1) AS _k"
+    )
+    sim = F.round(
+        cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6
+    )
+    scored = (
+        emb.withColumn("_k", F.pmod(F.col("vec_id"), F.lit(1)))
+        .join(F.broadcast(qv), "_k")
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+    )
+    dense_ranked = ranked_top_k(
+        scored, [F.col("sim").desc(), F.col("doc_id").asc()], k, "doc_id"
+    ).select("doc_id", F.col("rank").alias("dense_rank"))
+
+    fused = lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+    return (
+        fused.selectExpr(
+            "doc_id",
+            "CAST(lex_rank AS INT) AS lex_rank",
+            "CAST(dense_rank AS INT) AS dense_rank",
+            f"CAST(coalesce(1000000 div ({kappa} + lex_rank), 0)"
+            f" + coalesce(1000000 div ({kappa} + dense_rank), 0) AS BIGINT) AS rrf_u",
+        )
+        .orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def doc_hybrid_rrf_topk_oracle(
+    k: int = 20, kappa: int = RRF_KAPPA, query_vec_id: int = 0
+) -> str:
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import (
+        doc_bm25_topk_oracle,
+    )
+
+    cos = cosine_sql_duckdb("q.qv", "e.v")
+    return f"""WITH lex0 AS ({doc_bm25_topk_oracle(k=k)}),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lex0),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT e.vec_id AS doc_id, round({cos}, 6) AS sim
+  FROM emb e CROSS JOIN q),
+dense AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS dense_rank
+    FROM scored)
+  WHERE dense_rank <= {k})
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       CAST(l.lex_rank AS INT) AS lex_rank,
+       CAST(d.dense_rank AS INT) AS dense_rank,
+       CAST(COALESCE(1000000 // ({kappa} + l.lex_rank), 0)
+            + COALESCE(1000000 // ({kappa} + d.dense_rank), 0) AS BIGINT) AS rrf_u
+FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+ORDER BY rrf_u DESC, doc_id ASC LIMIT {k}"""

@@ -209,6 +209,42 @@ def dedup_incremental_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts_from_state(spark, state_dir).orderBy("doc_id")
 
 
+@register(
+    "dedup_admission_novelty_streamed",
+    oracle=D.dedup_admission_novelty_staged_oracle(n_stages=4, threshold=0.5),
+    description="one-pass streamed INGEST GATE (sixteenth streaming class): every "
+    "arriving doc gets its dedup verdict AND its train-shingle contamination "
+    "(n_seen / novelty vs the persisted distinct shingle set of the ADMITTED "
+    "corpus as of the previous batch — the doc_split_ngram_novelty measure) from "
+    "the same versioned state read; rejected docs contribute no train shingles; "
+    "oracle unrolls the greedy admission recursion and the per-stage train sets",
+)
+def dedup_admission_novelty_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.dedup_admit import (
+        admit_apply_stream,
+        docs_file_stream,
+        novelty_from_state,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_doc_batches(spark, sf_dir, n_batches=4)
+    bootstrap = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 2 == 0)
+    )
+    admit_apply_stream(
+        spark,
+        docs_file_stream(spark, feed_dir),
+        bootstrap,
+        state_dir,
+        ckpt_dir,
+        threshold=0.5,
+    )
+    return novelty_from_state(spark, state_dir).orderBy("doc_id")
+
+
 from twitter_followers_patterns_mapreduce_spark.operators import clustering as CL  # noqa: E402
 
 

@@ -312,3 +312,21 @@ def embedding_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.uncertainty_sample(
         load_table(spark, sf_dir, "embeddings"), k=25, target_label=0
     )
+
+
+@register(
+    "doc_hybrid_rrf_topk",
+    oracle=S.doc_hybrid_rrf_topk_oracle(k=20),
+    description="hybrid retrieval fusion (the RAG closer): reciprocal-rank fusion of "
+    "the BM25 lexical top-20 and the dense cosine top-20 against one query embedding "
+    "- rrf_u = sum of 1000000 div (60 + rank) in EXACT integer micro-units (float "
+    "1/(k+r) sums would hang the gate on summation order); two TakeOrdered "
+    "retrievers, a 1-row broadcast query via the zero-key equi-join, one <=2k-row "
+    "full-outer fusion - nothing after the retrievers is data-sized",
+)
+def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.doc_hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        k=20,
+    )

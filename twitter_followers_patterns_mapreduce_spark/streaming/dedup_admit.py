@@ -19,6 +19,14 @@ incremental, the way a production ingest pipeline would persist it:
   * ``verdicts/v=<batch_id>``— cumulative (doc_id, status, near_dup_of,
     jaccard) admission log, one row per arrived doc, the same contract
     as ``operators/dedup.py::dedup_incremental``.
+  * ``shingles/v=<batch_id>`` — the DISTINCT h64 shingle set of the
+    admitted corpus, maintained by |Δ|-sized anti-join appends.
+  * ``novelty/v=<batch_id>`` — cumulative one-pass INGEST-GATE log
+    (doc_id, status, n_shingles, n_seen, novelty): each arrival's
+    admission verdict plus its train-shingle contamination against the
+    corpus as of the previous batch (the ``doc_split_ngram_novelty``
+    measure, computed from the SAME state read as the dedup verdict —
+    the sixteenth gated streaming class).
 
 Versioning follows the keep-2 replay-idempotent discipline of
 ``streaming/scd2.py``: each batch merges against the latest committed
@@ -251,19 +259,36 @@ def admit_apply_stream(
     checkpoint_dir: str,
     threshold: float = 0.5,
     batch_ids: list[int] | None = None,
+    timings: list[dict] | None = None,
 ) -> None:
     """Drain ``docs`` (availableNow) through versioned-state admission.
     ``bootstrap`` seeds the corpus when no prior state exists (its sigs
     are computed exactly once — by the first batch, or its crash
     replay).  Blocks until drained.  ``batch_ids`` (if given) collects
-    micro-batch ids — the multi-batch/restart test hook."""
+    micro-batch ids — the multi-batch/restart test hook.  ``timings``
+    (if given) collects one dict per batch with wall-clock seconds per
+    phase (sig pass / judge / each state write / prune) — the
+    profiling hook behind SCALE.md's per-batch cost breakdown."""
     corpus_dir = os.path.join(state_dir, "corpus")
     bands_dir = os.path.join(state_dir, "bands")
     verdicts_dir = os.path.join(state_dir, "verdicts")
+    shingles_dir = os.path.join(state_dir, "shingles")
+    novelty_dir = os.path.join(state_dir, "novelty")
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         if batch_ids is not None:
             batch_ids.append(batch_id)
+        rec: dict = {"batch": batch_id}
+        t0 = _time.time()
+
+        def _mark(key: str) -> None:
+            nonlocal t0
+            now = _time.time()
+            rec[key] = round(now - t0, 3)
+            t0 = now
+
         prev = _latest_version(corpus_dir, below=batch_id)
         if prev is None:
             # bootstrap pays its single shingle+md5 pass once too: both
@@ -271,23 +296,59 @@ def admit_apply_stream(
             boot_state = _state_table(bootstrap).localCheckpoint(eager=True)
             corpus = _sig_table(boot_state)
             corpus_bands = _band_rows(boot_state)
+            corpus_sh = boot_state.select(F.explode("shingles").alias("sh")).distinct()
             prev_verdicts = None
+            prev_novelty = None
         else:
             corpus = spark.read.parquet(f"{corpus_dir}/v={prev}")
             corpus_bands = spark.read.parquet(f"{bands_dir}/v={prev}")
+            corpus_sh = spark.read.parquet(f"{shingles_dir}/v={prev}")
             prev_verdicts = spark.read.parquet(f"{verdicts_dir}/v={prev}")
+            prev_novelty = spark.read.parquet(f"{novelty_dir}/v={prev}")
         # ONE shingle+md5 pass per micro-batch: the checkpointed state
         # table is referenced by the exact check, the band join, the
-        # verification join AND the admitted fold (the earlier two-helper
-        # shape ran the shingle pipeline twice per batch)
+        # verification join, the admitted fold AND the contamination
+        # report (the earlier two-helper shape ran the shingle pipeline
+        # twice per batch)
+        _mark("state_resolve")
         batch_state = _state_table(batch_df).localCheckpoint(eager=True)
+        _mark("sig_pass")
         batch_sigs = _sig_table(batch_state)
         batch_bands = _band_rows(batch_state)
 
         verdicts = _judge_batch(
             batch_sigs, batch_bands, corpus, corpus_bands, threshold
         ).localCheckpoint(eager=True)
+        _mark("judge")
         kept = verdicts.where(F.col("status") == "kept").select("doc_id")
+
+        # contamination in the SAME pass (the production ingest gate is
+        # dedup + train-overlap over one state read): each arriving
+        # doc's distinct shingles semi-join the persisted TRAIN shingle
+        # set — per-batch cost is |batch shingles|, never O(corpus) —
+        # and novelty is the complementary fraction (NULL for docs too
+        # short to shingle: no shingle evidence either way)
+        batch_sh = batch_state.select("doc_id", F.explode("shingles").alias("sh"))
+        seen = (
+            batch_sh.join(corpus_sh, "sh", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_seen"))
+        )
+        novelty = (
+            verdicts.select("doc_id", "status")
+            .join(batch_state.select("doc_id", "n_shingles"), "doc_id")
+            .join(seen, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                "status",
+                "CAST(n_shingles AS BIGINT) AS n_shingles",
+                "CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen",
+                "CASE WHEN n_shingles > 0 THEN"
+                " floor((n_shingles - coalesce(n_seen, 0))"
+                " / CAST(n_shingles AS DOUBLE) * 1000000) / 1000000"
+                " END AS novelty",
+            )
+        )
 
         new_corpus = corpus.unionByName(
             batch_sigs.join(kept, "doc_id", "left_semi")
@@ -295,16 +356,57 @@ def admit_apply_stream(
         new_bands = corpus_bands.unionByName(
             batch_bands.join(kept, "doc_id", "left_semi")
         )
+        # distinct-by-construction append: only the kept docs' shingles
+        # NOT already in the set ship into the new version — |Δ|-sized
+        # work, no full-state re-distinct
+        kept_new_sh = (
+            batch_sh.join(kept, "doc_id", "left_semi")
+            .select("sh")
+            .distinct()
+            .join(corpus_sh, "sh", "left_anti")
+        )
+        new_sh = corpus_sh.unionByName(kept_new_sh)
         new_verdicts = (
             verdicts
             if prev_verdicts is None
             else prev_verdicts.unionByName(verdicts)
         )
-        new_corpus.write.mode("overwrite").parquet(f"{corpus_dir}/v={batch_id}")
-        new_bands.write.mode("overwrite").parquet(f"{bands_dir}/v={batch_id}")
-        new_verdicts.write.mode("overwrite").parquet(f"{verdicts_dir}/v={batch_id}")
-        for d in (corpus_dir, bands_dir, verdicts_dir):
+        new_novelty = (
+            novelty
+            if prev_novelty is None
+            else prev_novelty.unionByName(novelty)
+        )
+        _mark("plan_rest")
+        # the five per-version writes are INDEPENDENT jobs over already
+        # checkpointed/parquet inputs — submit them concurrently (Spark
+        # schedules jobs from multiple threads fine) instead of paying
+        # five sequential job latencies: the round-11 profile measured
+        # sequential writes at ~1.5-1.9 s of a ~3.4 s batch (writes
+        # dominated), parallel at ~max(single write) (SCALE.md table)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(args: tuple) -> tuple:
+            df, d, key = args
+            t = _time.time()
+            df.write.mode("overwrite").parquet(f"{d}/v={batch_id}")
+            return key, round(_time.time() - t, 3)
+
+        writes = [
+            (new_corpus, corpus_dir, "w_corpus"),
+            (new_bands, bands_dir, "w_bands"),
+            (new_sh, shingles_dir, "w_shingles"),
+            (new_verdicts, verdicts_dir, "w_verdicts"),
+            (new_novelty, novelty_dir, "w_novelty"),
+        ]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            for key, dt in pool.map(_write, writes):
+                rec[key] = dt
+        _mark("writes_wall")
+        for d in (corpus_dir, bands_dir, shingles_dir, verdicts_dir, novelty_dir):
             _prune_versions(d)
+        _mark("prune")
+        if timings is not None:
+            timings.append(rec)
 
     q = (
         docs.writeStream.foreachBatch(_admit)
@@ -322,3 +424,13 @@ def verdicts_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if v is None:
         raise FileNotFoundError(f"no admission state at {verdicts_dir}")
     return spark.read.parquet(f"{verdicts_dir}/v={v}")
+
+
+def novelty_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The cumulative one-pass ingest-gate log — (doc_id, status,
+    n_shingles, n_seen, novelty) per arrival, latest committed version."""
+    novelty_dir = os.path.join(state_dir, "novelty")
+    v = _latest_version(novelty_dir)
+    if v is None:
+        raise FileNotFoundError(f"no novelty state at {novelty_dir}")
+    return spark.read.parquet(f"{novelty_dir}/v={v}")
