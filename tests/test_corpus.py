@@ -598,3 +598,33 @@ def test_corpus_mixture_ivm_closed_form_and_differential(spark):
     # thresholds: floor(min(1, share*2/n_docs)*1e6)
     assert a["threshold"] == 333_333
     assert b["threshold"] == 666_666
+
+
+def test_collocation_communities_closed_form(spark):
+    """Hand-built collocation graph: doc 1 repeats 'alpha beta' (one
+    2-token community), docs 2-3 chain gamma-delta-epsilon through the
+    shared token delta (one 3-token community glued transitively).
+    Community label = lexicographically smallest reachable token."""
+    from twitter_followers_patterns_mapreduce_spark.operators.corpus import (
+        collocation_communities,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " * 6),
+            (2, "gamma delta " * 6),
+            (3, "delta epsilon " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["token"]: r["community"]
+        for r in collocation_communities(docs, min_count=5, n_edges=100).collect()
+    }
+    assert got == {
+        "alpha": "alpha",
+        "beta": "alpha",
+        "gamma": "delta",
+        "delta": "delta",
+        "epsilon": "delta",
+    }

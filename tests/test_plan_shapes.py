@@ -413,6 +413,16 @@ def test_topk_plans_take_ordered_not_global_window(spark):
         assert m.group(1).strip(), "window without partition spec"
 
 
+def test_bucketed_join_twin_plans_zero_join_exchanges(spark):
+    """layout_bucketed_join: the sort-merge join of the two bucketed
+    tables plans ZERO Exchange nodes (the shuffle was paid at write
+    time) — the only Exchange in the whole plan is the tiny
+    per-segment rollup's."""
+    plan = plan_of(spark, "layout_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_hybrid_rrf_plans_two_take_ordered_retrievers(spark):
     """doc_hybrid_rrf_topk: both retrievers and the final fused top-k
     must plan TakeOrderedAndProject (per-partition heaps) — never a

@@ -982,7 +982,15 @@ def corpus_mixture_ivm(documents: DataFrame, keep_div: int = 2) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
-    w6 = merged.selectExpr(
+    return mixture_recipe_from_counts(merged, keep_div)
+
+
+def mixture_recipe_from_counts(state: DataFrame, keep_div: int = 2) -> DataFrame:
+    """The temperature recipe as a pure function of the |sources|-row
+    (source, n_docs, n_chars) state — shared by the batch IVM above and
+    the streamed state maintainer (``streaming/mixture.py``): every
+    downstream quantity recomputes from the state alone, O(|sources|)."""
+    w6 = state.selectExpr(
         "source",
         "n_docs",
         "n_chars",
@@ -1713,6 +1721,53 @@ CROSS JOIN tot
 WHERE c_bg >= {min_count}
 ORDER BY pmi DESC, cnt_bg.t1 ASC, cnt_bg.t2 ASC
 LIMIT {k}"""
+
+
+def collocation_communities(
+    df: DataFrame, min_count: int = 5, n_edges: int = 100
+) -> DataFrame:
+    """Topic/phrase communities from the collocation graph — the
+    text→graph composition a phrase-induction pipeline runs after PMI
+    scoring: the top-``n_edges`` PMI collocations become an undirected
+    token graph, and its CONNECTED COMPONENTS are the phrase clusters
+    (tokens transitively glued by strong collocations — multiword
+    entities, boilerplate families, code-identifier groups).  Reuses
+    :func:`pmi_collocations` for the edges and the iterative hash-min
+    label propagation of ``graph_iter.connected_components`` for the
+    clustering — token STRINGS are the node ids (lexicographic min is
+    identical in both engines for the ASCII token alphabet).
+
+    Scale shape: the token graph is ≤ n_edges edges by construction
+    (TakeOrdered on the PMI score), so everything after the corpus-
+    sized bigram aggregation rides a bounded spine; label propagation
+    converges in O(cluster diameter) ≤ n_edges passes.
+
+    Output: (token, community) — one row per token in the graph,
+    community = lexicographically smallest reachable token.
+    """
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        connected_components,
+    )
+
+    edges = pmi_collocations(df, min_count=min_count, k=n_edges).select(
+        F.col("t1").alias("src"), F.col("t2").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(F.col("id").alias("token"), F.col("comp").alias("community"))
+
+
+def collocation_communities_oracle(min_count: int = 5, n_edges: int = 100) -> str:
+    pmi = pmi_collocations_oracle(min_count=min_count, k=n_edges)
+    return f"""WITH RECURSIVE top_e AS (
+  SELECT t1, t2 FROM ({pmi})
+), und AS (
+  SELECT t1 AS a, t2 AS b FROM top_e UNION SELECT t2, t1 FROM top_e
+), walk(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT w.id, u.b FROM walk w JOIN und u ON w.r = u.a
+)
+SELECT id AS token, MIN(r) AS community FROM walk GROUP BY id"""
 
 
 # ---------------------------------------------------------------------------

@@ -782,3 +782,73 @@ cells AS (
 {layout('block_lin', 'linear_x')}
 UNION ALL
 {layout('block_z', 'zorder')}"""
+
+
+def bucketed_join_twin(
+    spark,
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    group_col: str,
+    sum_col: str,
+    table_prefix: str,
+    path_root: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """EXECUTION twin of :func:`bucket_layout_advisor` — the advisor
+    prescribes a bucket count; this operator APPLIES the layout and
+    runs the join it pays for (the ``salted_skew_join`` twin
+    discipline: planner families ship with the rewrite they
+    prescribe).  Both sides persist hash-bucketed on the join key via
+    ``sources.writers.write_bucketed`` (the shuffle is paid ONCE at
+    write time), then the sort-merge join reads the co-located buckets
+    with ZERO Exchange nodes — at 100 TB this is the difference
+    between re-shuffling the fact table per query and never shuffling
+    it again (the reference re-shuffles per job; tests/test_bucketing
+    pins the plan delta, tests/test_plan_shapes pins this query's).
+
+    Output: per-``group_col`` rollup of the joined rows — row count
+    and an exact floored-cents BIGINT sum (DOUBLE money summed as
+    integers so the reduction is order-independent under any bucket
+    schedule), byte-identical to the plain join's rollup, which is
+    exactly what the registered oracle checks.
+    """
+    import os
+
+    from twitter_followers_patterns_mapreduce_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    f = fact.withColumnRenamed(fact_key, "_bkey")
+    d = dim.withColumnRenamed(dim_key, "_bkey")
+    write_bucketed(
+        f, f"{table_prefix}_fact", "_bkey", n_buckets,
+        path=os.path.join(path_root, "fact"),
+    )
+    write_bucketed(
+        d, f"{table_prefix}_dim", "_bkey", n_buckets,
+        path=os.path.join(path_root, "dim"),
+    )
+    joined = (
+        spark.table(f"{table_prefix}_fact")
+        .hint("merge")
+        .join(spark.table(f"{table_prefix}_dim"), "_bkey")
+    )
+    return joined.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr(f"CAST(floor({sum_col} * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+def bucketed_join_twin_oracle(
+    fact: str, fact_key: str, dim: str, dim_key: str,
+    group_col: str, sum_col: str,
+) -> str:
+    return f"""SELECT {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor({sum_col} * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM {fact} JOIN {dim} ON {fact_key} = {dim_key}
+GROUP BY {group_col}"""

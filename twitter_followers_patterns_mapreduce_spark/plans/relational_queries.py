@@ -1044,6 +1044,38 @@ def layout_bucket_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_bucketed_join",
+    oracle=PL.bucketed_join_twin_oracle(
+        "orders", "o_custkey", "customer", "c_custkey", "c_mktsegment", "o_totalprice"
+    ),
+    description="EXECUTION twin of layout_bucket_advisor (the salted-join twin "
+    "discipline): orders and customer persist hash-bucketed on the join key — the "
+    "shuffle paid ONCE at write — then the sort-merge join reads co-located buckets "
+    "with ZERO Exchange nodes (plan-pinned); per-segment rollup with exact "
+    "floored-cents BIGINT sums equals the plain join, which is what the oracle checks",
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_bktjoin_{tag}")
+    return PL.bucketed_join_twin(
+        spark,
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_mktsegment",
+        "o_totalprice",
+        f"bktjoin_{tag}",
+        root,
+        n_buckets=8,
+    )
+
+
+@register(
     "layout_partition_advisor",
     oracle=PL.partition_layout_oracle("orders", "o_orderdate", min_rows_per_partition=2000),
     description="partition-granularity prescription (day/week/month) for date-partitioning "

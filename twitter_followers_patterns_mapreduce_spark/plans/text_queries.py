@@ -341,6 +341,88 @@ def corpus_mixture_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_collocation_communities",
+    oracle=CP.collocation_communities_oracle(min_count=5, n_edges=100),
+    description="topic/phrase communities: the top-100 PMI collocations become an "
+    "undirected token graph and its connected components (iterative hash-min label "
+    "propagation over token strings) are the phrase clusters — the text->graph "
+    "composition; everything after the bigram agg rides a <=100-edge bounded spine; "
+    "oracle is a recursive transitive closure over the same PMI edge set",
+)
+def doc_collocation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CP.collocation_communities(
+        load_table(spark, sf_dir, "documents"), min_count=5, n_edges=100
+    )
+
+
+def _stage_mixture_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
+    """Stage ALL documents' (doc_id, source, n_chars) as ``n_batches``
+    parquet files split by ``doc_id % n_batches`` — per-source totals
+    are order-free (commutative monoid), so unlike the dedup-admission
+    stager no mtime ordering is needed; files still get ascending
+    mtimes for a deterministic drain.  State/checkpoint wiped per
+    invocation for a fresh replay."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_mixstream_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(feed_dir):
+        os.makedirs(feed_dir)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        now = _time.time()
+        for b in range(n_batches):
+            tmp = os.path.join(root, f"stage_b{b}")
+            docs.where(F.pmod("doc_id", F.lit(n_batches)) == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(feed_dir, f"b{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now + b, now + b))
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "corpus_mixture_streamed",
+    oracle=CP.corpus_mixture_ivm_oracle(),
+    description="streamed domain-mixture IVM (seventeenth streaming class): the "
+    "corpus drains as 4 micro-batches into a versioned |sources|-row "
+    "(n_docs, n_chars) state table (keep-2 replay-idempotent, union -> "
+    "re-aggregate per batch), and the temperature recipe recomputes from the "
+    "final state; per-source totals are a commutative monoid, so streamed state "
+    "== one-shot aggregate and the oracle is the SAME full-table recipe as "
+    "corpus_mixture_ivm — no staged unroll needed",
+)
+def corpus_mixture_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.mixture import (
+        docs_mix_stream,
+        mixture_apply_stream,
+        mixture_recipe_from_state,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_mixture_batches(spark, sf_dir)
+    mixture_apply_stream(
+        spark, docs_mix_stream(spark, feed_dir), state_dir, ckpt_dir
+    )
+    return mixture_recipe_from_state(spark, state_dir)
+
+
+@register(
     "corpus_export_shards",
     oracle=CP.corpus_export_shards_oracle(n_shards=8),
     description="deterministic hash-sharded export audit: per-shard row count, "
