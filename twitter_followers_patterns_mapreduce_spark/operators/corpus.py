@@ -1198,7 +1198,7 @@ def doc_bm25_topk(
             F.count("*").alias("n_docs"),
             F.sum("dl").cast("long").alias("tot_toks"),
         )
-        .selectExpr("n_docs", "tot_toks", "n_docs - n_docs AS _k")
+        .selectExpr("n_docs", "tot_toks")
     )
     postings = toks.selectExpr(
         "doc_id", "size(toks) AS dl", "explode(toks) AS token"
@@ -1206,11 +1206,25 @@ def doc_bm25_topk(
     tf = postings.groupBy("doc_id", "dl", "token").agg(
         F.count("*").cast("long").alias("tf")
     )
+    return bm25_topk_from_parts(tf, glob, k=k, k1=k1, b=b)
+
+
+def bm25_topk_from_parts(
+    tf: DataFrame, glob: DataFrame, k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """The BM25 scoring tail over an ALREADY-BUILT query-term index —
+    shared by the one-shot :func:`doc_bm25_topk` above and the streamed
+    index maintainer (``streaming/bm25.py``): ``tf`` is the per-doc
+    query-term posting table (doc_id, dl, token, tf), ``glob`` the
+    1-row (n_docs, tot_toks) corpus totals.  Both are additive state, so
+    where they come from (one scan or a micro-batch fold) cannot change
+    the scores."""
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    g = glob.selectExpr("n_docs", "tot_toks", "n_docs - n_docs AS _k")
     contrib = (
         tf.join(F.broadcast(dfreq), "token")
         .withColumn("_k", F.expr("pmod(tf, 1)"))
-        .join(F.broadcast(glob), "_k")
+        .join(F.broadcast(g), "_k")
         .selectExpr("doc_id", f"{_bm25_contrib_sql(k1, b)} AS c")
     )
     return (

@@ -340,6 +340,67 @@ def corpus_mixture_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.corpus_mixture_ivm(load_table(spark, sf_dir, "documents"))
 
 
+def _stage_doc_text_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
+    """Stage ALL documents' (doc_id, text) as ``n_batches`` parquet
+    files split by ``doc_id % n_batches`` — postings/totals state is
+    order-free (additive), ascending mtimes only for a deterministic
+    drain.  State/checkpoint wiped per invocation."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_bm25stream_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(feed_dir):
+        os.makedirs(feed_dir)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        now = _time.time()
+        for b in range(n_batches):
+            tmp = os.path.join(root, f"stage_b{b}")
+            docs.where(F.pmod("doc_id", F.lit(n_batches)) == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(feed_dir, f"b{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now + b, now + b))
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "doc_bm25_topk_streamed",
+    oracle=CP.doc_bm25_topk_oracle(k=20),
+    description="streamed BM25 inverted-index maintenance (eighteenth streaming "
+    "class): the corpus drains as 4 micro-batches into versioned query-term "
+    "postings + (n_docs, tot_toks) totals state (keep-2 replay-idempotent; "
+    "per batch |batch| tokenization + a |terms|-filtered append + a 2-row totals "
+    "merge), and top-k is served FROM state through the batch operator's own "
+    "scoring tail — postings/totals are commutative monoids, so the oracle is "
+    "the one-shot doc_bm25_topk SQL unchanged",
+)
+def doc_bm25_topk_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.bm25 import (
+        bm25_apply_stream,
+        bm25_topk_from_state,
+        docs_text_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_doc_text_batches(spark, sf_dir)
+    bm25_apply_stream(spark, docs_text_stream(spark, feed_dir), state_dir, ckpt_dir)
+    return bm25_topk_from_state(spark, state_dir, k=20)
+
+
 @register(
     "doc_collocation_communities",
     oracle=CP.collocation_communities_oracle(min_count=5, n_edges=100),
