@@ -171,6 +171,9 @@ ALLOWED_BRUTE_FORCE = {
     #   * split novelty — three 1-row shingle-set reduces combined by
     #     declared 1 × 1 crosses
     "doc_split_ngram_novelty",
+    #   * join strategy advisor — two 1-row per-side byte/row reduces
+    #     combined by a declared 1 × 1 cross (the decision CASE)
+    "join_strategy_advisor",
 }
 
 

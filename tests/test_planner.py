@@ -634,3 +634,28 @@ def test_zorder_benefit_exact_on_uniform_grid(spark):
     assert lin["rows_scanned"] == 512 and z["rows_scanned"] == 64
     assert lin["scan_amplification"] == 8.0
     assert z["scan_amplification"] == 1.0
+
+
+def test_join_strategy_advisor_decisions(spark):
+    """The three decision branches on constructed sides: a tiny dim
+    under the threshold broadcasts (build = smaller side); a mid side
+    over the threshold but <= 1/3 of the other builds a shuffled hash;
+    near-equal big sides sort-merge."""
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        join_strategy_advisor,
+    )
+
+    big = spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tiny = spark.range(10).selectExpr("id")
+
+    r = join_strategy_advisor(big, tiny, threshold_bytes=1024).first()
+    assert (r["strategy"], r["build_side"]) == ("broadcast_hash", "right")
+    assert r["right_bytes"] == 10 * 8 and r["left_bytes"] == 10_000 * 16
+
+    mid = spark.range(2_000).selectExpr("id")  # 16 KB: over 1 KB, <= big/3
+    r = join_strategy_advisor(big, mid, threshold_bytes=1024).first()
+    assert (r["strategy"], r["build_side"]) == ("shuffled_hash", "right")
+
+    peer = spark.range(9_000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    r = join_strategy_advisor(big, peer, threshold_bytes=1024).first()
+    assert (r["strategy"], r["build_side"]) == ("sort_merge", None)

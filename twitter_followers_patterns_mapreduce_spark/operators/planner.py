@@ -852,3 +852,111 @@ def bucketed_join_twin_oracle(
        CAST(SUM(CAST(floor({sum_col} * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM {fact} JOIN {dim} ON {fact_key} = {dim_key}
 GROUP BY {group_col}"""
+
+
+#: Fixed in-memory widths per column type for the strategy advisor's
+#: build-side estimate (unsafe-row-ish: 8-byte word per fixed field;
+#: strings cost length + an 8-byte offset/len word).  The ABSOLUTE
+#: calibration matters less than being IDENTICAL in both engines —
+#: the advisor compares sides against each other and a threshold.
+_TYPE_WIDTH = {
+    "bigint": 8, "long": 8, "double": 8, "int": 8, "integer": 8,
+    "date": 8, "timestamp": 8, "boolean": 8,
+}
+
+
+def _row_bytes_expr(dtypes: list[tuple[str, str]], dialect: str) -> str:
+    """Σ per-column byte estimate as one expression over a row —
+    generated from ONE dtype spec so the Spark side and the DuckDB
+    oracle can never disagree on widths."""
+    parts = []
+    for name, typ in dtypes:
+        t = typ.lower()
+        if t in ("string", "varchar"):
+            ln = f"length({name})" if dialect == "spark" else f"length({name})"
+            parts.append(f"(coalesce({ln}, 0) + 8)")
+        else:
+            parts.append(str(_TYPE_WIDTH.get(t, 8)))
+    return " + ".join(parts)
+
+
+def join_strategy_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    threshold_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Physical-join-strategy prescription from MEASURED side sizes —
+    the byte-level companion of :func:`join_cardinality_estimate` (rows)
+    and :func:`join_skew_planner` (degree skew): exact per-side byte
+    estimates (Σ typed column widths, one map-side-combinable agg per
+    side), compared against the broadcast threshold with the textbook
+    decision Spark itself makes (``JoinSelection``):
+
+      * smaller side ≤ threshold → BROADCAST_HASH, build = smaller side
+      * else smaller ≤ larger/3  → SHUFFLED_HASH (build fits a task)
+      * else                     → SORT_MERGE
+
+    The reference hard-codes this choice per JOB (RS vs the
+    replicated-join RJ, ``README.md:79-81``); here it is a measured,
+    data-derived prescription.  At 100 TB the two aggregations are the
+    only data-sized work; the decision is a 1×1 declared cross.
+
+    Output (1 row): left_rows, right_rows, left_bytes, right_bytes,
+    threshold_bytes, strategy, build_side.
+    """
+
+    def side(df: DataFrame, label: str) -> DataFrame:
+        expr = _row_bytes_expr(df.dtypes, "spark")
+        return df.selectExpr(f"CAST({expr} AS BIGINT) AS rb").agg(
+            F.count("*").cast("long").alias(f"{label}_rows"),
+            F.sum("rb").cast("long").alias(f"{label}_bytes"),
+        )
+
+    l, r = side(left, "left"), side(right, "right")
+    return (
+        l.crossJoin(F.broadcast(r))  # 1 × 1 declared cross
+        .selectExpr(
+            "left_rows",
+            "right_rows",
+            "left_bytes",
+            "right_bytes",
+            f"CAST({threshold_bytes} AS BIGINT) AS threshold_bytes",
+            f"CASE WHEN least(left_bytes, right_bytes) <= {threshold_bytes}"
+            " THEN 'broadcast_hash'"
+            " WHEN least(left_bytes, right_bytes) * 3 <= greatest(left_bytes, right_bytes)"
+            " THEN 'shuffled_hash' ELSE 'sort_merge' END AS strategy",
+            "CASE WHEN least(left_bytes, right_bytes)"
+            f" <= {threshold_bytes}"
+            " OR least(left_bytes, right_bytes) * 3 <= greatest(left_bytes, right_bytes)"
+            " THEN (CASE WHEN left_bytes <= right_bytes THEN 'left' ELSE 'right' END)"
+            " END AS build_side",
+        )
+    )
+
+
+def join_strategy_advisor_oracle(
+    left_table: str,
+    left_dtypes: list[tuple[str, str]],
+    right_table: str,
+    right_dtypes: list[tuple[str, str]],
+    threshold_bytes: int = 64 * 1024 * 1024,
+) -> str:
+    le = _row_bytes_expr(left_dtypes, "duckdb")
+    re_ = _row_bytes_expr(right_dtypes, "duckdb")
+    return f"""WITH l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS left_rows,
+         CAST(SUM({le}) AS BIGINT) AS left_bytes FROM {left_table}),
+r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS right_rows,
+         CAST(SUM({re_}) AS BIGINT) AS right_bytes FROM {right_table})
+SELECT left_rows, right_rows, left_bytes, right_bytes,
+  CAST({threshold_bytes} AS BIGINT) AS threshold_bytes,
+  CASE WHEN least(left_bytes, right_bytes) <= {threshold_bytes}
+       THEN 'broadcast_hash'
+       WHEN least(left_bytes, right_bytes) * 3 <= greatest(left_bytes, right_bytes)
+       THEN 'shuffled_hash' ELSE 'sort_merge' END AS strategy,
+  CASE WHEN least(left_bytes, right_bytes) <= {threshold_bytes}
+       OR least(left_bytes, right_bytes) * 3 <= greatest(left_bytes, right_bytes)
+       THEN (CASE WHEN left_bytes <= right_bytes THEN 'left' ELSE 'right' END)
+       END AS build_side
+FROM l CROSS JOIN r"""

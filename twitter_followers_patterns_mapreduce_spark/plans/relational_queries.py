@@ -1043,6 +1043,40 @@ def layout_bucket_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TESTDATA.md schemas, pinned here so the advisor's Spark side (which
+#: reads df.dtypes) and its oracle (built at import time) price columns
+#: identically; a schema drift fails the oracle gate loudly.
+_LINEITEM_DTYPES = [
+    ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"), ("l_quantity", "double"),
+    ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"),
+    ("l_returnflag", "string"), ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+_PART_DTYPES = [
+    ("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"),
+    ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double"),
+]
+
+
+@register(
+    "join_strategy_advisor",
+    oracle=PL.join_strategy_advisor_oracle(
+        "lineitem", _LINEITEM_DTYPES, "part", _PART_DTYPES
+    ),
+    description="physical-join-strategy prescription from MEASURED side sizes: exact "
+    "per-side byte estimates (typed column widths, one map-side agg per side) vs the "
+    "broadcast threshold, with Spark's own JoinSelection decision (broadcast_hash / "
+    "shuffled_hash when the build side fits a task / sort_merge) and the build side "
+    "named - the byte companion of join_cardinality_estimate and join_skew_planner; "
+    "the reference hard-codes this choice per job (RS vs RJ)",
+)
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PL.join_strategy_advisor(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 @register(
     "layout_bucketed_join",
     oracle=PL.bucketed_join_twin_oracle(
