@@ -476,3 +476,25 @@ def test_negative_samples_candidate_model(sample_edges):
         map(tuple, G.negative_samples(sample_edges, k=k, n_slots=n_slots).collect())
     )
     assert got == want
+
+
+def test_triangle_ivm_consistency_and_base_semantics(sample_edges):
+    """The inclusion-exclusion delta equals total - base (pinned by the
+    consistency flag), base equals the raw count over the base slice
+    alone, and total equals the raw count over everything."""
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    r = G.triangle_count_ivm(sample_edges, delta_mod=2).first()
+    assert r["consistent"] is True
+    assert r["t_base_raw"] + r["t_added_raw"] == r["t_total_raw"]
+
+    rows = [(x["src"], x["dst"]) for x in sample_edges.collect()]
+    spark = sample_edges.sparkSession
+    base_rows = [p for p in rows if h64(f"{p[0]},{p[1]}") % 2 != 0] or [(0, 0)]
+    base_df = spark.createDataFrame(base_rows, "src long, dst long")
+    want_base = G.triangle_count_raw(base_df, max_limit=None).first()[0]
+    want_total = G.triangle_count_raw(sample_edges, max_limit=None).first()[0]
+    assert (r["t_base_raw"], r["t_total_raw"]) == (want_base, want_total)

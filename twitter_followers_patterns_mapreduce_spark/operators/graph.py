@@ -1063,6 +1063,95 @@ SELECT 'transitive',
             AS BIGINT)"""
 
 
+def triangle_count_ivm(
+    edges: DataFrame, max_limit: int | None = None, delta_mod: int = 4
+) -> DataFrame:
+    """INCREMENTAL raw-triangle maintenance under edge inserts — the
+    graph-IVM companion of ``degrees_incremental`` / ``join_delta_ivm``:
+    a daily edge ingest updates the standing triangle count by counting
+    only the closures the DELTA participates in, never recounting the
+    base graph.  Base/delta split is deterministic (h64(src,dst) %
+    ``delta_mod`` == 0 → delta, the house content-hash discipline).
+
+    The delta contribution uses rotation symmetry + inclusion-exclusion
+    over the three edge positions of the raw directed closure count
+    (each cyclic triangle contributes its 3 rotations, so per-position
+    counts are equal):
+
+        added = 3·|(D,U,U)| − 3·|(D,D,U)| + |(D,D,D)|,  U = E ∪ D
+
+    Every term STARTS from a delta edge, so the joins are |D|·deg-
+    driven — at 100 TB the base graph is touched only through the
+    equi-joins the delta probes, which is the whole point of IVM.
+    ``t_total_raw`` is recomputed exactly as the gate companion (the
+    sketch-op discipline: the consistency boolean
+    ``t_base_raw + t_added_raw == t_total_raw`` is what the oracle
+    pins; production omits the recount).
+
+    Output (1 row): t_base_raw, t_added_raw, t_total_raw, consistent.
+    """
+    u = (
+        filter_max(edges, max_limit)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = h64_sql("concat(cast(src as string), ',', cast(dst as string))", "spark")
+    d = u.where(F.expr(f"({h}) % {delta_mod} = 0")).localCheckpoint(eager=False)
+    e = u.where(F.expr(f"({h}) % {delta_mod} <> 0"))
+
+    def closures(s1: DataFrame, s2: DataFrame, s3: DataFrame) -> DataFrame:
+        p = (
+            s1.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .join(s2.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
+            .where(F.col("a") != F.col("c"))
+        )
+        return p.join(
+            s3.select(F.col("src").alias("c"), F.col("dst").alias("a")), ["c", "a"]
+        ).agg(F.count("*").cast("long").alias("n"))
+
+    # n - n: data-derived zero keys — a foldable literal would collapse
+    # the equi-joins below into nested-loop crosses (the bm25 glob trick)
+    base = closures(e, e, e).selectExpr("n AS t_base_raw", "n - n AS _k")
+    a_duu = closures(d, u, u).selectExpr("n AS a_duu", "n - n AS _k")
+    b_ddu = closures(d, d, u).selectExpr("n AS b_ddu", "n - n AS _k")
+    c_ddd = closures(d, d, d).selectExpr("n AS c_ddd", "n - n AS _k")
+    total = closures(u, u, u).selectExpr("n AS t_total_raw", "n - n AS _k")
+    out = base
+    for piece in (a_duu, b_ddu, c_ddd, total):
+        out = out.join(F.broadcast(piece), "_k")
+    return out.selectExpr(
+        "t_base_raw",
+        "CAST(3 * a_duu - 3 * b_ddu + c_ddd AS BIGINT) AS t_added_raw",
+        "t_total_raw",
+        "(t_base_raw + (3 * a_duu - 3 * b_ddu + c_ddd)) = t_total_raw AS consistent",
+    )
+
+
+def triangle_count_ivm_oracle(edges_cte: str, delta_mod: int = 4) -> str:
+    h = h64_sql("concat(CAST(src AS VARCHAR), ',', CAST(dst AS VARCHAR))", "duckdb")
+    closure = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM {s1} e1 JOIN {s2} e2 ON e1.dst = e2.src AND e1.src <> e2.dst "
+        "JOIN {s3} e3 ON e3.src = e2.dst AND e3.dst = e1.src"
+    )
+    return f"""WITH s AS ({edges_cte}),
+u AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+d AS (SELECT * FROM u WHERE ({h}) % {delta_mod} = 0),
+e AS (SELECT * FROM u WHERE ({h}) % {delta_mod} <> 0),
+base AS ({closure.format(s1='e', s2='e', s3='e')}),
+a_duu AS ({closure.format(s1='d', s2='u', s3='u')}),
+b_ddu AS ({closure.format(s1='d', s2='d', s3='u')}),
+c_ddd AS ({closure.format(s1='d', s2='d', s3='d')}),
+total AS ({closure.format(s1='u', s2='u', s3='u')})
+SELECT base.n AS t_base_raw,
+       CAST(3 * a_duu.n - 3 * b_ddu.n + c_ddd.n AS BIGINT) AS t_added_raw,
+       total.n AS t_total_raw,
+       (base.n + 3 * a_duu.n - 3 * b_ddu.n + c_ddd.n) = total.n AS consistent
+FROM base, a_duu, b_ddu, c_ddd, total"""
+
+
 def triangle_census_sampled(
     edges: DataFrame, max_limit: int | None = None, p: int = 4
 ) -> DataFrame:

@@ -639,6 +639,23 @@ def triangle_census_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangle_ivm",
+    oracle=G.triangle_count_ivm_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}",
+        delta_mod=4,
+    ),
+    description="incremental raw-triangle maintenance under edge inserts (graph "
+    "IVM): deterministic hash split into base (3/4) + delta (1/4), the delta "
+    "contribution counted by rotation symmetry + inclusion-exclusion over closure "
+    "positions (3*|DUU| - 3*|DDU| + |DDD|) with every term STARTING from a delta "
+    "edge (|D|*deg-driven joins, base never recounted); the exact total recount is "
+    "the gate companion pinning base + added == total",
+)
+def graph_triangle_ivm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count_ivm(derived_edges(spark, sf_dir), MAX_PATHS, delta_mod=4)
+
+
+@register(
     "triangle_census_sampled",
     oracle=G.triangle_census_sampled_oracle(
         f"{_E} SELECT * FROM edges WHERE src < {MAX_TRI} AND dst < {MAX_TRI}", p=4
