@@ -1063,6 +1063,21 @@ SELECT 'transitive',
             AS BIGINT)"""
 
 
+def closure_count(s1: DataFrame, s2: DataFrame, s3: DataFrame) -> DataFrame:
+    """1-row ``n``: raw directed closures a→b→c→a with a≠c, position 1/2/3
+    drawn from ``s1``/``s2``/``s3`` — the reference's RS closure probe
+    (``rs/ReduceSideJoin.java``) parameterized over its input relations so
+    the IVM terms (batch and streamed) share one join pipeline."""
+    p = (
+        s1.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(s2.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
+        .where(F.col("a") != F.col("c"))
+    )
+    return p.join(
+        s3.select(F.col("src").alias("c"), F.col("dst").alias("a")), ["c", "a"]
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
 def triangle_count_ivm(
     edges: DataFrame, max_limit: int | None = None, delta_mod: int = 4
 ) -> DataFrame:
@@ -1101,15 +1116,7 @@ def triangle_count_ivm(
     d = u.where(F.expr(f"({h}) % {delta_mod} = 0")).localCheckpoint(eager=False)
     e = u.where(F.expr(f"({h}) % {delta_mod} <> 0"))
 
-    def closures(s1: DataFrame, s2: DataFrame, s3: DataFrame) -> DataFrame:
-        p = (
-            s1.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-            .join(s2.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
-            .where(F.col("a") != F.col("c"))
-        )
-        return p.join(
-            s3.select(F.col("src").alias("c"), F.col("dst").alias("a")), ["c", "a"]
-        ).agg(F.count("*").cast("long").alias("n"))
+    closures = closure_count
 
     # n - n: data-derived zero keys — a foldable literal would collapse
     # the equi-joins below into nested-loop crosses (the bm25 glob trick)

@@ -655,6 +655,87 @@ def graph_triangle_ivm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count_ivm(derived_edges(spark, sf_dir), MAX_PATHS, delta_mod=4)
 
 
+def _stage_edge_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
+    """Stage the MAX_PATHS-filtered edge view as ``n_batches`` parquet
+    files split by a deterministic content hash — edge-set union is
+    order-free (the final state is a set), so like the mixture stager
+    no mtime-ordered replay semantics are needed; files still get
+    ascending mtimes for a deterministic drain.  Batches share ~1/16
+    of their edges (the second hash term) so the cross-batch duplicate
+    path is exercised at every SF.  State/checkpoint wiped per
+    invocation for a fresh replay."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_tristream_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(feed_dir):
+        os.makedirs(feed_dir)
+        e = derived_edges(spark, sf_dir).where(
+            (F.col("src") < MAX_PATHS) & (F.col("dst") < MAX_PATHS)
+        )
+        now = _time.time()
+        for b in range(n_batches):
+            tmp = os.path.join(root, f"stage_b{b}")
+            # primary split by edge hash; every 16th edge ALSO lands in
+            # the next batch — a deliberate duplicate re-arrival
+            h = F.pmod(F.xxhash64(F.col("src"), F.col("dst")), F.lit(n_batches))
+            dup = F.pmod(F.xxhash64(F.col("dst"), F.col("src")), F.lit(16))
+            e.where(
+                (h == b)
+                | ((dup == 0) & (F.pmod(h + 1, F.lit(n_batches)) == b))
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(feed_dir, f"b{b}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now + b, now + b))
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "graph_triangle_ivm_streamed",
+    oracle=f"""{_E},
+u AS (SELECT DISTINCT src, dst FROM edges
+      WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS} AND src <> dst),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_raw
+          FROM u e1 JOIN u e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+          JOIN u e3 ON e3.src = e2.dst AND e3.dst = e1.src),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM u)
+SELECT total.t_raw, ne.n_edges, TRUE AS consistent FROM total, ne""",
+    description="streamed incremental triangle maintenance (nineteenth streaming "
+    "class): edge arrivals drain as 4 micro-batches (with deliberate cross-batch "
+    "duplicate re-arrivals) into versioned two-table state — the accumulated "
+    "DISTINCT edge set plus a 1-row maintained closure count folded per batch by "
+    "the graph_triangle_ivm delta algebra (3|DUU| - 3|DDU| + |DDD|, every term "
+    "starting from the anti-joined genuinely-new delta); edge-set union is "
+    "commutative and each step exact, so the drained count equals the one-shot "
+    "closure count under any chunking and the oracle is the full-recompute SQL, "
+    "with the exact recount emitted as the consistent gate companion",
+)
+def graph_triangle_ivm_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.triangles import (
+        edges_tri_stream,
+        triangle_view_from_state,
+        triangles_apply_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_edge_batches(spark, sf_dir)
+    triangles_apply_stream(
+        spark, edges_tri_stream(spark, feed_dir), state_dir, ckpt_dir
+    )
+    return triangle_view_from_state(spark, state_dir)
+
+
 @register(
     "triangle_census_sampled",
     oracle=G.triangle_census_sampled_oracle(
