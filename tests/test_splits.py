@@ -199,3 +199,71 @@ def test_priority_sum_estimate_degenerate_and_model(spark):
     assert row["tau"] == tau
     assert row["est_chars"] == math.floor(est6 / 1e6 * 1e6) / 1e6
     assert row["abs_rel_err"] == math.floor(abs(est6 / 1e6 - exact) / exact * 1e6) / 1e6
+
+
+def test_dsir_select_matches_reference_formula(spark):
+    """Closed-form DSIR check: a tiny corpus whose hashed-bigram model
+    is replicated independently in Python (md5-h64 buckets, Laplace
+    smoothing, ln on the 1e-6 round-half-up grid) — the Spark scores
+    must match the Python recompute EXACTLY (they are BIGINT), raw docs
+    heavy in target-distinctive tokens must outrank raw-only phrasing,
+    and only raw-pool docs may appear."""
+    import hashlib
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.splits import (
+        dsir_weights,
+    )
+
+    B = 512
+    rows = [
+        (0, "alpha beta alpha beta", "curated"),
+        (1, "alpha beta gamma", "curated"),
+        (2, "alpha beta alpha", "web"),      # reads like the target
+        (3, "delta epsilon zeta", "web"),    # raw-only phrasing
+        (4, "alpha delta", "web"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text: str) -> list[int]:
+        toks = [t for t in text.split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [h64(g) % B for g in grams]
+
+    t_cnt: dict[int, int] = {}
+    r_cnt: dict[int, int] = {}
+    for _i, text, src in rows:
+        for b in feats(text):
+            d = t_cnt if src == "curated" else r_cnt
+            d[b] = d.get(b, 0) + 1
+    t_tot, r_tot = sum(t_cnt.values()), sum(r_cnt.values())
+
+    def w_micro(b: int) -> int:
+        num = (t_cnt.get(b, 0) + 1.0) / (t_tot + float(B))
+        den = (r_cnt.get(b, 0) + 1.0) / (r_tot + float(B))
+        return int(math.floor(1_000_000.0 * math.log(num / den) + 0.5))
+
+    expect = {
+        i: sum(w_micro(b) for b in feats(text))
+        for i, text, src in rows
+        if src != "curated"
+    }
+
+    out = dsir_weights(
+        docs.repartition(5), b_buckets=B, k=10, target_sources=("curated",)
+    ).collect()
+    got = {r["doc_id"]: r["dsir_score_micro"] for r in out}
+    assert got == expect
+    assert all(r["source"] == "web" for r in out)
+    assert {r["doc_id"]: r["n_feats"] for r in out} == {2: 5, 3: 5, 4: 3}
+    # target-like phrasing outranks raw-only phrasing
+    assert got[2] > got[3]
+    # returned in score order, doc_id tie-break
+    scores = [(r["dsir_score_micro"], -r["doc_id"]) for r in out]
+    assert scores == sorted(scores, reverse=True)

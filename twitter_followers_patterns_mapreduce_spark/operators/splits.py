@@ -508,3 +508,160 @@ SELECT CAST({k} AS BIGINT) AS k, n_docs, tau,
   floor(abs(CAST(est6 AS DOUBLE) / 1000000 - exact_chars) / exact_chars
     * 1000000) / 1000000 AS abs_rel_err
 FROM est CROSS JOIN exact"""
+
+
+def _dsir_feats_duckdb(b_buckets: int, target_sources: tuple[str, ...]) -> str:
+    """The oracle's mirror of the hashed-bigram feature stream: one row
+    per unigram AND per adjacent-bigram OCCURRENCE (bag counts, not
+    distinct — the DSIR statistic is a multinomial likelihood), bucketed
+    by content hash.  Returned as a derived-table SQL string
+    ``(doc_id, source, is_tgt, bucket)``."""
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
+
+    toks = tokens_sql("text", "duckdb")
+    tgt = "source IN ({})".format(", ".join(f"'{s}'" for s in target_sources))
+    # DuckDB range(a, b) is [a, b): i runs 1..len-1, pairing i, i+1
+    bigrams = (
+        "CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+    )
+    explode = "unnest"
+    h = h64_sql("feat", "duckdb")
+    # h64 is a 60-bit non-negative value, so plain % == pmod in both engines
+    return f"""(
+  SELECT doc_id, source, is_tgt, ({h}) % {b_buckets} AS bucket
+  FROM (
+    SELECT doc_id, source, is_tgt, {explode}(toks) AS feat
+    FROM (SELECT doc_id, source, CAST({tgt} AS INT) AS is_tgt, {toks} AS toks
+          FROM documents) b0
+    UNION ALL
+    SELECT doc_id, source, is_tgt, {explode}({bigrams}) AS feat
+    FROM (SELECT doc_id, source, CAST({tgt} AS INT) AS is_tgt, {toks} AS toks
+          FROM documents) b1
+  ) f
+)"""
+
+
+#: Log-likelihood-ratio weight per hash bucket, Laplace-smoothed, on the
+#: 1e-6 integer grid (the +0.5 floor is round-half-up).  ln is libm, so
+#: the micro grid is the cross-engine determinism device (the
+#: doc_weighted_sample precedent); everything downstream of the ≤B-row
+#: weight spine is exact BIGINT arithmetic.
+_DSIR_W = (
+    "CAST(FLOOR(1000000.0 * LN("
+    "((CAST(t_f AS DOUBLE) + 1.0) / (CAST(t_tot AS DOUBLE) + {b}.0)) / "
+    "((CAST(r_f AS DOUBLE) + 1.0) / (CAST(r_tot AS DOUBLE) + {b}.0))"
+    ") + 0.5) AS BIGINT)"
+)
+
+
+def dsir_weights(
+    documents: DataFrame,
+    b_buckets: int = 512,
+    k: int = 100,
+    target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW doc by
+    the log-likelihood ratio of a hashed-bigram multinomial fit on the
+    TARGET slice vs one fit on the raw pool, and keep the top-k — the
+    published recipe for "find CommonCrawl pages that read like the
+    curated corpus" without a trained classifier.
+
+    Spark-first shape: features are scan-side codegen (whitespace
+    tokens + adjacent bigrams, content-hashed into ``b_buckets``
+    buckets — no vocabulary is ever collected); both n-gram models are
+    ONE conditional hash-aggregate to a ≤B-row spine; the weight table
+    broadcasts back onto the per-doc feature counts, and the per-doc
+    score is an EXACT BIGINT Σ count·w_micro (order-free — float
+    accumulation never touches a comparable).  Top-k is TakeOrdered
+    (per-partition heap + driver merge), never a global sort.  At
+    100 TB the only data-sized costs are the feature explode and two
+    hash aggs; the model itself is B rows regardless of corpus size.
+
+    ln rides the 1e-6 micro grid (see ``_DSIR_W``).  Output (k rows):
+    doc_id, source, n_feats, dsir_score_micro.
+    """
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
+
+    toks = tokens_sql("text", "spark")
+    tgt = "source IN ({})".format(", ".join(f"'{s}'" for s in target_sources))
+    base = documents.selectExpr(
+        "doc_id", "source", f"CAST({tgt} AS INT) AS is_tgt", f"{toks} AS toks"
+    )
+    bigrams = (
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks)-1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1))) "
+        "ELSE array() END"
+    )
+    h = h64_sql("feat", "spark")
+    # h64 is a 60-bit non-negative value, so plain % == pmod in both engines
+    feats = (
+        base.selectExpr("doc_id", "source", "is_tgt", "explode(toks) AS feat")
+        .unionByName(
+            base.selectExpr(
+                "doc_id", "source", "is_tgt", f"explode({bigrams}) AS feat"
+            )
+        )
+        .selectExpr("doc_id", "source", "is_tgt", f"({h}) % {b_buckets} AS bucket")
+    )
+    bucket_counts = feats.groupBy("bucket").agg(
+        F.sum("is_tgt").cast("long").alias("t_f"),
+        F.sum(F.expr("1 - is_tgt")).cast("long").alias("r_f"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("t_f").cast("long").alias("t_tot"),
+        F.sum("r_f").cast("long").alias("r_tot"),
+    ).selectExpr("t_tot", "r_tot", "t_tot - t_tot AS _k")
+    # pmod(bucket, 1): data-derived zero key — a literal 0 would fold
+    # and turn the 1-row totals join into a nested-loop cross
+    weights = (
+        bucket_counts.selectExpr("bucket", "t_f", "r_f", "pmod(bucket, 1) AS _k")
+        .join(F.broadcast(totals), "_k")
+        .selectExpr("bucket", _DSIR_W.format(b=b_buckets) + " AS w_micro")
+    )
+    doc_feats = (
+        feats.where("is_tgt = 0")
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    scored = (
+        doc_feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.expr("c * w_micro")).cast("long").alias("dsir_score_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("dsir_score_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def dsir_weights_oracle(
+    b_buckets: int = 512,
+    k: int = 100,
+    target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
+) -> str:
+    feats = _dsir_feats_duckdb(b_buckets, target_sources)
+    w = _DSIR_W.format(b=b_buckets)
+    return f"""WITH feats AS (SELECT * FROM {feats} f2),
+bc AS (
+  SELECT bucket, CAST(SUM(is_tgt) AS BIGINT) AS t_f,
+         CAST(SUM(1 - is_tgt) AS BIGINT) AS r_f
+  FROM feats GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(t_f) AS BIGINT) AS t_tot, CAST(SUM(r_f) AS BIGINT) AS r_tot
+  FROM bc
+), w AS (
+  SELECT bucket, {w} AS w_micro FROM bc CROSS JOIN tot
+), df AS (
+  SELECT doc_id, source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM feats WHERE is_tgt = 0 GROUP BY doc_id, source, bucket
+)
+SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n_feats,
+       CAST(SUM(c * w_micro) AS BIGINT) AS dsir_score_micro
+FROM df JOIN w USING (bucket)
+GROUP BY doc_id, source
+ORDER BY dsir_score_micro DESC, doc_id ASC
+LIMIT {k}"""

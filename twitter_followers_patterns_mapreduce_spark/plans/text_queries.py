@@ -748,3 +748,20 @@ def doc_split_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"explode({_toks('text', 'spark')}) AS token",
     )
     return _ST.categorical_entropy_kl(toks, "grp0", "token")
+
+
+@register(
+    "corpus_dsir_select",
+    oracle=SP.dsir_weights_oracle(b_buckets=512, k=100),
+    description="DSIR data selection (Xie et al. 2023): score raw-pool docs by the "
+    "hashed-bigram log-likelihood ratio of a target-slice n-gram model vs the raw "
+    "pool's, keep the top-100 — 'find web pages that read like the curated corpus' "
+    "without a trained classifier; both multinomials are ONE conditional hash-agg "
+    "to a <=512-row bucket spine (no vocabulary collected), weights broadcast back, "
+    "per-doc score an exact BIGINT sum of count*w_micro with ln on the 1e-6 grid, "
+    "top-k via TakeOrdered",
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.dsir_weights(
+        load_table(spark, sf_dir, "documents"), b_buckets=512, k=100
+    )
