@@ -161,3 +161,46 @@ def test_byte_stats_arrow_equals_pandas_path(spark):
     a = sorted(map(tuple, M.image_byte_stats(docs).collect()))
     b = sorted(map(tuple, M.image_byte_stats_arrow(docs).collect()))
     assert a == b
+
+
+def test_image_ahash_matches_python_recompute_and_pairs_dups(spark):
+    """aHash closed form: hashes match an independent Python recompute
+    over the md5-digest grid (strict > floor-mean bits, row-major), and
+    identical payloads (same text -> same digest) pair up while
+    distinct payloads pair only on true 16-bit collisions."""
+    import hashlib
+
+    from twitter_followers_patterns_mapreduce_spark.operators.multimodal import (
+        image_ahash,
+        image_ahash_pairs,
+    )
+
+    texts = ["alpha", "beta", "gamma", "delta", "alpha", "epsilon"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+
+    def expect_hash(text: str) -> int:
+        px = list(hashlib.md5(text.encode()).digest())
+        mean = sum(px) // 16
+        return sum(1 << i for i, p in enumerate(px) if p > mean)
+
+    got = {r["doc_id"]: r["ahash"] for r in image_ahash(docs).collect()}
+    assert got == {i: expect_hash(t) for i, t in enumerate(texts)}
+
+    by_hash: dict[int, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_hash.setdefault(expect_hash(t), []).append(i)
+    expect_pairs = {
+        (a, b)
+        for ids in by_hash.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert (0, 4) in expect_pairs  # the planted duplicate payload
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in image_ahash_pairs(docs).collect()
+    }
+    assert got_pairs == expect_pairs

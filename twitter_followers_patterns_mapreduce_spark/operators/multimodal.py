@@ -592,3 +592,80 @@ def image_byte_stats_arrow(documents: DataFrame) -> DataFrame:
             )
 
     return mm.mapInArrow(extract, schema=_BYTE_STATS_SCHEMA)
+
+
+_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def image_ahash(documents: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image: interpret the payload as the
+    4×4 grayscale grid, set bit i iff pixel i is STRICTLY brighter than
+    the floor-mean brightness — 16 bits packed row-major into one
+    BIGINT.  Exact integer math end to end (mean is ``sum // 16``), so
+    the hash has a closed-form hex oracle like every mm op here.
+    Vectorized numpy over Arrow ``mapInPandas`` batches — the pHash
+    slot of a real pipeline with the codec factored out."""
+    mm = with_fake_image(documents).select("doc_id", "image")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            px = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["image"]]
+            ).astype(np.int64)  # (n, 16)
+            mean = px.sum(axis=1, keepdims=True) // PAYLOAD_BYTES
+            bits = (px > mean).astype(np.int64)
+            weights = 1 << np.arange(PAYLOAD_BYTES, dtype=np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash": (bits * weights).sum(axis=1)}
+            )
+
+    return mm.mapInPandas(hash_batches, schema=_AHASH_SCHEMA)
+
+
+def image_ahash_pairs(documents: DataFrame) -> DataFrame:
+    """Image near-dup candidates by perceptual-hash blocking: documents
+    whose average-hashes collide EXACTLY (Hamming distance 0) pair up
+    within their hash bucket — the image-side mirror of the text
+    family's SimHash table (``dedup.py``).  The join is a bucket
+    equi-join on the 16-bit hash, never an all-pairs cross; bucket
+    population follows birthday statistics (E[pairs] ≈ n²/2·2⁻¹⁶), so
+    the candidate set — and hence the exact-verification cost a real
+    pipeline pays downstream — shrinks exponentially with hash width
+    (64-bit production hashes make collisions pure signal).  Output:
+    doc_a < doc_b, shared ahash."""
+    h = image_ahash(documents)
+    a = h.select(F.col("doc_id").alias("doc_a"), "ahash")
+    b = h.select(F.col("doc_id").alias("doc_b"), "ahash")
+    return (
+        a.join(b, "ahash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ahash")
+    )
+
+
+def _ahash_sql_duckdb() -> str:
+    """Closed-form DuckDB aHash: byte i is hex pair i of md5(text)."""
+    byte = "CAST(concat('0x', substring(md5(text), 2*i + 1, 2)) AS BIGINT)"
+    total = (
+        f"list_aggregate(list_transform(range(0, {PAYLOAD_BYTES}), i -> {byte}), 'sum')"
+    )
+    bit = (
+        f"CASE WHEN {byte} > mean THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""SELECT doc_id,
+  CAST(list_aggregate(list_transform(range(0, {PAYLOAD_BYTES}), i -> {bit}),
+       'sum') AS BIGINT) AS ahash
+FROM (SELECT doc_id, text, {total} // {PAYLOAD_BYTES} AS mean FROM documents) m"""
+
+
+def image_ahash_pairs_oracle() -> str:
+    return f"""WITH h AS ({_ahash_sql_duckdb()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ahash
+FROM h a JOIN h b ON a.ahash = b.ahash AND a.doc_id < b.doc_id"""

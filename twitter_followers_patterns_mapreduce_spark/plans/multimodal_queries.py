@@ -99,3 +99,16 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_image_byte_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_byte_stats_arrow(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_image_ahash_pairs",
+    oracle=M.image_ahash_pairs_oracle(),
+    description="image near-dup candidates by perceptual average-hash blocking: "
+    "16-bit aHash per image (strictly-brighter-than-floor-mean bits, exact integer "
+    "math, vectorized numpy over Arrow mapInPandas), then a bucket equi-join on the "
+    "hash — the image-side mirror of the SimHash table, never an all-pairs cross; "
+    "closed-form hex oracle",
+)
+def mm_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.image_ahash_pairs(load_table(spark, sf_dir, "documents"))
