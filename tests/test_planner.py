@@ -659,3 +659,72 @@ def test_join_strategy_advisor_decisions(spark):
     peer = spark.range(9_000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
     r = join_strategy_advisor(big, peer, threshold_bytes=1024).first()
     assert (r["strategy"], r["build_side"]) == ("sort_merge", None)
+
+
+def test_bloom_prefilter_matches_python_recompute(spark):
+    """Closed-form Bloom check on a tiny fact/dim pair with a SMALL
+    filter (m=64 bits -> collisions likely, so the false-positive path
+    is actually exercised): every output field must match an
+    independent Python replication of the word-packing and probing, and
+    the soundness gate (no false negatives) must hold."""
+    import hashlib
+
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        bloom_prefilter_twin,
+    )
+
+    M, K = 64, 3
+    dim_rows = [(i, i % 7) for i in range(40)]  # (key, size)
+    fact_rows = [(i % 25, i) for i in range(100)]  # (key, payload)
+    dim = spark.createDataFrame(dim_rows, "p_partkey LONG, p_size LONG")
+    fact = spark.createDataFrame(fact_rows, "l_partkey LONG, l_extendedprice LONG")
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    dkeys = sorted({k for k, sz in dim_rows if sz < 3})
+    words: dict[int, int] = {}
+    for k in dkeys:
+        for j in range(K):
+            pos = h64(f"{k}:{j}") % M
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+
+    def passes(k: int) -> bool:
+        return all(
+            (words.get((h64(f"{k}:{j}") % M) // 32, 0) >> ((h64(f"{k}:{j}") % M) % 32))
+            & 1
+            for j in range(K)
+        )
+
+    from collections import Counter
+
+    fc = Counter(k for k, _ in fact_rows)
+    n_pass_keys = sum(1 for k in fc if passes(k))
+    n_true_keys = sum(1 for k in fc if k in set(dkeys))
+    expect = {
+        "n_dim_keys": len(dkeys),
+        "n_fact_keys": len(fc),
+        "n_fact_rows": 100,
+        "n_keys_pass": n_pass_keys,
+        "n_rows_pass": sum(c for k, c in fc.items() if passes(k)),
+        "n_keys_true": n_true_keys,
+        "n_rows_true": sum(c for k, c in fc.items() if k in set(dkeys)),
+        "n_false_pos_keys": n_pass_keys - n_true_keys,
+        "bits_set": sum(bin(w).count("1") for w in words.values()),
+        "no_false_neg": True,
+    }
+    (row,) = bloom_prefilter_twin(
+        fact, dim, "l_partkey", "p_partkey", "p_size < 3", m_bits=M, k_hash=K
+    ).collect()
+    got = row.asDict()
+    fp_rate = got.pop("fp_rate")
+    assert got == expect
+    import math
+
+    assert fp_rate == math.floor(
+        (expect["n_keys_pass"] - expect["n_keys_true"])
+        / max(expect["n_fact_keys"] - expect["n_keys_true"], 1)
+        * 1_000_000
+    ) / 1_000_000
+    # with m=64 the planted collisions should actually fire
+    assert expect["n_false_pos_keys"] > 0

@@ -960,3 +960,171 @@ SELECT left_rows, right_rows, left_bytes, right_bytes,
        THEN (CASE WHEN left_bytes <= right_bytes THEN 'left' ELSE 'right' END)
        END AS build_side
 FROM l CROSS JOIN r"""
+
+
+def bloom_prefilter_twin(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    dim_pred: str,
+    m_bits: int = 16384,
+    k_hash: int = 4,
+) -> DataFrame:
+    """Bloom-filter runtime-prefilter EXECUTION TWIN — the join-family
+    companion of ``salted_skew_join``/``bucketed_join_twin``: Spark 3's
+    runtime row-group filtering (``spark.sql.optimizer.runtime.
+    bloomFilter.enabled``) materialized as an explicit, deterministic
+    plan so its effect is measurable and oracle-checkable.  A selective
+    dim predicate builds an ``m_bits``-bit Bloom filter (``k_hash``
+    h64-derived probes per key, packed 32 bits per BIGINT word via one
+    ``bit_or`` hash-agg — 32-bit lanes because DuckDB's ``<<`` is a
+    CHECKED shift that overflows at bit 63), the ≤m/32-row word table
+    broadcasts, and the
+    fact side is pruned to bloom-passing keys BEFORE any shuffle join
+    would run — at 100 TB this is the difference between shuffling the
+    full fact table and shuffling the semi-join survivors, bought for
+    one broadcast of a few KB.
+
+    Everything is deterministic (content-hash probes, never a seeded
+    BloomFilter object), so the false-positive count is a FIXED number
+    both engines reproduce exactly — the fp-rate is measured, not
+    modeled.  The exact semi-join companion rides the same per-key
+    count table; ``no_false_neg`` is the Bloom soundness gate (a true
+    key must always pass) the oracle pins TRUE.
+
+    Output (1 row): n_dim_keys, n_fact_keys, n_fact_rows, n_keys_pass,
+    n_rows_pass, n_keys_true, n_rows_true, n_false_pos_keys, fp_rate,
+    bits_set, no_false_neg.
+    """
+    n_words = m_bits // 32
+    dkeys = (
+        dim.where(dim_pred)
+        .selectExpr(f"CAST({dim_key} AS BIGINT) AS k")
+        .distinct()
+    )
+    h = h64_sql("concat(cast(k as string), ':', cast(j as string))", "spark")
+    dpos = dkeys.selectExpr(
+        "k", f"explode(sequence(0, {k_hash - 1})) AS j"
+    ).selectExpr(f"({h}) % {m_bits} AS pos")
+    words = (
+        dpos.selectExpr("pos div 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
+    )
+    fkeys = fact.groupBy(
+        F.expr(f"CAST({fact_key} AS BIGINT)").alias("k")
+    ).agg(F.count("*").cast("long").alias("c"))
+    probes = fkeys.selectExpr(
+        "k", "c", f"explode(sequence(0, {k_hash - 1})) AS j"
+    ).selectExpr("k", "c", f"({h}) % {m_bits} AS pos")
+    hits = (
+        probes.selectExpr(
+            "k", "c", "pos div 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit"
+        )
+        .join(F.broadcast(words), "word_idx", "left")
+        .selectExpr(
+            "k",
+            "c",
+            "coalesce(shiftright(word, bit) & CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
+            " = 1 AS hit",
+        )
+        .groupBy("k", "c")
+        .agg(F.expr("bool_and(hit)").alias("passed"))
+    )
+    flags = hits.join(
+        dkeys.selectExpr("k", "CAST(1 AS INT) AS is_true"), "k", "left"
+    ).selectExpr("k", "c", "passed", "coalesce(is_true, 0) = 1 AS is_true")
+    summary = flags.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_fact_keys"),
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_fact_rows"),
+        F.expr("CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_keys_pass"
+        ),
+        F.expr("CAST(SUM(CASE WHEN passed THEN c ELSE 0 END) AS BIGINT)").alias(
+            "n_rows_pass"
+        ),
+        F.expr("CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_keys_true"
+        ),
+        F.expr("CAST(SUM(CASE WHEN is_true THEN c ELSE 0 END) AS BIGINT)").alias(
+            "n_rows_true"
+        ),
+        F.expr("bool_and(passed OR NOT is_true)").alias("no_false_neg"),
+    ).selectExpr("*", "n_fact_keys - n_fact_keys AS _k")
+    ndim = dkeys.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_dim_keys")).selectExpr(
+        "n_dim_keys", "n_dim_keys - n_dim_keys AS _k"
+    )
+    nbits = words.agg(
+        F.expr("CAST(SUM(bit_count(word)) AS BIGINT)").alias("bits_set")
+    ).selectExpr("bits_set", "bits_set - bits_set AS _k")
+    return (
+        summary.join(F.broadcast(ndim), "_k")
+        .join(F.broadcast(nbits), "_k")
+        .selectExpr(
+            "n_dim_keys",
+            "n_fact_keys",
+            "n_fact_rows",
+            "n_keys_pass",
+            "n_rows_pass",
+            "n_keys_true",
+            "n_rows_true",
+            "n_keys_pass - n_keys_true AS n_false_pos_keys",
+            "floor(CAST(n_keys_pass - n_keys_true AS DOUBLE) / "
+            f"greatest(CAST(n_fact_keys - n_keys_true AS DOUBLE), 1.0) {_F6} AS fp_rate",
+            "bits_set",
+            "no_false_neg",
+        )
+    )
+
+
+def bloom_prefilter_oracle(
+    fact_table: str,
+    dim_table: str,
+    fact_key: str,
+    dim_key: str,
+    dim_pred: str,
+    m_bits: int = 16384,
+    k_hash: int = 4,
+) -> str:
+    h = h64_sql("concat(CAST(k AS VARCHAR), ':', CAST(j AS VARCHAR))", "duckdb")
+    return f"""WITH dkeys AS (
+  SELECT DISTINCT CAST({dim_key} AS BIGINT) AS k FROM {dim_table} WHERE {dim_pred}
+), js AS (SELECT unnest(range(0, {k_hash})) AS j),
+dpos AS (SELECT ({h}) % {m_bits} AS pos FROM dkeys CROSS JOIN js),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM dpos GROUP BY 1
+), fkeys AS (
+  SELECT CAST({fact_key} AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {fact_table} GROUP BY 1
+), probes AS (
+  SELECT k, c, ({h}) % {m_bits} AS pos FROM fkeys CROSS JOIN js
+), hits AS (
+  SELECT k, c,
+         bool_and(coalesce((w.word >> CAST(p.pos % 32 AS INT)) & CAST(1 AS BIGINT),
+                           CAST(0 AS BIGINT)) = 1) AS passed
+  FROM probes p LEFT JOIN words w ON w.word_idx = p.pos // 32
+  GROUP BY k, c
+), flags AS (
+  SELECT h.k, h.c, h.passed, (d.k IS NOT NULL) AS is_true
+  FROM hits h LEFT JOIN dkeys d ON d.k = h.k
+), summary AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fact_keys,
+         CAST(SUM(c) AS BIGINT) AS n_fact_rows,
+         CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_pass,
+         CAST(SUM(CASE WHEN passed THEN c ELSE 0 END) AS BIGINT) AS n_rows_pass,
+         CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_true,
+         CAST(SUM(CASE WHEN is_true THEN c ELSE 0 END) AS BIGINT) AS n_rows_true,
+         bool_and(passed OR NOT is_true) AS no_false_neg
+  FROM flags
+), ndim AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dim_keys FROM dkeys),
+nbits AS (SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS bits_set FROM words)
+SELECT n_dim_keys, n_fact_keys, n_fact_rows, n_keys_pass, n_rows_pass,
+  n_keys_true, n_rows_true,
+  n_keys_pass - n_keys_true AS n_false_pos_keys,
+  floor(CAST(n_keys_pass - n_keys_true AS DOUBLE) /
+        greatest(CAST(n_fact_keys - n_keys_true AS DOUBLE), 1.0) {_F6} AS fp_rate,
+  bits_set, no_false_neg
+FROM summary CROSS JOIN ndim CROSS JOIN nbits"""

@@ -1173,3 +1173,26 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.trimmed_mean(load_table(spark, sf_dir, "lineitem"), "l_extendedprice", trim=0.05)
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=PL.bloom_prefilter_oracle(
+        "lineitem", "part", "l_partkey", "p_partkey", "p_size < 15"
+    ),
+    description="Bloom runtime-prefilter execution twin: a selective part predicate "
+    "builds a 16384-bit / 4-probe content-hash Bloom filter as word-packed 32-bit lanes "
+    "(one bit_or hash-agg), the <=512-row word table broadcasts, and lineitem keys "
+    "are pruned BEFORE any shuffle join would run — deterministic probes make the "
+    "false-positive count exact in both engines (measured, not modeled), with the "
+    "semi-join truth riding the same per-key count table and the no-false-negative "
+    "soundness gate pinned TRUE",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PL.bloom_prefilter_twin(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        "l_partkey",
+        "p_partkey",
+        "p_size < 15",
+    )
