@@ -629,3 +629,39 @@ def test_ckpt_fallback_warns_loudly_once(spark, monkeypatch):
     assert len(warns) == 1
     assert "localCheckpoint" in str(warns[0].message)
     assert sorted(r["a"] for r in out.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_betweenness_landmark_diamond_chain_closed_form(spark):
+    """Hand-computed Brandes on a diamond with a tail: 0->1->3, 0->2->3,
+    3->4, landmark 0 only (mod=100).  sigma(3)=2, delta(3)=(2/2)(1+0)=1,
+    delta(1)=delta(2)=(1/2)(1+1)=1 — all exactly 1.0 in micro units."""
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        betweenness_landmark,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src LONG, dst LONG"
+    )
+    rows = {
+        r["id"]: (r["bw_micro"], r["n_landmarks"])
+        for r in betweenness_landmark(e, mod=100, max_depth=3).collect()
+    }
+    assert rows == {1: (1_000_000, 1), 2: (1_000_000, 1), 3: (1_000_000, 1)}
+
+
+def test_betweenness_landmark_split_ratio(spark):
+    """Unequal sigma split: 0->1->3, 0->2->3 plus a THIRD parallel path
+    0->5->3 gives sigma(3)=3 and delta(mid)=1/3 each -> 333333 micro
+    (floor of 1e6/3 + 0.5), pinning the ratio and the grid rounding."""
+    from twitter_followers_patterns_mapreduce_spark.operators.graph_iter import (
+        betweenness_landmark,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 5), (1, 3), (2, 3), (5, 3)], "src LONG, dst LONG"
+    )
+    rows = {
+        r["id"]: r["bw_micro"]
+        for r in betweenness_landmark(e, mod=100, max_depth=3).collect()
+    }
+    assert rows == {1: 333_333, 2: 333_333, 5: 333_333}

@@ -1949,3 +1949,199 @@ SELECT n_nodes, CAST({top_k} AS BIGINT) AS n_hubs_removed,
   giant_after0 AS giant_after,
   n_isolated_after
 FROM totals CROSS JOIN before CROSS JOIN after0 CROSS JOIN isolated"""
+
+
+#: One Brandes dependency term on the 1e-6 integer grid — the device
+#: that makes the backward pass hash-gateable: σ_v/σ_w is ONE correctly
+#: rounded IEEE division (σ_w = Σ predecessors ≥ σ_v, so the ratio is
+#: ≤ 1), the (1 + δ_w/1e6) factor and the product are each one rounded
+#: op on identical inputs in both engines, and the floored micro-term
+#: is a BIGINT whose per-node SUM is exact and order-free — a double
+#: SUM here would be shuffle-order dependent and break the oracle hash.
+_BRANDES_TERM = (
+    "CAST(FLOOR(1000000.0 * ((CAST({sv} AS DOUBLE) / CAST({sw} AS DOUBLE)) * "
+    "(1.0 + CAST({dw} AS DOUBLE) / 1000000.0)) + 0.5) AS BIGINT)"
+)
+
+
+def betweenness_landmark(
+    edges: DataFrame, mod: int = 20, max_depth: int = 3
+) -> DataFrame:
+    """Landmark-sampled betweenness centrality (Brandes 2001, the
+    standard sampled estimator: exact dependency accumulation from a
+    deterministic source sample, here ids ≡ 0 mod ``mod`` — never a
+    rand() source set): which nodes sit on the shortest paths of the
+    follow graph — the brokerage score closeness/PageRank don't give.
+
+    FORWARD: one synchronized multi-source BFS keyed by (landmark,
+    node) — the ``landmark_closeness`` state shape — except the
+    frontier carries σ (shortest-path counts): each pass is one
+    frontier⋈edges join + a SUM(σ) hash-agg per new node, anti-joined
+    against settled.  BACKWARD (Brandes): δ(v) = Σ_{w∈succ}
+    (σ_v/σ_w)(1+δ_w) accumulated depth-by-depth from ``max_depth``
+    down, each pass one settled⋈edges⋈settled equi-join + a BIGINT
+    hash-agg of micro-unit terms (``_BRANDES_TERM``).  Both directions
+    are |L|·deg-driven equi-joins; horizon-bounded like every landmark
+    op here (the oracle unrolls the same bound).
+
+    Output: (id, bw_micro, n_landmarks) for nodes with positive
+    accumulated dependency — bw_micro/1e6 ≈ Σ_{s∈L} δ_s(v), the
+    unnormalized sampled betweenness.
+    """
+    e = edges.select("src", "dst").distinct().transform(_ckpt)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    lm = nodes.where(F.col("id") % mod == 0)
+    # settled σ-state: (landmark, id, dist, sigma); seed σ(s,s)=1
+    sig = lm.select(
+        F.col("id").alias("landmark"),
+        F.col("id"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).transform(_ckpt)
+    frontier = sig
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("landmark", F.col("dst").alias("id"), "sigma")
+            .groupBy("landmark", "id")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(sig.select("landmark", "id"), ["landmark", "id"], "left_anti")
+            .select(
+                "landmark", "id", F.lit(d).cast("long").alias("dist"), "sigma"
+            )
+            .transform(_ckpt)
+        )
+        sig = sig.unionAll(nxt).transform(_ckpt)
+        frontier = nxt
+    # backward dependency accumulation, deepest level first (δ there 0);
+    # every INTERMEDIATE level (dist 1..max_depth-1) contributes to the
+    # final score — the source level itself is excluded by definition
+    delta = None  # (landmark, id, delta_micro) for dist == current d+1
+    all_deltas = []
+    for d in range(max_depth - 1, 0, -1):
+        lvl = sig.where(F.col("dist") == d).select(
+            "landmark", "id", F.col("sigma").alias("sigma_v")
+        )
+        succ = sig.where(F.col("dist") == d + 1).select(
+            F.col("landmark").alias("slm"),
+            F.col("id").alias("wid"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        j = (
+            lvl.join(e, lvl["id"] == e["src"])
+            .join(
+                succ,
+                (F.col("slm") == F.col("landmark"))
+                & (F.col("wid") == F.col("dst")),
+            )
+            .select("landmark", "id", "sigma_v", "wid", "sigma_w")
+        )
+        if delta is not None:
+            j = j.join(
+                delta.select(
+                    F.col("landmark").alias("dl"),
+                    F.col("id").alias("dwid"),
+                    F.col("delta_micro").alias("dw"),
+                ),
+                (F.col("dl") == F.col("landmark"))
+                & (F.col("dwid") == F.col("wid")),
+                "left",
+            ).select(
+                "landmark",
+                "id",
+                "sigma_v",
+                "sigma_w",
+                F.coalesce(F.col("dw"), F.lit(0).cast("long")).alias("dw"),
+            )
+        else:
+            j = j.select(
+                "landmark",
+                "id",
+                "sigma_v",
+                "sigma_w",
+                F.lit(0).cast("long").alias("dw"),
+            )
+        term = _BRANDES_TERM.format(sv="sigma_v", sw="sigma_w", dw="dw")
+        delta = (
+            j.selectExpr("landmark", "id", f"{term} AS t")
+            .groupBy("landmark", "id")
+            .agg(F.sum("t").cast("long").alias("delta_micro"))
+            .transform(_ckpt)
+        )
+        all_deltas.append(delta)
+    acc = all_deltas[0]
+    for piece in all_deltas[1:]:
+        acc = acc.unionAll(piece)
+    bw = (
+        acc.where(F.col("id") != F.col("landmark"))
+        .groupBy("id")
+        .agg(
+            F.sum("delta_micro").cast("long").alias("bw_micro"),
+            F.count("*").cast("long").alias("n_landmarks"),
+        )
+        .where(F.col("bw_micro") > 0)
+    )
+    return bw
+
+
+def betweenness_landmark_oracle(
+    edges_cte: str, mod: int = 20, max_depth: int = 3
+) -> str:
+    """Unrolled-CTE mirror: walk counts per depth give (dist, σ) as
+    (MIN depth, count at that depth); the backward pass unrolls one CTE
+    per depth with the same micro-unit term."""
+    walks = ["w0(landmark, id, c) AS (SELECT landmark, landmark, CAST(1 AS BIGINT) FROM lm)"]
+    for d in range(1, max_depth + 1):
+        walks.append(
+            f"w{d}(landmark, id, c) AS (SELECT w.landmark, e.dst, CAST(SUM(w.c) AS BIGINT) "
+            f"FROM w{d - 1} w JOIN e ON w.id = e.src GROUP BY w.landmark, e.dst)"
+        )
+    allw = " UNION ALL ".join(
+        f"SELECT landmark, id, {d} AS d, c FROM w{d}" for d in range(0, max_depth + 1)
+    )
+    deltas = [
+        f"delta{max_depth} AS (SELECT landmark, id, CAST(0 AS BIGINT) AS delta_micro "
+        f"FROM sig WHERE dist = {max_depth} AND 1 = 0)"  # empty: deepest level has δ=0
+    ]
+    term = _BRANDES_TERM.format(
+        sv="v.sigma", sw="sw.sigma", dw="coalesce(dw.delta_micro, 0)"
+    )
+    for d in range(max_depth - 1, 0, -1):
+        deltas.append(
+            f"""delta{d} AS (
+  SELECT v.landmark, v.id, CAST(SUM({term}) AS BIGINT) AS delta_micro
+  FROM sig v
+  JOIN e ON v.id = e.src
+  JOIN sig sw ON sw.landmark = v.landmark AND sw.id = e.dst AND sw.dist = {d + 1}
+  LEFT JOIN delta{d + 1} dw ON dw.landmark = v.landmark AND dw.id = sw.id
+  WHERE v.dist = {d}
+  GROUP BY v.landmark, v.id)"""
+        )
+    walks_sql = ",\n".join(walks)
+    deltas_sql = ",\n".join(deltas)
+    all_delta_sql = " UNION ALL ".join(
+        f"SELECT landmark, id, delta_micro FROM delta{d}"
+        for d in range(1, max_depth)
+    )
+    return f"""WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte}) s0),
+nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) n0),
+lm AS (SELECT id AS landmark FROM nodes WHERE id % {mod} = 0),
+{walks_sql},
+allw AS ({allw}),
+settled AS (SELECT landmark, id, MIN(d) AS dist FROM allw GROUP BY landmark, id),
+sig AS (
+  SELECT s.landmark, s.id, s.dist, w.c AS sigma
+  FROM settled s JOIN allw w
+    ON w.landmark = s.landmark AND w.id = s.id AND w.d = s.dist),
+{deltas_sql},
+alldelta AS ({all_delta_sql})
+SELECT id, CAST(SUM(delta_micro) AS BIGINT) AS bw_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_landmarks
+FROM alldelta
+WHERE id <> landmark
+GROUP BY id
+HAVING SUM(delta_micro) > 0"""

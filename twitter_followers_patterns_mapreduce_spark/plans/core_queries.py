@@ -1045,3 +1045,24 @@ def graph_sssp_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_hub_attack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GI.hub_attack_tolerance(_sparse_edges(spark, sf_dir), top_k=5)
+
+
+@register(
+    "graph_betweenness_landmark",
+    oracle=GI.betweenness_landmark_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}",
+        mod=20,
+        max_depth=3,
+    ),
+    description="landmark-sampled Brandes betweenness: multi-source BFS carrying "
+    "shortest-path counts (the landmark_closeness state shape + a SUM(sigma) agg "
+    "per pass), then the backward dependency accumulation depth-by-depth as "
+    "settled-edges-settled equi-joins — delta terms on the 1e-6 integer grid so "
+    "per-node sums are exact BIGINTs (a double SUM would be shuffle-order "
+    "dependent); bounded horizon, deterministic mod-20 sources, oracle unrolls "
+    "both directions",
+)
+def graph_betweenness_landmark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
+    return GI.betweenness_landmark(e, mod=20, max_depth=3)
