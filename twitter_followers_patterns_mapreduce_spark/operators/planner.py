@@ -997,21 +997,46 @@ def bloom_prefilter_twin(
     n_rows_pass, n_keys_true, n_rows_true, n_false_pos_keys, fp_rate,
     bits_set, no_false_neg.
     """
-    n_words = m_bits // 32
     dkeys = (
         dim.where(dim_pred)
         .selectExpr(f"CAST({dim_key} AS BIGINT) AS k")
         .distinct()
     )
+    words = bloom_build_words(dkeys, m_bits, k_hash)
+    return bloom_score(fact, dkeys, words, fact_key, m_bits, k_hash)
+
+
+def bloom_build_words(
+    dkeys: DataFrame, m_bits: int = 16384, k_hash: int = 4
+) -> DataFrame:
+    """Word table of the content-hash Bloom filter over a ``k``-column
+    key set: ``k_hash`` probe positions per key, packed 32 bits per
+    BIGINT word via one ``bit_or`` hash-agg.  bit_or over words is a
+    COMMUTATIVE MONOID, so word tables built from key-set slices merge
+    by re-aggregation — the property the streamed maintenance class
+    rides."""
     h = h64_sql("concat(cast(k as string), ':', cast(j as string))", "spark")
     dpos = dkeys.selectExpr(
         "k", f"explode(sequence(0, {k_hash - 1})) AS j"
     ).selectExpr(f"({h}) % {m_bits} AS pos")
-    words = (
+    return (
         dpos.selectExpr("pos div 32 AS word_idx", "CAST(pos % 32 AS INT) AS bit")
         .groupBy("word_idx")
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("word"))
     )
+
+
+def bloom_score(
+    fact: DataFrame,
+    dkeys: DataFrame,
+    words: DataFrame,
+    fact_key: str,
+    m_bits: int = 16384,
+    k_hash: int = 4,
+) -> DataFrame:
+    """Probe ``fact``'s keys against a built word table and emit the
+    1-row prefilter summary (see :func:`bloom_prefilter_twin`)."""
+    h = h64_sql("concat(cast(k as string), ':', cast(j as string))", "spark")
     fkeys = fact.groupBy(
         F.expr(f"CAST({fact_key} AS BIGINT)").alias("k")
     ).agg(F.count("*").cast("long").alias("c"))

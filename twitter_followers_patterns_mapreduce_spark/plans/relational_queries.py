@@ -1196,3 +1196,77 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_size < 15",
     )
+
+
+def _stage_part_batches(spark: SparkSession, sf_dir: str, n_batches: int = 4):
+    """Stage the part dim's (p_partkey, p_size) as ``n_batches`` parquet
+    files split by key hash, with every 16th key ALSO re-sent in the
+    next batch (duplicate re-arrival path) — key-set union and bit_or
+    are commutative, so no mtime-ordered replay semantics are needed;
+    ascending mtimes keep the drain deterministic.  State/checkpoint
+    wiped per invocation for a fresh replay."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_bloomstream_{tag}")
+    feed_dir = os.path.join(root, "feed")
+    state_dir = os.path.join(root, "state")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (state_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(feed_dir):
+        os.makedirs(feed_dir)
+        part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+        now = _time.time()
+        for b in range(n_batches):
+            tmp = os.path.join(root, f"stage_b{b}")
+            h = F.pmod(F.xxhash64(F.col("p_partkey")), F.lit(n_batches))
+            dup = F.pmod(F.xxhash64(F.col("p_partkey"), F.lit(1)), F.lit(16))
+            part.where(
+                (h == b)
+                | ((dup == 0) & (F.pmod(h + 1, F.lit(n_batches)) == b))
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            (pf,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dst = os.path.join(feed_dir, f"b{b}.parquet")
+            os.rename(pf, dst)
+            os.utime(dst, (now + b, now + b))
+            shutil.rmtree(tmp)
+    return feed_dir, state_dir, ckpt_dir
+
+
+@register(
+    "join_bloom_prefilter_streamed",
+    oracle=PL.bloom_prefilter_oracle(
+        "lineitem", "part", "l_partkey", "p_partkey", "p_size < 15"
+    ),
+    description="streamed Bloom runtime-filter maintenance (twentieth streaming "
+    "class): dim rows drain as 4 micro-batches (with duplicate re-arrivals) into "
+    "versioned key-set + word-table state — per batch an anti-join isolates "
+    "genuinely-new keys, probe words are built for the delta alone, and the "
+    "standing <=512-row word table folds them in by bit_or re-aggregation; set "
+    "union and bit_or are commutative monoids, so the drained filter equals the "
+    "one-shot build under any chunking and the query shares the batch twin's "
+    "full-recompute oracle, scoring lineitem against the STANDING state with the "
+    "no-false-negative soundness gate",
+)
+def join_bloom_prefilter_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from twitter_followers_patterns_mapreduce_spark.streaming.bloom import (
+        bloom_apply_stream,
+        bloom_score_from_state,
+        dim_file_stream,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_part_batches(spark, sf_dir)
+    bloom_apply_stream(
+        spark, dim_file_stream(spark, feed_dir), state_dir, ckpt_dir
+    )
+    return bloom_score_from_state(
+        spark, state_dir, load_table(spark, sf_dir, "lineitem"), "l_partkey"
+    )
