@@ -554,3 +554,30 @@ def test_revenue_theil_bounds_and_equality_case(spark):
     want = sum((x / mu) * math.log(x / mu) for x in xs) / 4
     assert abs(skew["theil"] - want) < 2e-6
     assert 0 < skew["theil"] < math.log(4)
+
+
+def test_skyline_2d_closed_form_with_ties_and_dups(spark):
+    """Hand-checked dominance: duplicates aggregate into n_rows, an
+    equal-y at smaller x dominates (strict rule), and the frontier is
+    exactly the undominated point set regardless of bucketing width."""
+    from twitter_followers_patterns_mapreduce_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    pts = [
+        (1, 9), (1, 9),        # frontier (dup -> n_rows 2)
+        (2, 7),                # frontier
+        (3, 7),                # dominated by (2,7): equal y, smaller x
+        (4, 3),                # frontier
+        (5, 3),                # dominated by (4,3)
+        (6, 8),                # dominated by (2,7)
+        (7, 1),                # frontier
+        (8, 2),                # dominated by (7,1)
+    ]
+    df = spark.createDataFrame(pts, "a LONG, b LONG")
+    for nb in (1, 3, 64):
+        got = {
+            (r["x"], r["y"]): r["n_rows"]
+            for r in skyline_2d(df, "a", "b", n_buckets=nb).collect()
+        }
+        assert got == {(1, 9): 2, (2, 7): 1, (4, 3): 1, (7, 1): 1}, nb

@@ -2516,3 +2516,99 @@ SELECT n AS n_customers,
   floor(CAST(s AS DOUBLE) / n / 100 * 1000000) / 1000000 AS mean_revenue,
   floor(CAST(SUM(t9) AS DOUBLE) / n / 1000000000 * 1000000) / 1000000 AS theil
 FROM terms GROUP BY n, s"""
+
+
+_LMAX = 9223372036854775807  # BIGINT "infinity" seed for prefix mins
+
+
+def skyline_2d(
+    df: DataFrame, x_expr: str, y_expr: str, n_buckets: int = 64
+) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier, minimize both axes): the points no
+    other point beats on BOTH coordinates — the classic multi-objective
+    OLAP operator (Börzsönyi et al., ICDE 2001) the TPC-H family lacks.
+
+    Naive skyline is an all-pairs dominance theta-join; the sort-based
+    identity makes it linear: collapse to the per-x minimum y, then a
+    point survives iff ``y < min(y' : x' < x)`` (strict — an equal y at
+    a smaller x dominates).  That running strict-prefix-min over the
+    global x-order would be a single-task WindowExec, so it is split by
+    the house two-level discipline (the ``negative_samples`` index
+    decomposition): range-bucket x into ≤``n_buckets`` value buckets
+    (width derived from the 1-row min/max aggregate), run the
+    partitioned exclusive running min WITHIN each bucket, and combine
+    with the exclusive prefix min of per-bucket minima computed on the
+    ≤B-row bucket spine via the sort_array + transform/aggregate
+    fold — zero unpartitioned windows, no driver collect, all-BIGINT
+    comparisons.  Output: (x, y, n_rows) per skyline point.
+    """
+    pts = df.selectExpr(f"CAST({x_expr} AS BIGINT) AS x", f"CAST({y_expr} AS BIGINT) AS y")
+    pxy = pts.groupBy("x", "y").agg(F.count("*").cast("long").alias("n_rows"))
+    perx = pxy.groupBy("x").agg(F.min("y").alias("y"))
+    rng = pts.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1")
+    ).selectExpr("x0", f"(x1 - x0) div {n_buckets} + 1 AS w", "x0 - x0 AS _k")
+    bucketed = (
+        perx.selectExpr("x", "y", "pmod(x, 1) AS _k")
+        .join(F.broadcast(rng), "_k")
+        .selectExpr("x", "y", "(x - x0) div w AS bkt")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("x").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = bucketed.withColumn("run_min", F.min("y").over(w_in))
+    offs = (
+        bucketed.groupBy("bkt")
+        .agg(F.min("y").alias("bmin"))
+        .agg(F.sort_array(F.collect_list(F.struct("bkt", "bmin"))).alias("arr"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(arr, (x, i) -> struct(x.bkt AS bkt, "
+                    f"aggregate(slice(arr, 1, i), CAST({_LMAX} AS BIGINT), "
+                    "(a, y) -> least(a, y.bmin)) AS pmin))"
+                )
+            ).alias("o")
+        )
+        .select("o.bkt", "o.pmin")
+    )
+    sky = (
+        within.join(F.broadcast(offs), "bkt")
+        .selectExpr(
+            "x",
+            "y",
+            f"least(coalesce(run_min, CAST({_LMAX} AS BIGINT)), pmin) AS prev_min",
+        )
+        .where(F.col("y") < F.col("prev_min"))
+        .select("x", "y")
+    )
+    return sky.join(pxy, ["x", "y"]).select("x", "y", "n_rows")
+
+
+def part_skyline(part: DataFrame) -> DataFrame:
+    """Pareto-optimal parts on (retail price, size): no other part is
+    both cheaper-or-equal AND smaller-or-equal (strictly better in at
+    least one).  Price compares in exact cents."""
+    return skyline_2d(
+        part, "p_retailprice * 100", "p_size"
+    ).selectExpr(
+        "x AS price_cents", "y AS p_size", "n_rows AS n_parts"
+    )
+
+
+def part_skyline_oracle() -> str:
+    """INDEPENDENT quadratic formulation — NOT EXISTS dominance over
+    the distinct point set (fine at oracle scale; the Spark plan is the
+    linear sort-based one, which is the point of the pairing)."""
+    return """WITH pxy AS (
+  SELECT CAST(p_retailprice * 100 AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2)
+SELECT p.x AS price_cents, p.y AS p_size, p.n AS n_parts
+FROM pxy p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pxy q
+  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))"""

@@ -1270,3 +1270,17 @@ def join_bloom_prefilter_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     return bloom_score_from_state(
         spark, state_dir, load_table(spark, sf_dir, "lineitem"), "l_partkey"
     )
+
+
+@register(
+    "part_skyline",
+    oracle=R.part_skyline_oracle(),
+    description="2-D skyline / Pareto frontier over part (minimize retail price in "
+    "exact cents AND size): sort-based linear identity — per-x min, then survive "
+    "iff y < strict prefix min — decomposed by the house two-level discipline "
+    "(partitioned within-bucket running min + exclusive bucket-spine prefix min "
+    "via the sort_array fold, zero unpartitioned windows); oracle is the "
+    "INDEPENDENT quadratic NOT-EXISTS dominance formulation",
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.part_skyline(load_table(spark, sf_dir, "part"))
