@@ -267,3 +267,55 @@ def test_dsir_select_matches_reference_formula(spark):
     # returned in score order, doc_id tie-break
     scores = [(r["dsir_score_micro"], -r["doc_id"]) for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_classifier_learns_separable_corpus(spark):
+    """Behavioral pin on a linearly separable corpus: curated docs use
+    one vocabulary, junk another, and two unlabeled-style raw docs echo
+    one side each.  After 3 rounds the curated-vocabulary docs must
+    outscore the junk-vocabulary ones, scores stay in [0,1] on the
+    6dp grid, keep == (score >= 0.5), and the result is invariant to
+    input partitioning (DECIMAL reductions are order-free)."""
+    from twitter_followers_patterns_mapreduce_spark.operators.splits import (
+        quality_classifier_scores,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha beta", "curated"),
+        (1, "beta gamma alpha gamma", "curated"),
+        (2, "alpha gamma beta beta", "curated"),
+        (3, "zap zap junk spam junk", "web"),
+        (4, "spam junk zap spam", "web"),
+        (5, "alpha beta gamma beta", "web"),   # curated-like raw doc
+        (6, "junk spam zap zap", "web"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(
+            docs, b_buckets=128, iters=3, lr=1.0, target_sources=("curated",)
+        ).collect()
+    }
+    assert {i: out[i]["y"] for i in range(7)} == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0}
+    for r in out.values():
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["keep"] == (r["score"] >= 0.5)
+    # curated vocabulary outscores junk vocabulary — including the
+    # curated-LIKE raw doc over every junk doc
+    assert min(out[i]["score"] for i in (0, 1, 2, 5)) > max(
+        out[i]["score"] for i in (3, 4, 6)
+    )
+    out2 = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier_scores(
+            docs.repartition(7),
+            b_buckets=128,
+            iters=3,
+            lr=1.0,
+            target_sources=("curated",),
+        ).collect()
+    }
+    assert out2 == {i: out[i]["score"] for i in out}

@@ -510,6 +510,39 @@ SELECT CAST({k} AS BIGINT) AS k, n_docs, tau,
 FROM est CROSS JOIN exact"""
 
 
+def _hashed_feats(
+    documents: DataFrame, b_buckets: int, target_sources: tuple[str, ...]
+) -> DataFrame:
+    """Spark side of the hashed-bigram feature stream (one row per
+    unigram AND per adjacent-bigram OCCURRENCE, content-hash bucketed):
+    ``(doc_id, source, is_tgt, bucket)`` — shared by the DSIR sampler
+    and the discriminative quality classifier, which model the SAME
+    curated-vs-raw task generatively and discriminatively."""
+    from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
+
+    toks = tokens_sql("text", "spark")
+    tgt = "source IN ({})".format(", ".join(f"'{s}'" for s in target_sources))
+    base = documents.selectExpr(
+        "doc_id", "source", f"CAST({tgt} AS INT) AS is_tgt", f"{toks} AS toks"
+    )
+    bigrams = (
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks)-1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1))) "
+        "ELSE array() END"
+    )
+    h = h64_sql("feat", "spark")
+    # h64 is a 60-bit non-negative value, so plain % == pmod in both engines
+    return (
+        base.selectExpr("doc_id", "source", "is_tgt", "explode(toks) AS feat")
+        .unionByName(
+            base.selectExpr(
+                "doc_id", "source", "is_tgt", f"explode({bigrams}) AS feat"
+            )
+        )
+        .selectExpr("doc_id", "source", "is_tgt", f"({h}) % {b_buckets} AS bucket")
+    )
+
+
 def _dsir_feats_duckdb(b_buckets: int, target_sources: tuple[str, ...]) -> str:
     """The oracle's mirror of the hashed-bigram feature stream: one row
     per unigram AND per adjacent-bigram OCCURRENCE (bag counts, not
@@ -582,29 +615,7 @@ def dsir_weights(
     ln rides the 1e-6 micro grid (see ``_DSIR_W``).  Output (k rows):
     doc_id, source, n_feats, dsir_score_micro.
     """
-    from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
-
-    toks = tokens_sql("text", "spark")
-    tgt = "source IN ({})".format(", ".join(f"'{s}'" for s in target_sources))
-    base = documents.selectExpr(
-        "doc_id", "source", f"CAST({tgt} AS INT) AS is_tgt", f"{toks} AS toks"
-    )
-    bigrams = (
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks)-1), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1))) "
-        "ELSE array() END"
-    )
-    h = h64_sql("feat", "spark")
-    # h64 is a 60-bit non-negative value, so plain % == pmod in both engines
-    feats = (
-        base.selectExpr("doc_id", "source", "is_tgt", "explode(toks) AS feat")
-        .unionByName(
-            base.selectExpr(
-                "doc_id", "source", "is_tgt", f"explode({bigrams}) AS feat"
-            )
-        )
-        .selectExpr("doc_id", "source", "is_tgt", f"({h}) % {b_buckets} AS bucket")
-    )
+    feats = _hashed_feats(documents, b_buckets, target_sources)
     bucket_counts = feats.groupBy("bucket").agg(
         F.sum("is_tgt").cast("long").alias("t_f"),
         F.sum(F.expr("1 - is_tgt")).cast("long").alias("r_f"),
@@ -665,3 +676,164 @@ FROM df JOIN w USING (bucket)
 GROUP BY doc_id, source
 ORDER BY dsir_score_micro DESC, doc_id ASC
 LIMIT {k}"""
+
+
+_DEC_Q = "decimal(28,12)"  # the logreg family's order-free reduction type
+
+
+def quality_classifier_scores(
+    documents: DataFrame,
+    b_buckets: int = 512,
+    iters: int = 3,
+    lr: float = 0.5,
+    target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
+) -> DataFrame:
+    """fastText-style DISCRIMINATIVE quality classifier — the canonical
+    pretraining filter (a linear model over hashed n-gram features
+    trained to tell the curated slice from the raw pool, the GPT-3/
+    CCNet-lineage recipe) and the discriminative sibling of
+    :func:`dsir_weights`, sharing its exact feature stream.
+
+    Spark-first training: the model is a ≤(B+1)-row (bucket, weight)
+    TABLE that never leaves the executors — each of the ``iters``
+    logistic-regression rounds is two equi-joins against the sparse
+    per-doc feature table (z-scores, then gradient) plus one ≤B-row
+    weight update; the bias is a pseudo-feature (bucket −1, x = 1), so
+    the whole round is uniform hash-agg algebra.  Per-doc features are
+    length-normalized counts (x = cnt/Σcnt).
+
+    Exactness contract (the ``_logreg_weights`` discipline): every
+    accumulating SUM casts its per-term double product to DECIMAL so
+    the reduction is order-free and identical under any partitioning;
+    z → sigmoid → residual is a fixed chain of IEEE/libm ops on
+    identical inputs; scores emit floored at 6dp.  The oracle unrolls
+    the training rounds as CTEs and matches bit-for-bit.
+
+    Output (one row per doc): doc_id, y, score, keep.
+    """
+    feats = _hashed_feats(documents, b_buckets, target_sources)
+    docx = feats.groupBy("doc_id", "is_tgt", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = docx.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("nt"))
+    tgt = "source IN ({})".format(", ".join(f"'{s}'" for s in target_sources))
+    base = documents.selectExpr("doc_id", f"CAST({tgt} AS INT) AS is_tgt")
+    x = (
+        docx.join(tot, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "is_tgt",
+            "bucket",
+            "CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE) AS x",
+        )
+        .unionByName(
+            base.selectExpr(
+                "doc_id", "is_tgt", "CAST(-1 AS BIGINT) AS bucket", "1.0 AS x"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    # corpus size: one metadata-sized action (the logreg-family
+    # bounded control-plane collect)
+    n_docs = base.count()
+    w = x.select("bucket").distinct().withColumn("w", F.lit(0.0))
+    for _ in range(iters):
+        z = (
+            x.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.max("is_tgt").alias("y"),
+                F.expr(
+                    f"CAST(SUM(CAST(x * w AS {_DEC_Q})) AS DOUBLE)"
+                ).alias("z"),
+            )
+            .selectExpr(
+                "doc_id",
+                "CAST(y AS DOUBLE) - 1.0 / (1.0 + exp(-z)) AS r",
+            )
+        )
+        g = (
+            x.join(z, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.expr(
+                    f"CAST(SUM(CAST(x * r AS {_DEC_Q})) AS DOUBLE)"
+                    f" / CAST({n_docs} AS DOUBLE)"
+                ).alias("g")
+            )
+        )
+        w = (
+            w.join(g, "bucket")
+            .selectExpr("bucket", f"w + {lr!r} * g AS w")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        x.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max("is_tgt").cast("long").alias("y"),
+            F.expr(f"CAST(SUM(CAST(x * w AS {_DEC_Q})) AS DOUBLE)").alias("z"),
+        )
+        .selectExpr(
+            "doc_id",
+            "y",
+            "floor((1.0 / (1.0 + exp(-z))) * 1000000) / 1000000 AS score",
+        )
+        .withColumn("keep", (F.col("score") >= 0.5).cast("boolean"))
+    )
+
+
+def quality_classifier_oracle(
+    b_buckets: int = 512,
+    iters: int = 3,
+    lr: float = 0.5,
+    target_sources: tuple[str, ...] = ("src0", "src1", "src2", "src3"),
+) -> str:
+    feats = _dsir_feats_duckdb(b_buckets, target_sources)
+    tgt = "source IN ({})".format(", ".join(f"'{s}'" for s in target_sources))
+    rounds = []
+    prev_w = "w0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT x.doc_id,
+         CAST(MAX(x.is_tgt) AS DOUBLE)
+           - 1.0 / (1.0 + exp(-CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12)))
+                                    AS DOUBLE))) AS r
+  FROM x JOIN {prev_w} w USING (bucket) GROUP BY x.doc_id
+), g{i} AS (
+  SELECT x.bucket,
+         CAST(SUM(CAST(x.x * r.r AS DECIMAL(28,12))) AS DOUBLE)
+           / CAST(n.n AS DOUBLE) AS g
+  FROM x JOIN r{i} r USING (doc_id) CROSS JOIN n GROUP BY x.bucket, n.n
+), w{i} AS (
+  SELECT w.bucket, w.w + {lr!r} * g.g AS w
+  FROM {prev_w} w JOIN g{i} g USING (bucket)
+)"""
+        )
+        prev_w = f"w{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""WITH feats AS (SELECT * FROM {feats} f2),
+docx AS (
+  SELECT doc_id, is_tgt, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM feats GROUP BY doc_id, is_tgt, bucket
+), tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nt FROM docx GROUP BY doc_id),
+base AS (SELECT doc_id, CAST({tgt} AS INT) AS is_tgt FROM documents),
+x AS (
+  SELECT d.doc_id, d.is_tgt, d.bucket,
+         CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+  FROM docx d JOIN tot USING (doc_id)
+  UNION ALL
+  SELECT doc_id, is_tgt, CAST(-1 AS BIGINT), 1.0 FROM base
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM x),
+{rounds_sql}
+SELECT x.doc_id,
+       CAST(MAX(x.is_tgt) AS BIGINT) AS y,
+       floor((1.0 / (1.0 + exp(-CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12)))
+                                     AS DOUBLE)))) * 1000000) / 1000000 AS score,
+       floor((1.0 / (1.0 + exp(-CAST(SUM(CAST(x.x * w.w AS DECIMAL(28,12)))
+                                     AS DOUBLE)))) * 1000000) / 1000000 >= 0.5
+         AS keep
+FROM x JOIN {prev_w} w USING (bucket)
+GROUP BY x.doc_id"""

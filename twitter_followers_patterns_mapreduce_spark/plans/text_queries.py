@@ -765,3 +765,20 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.dsir_weights(
         load_table(spark, sf_dir, "documents"), b_buckets=512, k=100
     )
+
+
+@register(
+    "corpus_quality_classifier",
+    oracle=SP.quality_classifier_oracle(b_buckets=512, iters=3, lr=0.5),
+    description="fastText-style discriminative quality classifier (the canonical "
+    "pretraining filter): logistic regression over the SAME hashed-bigram feature "
+    "stream as corpus_dsir_select, trained curated-vs-raw in 3 fully-distributed "
+    "rounds — the model is a <=513-row (bucket, weight) table updated by two "
+    "equi-joins + hash-aggs per round (bias as pseudo-feature, DECIMAL per-term "
+    "reductions so sums are order-free), never collected to the driver; scores "
+    "emit floored at 6dp and the oracle unrolls the training rounds as CTEs",
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.quality_classifier_scores(
+        load_table(spark, sf_dir, "documents"), b_buckets=512, iters=3, lr=0.5
+    )
