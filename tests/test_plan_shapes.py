@@ -159,8 +159,11 @@ ALLOWED_BRUTE_FORCE = {
     #     isolated) combined by declared 1 × 1 crosses
     "graph_hub_attack",
     #   * mixture IVM — the temperature-mixture shape from maintained
-    #     state: |sources|-row spine × 1-row Σweights/N totals
+    #     state: |sources|-row spine × 1-row Σweights/N totals (the
+    #     streamed class serves the SAME recipe readout from its
+    #     drained state, so it plans the same declared cross)
     "corpus_mixture_ivm",
+    "corpus_mixture_streamed",
     #   * priority-sum estimate — ≤k sample rows × the 1-row τ, then
     #     the 1 × 1 estimate × exact-companion readout
     "doc_priority_sum_estimate",

@@ -728,3 +728,21 @@ def test_bloom_prefilter_matches_python_recompute(spark):
     ) / 1_000_000
     # with m=64 the planted collisions should actually fire
     assert expect["n_false_pos_keys"] > 0
+
+
+def test_bloom_prefilter_empty_dim_predicate_still_emits_summary(spark):
+    """A predicate that selects no dim keys must yield the 1-row
+    summary (nothing passes, zero bits set, soundness vacuously TRUE) —
+    not lose the row through a NULL combiner key."""
+    from twitter_followers_patterns_mapreduce_spark.operators.planner import (
+        bloom_prefilter_twin,
+    )
+
+    dim = spark.createDataFrame([(1, 5), (2, 6)], "p_partkey LONG, p_size LONG")
+    fact = spark.createDataFrame([(1, 10), (3, 11)], "l_partkey LONG, l_x LONG")
+    (row,) = bloom_prefilter_twin(
+        fact, dim, "l_partkey", "p_partkey", "p_size < 0", m_bits=64, k_hash=3
+    ).collect()
+    assert (row["n_dim_keys"], row["n_keys_pass"], row["bits_set"]) == (0, 0, 0)
+    assert row["no_false_neg"] is True
+    assert row["n_fact_keys"] == 2 and row["n_fact_rows"] == 2

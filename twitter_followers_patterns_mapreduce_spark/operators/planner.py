@@ -1080,8 +1080,10 @@ def bloom_score(
     ndim = dkeys.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_dim_keys")).selectExpr(
         "n_dim_keys", "n_dim_keys - n_dim_keys AS _k"
     )
+    # COALESCE: an empty filter (predicate selects no keys) must still
+    # emit the summary row, not drop it through a NULL combiner key
     nbits = words.agg(
-        F.expr("CAST(SUM(bit_count(word)) AS BIGINT)").alias("bits_set")
+        F.expr("CAST(COALESCE(SUM(bit_count(word)), 0) AS BIGINT)").alias("bits_set")
     ).selectExpr("bits_set", "bits_set - bits_set AS _k")
     return (
         summary.join(F.broadcast(ndim), "_k")
@@ -1145,7 +1147,7 @@ words AS (
          bool_and(passed OR NOT is_true) AS no_false_neg
   FROM flags
 ), ndim AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dim_keys FROM dkeys),
-nbits AS (SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS bits_set FROM words)
+nbits AS (SELECT CAST(COALESCE(SUM(bit_count(word)), 0) AS BIGINT) AS bits_set FROM words)
 SELECT n_dim_keys, n_fact_keys, n_fact_rows, n_keys_pass, n_rows_pass,
   n_keys_true, n_rows_true,
   n_keys_pass - n_keys_true AS n_false_pos_keys,

@@ -522,8 +522,16 @@ def _hashed_feats(
 
     toks = tokens_sql("text", "spark")
     tgt = "source IN ({})".format(", ".join(f"'{s}'" for s in target_sources))
+    # coalesce(…, array()) never fires but flips `toks` non-NULLABLE, so
+    # the downstream bucket equi-joins can't infer an isnotnull(toks)
+    # constraint that alias-substitutes the whole tokenizer below this
+    # projection into a per-row scan-side Filter (the shingled_docs
+    # trap, operators/dedup.py)
     base = documents.selectExpr(
-        "doc_id", "source", f"CAST({tgt} AS INT) AS is_tgt", f"{toks} AS toks"
+        "doc_id",
+        "source",
+        f"CAST({tgt} AS INT) AS is_tgt",
+        f"coalesce({toks}, array()) AS toks",
     )
     bigrams = (
         "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks)-1), "
