@@ -1347,3 +1347,77 @@ SELECT u, v, slot, neg_rank FROM (
          ROW_NUMBER() OVER (PARTITION BY u ORDER BY slot ASC, v ASC) AS neg_rank
   FROM neg)
 WHERE neg_rank <= {k}"""
+
+
+def triangle_count_ivm_deletes(
+    edges: DataFrame, max_limit: int | None = None, delete_mod: int = 4
+) -> DataFrame:
+    """Incremental raw-triangle maintenance under edge DELETIONS — the
+    hard direction of graph IVM (inserts never invalidate standing
+    results; deletes do, which is why append-only systems punt on
+    them).  A deterministic hash split marks 1/``delete_mod`` of the
+    edge set as a retention purge; the standing count is maintained by
+    counting only the closures the purged edges participated in,
+    against the PRE-deletion graph:
+
+        lost = 3·|(D,U,U)| − 3·|(D,D,U)| + |(D,D,D)|,  U = full set
+
+    — the same rotation-symmetry + inclusion-exclusion algebra as the
+    insert case (:func:`triangle_count_ivm`), evaluated against U
+    instead of the post-change graph, so every join is |D|·deg-driven
+    and the surviving graph is never recounted.  The exact recount of
+    the post-deletion graph is the gate companion
+    (``t_before_raw − t_lost_raw == t_after_raw``); production omits
+    it.  Output (1 row): t_before_raw, t_lost_raw, t_after_raw,
+    consistent.
+    """
+    u = (
+        filter_max(edges, max_limit)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = h64_sql("concat(cast(src as string), ',', cast(dst as string))", "spark")
+    d = u.where(F.expr(f"({h}) % {delete_mod} = 0")).localCheckpoint(eager=False)
+    kept = u.where(F.expr(f"({h}) % {delete_mod} <> 0"))
+
+    before = closure_count(u, u, u).selectExpr("n AS t_before_raw", "n - n AS _k")
+    a_duu = closure_count(d, u, u).selectExpr("n AS a_duu", "n - n AS _k")
+    b_ddu = closure_count(d, d, u).selectExpr("n AS b_ddu", "n - n AS _k")
+    c_ddd = closure_count(d, d, d).selectExpr("n AS c_ddd", "n - n AS _k")
+    after = closure_count(kept, kept, kept).selectExpr(
+        "n AS t_after_raw", "n - n AS _k"
+    )
+    out = before
+    for piece in (a_duu, b_ddu, c_ddd, after):
+        out = out.join(F.broadcast(piece), "_k")
+    return out.selectExpr(
+        "t_before_raw",
+        "CAST(3 * a_duu - 3 * b_ddu + c_ddd AS BIGINT) AS t_lost_raw",
+        "t_after_raw",
+        "(t_before_raw - (3 * a_duu - 3 * b_ddu + c_ddd)) = t_after_raw AS consistent",
+    )
+
+
+def triangle_count_ivm_deletes_oracle(edges_cte: str, delete_mod: int = 4) -> str:
+    h = h64_sql("concat(CAST(src AS VARCHAR), ',', CAST(dst AS VARCHAR))", "duckdb")
+    closure = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM {s1} e1 JOIN {s2} e2 ON e1.dst = e2.src AND e1.src <> e2.dst "
+        "JOIN {s3} e3 ON e3.src = e2.dst AND e3.dst = e1.src"
+    )
+    return f"""WITH s AS ({edges_cte}),
+u AS (SELECT DISTINCT src, dst FROM s WHERE src <> dst),
+d AS (SELECT * FROM u WHERE ({h}) % {delete_mod} = 0),
+kept AS (SELECT * FROM u WHERE ({h}) % {delete_mod} <> 0),
+before AS ({closure.format(s1='u', s2='u', s3='u')}),
+a_duu AS ({closure.format(s1='d', s2='u', s3='u')}),
+b_ddu AS ({closure.format(s1='d', s2='d', s3='u')}),
+c_ddd AS ({closure.format(s1='d', s2='d', s3='d')}),
+after AS ({closure.format(s1='kept', s2='kept', s3='kept')})
+SELECT before.n AS t_before_raw,
+       CAST(3 * a_duu.n - 3 * b_ddu.n + c_ddd.n AS BIGINT) AS t_lost_raw,
+       after.n AS t_after_raw,
+       (before.n - (3 * a_duu.n - 3 * b_ddu.n + c_ddd.n)) = after.n AS consistent
+FROM before, a_duu, b_ddu, c_ddd, after"""

@@ -1066,3 +1066,23 @@ def graph_betweenness_landmark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     e = e.where((e["src"] < MAX_PATHS) & (e["dst"] < MAX_PATHS))
     return GI.betweenness_landmark(e, mod=20, max_depth=3)
+
+
+@register(
+    "graph_triangle_ivm_deletes",
+    oracle=G.triangle_count_ivm_deletes_oracle(
+        f"{_E} SELECT * FROM edges WHERE src < {MAX_PATHS} AND dst < {MAX_PATHS}",
+        delete_mod=4,
+    ),
+    description="incremental raw-triangle maintenance under edge DELETIONS — the "
+    "hard IVM direction (inserts never invalidate standing results; deletes do): "
+    "a deterministic hash split purges 1/4 of the edge set and the standing count "
+    "drops by the closures the purged edges participated in, counted against the "
+    "PRE-deletion graph by the same 3|DUU| - 3|DDU| + |DDD| inclusion-exclusion "
+    "with every term starting from a deleted edge; the exact post-deletion recount "
+    "is the gate companion pinning before - lost == after",
+)
+def graph_triangle_ivm_deletes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count_ivm_deletes(
+        derived_edges(spark, sf_dir), MAX_PATHS, delete_mod=4
+    )
