@@ -689,3 +689,48 @@ def test_topk_churn_closed_form(spark):
     assert row["newcomers"] == 1 and row["dropouts"] == 1
     assert row["jaccard"] == 0.333333
     assert row["rank_footrule"] == 1
+
+
+def test_holt_forecast_matches_python_recursion_and_fills_gaps(spark):
+    """Closed-form Holt check: a tiny two-type event set whose hourly
+    series (INCLUDING a zero-filled gap hour) is folded independently
+    in Python — level/trend/forecasts must match exactly at the 6dp
+    floor, and the gap hour must enter the recursion as a real zero."""
+    import datetime as dt
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.events import (
+        holt_linear_forecast,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = []
+    # type 'a': hours 0,1,3 (hour 2 is a GAP): counts 2, 1, 4
+    for h, n in ((0, 2), (1, 1), (3, 4)):
+        rows += [("a", t0 + dt.timedelta(hours=h), float(i)) for i in range(n)]
+    # type 'b': constant 1/hour over hours 0..3
+    rows += [("b", t0 + dt.timedelta(hours=h), 1.0) for h in range(4)]
+    events = spark.createDataFrame(
+        [(i, et, ts, "u", v) for i, (et, ts, v) in enumerate(rows)],
+        "event_id LONG, event_type STRING, ts TIMESTAMP, user_id STRING, value DOUBLE",
+    )
+
+    def holt(ys, horizon=3):
+        l, b = float(ys[0]), 0.0
+        for y in ys[1:]:
+            ln = 0.5 * y + 0.5 * (l + b)
+            b = 0.25 * (ln - l) + 0.75 * b
+            l = ln
+        f6 = lambda x: math.floor(x * 1_000_000) / 1_000_000
+        return (f6(l), f6(b)) + tuple(f6(l + h * b) for h in range(1, horizon + 1))
+
+    expect = {"a": holt([2, 1, 0, 4]), "b": holt([1, 1, 1, 1])}
+    got = {
+        r["event_type"]: (
+            r["level"], r["trend"], r["fc_1"], r["fc_2"], r["fc_3"], r["n_hours"]
+        )
+        for r in holt_linear_forecast(events, horizon=3).collect()
+    }
+    assert got == {k: v + (4,) for k, v in expect.items()}
+    # the constant series must show zero trend and level == the constant
+    assert got["b"][0] == 1.0 and got["b"][1] == 0.0

@@ -2272,3 +2272,124 @@ SELECT CAST({k} AS BIGINT) AS k,
   CAST(coalesce(SUM(CASE WHEN ua IS NOT NULL AND ub IS NOT NULL
                      THEN abs(ra - rb) END), 0) AS BIGINT) AS rank_footrule
 FROM j"""
+
+
+#: Holt smoothing constants — DYADIC rationals (exact binary doubles),
+#: so every multiply in the recursion is an exact scaling and the two
+#: engines cannot diverge even in the last ulp.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+
+def holt_linear_forecast(events: DataFrame, horizon: int = 3) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over
+    the per-type hourly demand series — the forecasting step above
+    ``ewma_hourly``'s smoothing-only kernel:
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},   ŷ_{t+h} = l_t + h·b_t
+
+    The recursion runs over the GAP-FILLED hourly spine (a missing
+    hour is a real zero-demand observation — folding observed rows
+    only would treat a 2-day gap as one step, the ewma_hourly lesson),
+    built per type as one ``map_from_entries`` + ``transform(sequence)``
+    lookup against the 1-row global hour range: no |types|·|hours|
+    explode ever shuffles.  The fold itself is ``F.aggregate`` in
+    ascending hour order — a FIXED sequence of IEEE ops the DuckDB
+    oracle replays as a recursive CTE, and with dyadic α=1/2, β=1/4
+    every multiply is exact, so the trajectory matches bit-for-bit.
+    Outputs floor at 6dp.
+
+    Scale: one map-side-combinable hash agg to (type, hour), then
+    everything rides the |types|-row spine with ≤|window hours| array
+    elements each — the fold state is 2 doubles per type regardless of
+    event volume.  Output: (event_type, n_hours, level, trend,
+    fc_1..fc_{horizon}).
+    """
+    al, be = HOLT_ALPHA, HOLT_BETA
+    oma, omb = 1.0 - al, 1.0 - be
+    counts = events.selectExpr(
+        "event_type", "unix_micros(ts) div 3600000000 AS h"
+    ).groupBy("event_type", "h").agg(F.count("*").cast("long").alias("c"))
+    rng = counts.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).selectExpr("h0", "h1", "h0 - h0 AS _k")
+    lnew = f"{al!r} * y + {oma!r} * (a.l + a.b)"
+    step = (
+        f"CASE WHEN a.i = 0 THEN named_struct('l', CAST(y AS DOUBLE), 'b', 0.0D, 'i', 1) "
+        f"ELSE named_struct("
+        f"'l', {lnew}, "
+        f"'b', {be!r} * (({lnew}) - a.l) + {omb!r} * a.b, "
+        f"'i', a.i + 1) END"
+    )
+    folded = (
+        counts.groupBy("event_type")
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(h, c)))").alias("m")
+        )
+        .selectExpr("event_type", "m", "pmod(size(m), 1) AS _k")
+        .join(F.broadcast(rng), "_k")
+        .selectExpr(
+            "event_type",
+            "transform(sequence(h0, h1), hh -> "
+            "CAST(coalesce(element_at(m, hh), CAST(0 AS BIGINT)) AS DOUBLE)) AS ys",
+        )
+        .selectExpr(
+            "event_type",
+            "size(ys) AS n_hours",
+            f"aggregate(ys, named_struct('l', 0.0D, 'b', 0.0D, 'i', 0), "
+            f"(a, y) -> {step}) AS st",
+        )
+    )
+    fcs = [
+        f"floor((st.l + {h} * st.b) * 1000000) / 1000000 AS fc_{h}"
+        for h in range(1, horizon + 1)
+    ]
+    return folded.selectExpr(
+        "event_type",
+        "CAST(n_hours AS BIGINT) AS n_hours",
+        "floor(st.l * 1000000) / 1000000 AS level",
+        "floor(st.b * 1000000) / 1000000 AS trend",
+        *fcs,
+    )
+
+
+def holt_linear_forecast_oracle(horizon: int = 3) -> str:
+    al, be = HOLT_ALPHA, HOLT_BETA
+    oma, omb = 1.0 - al, 1.0 - be
+    lnew = f"{al!r} * s.y + {oma!r} * (f.l + f.b)"
+    fcs = ",\n  ".join(
+        f"floor((l + {h} * b) * 1000000) / 1000000 AS fc_{h}"
+        for h in range(1, horizon + 1)
+    )
+    return f"""WITH RECURSIVE counts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), rng AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+hours AS (SELECT unnest(range(h0, h1 + 1)) AS hh FROM rng),
+types AS (SELECT DISTINCT event_type FROM counts),
+series AS (
+  SELECT t.event_type, hh,
+         CAST(coalesce(c.c, 0) AS DOUBLE) AS y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t.event_type ORDER BY hh)
+              AS BIGINT) AS idx
+  FROM types t CROSS JOIN hours
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = hh
+), fold(event_type, i, l, b) AS (
+  -- CAST: a bare 0.0 literal types the recursive column DECIMAL(2,1)
+  -- and silently quantizes the whole trend trajectory to 0.1 steps
+  SELECT event_type, idx, y, CAST(0.0 AS DOUBLE) FROM series WHERE idx = 1
+  UNION ALL
+  SELECT f.event_type, f.i + 1,
+         {lnew},
+         {be!r} * (({lnew}) - f.l) + {omb!r} * f.b
+  FROM fold f
+  JOIN series s ON s.event_type = f.event_type AND s.idx = f.i + 1
+), n AS (SELECT event_type, MAX(idx) AS n_hours FROM series GROUP BY 1)
+SELECT f.event_type,
+  n.n_hours,
+  floor(l * 1000000) / 1000000 AS level,
+  floor(b * 1000000) / 1000000 AS trend,
+  {fcs}
+FROM fold f JOIN n ON n.event_type = f.event_type AND f.i = n.n_hours"""

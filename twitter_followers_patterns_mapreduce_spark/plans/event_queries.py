@@ -1181,3 +1181,19 @@ def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.interarrival_burstiness(load_events(spark, sf_dir))
+
+
+@register(
+    "events_holt_forecast",
+    oracle=E.holt_linear_forecast_oracle(horizon=3),
+    description="Holt double-exponential smoothing (level + linear trend) with a "
+    "3-hour-ahead forecast per event type, over the GAP-FILLED hourly demand "
+    "series (a missing hour is a real zero, never skipped): per type one "
+    "map_from_entries + transform(sequence) lookup against the 1-row hour range "
+    "builds the bounded spine without an explode shuffle, and the recursion is a "
+    "fixed-order aggregate() fold with DYADIC alpha=1/2, beta=1/4 — every multiply "
+    "exact, so the DuckDB recursive-CTE oracle replays the trajectory bit-for-bit; "
+    "fold state is 2 doubles per type regardless of event volume",
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.holt_linear_forecast(load_events(spark, sf_dir), horizon=3)
