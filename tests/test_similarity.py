@@ -410,3 +410,34 @@ def test_hybrid_rrf_fusion_arithmetic(spark):
         assert d in lex_rank or d in dense_rank
     keys = [(-r["rrf_u"], r["doc_id"]) for r in fused]
     assert keys == sorted(keys)  # rrf desc, doc_id asc
+
+
+def test_ivfsq_with_full_rerank_equals_ivf(spark):
+    """Differential pin of the composition: with rerank wide enough to
+    cover every probed candidate, the SQ8 stage only REORDERS the
+    shortlist and the exact rerank restores the plain-IVF answer
+    exactly — same probed lists, same top-k, same sims."""
+    import math
+
+    from twitter_followers_patterns_mapreduce_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivfsq,
+    )
+
+    # deterministic synthetic corpus: 120 vectors, 3 labels, 64 dims
+    def vec(i):
+        return [math.sin(0.1 * i * (d + 1)) for d in range(64)]
+
+    rows = [(i, vec(i), i % 3) for i in range(1, 121)]  # vec(0) is all-zero
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in ann_topk_ivf(emb, k=5).collect()
+    }
+    ivfsq = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in ann_topk_ivfsq(emb, k=5, rerank=1000).collect()
+    }
+    assert ivfsq == ivf and len(ivf) > 0

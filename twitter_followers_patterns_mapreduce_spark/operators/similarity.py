@@ -1678,3 +1678,158 @@ SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
             + COALESCE(1000000 // ({kappa} + d.dense_rank), 0) AS BIGINT) AS rrf_u
 FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
 ORDER BY rrf_u DESC, doc_id ASC LIMIT {k}"""
+
+
+def ann_topk_ivfsq(
+    embeddings: DataFrame, k: int = 5, n_probe: int = IVF_NPROBE, rerank: int = 20
+) -> DataFrame:
+    """IVF + SQ8 composed — the full FAISS-style retrieval stack as one
+    plan: (1) coarse-quantize by centroid and probe only the
+    ``n_probe`` nearest inverted lists per query (the
+    :func:`ann_topk_ivf` stage — at 100 TB the corpus is bucketed by
+    list so the probe join prunes partitions), (2) score ONLY the
+    probed lists on int8 codes (the :func:`ann_topk_pq` stage — a
+    quarter of the bytes of float32 on the bandwidth-bound scan),
+    (3) exact-rerank the top-``rerank`` shortlist at full precision.
+    Compared to its parents the candidate stage touches
+    |probed lists| · code-width bytes instead of EITHER the whole
+    corpus (SQ8 alone) or full-precision floats (IVF alone) — the
+    composition, not either trick, is what serves billion-vector
+    corpora from RAM.
+
+    Determinism: centroid means are DECIMAL-exact, codes are exact
+    small integers, rank windows tie-break by id — reproducible
+    bit-for-bit in the oracle."""
+    emb = fan_out(embeddings).select("vec_id", as_double("embedding").alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = F.when(amax > F.lit(0.0), F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    lbl = embeddings.select("vec_id", "label")
+    # one coded table feeds the probe stage, the candidate scan, and
+    # both exact-rerank sides
+    coded = (
+        emb.select("vec_id", "v", scale.alias("scale"), norm(F.col("v")).alias("nv"))
+        .withColumn("codes", _int8_codes(F.col("v"), F.col("scale")))
+        .join(lbl, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    q = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("scale").alias("q_scale"),
+        F.col("nv").alias("nq"),
+        F.col("codes").alias("q_codes"),
+    )
+    cents = ivf_centroids(embeddings)
+    qc = F.broadcast(q).crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_scale",
+        "nq",
+        "q_codes",
+        "label",
+        cosine(F.col("qv"), F.col("centroid")).alias("csim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("label").asc()
+    )
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wp))
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "q_scale", "nq", "q_codes", "label")
+    )
+    adot = dot(F.col("q_codes"), F.col("codes"))
+    approx = (adot / (F.col("q_scale") * F.col("scale"))) / (F.col("nq") * F.col("nv"))
+    cands = (
+        F.broadcast(probes)
+        .join(
+            coded,
+            (probes["label"] == coded["label"])
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), approx.alias("approx_sim")
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cands.withColumn("srank", F.row_number().over(w1))
+        .where(F.col("srank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qx = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    cx = coded.select(F.col("vec_id").alias("neighbor_id"), "v", "nv")
+    sim = F.round(cosine_with_norms(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")), 6)
+    rescored = (
+        shortlist.join(cx, "neighbor_id")
+        .join(F.broadcast(qx), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ann_topk_ivfsq_oracle(
+    k: int = 5, n_probe: int = IVF_NPROBE, rerank: int = 20
+) -> str:
+    cos_c = cosine_sql_duckdb("q.qv", "c.centroid")
+    cos_v = cosine_sql_duckdb("s.qv", "s.v")
+    return f"""WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, v, label,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+         THEN 127.0 / list_max(list_transform(v, x -> abs(x))) ELSE 1.0 END AS scale,
+    sqrt(list_dot_product(v, v)) AS nv
+  FROM emb
+), coded2 AS (
+  SELECT vec_id, v, label, scale, nv,
+    list_transform(v, x -> greatest(least(floor(x * scale + 0.5), 127.0), -127.0)) AS codes
+  FROM coded
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, scale AS q_scale, nv AS nq, codes AS q_codes
+  FROM coded2 WHERE vec_id % {QUERY_MOD} = 0
+), cents AS (
+  SELECT label, list(avg ORDER BY i) AS centroid FROM (
+    SELECT label, i, CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg
+    FROM emb, (SELECT unnest(range(1, 65)) AS i) dims
+    GROUP BY label, i
+  ) GROUP BY label
+), probes AS (
+  SELECT query_id, q_scale, nq, q_codes, label FROM (
+    SELECT q.query_id, q.q_scale, q.nq, q.q_codes, c.label,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_c} DESC, c.label ASC) AS crank
+    FROM q CROSS JOIN cents c
+  ) WHERE crank <= {n_probe}
+), cands AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+    (list_dot_product(p.q_codes, c.codes) / (p.q_scale * c.scale)) / (p.nq * c.nv)
+      AS approx_sim
+  FROM probes p JOIN coded2 c ON p.label = c.label AND p.query_id <> c.vec_id
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx_sim DESC, neighbor_id ASC) AS srank
+    FROM cands) WHERE srank <= {rerank}
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id, round({cos_v}, 6) AS sim FROM (
+    SELECT sl.query_id, sl.neighbor_id, qx.qv, cx.v
+    FROM shortlist sl
+    JOIN (SELECT vec_id AS neighbor_id, v FROM coded2) cx USING (neighbor_id)
+    JOIN (SELECT vec_id AS query_id, v AS qv FROM coded2) qx USING (query_id)
+  ) s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM rescored) WHERE rank <= {k}"""

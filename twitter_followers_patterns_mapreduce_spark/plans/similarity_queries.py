@@ -330,3 +330,17 @@ def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         k=20,
     )
+
+
+@register(
+    "ann_topk_ivfsq",
+    oracle=S.ann_topk_ivfsq_oracle(k=5, rerank=20),
+    description="IVF + SQ8 composed (the full FAISS-style retrieval stack): probe "
+    "the 2 nearest inverted lists per query, score ONLY the probed lists on int8 "
+    "codes, exact-rerank the top-20 shortlist at full precision — the candidate "
+    "scan touches |probed lists| x code-width bytes instead of either the whole "
+    "corpus (SQ8 alone) or full floats (IVF alone); DECIMAL-exact centroids, "
+    "integer codes, id tie-breaks",
+)
+def ann_topk_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_topk_ivfsq(load_table(spark, sf_dir, "embeddings"), k=5, rerank=20)
