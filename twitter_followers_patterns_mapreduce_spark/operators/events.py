@@ -2306,11 +2306,21 @@ def holt_linear_forecast(events: DataFrame, horizon: int = 3) -> DataFrame:
     event volume.  Output: (event_type, n_hours, level, trend,
     fc_1..fc_{horizon}).
     """
-    al, be = HOLT_ALPHA, HOLT_BETA
-    oma, omb = 1.0 - al, 1.0 - be
     counts = events.selectExpr(
         "event_type", "unix_micros(ts) div 3600000000 AS h"
     ).groupBy("event_type", "h").agg(F.count("*").cast("long").alias("c"))
+    return holt_from_counts(counts, horizon)
+
+
+def holt_from_counts(counts: DataFrame, horizon: int = 3) -> DataFrame:
+    """The fold stage of :func:`holt_linear_forecast` over an hourly
+    (event_type, h, c) count table — batch-built or read back from the
+    maintained streaming bucket state (``streaming/ewma.py``): the same
+    grain serves the EWMA kernel AND the Holt forecast, the
+    view-on-view payoff of maintaining the grain instead of the
+    readout."""
+    al, be = HOLT_ALPHA, HOLT_BETA
+    oma, omb = 1.0 - al, 1.0 - be
     rng = counts.agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     ).selectExpr("h0", "h1", "h0 - h0 AS _k")

@@ -1197,3 +1197,34 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.holt_linear_forecast(load_events(spark, sf_dir), horizon=3)
+
+
+@register(
+    "events_holt_streamed",
+    oracle=E.holt_linear_forecast_oracle(horizon=3),
+    description="Holt forecast served from the MAINTAINED streaming bucket state "
+    "(the view-on-view payoff of the tenth class: one self-maintainable hourly "
+    "grain serves the EWMA kernel AND the trend forecast): micro-batches merge "
+    "into the versioned (event_type, hour) state, and the Holt fold re-derives "
+    "from state on read via the SAME code as the batch plan — bucket counts are "
+    "a commutative monoid, so stream == batch == oracle unchanged",
+)
+def events_holt_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from twitter_followers_patterns_mapreduce_spark.streaming.ewma import (
+        ewma_apply_stream,
+        ewma_event_stream,
+    )
+    from twitter_followers_patterns_mapreduce_spark.streaming.graph import (
+        _latest_version,
+    )
+
+    feed_dir, state_dir, ckpt_dir = _stage_ewma_feed(spark, sf_dir)
+    ewma_apply_stream(spark, ewma_event_stream(spark, feed_dir), state_dir, ckpt_dir)
+    v = _latest_version(state_dir)
+    buckets = spark.read.parquet(f"{state_dir}/v={v}")
+    return E.holt_from_counts(
+        buckets.select("event_type", "h", F.col("n_events").cast("long").alias("c")),
+        horizon=3,
+    )
