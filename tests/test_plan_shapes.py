@@ -32,6 +32,7 @@ ALLOWED_BRUTE_FORCE = {
     "embedding_hard_negatives_ivf",  # |Q| x |labels| declared centroid cross (ann_topk_ivf shape)
     "embedding_top_pairs",
     "ann_topk_ivf",
+    "ann_topk_ivfsq",  # same |Q| x |centroids| probe cross; candidate scan is the label equi-join
     "embedding_kmeans",
     "ann_topk_ivf_kmeans",
     # bounded DECLARED crosses, not brute force:
