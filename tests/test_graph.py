@@ -50,6 +50,36 @@ def test_triangle_raw_golden(sample_edges, strategy):
     assert one(G.triangle_count_raw(sample_edges, 12_500, strategy)) == 6
 
 
+@pytest.mark.parametrize("strategy", ["auto", "shuffle", "broadcast"])
+def test_triangle_raw_min_rotation_equivalent(sample_edges, strategy):
+    # round-11 optimization: the min-rotation plan (count paths with
+    # x < y AND x < z, ×3) must equal the faithful reference pipeline
+    # on distinct loop-free edges — under every physical strategy
+    assert one(G.triangle_count_raw(sample_edges, 12_500, strategy, min_rotation=True)) == 6
+
+
+def test_triangle_min_rotation_equivalent_random_graph(spark):
+    # deterministic pseudo-random distinct loop-free digraph: dense
+    # enough (~30% of all ordered pairs over 25 nodes) that many
+    # triangles exist with arbitrary vertex orderings
+    pairs = [
+        (a, b)
+        for a in range(25)
+        for b in range(25)
+        if a != b and ((a * 31 + b * 17) % 10) < 3
+    ]
+    edges = make_edges(spark, pairs)
+    base = one(G.triangle_count_raw(edges, max_limit=None))
+    fast = one(G.triangle_count_raw(edges, max_limit=None, min_rotation=True))
+    assert base == fast and base > 0
+    assert one(G.triangle_count(edges, max_limit=None, min_rotation=True)) == base // 3
+
+
+def test_triangle_min_rotation_mutual_pair_zero(mutual_edges):
+    # the x < z conjunct subsumes the x != z round-trip exclusion
+    assert one(G.triangle_count_raw(mutual_edges, 12_500, min_rotation=True)) == 0
+
+
 def test_triangle_normalized_golden(sample_edges):
     assert one(G.triangle_count(sample_edges, 12_500)) == 2
 

@@ -140,6 +140,7 @@ def triangle_count_raw(
     edges: DataFrame,
     max_limit: int = MAX_JOIN_JOBS,
     strategy: str = "auto",
+    min_rotation: bool = False,
 ) -> DataFrame:
     """RS/RJ: raw directed-triangle incidence count = #(2-hop path with a
     closing edge), which the reference prints WITHOUT dividing by 3
@@ -165,6 +166,25 @@ def triangle_count_raw(
       * ``'auto'``      — let Catalyst/AQE pick from sizes (the engine
         default; at 100 TB with a small MAX-filtered edge set, AQE
         picks broadcast by itself)
+
+    ``min_rotation`` (round-11 optimization, guide §2.3 "shuffle fewer
+    bytes" applied at the algorithm level): every directed 3-cycle over
+    DISTINCT LOOP-FREE edges has all three vertices distinct, so it is
+    counted once per rotation — and exactly ONE rotation starts at the
+    cycle's minimum vertex.  Counting only paths with ``x < y AND
+    x < z`` and multiplying by 3 is therefore exact, while the wedge
+    join's probe side halves (only ascending first edges) and the
+    materialized path set — the rows the closure semi-join must shuffle
+    (rs) or probe (rj) — drops to ~1/3 (measured at sf0.1: 25.7M → 8.0M
+    path rows; rs 1.82 s → 0.97 s, rj 2.23 s → 1.10 s fresh-JVM min-of-3).
+    OFF by default because the equivalence needs distinct, loop-free
+    edges: with duplicate edges the three rotations of one cycle carry
+    DIFFERENT multiplicity products (the semi-join existence check does
+    not multiply the closing edge's multiplicity), and the reference's
+    reducer counts those faithfully.  ``derived_edges`` and its CSV twin
+    are DISTINCT + loop-free by construction, so every registered query
+    opts in; the CLI path (arbitrary reference-format CSV) keeps the
+    faithful default.
     """
     e = filter_max(edges, max_limit)
     # Paths flow STRAIGHT into the closure semi-join and die in the
@@ -176,7 +196,22 @@ def triangle_count_raw(
     # 25.7M path rows costs more than streaming them, and under the
     # broadcast strategy join-first needs no path shuffle at all (the
     # semi-join filter and the partial count are both map-side).
-    paths = two_hop_paths(edges, max_limit, exclude_roundtrips=True)
+    if min_rotation:
+        a = fan_out(e.where(F.col("src") < F.col("dst"))).alias("a")
+        # the explicit broadcast pins BuildRight: with the ascending
+        # filter the probe side is now the SMALLER side, and AQE would
+        # otherwise flip the build to it — turning the full edge set
+        # into a coalesced 1-2 task probe and serializing the expansion
+        # (measured: rs 1.8 s → 3.3 s from exactly that flip)
+        b = F.broadcast(e).alias("b")
+        paths = a.join(
+            b,
+            (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") < F.col("b.dst")),
+        ).select(
+            F.col("a.src").alias("x"), F.col("a.dst").alias("y"), F.col("b.dst").alias("z")
+        )
+    else:
+        paths = two_hop_paths(edges, max_limit, exclude_roundtrips=True)
     if strategy == "broadcast":
         right = F.broadcast(e)
     elif strategy == "shuffle":
@@ -188,16 +223,20 @@ def triangle_count_raw(
     closed = paths.join(
         right, (paths["z"] == right["src"]) & (paths["x"] == right["dst"]), "left_semi"
     )
-    return closed.agg(F.count("*").cast("long").alias("triangle_count_raw"))
+    cnt = F.count("*") * 3 if min_rotation else F.count("*")
+    return closed.agg(cnt.cast("long").alias("triangle_count_raw"))
 
 
 def triangle_count(
-    edges: DataFrame, max_limit: int = MAX_JOIN_JOBS, strategy: str = "auto"
+    edges: DataFrame,
+    max_limit: int = MAX_JOIN_JOBS,
+    strategy: str = "auto",
+    min_rotation: bool = False,
 ) -> DataFrame:
     """Normalized triangle count = raw ÷ 3 (each directed triangle is
     counted once per rotation).  Engine-added variant; the reference
     only reports raw (SURVEY.md §2.9 quirk, preserved separately)."""
-    raw = triangle_count_raw(edges, max_limit, strategy)
+    raw = triangle_count_raw(edges, max_limit, strategy, min_rotation)
     return raw.select(
         F.floor(F.col("triangle_count_raw") / 3).cast("long").alias("triangle_count")
     )

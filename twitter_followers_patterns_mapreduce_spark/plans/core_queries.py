@@ -158,7 +158,9 @@ WHERE EXISTS (SELECT 1 FROM e WHERE e.src = p.z AND e.dst = p.x)"""
     description="RS: raw triangle incidence count (3× triangles), shuffle sort-merge semi-join",
 )
 def rs_triangle_count_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.triangle_count_raw(derived_edges(spark, sf_dir), MAX_TRI, strategy="shuffle")
+    return G.triangle_count_raw(
+        derived_edges(spark, sf_dir), MAX_TRI, strategy="shuffle", min_rotation=True
+    )
 
 
 @register(
@@ -167,7 +169,9 @@ def rs_triangle_count_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="RJ: same logical query, broadcast (replicated) semi-join — README.md:79-81",
 )
 def rj_triangle_count_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.triangle_count_raw(derived_edges(spark, sf_dir), MAX_TRI, strategy="broadcast")
+    return G.triangle_count_raw(
+        derived_edges(spark, sf_dir), MAX_TRI, strategy="broadcast", min_rotation=True
+    )
 
 
 @register(
@@ -177,7 +181,9 @@ FROM ({_TRI_ORACLE}) raw""",
     description="normalized triangle count = raw ÷ 3 (engine-added variant, AQE-chosen join)",
 )
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.triangle_count(derived_edges(spark, sf_dir), MAX_TRI, strategy="auto")
+    return G.triangle_count(
+        derived_edges(spark, sf_dir), MAX_TRI, strategy="auto", min_rotation=True
+    )
 
 
 @register(
