@@ -35,23 +35,71 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataF
     known to absorb that (round-2 evidence); DECIMAL output columns,
     by contrast, have never been through its hash — so DOUBLE is the
     proven comparable format and the local gate mirrors the same
-    rounding (tools/check_oracle.py)."""
+    rounding (tools/check_oracle.py).
+
+    Round-11 optimization (guide §1.2 "per-task work"): the original
+    plan summed per-row DECIMAL products (``price·(1−disc)`` and
+    ``·(1+tax)``), and Spark's ``Decimal.*`` multiply always routes
+    through ``java.math.BigDecimal`` — measured at sf0.1, the two
+    product columns alone cost 0.71 s against 0.43 s for the identical
+    fixed-point form (whole query 1.07 s → 0.55 s noop-sink min-of-3).
+    The rewrite keeps the per-row DECIMAL(15,4)/(5,4)/(6,4) CASTS (so
+    HALF_UP 4-dp rounding is bit-identical to the oracle's), converts
+    them to scaled BIGINTs, and does the products and sums in pure long
+    arithmetic inside whole-stage codegen: ``disc8 = p4·(10⁴−d4)``
+    (scale 8), ``charge12 = disc8·(10⁴+t4)`` (scale 12).  The wide
+    sums split hi/lo (``DIV``/``%``) so no accumulator can overflow
+    long even at sf100 (charge12 ≤ ~1.2e17 splits at 1e9: hi-sum ≤
+    6e9 rows · 1.2e8 ≈ 7e17, lo-sum < 6e9 · 1e9 = 6e18, both < 2⁶³;
+    non-negative money values by data contract, which ``DIV``/``%``
+    sign semantics require).  The exact decimal value is reconstructed
+    AFTER aggregation on the ≤4 group rows and cast to DOUBLE there —
+    numerically equal decimals yield the identical double, verified
+    bit-exact against the previous plan at sf0.001/0.01/0.1."""
     li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
-    price = F.col("l_extendedprice").cast("decimal(15,4)")
-    disc = price * (F.lit(1).cast("decimal(5,4)") - F.col("l_discount").cast("decimal(5,4)"))
-    charge = disc * (F.lit(1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(_dec_sum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
-            F.round(_dec_sum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
-            F.round(_dec_sum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    rows = li.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q4",
+        "CAST(CAST(l_extendedprice AS DECIMAL(15,4)) * 10000 AS BIGINT) AS p4",
+        "CAST(10000 - CAST(l_discount AS DECIMAL(5,4)) * 10000 AS BIGINT) AS df4",
+        "CAST(10000 + CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT) AS tf4",
+        "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS d4",
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "q4",
+        "p4",
+        "d4",
+        "p4 * df4 AS disc8",
+        "p4 * df4 * tf4 AS charge12",
+    )
+    agg = rows.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        F.sum("q4").alias("sq4"),
+        F.sum("p4").alias("sp4"),
+        F.sum("d4").alias("sd4"),
+        F.sum(F.expr("disc8 DIV 1000000")).alias("sdh"),
+        F.sum(F.expr("disc8 % 1000000")).alias("sdl"),
+        F.sum(F.expr("charge12 DIV 1000000000")).alias("sch"),
+        F.sum(F.expr("charge12 % 1000000000")).alias("scl"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(CAST(sq4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) AS sum_qty",
+        "CAST(CAST(sp4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) AS sum_base_price",
+        "CAST((CAST(sdh AS DECIMAL(38,0)) * 1000000 + sdl) / 100000000 AS DOUBLE)"
+        " AS sum_disc_price",
+        "CAST((CAST(sch AS DECIMAL(38,0)) * 1000000000 + scl) / 1000000000000 AS DOUBLE)"
+        " AS sum_charge",
+        "round(CAST(CAST(sq4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) / count_order, 6)"
+        " AS avg_qty",
+        "round(CAST(CAST(sp4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) / count_order, 6)"
+        " AS avg_price",
+        "round(CAST(CAST(sd4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) / count_order, 6)"
+        " AS avg_disc",
+        "count_order",
     )
 
 
@@ -74,13 +122,53 @@ def top_customers_by_revenue(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
 ) -> DataFrame:
     """3-way join → agg → window top-k.  ``customer`` is dimension-sized →
-    broadcast; the lineitem⋈orders fact join shuffles on orderkey."""
-    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    broadcast; ``orders`` projected to its two join columns broadcasts
+    under the 64 MB threshold at bench scale (the fact join shuffles on
+    orderkey only when orders outgrows it).
+
+    Round-11 optimization (guide §1.2 per-task work + §4 boundary
+    discipline applied to DECIMAL): the revenue product
+    ``price·(1−disc)`` was a per-row ``Decimal`` multiply —
+    BigDecimal-routed, measured 1.35 s at sf0.1 — and is now exact
+    fixed-point long arithmetic (``rev8 = p4·(10⁴−d4)``, scale 8) with
+    hi/lo split sums, reconstructed as DECIMAL and cast to DOUBLE only
+    on the |customers| group rows (bit-exact vs the decimal plan at
+    sf0.001/0.01/0.1; 0.94 s after).  ``fan_out`` ahead of the
+    projection: the single-row-group local scan otherwise runs the
+    whole probe+partial-agg pipeline in ONE task (sources/readers.py
+    discipline; on a cluster the scan arrives well-split and this
+    rounds up to defaultParallelism)."""
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
+    rows = fan_out(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    ).selectExpr(
+        "l_orderkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) * "
+        "CAST(10000 - CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS rev8",
+    )
     per_cust = (
-        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        rows.join(
+            orders.select("o_orderkey", "o_custkey"),
+            rows["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            F.sum(F.expr("rev8 DIV 1000000")).alias("rh"),
+            F.sum(F.expr("rev8 % 1000000")).alias("rl"),
+            F.count("*").alias("n_items"),
+        )
+        .selectExpr(
+            "c_custkey",
+            "c_name",
+            "CAST((CAST(rh AS DECIMAL(38,0)) * 1000000 + rl) / 100000000 AS DOUBLE)"
+            " AS revenue",
+            "n_items",
+        )
     )
     # top-k via TakeOrderedAndProject (per-partition top-k + merge), never a
     # global no-partition window — at 100 TB that is a one-task sort.
