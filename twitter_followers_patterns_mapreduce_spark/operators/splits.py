@@ -527,7 +527,13 @@ def _hashed_feats(
     # constraint that alias-substitutes the whole tokenizer below this
     # projection into a per-row scan-side Filter (the shingled_docs
     # trap, operators/dedup.py)
-    base = documents.selectExpr(
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
+    # fan_out BEFORE tokenizing: the per-row regex tokenizer + bigram
+    # explode dominate, and the single-row-group local scan would run
+    # them in one task (work-sized partitioning, sources/readers.py);
+    # only (doc_id, source, text) rows cross the small shuffle
+    base = fan_out(documents.select("doc_id", "source", "text")).selectExpr(
         "doc_id",
         "source",
         f"CAST({tgt} AS INT) AS is_tgt",
@@ -539,16 +545,15 @@ def _hashed_feats(
         "ELSE array() END"
     )
     h = h64_sql("feat", "spark")
-    # h64 is a 60-bit non-negative value, so plain % == pmod in both engines
-    return (
-        base.selectExpr("doc_id", "source", "is_tgt", "explode(toks) AS feat")
-        .unionByName(
-            base.selectExpr(
-                "doc_id", "source", "is_tgt", f"explode({bigrams}) AS feat"
-            )
-        )
-        .selectExpr("doc_id", "source", "is_tgt", f"({h}) % {b_buckets} AS bucket")
-    )
+    # h64 is a 60-bit non-negative value, so plain % == pmod in both engines.
+    # ONE explode over concat(unigrams, bigrams) instead of a UNION of two
+    # explodes (round-11, guide §2.4): the union shape ran the tokenizer
+    # subtree once per branch — every document was regex-tokenized twice.
+    # Both consumers aggregate the feature multiset, so branch order is
+    # irrelevant and the fold is exact.
+    return base.selectExpr(
+        "doc_id", "source", "is_tgt", f"explode(concat(toks, {bigrams})) AS feat"
+    ).selectExpr("doc_id", "source", "is_tgt", f"({h}) % {b_buckets} AS bucket")
 
 
 def _dsir_feats_duckdb(b_buckets: int, target_sources: tuple[str, ...]) -> str:
@@ -711,11 +716,18 @@ def quality_classifier_scores(
     length-normalized counts (x = cnt/Σcnt).
 
     Exactness contract (the ``_logreg_weights`` discipline): every
-    accumulating SUM casts its per-term double product to DECIMAL so
-    the reduction is order-free and identical under any partitioning;
-    z → sigmoid → residual is a fixed chain of IEEE/libm ops on
-    identical inputs; scores emit floored at 6dp.  The oracle unrolls
-    the training rounds as CTEs and matches bit-for-bit.
+    accumulating SUM quantizes its per-term double product on the
+    DECIMAL(28,12) grid so the reduction is order-free and identical
+    under any partitioning; z → sigmoid → residual is a fixed chain of
+    IEEE/libm ops on identical inputs; scores emit floored at 6dp.
+    The oracle unrolls the training rounds as CTEs and matches
+    bit-for-bit.  Round-11: the quantized terms accumulate as
+    hi/lo-split BIGINTs (``q12 = CAST(DECIMAL(28,12) grid value × 10¹²
+    AS BIGINT)``, exact long sums, DECIMAL(24,0)-based reconstruction
+    on the group rows only) instead of DECIMAL sums — same grid, same
+    values (verified element-wise vs the decimal plan), no per-row
+    BigDecimal accumulation; the long form stays exact through ~1e24
+    scaled units, i.e. billions of docs per bucket.
 
     Output (one row per doc): doc_id, y, score, keep.
     """
@@ -745,30 +757,41 @@ def quality_classifier_scores(
     # bounded control-plane collect)
     n_docs = base.count()
     w = x.select("bucket").distinct().withColumn("w", F.lit(0.0))
-    for _ in range(iters):
-        z = (
-            x.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.max("is_tgt").alias("y"),
-                F.expr(
-                    f"CAST(SUM(CAST(x * w AS {_DEC_Q})) AS DOUBLE)"
-                ).alias("z"),
-            )
-            .selectExpr(
-                "doc_id",
-                "CAST(y AS DOUBLE) - 1.0 / (1.0 + exp(-z)) AS r",
-            )
+
+    def _dot(df: DataFrame, term: str, keys: list[str], extra: list[F.Column]):
+        """hi/lo-split exact dot-product sum of ``term`` on the
+        DECIMAL(28,12) grid, grouped by ``keys``; yields column ``z``."""
+        q = df.selectExpr(
+            *keys,
+            *[c for c in df.columns if c not in keys and c != "_q12"],
+            f"CAST(CAST({term} AS {_DEC_Q}) * 1000000000000 AS BIGINT) AS _q12",
         )
-        g = (
-            x.join(z, "doc_id")
-            .groupBy("bucket")
+        return (
+            q.groupBy(*keys)
             .agg(
-                F.expr(
-                    f"CAST(SUM(CAST(x * r AS {_DEC_Q})) AS DOUBLE)"
-                    f" / CAST({n_docs} AS DOUBLE)"
-                ).alias("g")
+                *extra,
+                F.expr("SUM(_q12 DIV 1000000)").alias("_sh"),
+                F.expr("SUM(_q12 % 1000000)").alias("_sl"),
             )
+            .withColumn(
+                "z",
+                F.expr(
+                    "CAST(CAST(CAST(_sh AS DECIMAL(23,0)) * 1000000 + _sl"
+                    " AS DECIMAL(24,0)) / 1000000000000 AS DOUBLE)"
+                ),
+            )
+            .drop("_sh", "_sl")
+        )
+
+    for _ in range(iters):
+        z = _dot(
+            x.join(F.broadcast(w), "bucket"),
+            "x * w",
+            ["doc_id"],
+            [F.max("is_tgt").alias("y")],
+        ).selectExpr("doc_id", "CAST(y AS DOUBLE) - 1.0 / (1.0 + exp(-z)) AS r")
+        g = _dot(x.join(z, "doc_id"), "x * r", ["bucket"], []).selectExpr(
+            "bucket", f"z / CAST({n_docs} AS DOUBLE) AS g"
         )
         w = (
             w.join(g, "bucket")
@@ -776,11 +799,11 @@ def quality_classifier_scores(
             .localCheckpoint(eager=False)
         )
     return (
-        x.join(F.broadcast(w), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.max("is_tgt").cast("long").alias("y"),
-            F.expr(f"CAST(SUM(CAST(x * w AS {_DEC_Q})) AS DOUBLE)").alias("z"),
+        _dot(
+            x.join(F.broadcast(w), "bucket"),
+            "x * w",
+            ["doc_id"],
+            [F.max("is_tgt").cast("long").alias("y")],
         )
         .selectExpr(
             "doc_id",
