@@ -589,6 +589,17 @@ def ngram_jaccard_pairs_prefix(
             "na",
             "nb",
         )
+        # BARRIER (round-11, guide §4.4's duplicated-expression trap in
+        # its pure-SQL form): without it the jaccard >= t filter below is
+        # pushed INTO the second join's condition, substituting `common`
+        # with its defining expression — array_intersect over the full
+        # shingle arrays then runs ~3x per candidate pair inside the
+        # non-codegen join-condition evaluator (measured: 8.2 s warm for
+        # the whole query vs 2.3 s with the barrier).  The checkpointed
+        # frame is the bounded (da, db, common, na, nb) candidate table —
+        # |candidates| skinny rows, the same thing the verify step must
+        # materialize anyway.
+        .localCheckpoint(eager=False)
     )
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
     return joined.where(jac >= threshold).select(
