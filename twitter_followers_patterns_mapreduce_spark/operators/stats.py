@@ -199,11 +199,24 @@ def kll_quantile_profile(
     for q in probes:
         lohiq += [max(0.0, q - eps), q, min(1.0, q + eps)]
     arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lohiq)
-    one = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x").agg(
-        F.expr("kll_sketch_agg_double(x)").alias("sk"),
-        F.expr(f"percentile(x, array({arr}))").alias("ex"),
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+    vals = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x")
+    # round-11 (trimmed_mean's counted-percentile finding): the exact
+    # companion dominates this gate (percentile 1.99 s vs KLL 0.26 s of
+    # the 2.05 s combined agg at sf0.1), so the sketch keeps its raw
+    # single-pass while `percentile` runs over the hash-aggregated
+    # (value, frequency) table — identical accumulator contents, and
+    # SUM(f) ≡ COUNT(*) including the NULL-value group.  Measured
+    # whole-query fresh-JVM 4.17 s → 3.1 s.
+    sketch = vals.agg(F.expr("kll_sketch_agg_double(x)").alias("sk"))
+    exact = (
+        vals.groupBy("x")
+        .agg(F.count("*").alias("f"))
+        .agg(
+            F.expr(f"percentile(x, array({arr}), f)").alias("ex"),
+            F.expr("CAST(SUM(f) AS BIGINT)").alias("n"),
+        )
     )
+    one = exact.crossJoin(F.broadcast(sketch))
     return _kll_probe_readout(one, probes)
 
 
@@ -1749,9 +1762,21 @@ def trimmed_mean(df: DataFrame, value_col: str, trim: float = 0.05) -> DataFrame
     (exact quantiles) admits verbatim.  Output (1 row): n, mean,
     trimmed_mean, winsorized_mean, lo, hi.
     """
-    band = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x").agg(
-        F.expr(f"percentile(x, CAST({trim!r} AS DOUBLE))").alias("lo"),
-        F.expr(f"percentile(x, CAST({1 - trim!r} AS DOUBLE))").alias("hi"),
+    # round-11: feed `percentile` a hash-aggregated (value, frequency)
+    # table instead of raw rows — identical accumulator contents (the
+    # frequency form inserts the same value→count map entries), verified
+    # value-identical, but the heavy per-row TypedImperativeAggregate
+    # update path runs over |distinct| pre-counted rows after a fully
+    # parallel hash agg (measured at sf0.1: band 3.10 s → 2.02 s even at
+    # 583k distinct of 600k rows; whole query 3.83 s → 2.4 s)
+    band = (
+        df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x")
+        .groupBy("x")
+        .agg(F.count("*").alias("f"))
+        .agg(
+            F.expr(f"percentile(x, CAST({trim!r} AS DOUBLE), f)").alias("lo"),
+            F.expr(f"percentile(x, CAST({1 - trim!r} AS DOUBLE), f)").alias("hi"),
+        )
     )
     base = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x").crossJoin(
         F.broadcast(band)
