@@ -2486,9 +2486,15 @@ def basket_frequent_triples(
     L2 side broadcasts (it is min-support-thresholded, hence small by
     construction).  Output (≤ k): (p1, p2, p3, n_baskets).
     """
+    # lazy checkpoints (round-11): `items` feeds a, b, c AND both pair
+    # consumers, and each of l2's THREE broadcasts is a differently
+    # projected subtree Spark cannot reuse across — without the
+    # barriers the basket derivation ran 4x and the full L2 mining
+    # pipeline 3x per run (measured fresh-JVM noop 2.42 s → 2.19 s,
+    # in-JVM cold first run 9.2 s → ~3.4 s)
     items = _capped_baskets(lineitem, basket_cap).select(
         "okey", (F.col("part") % modulus).cast("long").alias("part")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     a = items.select("okey", F.col("part").alias("p1"))
     b = items.select("okey", F.col("part").alias("p2"))
     c = items.select("okey", F.col("part").alias("p3"))
@@ -2498,6 +2504,7 @@ def basket_frequent_triples(
         .agg(F.count("*").cast("long").alias("n"))
         .where(F.col("n") >= min_support)
         .select("p1", "p2")
+        .localCheckpoint(eager=False)
     )
     pruned = pairs.join(F.broadcast(l2), ["p1", "p2"], "left_semi")
     trip = (
