@@ -33,6 +33,48 @@ def test_connected_components_converges_on_long_chain(spark):
     assert set(r.values()) == {1} and len(r) == 12
 
 
+@pytest.mark.parametrize("fold", [1, 3, 4, 7])
+def test_connected_components_fold_invariant(spark, fold):
+    # the fold width changes ONLY the checkpoint/convergence-check
+    # cadence — labels must be identical for any fold, including folds
+    # that overrun convergence with identity passes (chain diameter 11:
+    # fold=3/4/7 all cross the fixpoint mid-fold) and fold=1 (the
+    # round-11 per-pass protocol)
+    chain = make_edges(spark, [(i, i + 1) for i in range(1, 12)] + [(20, 21)])
+    r = {x["id"]: x["comp"] for x in GI.connected_components(chain, fold=fold).collect()}
+    assert r == {**{i: 1 for i in range(1, 13)}, 20: 20, 21: 20}
+
+
+def test_connected_components_respects_max_iter_under_fold(spark):
+    # max_iter bounds the TOTAL pass count, not the fold count: a
+    # 12-node chain is not converged after 2 passes, and the fold loop
+    # must stop there exactly like the per-pass loop did
+    chain = make_edges(spark, [(i, i + 1) for i in range(1, 12)])
+    r = {x["id"]: x["comp"] for x in GI.connected_components(chain, max_iter=2, fold=4).collect()}
+    # seed gives min(id, min nbr); 2 more passes pull labels 3 hops back
+    assert r[12] == 9 and r[1] == 1
+
+
+@pytest.mark.parametrize("fold", [1, 2, 5])
+def test_pagerank_fold_invariant(spark, fold):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4), (5, 1)]
+    expected = _numpy_pagerank(edges)
+    got = {
+        x["id"]: x["pagerank"]
+        for x in GI._pagerank_fixpoint(
+            make_edges(spark, edges),
+            iters=5,
+            damping=0.85,
+            seed_expr=lambda _id: GI.F.lit(1.0),
+            teleport_expr=lambda _id: GI.F.lit(0.15),
+            out_name="pagerank",
+            fold=fold,
+        ).collect()
+    }
+    for n, v in expected.items():
+        assert got[n] == pytest.approx(v, abs=2e-6)
+
+
 def _numpy_pagerank(edges, iters=5, d=0.85):
     nodes = sorted({u for e in edges for u in e})
     idx = {n: i for i, n in enumerate(nodes)}

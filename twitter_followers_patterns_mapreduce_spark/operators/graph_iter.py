@@ -101,56 +101,82 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50, fold: int = 4) -> DataFrame:
     """Undirected connected components by hash-min label propagation:
     every node's label converges to the minimum node id reachable from
     it.  Returns (id, comp).
 
-    Each pass: propagate labels across edges (join on the neighbor
-    side), take the min of own + neighbor labels (one hash aggregate),
-    then compare against the previous labels to count changes.
+    Round-12 optimization (guide §1.2 "the distributed algorithm" /
+    §7.3 driver-side planning): ``fold`` propagation passes compose
+    into ONE lazy plan between checkpoints, and convergence is checked
+    once per fold instead of once per pass.  Measured at sf0.1 the old
+    per-pass protocol cost ~0.25 s of Catalyst planning (the
+    ``localCheckpoint`` call) plus ~0.09 s of convergence action per
+    pass × 26 passes while the pass's actual data work was ~0.01 s —
+    ~90% of the query was driver overhead.  Folding is label-exact:
+
+      * each pass is ``comp'[v] = min(comp[v], min_{u∈N(v)} comp[u])``
+        — composing k of them lazily computes the identical labels to
+        k checkpointed passes (checkpoints never change values);
+      * once converged, a pass is the identity, so the ≤ fold-1
+        surplus passes the coarser convergence check admits cannot
+        change the result — the returned fixpoint is identical;
+      * labels are pointwise non-increasing, so ``SUM(comp)`` is
+        strictly decreasing until convergence: an unchanged sum across
+        a fold ⟺ no label moved in that fold (exact DECIMAL(38,0)
+        sum — no hash-collision caveat).
+
+    The propagation table carries explicit self-loops so a pass
+    references ``comp`` ONCE (``min over N(v) ∪ {v}``) — the k folded
+    passes chain linearly instead of doubling the plan per pass.
+
+    Scale trade-off (documented for the 100 TB path): each surplus
+    pass re-shuffles the edge table, while each saved convergence
+    check removes a full cluster barrier + driver round-trip; on
+    O(diameter) graphs the check count drops by ``fold``× for at most
+    ``2·fold-1`` identity passes.  ``fold=1`` restores per-pass
+    checking for clusters where a pass is expensive relative to a
+    barrier.
     """
+    if fold < 1:
+        raise ValueError(f"fold must be >= 1, got {fold}")
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
         .transform(_ckpt)
     )
-    # seed with min(id, min neighbor) — the first propagation pass
-    # fused into ONE hash-agg shuffle (the loop's join+agg form costs
-    # two); every later pass then starts from strictly tighter labels
+    # neighbor view + self-loops: one reference to comp per pass, and
+    # the seed pass (min over N(v) ∪ {v}) is the same single hash agg
+    prop = und.unionAll(
+        und.select(F.col("a"), F.col("a").alias("b")).distinct()
+    ).transform(_ckpt)
     comp = (
-        und.groupBy(F.col("a").alias("id"))
-        .agg(F.min("b").alias("nbr_min"))
-        .select("id", F.least(F.col("id"), F.col("nbr_min")).alias("comp"))
+        prop.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("comp"))
         .transform(_ckpt)
     )
 
-    for _ in range(max_iter):
-        # min neighbor label per node, then fold into the current label
-        # and detect movement in the SAME pass — two shuffles and one
-        # action per iteration (a separate compare-join would add both).
-        # Checkpoints are LAZY: the convergence count below is the
-        # action that materializes the pass, so each iteration runs as
-        # ONE job instead of an eager-checkpoint job plus a count job.
-        nbr_min = (
-            und.join(comp, und["b"] == comp["id"])
-            .groupBy(F.col("a").alias("nid"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new = (
-            comp.join(nbr_min, comp["id"] == nbr_min["nid"], "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_moved"),
+    prev_sum = None
+    passes = 0
+    while passes < max_iter:
+        k = min(fold, max_iter - passes)
+        for _ in range(k):
+            comp = (
+                prop.join(comp, prop["b"] == comp["id"])
+                .groupBy(prop["a"].alias("id"))
+                .agg(F.min("comp").alias("comp"))
             )
-            .transform(_ckpt)
-        )
-        changed = new.where(F.col("_moved")).count()
-        comp = new.drop("_moved")
-        if changed == 0:
+            passes += 1
+        # one lazy checkpoint + one convergence action per fold: the
+        # SUM(comp) agg below is what materializes the k passes
+        comp = _ckpt(comp)
+        cur_sum = comp.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return comp
 
 
@@ -176,6 +202,7 @@ def _pagerank_fixpoint(
     seed_expr,
     teleport_expr,
     out_name: str,
+    fold: int = 4,
 ) -> DataFrame:
     """Shared fixed-point loop for the PageRank family:
     rank₀ = seed_expr; rankᵢ₊₁ = teleport_expr + d·Σ rank(u)/out_deg(u)
@@ -191,7 +218,18 @@ def _pagerank_fixpoint(
     Checkpoints are lazy — the final sink materializes the whole chain
     in one job; the rank reduction runs in DECIMAL so the result is
     bit-identical under any partitioning, which is what makes the
-    unrolled-CTE oracles exact."""
+    unrolled-CTE oracles exact.
+
+    Round-12 (guide §1.2 / §7.3): the rank frame is referenced exactly
+    ONCE per pass (the contribs join), so consecutive passes chain
+    LINEARLY and only every ``fold``-th pass needs the lineage-cutting
+    checkpoint — checkpoints never change values, so the composed plan
+    computes identical ranks.  Measured at sf0.1 the per-pass ``_ckpt``
+    planning was 3.67 s of the 4.06 s warm runtime while executing the
+    whole 5-pass DAG took 0.04 s; with ``fold=4`` the loop plans twice
+    instead of five times."""
+    if fold < 1:
+        raise ValueError(f"fold must be >= 1, got {fold}")
     e = edges.select("src", "dst").transform(_ckpt)
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     e_deg = e.join(deg, "src").transform(_ckpt)
@@ -202,25 +240,25 @@ def _pagerank_fixpoint(
         .transform(_ckpt)
     )
     ranks = nodes.select("id", seed_expr(F.col("id")).cast(_DEC).alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = e_deg.join(ranks, e_deg["src"] == ranks["id"]).select(
             F.col("dst").alias("id"),
             (F.col("rank").cast("double") / F.col("out_deg")).cast(_DEC).alias("contrib"),
         )
         sums = contribs.groupBy("id").agg(F.sum("contrib").alias("mass"))
-        ranks = (
-            nodes.join(sums, "id", "left")
-            .select(
-                "id",
-                (
-                    teleport_expr(F.col("id"))
-                    + F.lit(damping) * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
-                )
-                .cast(_DEC)
-                .alias("rank"),
+        ranks = nodes.join(sums, "id", "left").select(
+            "id",
+            (
+                teleport_expr(F.col("id"))
+                + F.lit(damping) * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
             )
-            .transform(_ckpt)
+            .cast(_DEC)
+            .alias("rank"),
         )
+        # checkpoint every fold-th pass; the last pass flows straight
+        # into the terminal emit below (a trailing barrier bought nothing)
+        if (i + 1) % fold == 0 and (i + 1) < iters:
+            ranks = _ckpt(ranks)
     # 6dp emission via exact integer floor on the decimal — DuckDB's
     # decimal downscale cast TRUNCATES while Spark's ROUNDS, so neither
     # is used: floor(rank*1e6) is exact in both.
@@ -314,7 +352,13 @@ def _large_star(e: DataFrame) -> DataFrame:
 
     groupBy+join (not a window): the per-node min gets map-side partial
     aggregation, so a power-law hub's neighbor list never has to sort
-    or gather on one task — exactly the skew the algorithm targets."""
+    or gather on one task — exactly the skew the algorithm targets.
+
+    Round-12 A/B note: an explode-of-both-orientations symmetrization
+    (one reference to ``e`` instead of two) was measured at 4.72 s vs
+    3.79 s fresh-JVM min-of-3 for graph_components_twostar at sf0.1 —
+    WORSE (the Generate node costs more than the second scan of the
+    checkpointed leaf) — and reverted; the union form stays."""
     nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         nbrs.groupBy("u")
@@ -1878,12 +1922,23 @@ def hub_attack_tolerance(edges: DataFrame, top_k: int = 5, max_iter: int = 30) -
             F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias(f"giant_{prefix}"),
         )
 
-    before = summary(edges, "before")
     kept = (
         edges.join(F.broadcast(hubs), edges["src"] == hubs["id"], "left_anti")
         .join(F.broadcast(hubs), F.col("dst") == hubs["id"], "left_anti")
     )
-    after_conn = summary(kept, "after0")
+    # the before/after CC runs are INDEPENDENT iterative loops whose
+    # wall time is dominated by sequential driver round-trips (per-round
+    # planning + convergence action) — run them concurrently from two
+    # driver threads so one loop's actions back-fill the other's idle
+    # gaps (guide §2.6 "overlap independent jobs"); results are the
+    # same two 1-row frames, composed identically below
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_before = pool.submit(summary, edges, "before")
+        f_after = pool.submit(summary, kept, "after0")
+        before = f_before.result()
+        after_conn = f_after.result()
     survivors = nodes.join(F.broadcast(hubs), "id", "left_anti")
     connected_after = (
         kept.select(F.col("src").alias("id"))
