@@ -533,23 +533,41 @@ def coreness(edges: DataFrame, kmax: int = 4, rounds: int = 8) -> DataFrame:
     nbrs = neighbor_view(edges).transform(_ckpt)
     alive = nbrs.select("v").distinct().transform(_ckpt)
     parts = [alive.select("v", F.lit(1).alias("k"))]
+
+    # Round-12 (guide §1.2 "don't compute things you throw away"): the
+    # expensive part of a peeling round is the degree table
+    # deg(alive) = (nbrs ⋈ alive ⋈ alive) → count per v, and a round
+    # that removes NOBODY leaves it bit-identical — so keep the
+    # checkpointed degree table as the loop state and recompute it only
+    # when the alive set actually shrank.  On a subgraph whose k-tier
+    # fixpoints immediately (the common case: measured at sf0.1 all 16
+    # tiers of coreness_k17 peel nothing), a tier costs one filter+count
+    # over the cached table instead of a fresh join+agg planning+run.
+    # The alive-set/round sequence is unchanged: deg always equals the
+    # degree table over the current alive set, exactly what the old
+    # per-round recompute produced.
+    def _deg(alive_set: DataFrame) -> DataFrame:
+        return _ckpt(
+            nbrs.join(alive_set, "v")
+            .join(alive_set.select(F.col("v").alias("n")), "n")
+            .groupBy("v")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+        )
+
+    deg = _deg(alive)
+    prev = alive.count()
     for k in range(2, kmax + 1):
-        prev = alive.count()
         if prev == 0:
             break
         for _ in range(rounds):
-            survivors = (
-                nbrs.join(alive, "v")
-                .join(alive.select(F.col("v").alias("n")), "n")
-                .groupBy("v")
-                .agg(F.count("*").cast("long").alias("core_deg"))
-                .where(F.col("core_deg") >= k)
-                .transform(_ckpt)
-            )
+            survivors = deg.where(F.col("core_deg") >= k)
             alive = survivors.select("v")
             cur = survivors.count()
             if cur == prev:
                 break
+            # membership shrank: refresh the degree table for the next
+            # round (and, at the fixpoint, for the following tiers)
+            deg = _deg(alive)
             prev = cur
         if prev > 0:
             parts.append(alive.select("v", F.lit(k).alias("k")))
@@ -1233,7 +1251,7 @@ WHERE r.src < r.dst"""
 # ---------------------------------------------------------------------------
 
 def strongly_connected_components(
-    edges: DataFrame, max_rounds: int = 30, max_prop: int = 50
+    edges: DataFrame, max_rounds: int = 30, max_prop: int = 50, fold: int = 1
 ) -> DataFrame:
     """Directed SCCs — ``(id, scc_id)`` where ``scc_id`` is the minimum
     node id in the component (the "who can mutually retweet whom"
@@ -1265,10 +1283,30 @@ def strongly_connected_components(
 
     Scale shape: state is O(|V|) label rows; every pass is an edge
     equi-join + hash-min aggregate (AQE skew-splits hub keys like the
-    other iterative ops here); the driver sees only per-pass change
-    counts.  The harness graphs settle in ONE super-round (1 trim pass
+    other iterative ops here); the driver sees only per-fold change
+    checks.  The harness graphs settle in ONE super-round (1 trim pass
     + ~4 propagation passes — measured, FIXTURES.md).
+
+    Round-12 (guide §1.2/§7.3, the connected_components fold applied to
+    the FW/BW loop): self-loop rows for every live node fold the "own
+    label" term into the propagation joins, so a pass is two
+    single-reference joins of the label frame; ``fold`` passes compose
+    into one lazy plan between checkpoints and convergence is the exact
+    monotone (SUM(fmin), SUM(bmin)) fingerprint once per fold — labels
+    identical (surplus passes past the fixpoint are the identity).  The
+    peel step checkpoints only what a CONTINUING round re-reads (the
+    shrunk node set, then the shrunk edge set after the emptiness
+    check): the common settle-in-one-round case pays one checkpoint
+    planning instead of four.
+
+    ``fold`` defaults to 1 here, unlike connected_components: the
+    registered SCC graph converges in ~4 propagation passes, so fold=4
+    overshoots to 8 passes of real join work — measured warm at sf0.1
+    fold=1 2.79 s / fold=2 2.88 s / fold=4 4.23 s.  On a cluster where
+    a convergence action is a full barrier, raise it.
     """
+    if fold < 1:
+        raise ValueError(f"fold must be >= 1, got {fold}")
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -1299,9 +1337,12 @@ def strongly_connected_components(
             dead = nodes.join(live, "id", "left_anti").transform(_ckpt)
             if dead.count() == 0:
                 break
+            # assigned is a union chain over checkpointed leaves (one
+            # per trim pass / super-round) — linear and shallow, no
+            # lineage cut needed
             assigned = assigned.unionByName(
                 dead.select("id", F.col("id").alias("scc_id"))
-            ).transform(_ckpt)
+            )
             nodes = nodes.join(dead, "id", "left_anti").transform(_ckpt)
             e = (
                 e.join(dead.select(F.col("id").alias("src")), "src", "left_anti")
@@ -1311,58 +1352,64 @@ def strongly_connected_components(
         if nodes.count() == 0:
             break
 
-        # --- forward/backward hash-min to fixpoint
+        # --- forward/backward hash-min to fixpoint, `fold` passes per
+        # checkpoint + convergence check (labels are pointwise
+        # non-increasing, so equal (SUM(fmin), SUM(bmin)) across a fold
+        # ⟺ no label moved in it).  Self-loop rows fold the own-label
+        # term into the joins: fmin' = min over in-nbrs ∪ {v}.
+        eprop = e.unionByName(
+            nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        ).transform(_ckpt)
         lab = nodes.select(
             "id", F.col("id").alias("fmin"), F.col("id").alias("bmin")
         ).transform(_ckpt)
-        for _ in range(max_prop):
-            fprop = (
-                e.join(lab.select(F.col("id").alias("src"), "fmin"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("fmin").alias("f_in"))
-            )
-            bprop = (
-                e.join(lab.select(F.col("id").alias("dst"), "bmin"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.min("bmin").alias("b_in"))
-            )
-            new = (
-                lab.join(fprop, "id", "left")
-                .join(bprop, "id", "left")
-                .select(
-                    "id",
-                    F.least("fmin", F.coalesce("f_in", "fmin")).alias("nf"),
-                    F.least("bmin", F.coalesce("b_in", "bmin")).alias("nb"),
-                    (
-                        (F.coalesce("f_in", "fmin") < F.col("fmin"))
-                        | (F.coalesce("b_in", "bmin") < F.col("bmin"))
-                    ).alias("_moved"),
+        prev_fp = None
+        passes = 0
+        converged = False
+        while passes < max_prop:
+            k = min(fold, max_prop - passes)
+            for _ in range(k):
+                fprop = (
+                    eprop.join(lab.select(F.col("id").alias("src"), "fmin"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("fmin").alias("fmin"))
                 )
-                .transform(_ckpt)
-            )
-            moved = new.where(F.col("_moved")).count()
-            lab = new.select(
-                "id", F.col("nf").alias("fmin"), F.col("nb").alias("bmin")
-            )
-            if moved == 0:
+                bprop = (
+                    eprop.join(lab.select(F.col("id").alias("dst"), "bmin"), "dst")
+                    .groupBy(F.col("src").alias("id"))
+                    .agg(F.min("bmin").alias("bmin"))
+                )
+                lab = fprop.join(bprop, "id")
+                passes += 1
+            lab = _ckpt(lab)
+            row = lab.agg(
+                F.sum(F.col("fmin").cast("decimal(38,0)")).alias("sf"),
+                F.sum(F.col("bmin").cast("decimal(38,0)")).alias("sb"),
+            ).collect()[0]
+            fp = (row["sf"], row["sb"])
+            if fp == prev_fp:
+                converged = True
                 break
-        else:
+            prev_fp = fp
+        if not converged:
             raise RuntimeError(
                 f"SCC label propagation did not converge in {max_prop} passes"
             )
 
         done = lab.where(F.col("fmin") == F.col("bmin")).select(
             "id", F.col("fmin").alias("scc_id")
-        ).transform(_ckpt)
-        assigned = assigned.unionByName(done).transform(_ckpt)
+        )
+        assigned = assigned.unionByName(done)
         nodes = nodes.join(done, "id", "left_anti").transform(_ckpt)
+        if nodes.count() == 0:
+            break
+        # only a CONTINUING round re-reads the peeled edge set — cut its
+        # lineage after the emptiness check, not before
         e = (
             e.join(done.select(F.col("id").alias("src")), "src", "left_anti")
             .join(done.select(F.col("id").alias("dst")), "dst", "left_anti")
             .transform(_ckpt)
         )
-        if nodes.count() == 0:
-            break
     else:
         raise RuntimeError(f"SCC peeling did not converge in {max_rounds} rounds")
     return assigned
