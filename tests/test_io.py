@@ -204,3 +204,46 @@ def test_materialized_edges_csv_matches_derivation(spark):
     m1 = os.path.getmtime(path)
     assert materialize_edges_csv(SF_DIR) == path
     assert os.path.getmtime(path) == m1
+
+
+def test_fan_out_repartitions_small_local_scan(spark, tmp_path):
+    # a single small parquet file estimates to 1 scan split, far below
+    # the target — the RoundRobin repartition must still fire (this is
+    # the branch every local bench plan exercises)
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
+    p = str(tmp_path / "one_file")
+    spark.range(0, 1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = fan_out(df, 8)
+    assert out is not df
+    assert "repartition" in out._jdf.queryExecution().logical().toString().lower()
+
+
+def test_fan_out_noop_when_scan_already_parallel_enough(spark, tmp_path):
+    # the guarded branch (round-11 verdict item): when the file-based
+    # scan estimate already reaches the target, fan_out must NOT insert
+    # a shuffle — at 100 TB the scan arrives well-split and a
+    # round-robin repartition of the fact projection is pure waste
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+        _estimated_scan_partitions,
+        fan_out,
+    )
+
+    p = str(tmp_path / "two_files")
+    spark.range(0, 1000).repartition(2).write.parquet(p)
+    df = spark.read.parquet(p)
+    # two files charge 2 x openCostInBytes -> estimate >= 1
+    assert _estimated_scan_partitions(df) >= 1
+    out = fan_out(df, 1)
+    assert out is df  # unchanged frame, no Exchange added
+
+
+def test_fan_out_falls_back_for_fileless_frames(spark):
+    # in-memory frames have no file lineage: keep the old unconditional
+    # repartition (the estimate abstains rather than guessing)
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
+
+    df = spark.createDataFrame([(1,), (2,)], "x LONG")
+    out = fan_out(df, 4)
+    assert out is not df

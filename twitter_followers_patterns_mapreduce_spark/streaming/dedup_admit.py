@@ -177,9 +177,14 @@ def _judge_batch(
     exact rule, with the corpus side read from STATE, never recomputed."""
     from pyspark.sql import Window
 
+    # corpus md5s are UNIQUE by construction (an arrival whose md5 is
+    # already present is an exact_dup and never admitted), and a left
+    # SEMI join is insensitive to right-side duplicates anyway — the
+    # old .distinct() here was a pure wasted shuffle+agg of the corpus
+    # key column every micro-batch (round 12, guide §2.4)
     exact = (
         batch_sigs.select("doc_id", "h")
-        .join(corpus.select("h").distinct(), "h", "left_semi")
+        .join(corpus.select("h"), "h", "left_semi")
         .select("doc_id", F.lit(True).alias("is_exact"))
     )
     cand = (
@@ -292,8 +297,22 @@ def admit_apply_stream(
         prev = _latest_version(corpus_dir, below=batch_id)
         if prev is None:
             # bootstrap pays its single shingle+md5 pass once too: both
-            # state views derive from one checkpointed projection
-            boot_state = _state_table(bootstrap).localCheckpoint(eager=True)
+            # state views derive from one checkpointed projection.
+            # The bootstrap corpus arrives as a single-row-group local
+            # parquet (one task); a MODEST 8-way fan parallelizes the
+            # dominant md5+shingle projection without inflating every
+            # downstream micro-stage the way the rejected round-11
+            # 32-way fan of the PER-BATCH state did (16.5 -> 21.5 s) —
+            # this one runs once, on the largest input the pipeline
+            # ever hashes, and fan_out's scan-parallelism guard makes
+            # it a no-op on an already well-split cluster scan
+            from twitter_followers_patterns_mapreduce_spark.sources.readers import (
+                fan_out,
+            )
+
+            boot_state = _state_table(
+                fan_out(bootstrap, 8)
+            ).localCheckpoint(eager=True)
             corpus = _sig_table(boot_state)
             corpus_bands = _band_rows(boot_state)
             corpus_sh = boot_state.select(F.explode("shingles").alias("sh")).distinct()
