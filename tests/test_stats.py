@@ -561,6 +561,24 @@ def test_kll_quantile_profile_exact_companions_and_bounds(spark):
         assert r["kll_ok"] is True
 
 
+def test_kll_counted_n_matches_count_star_including_empty(spark):
+    # round-11 advice: SUM(f) over the empty grouped table is NULL where
+    # COUNT(*) said 0 — the coalesce pins n = 0.  (The full profile
+    # readout throws on truly empty input in BOTH the old and new shape
+    # — kll_sketch_get_quantile rejects the empty sketch — so the pin is
+    # asserted on the counted-table aggregate itself.)
+    from pyspark.sql import functions as F
+
+    counted_n = F.expr("CAST(coalesce(SUM(f), 0) AS BIGINT)")
+    empty = spark.createDataFrame([], schema="x DOUBLE")
+    n0 = empty.groupBy("x").agg(F.count("*").alias("f")).agg(counted_n).collect()[0][0]
+    assert n0 == 0
+    # NULL values group under the counted form exactly like COUNT(*)
+    df = spark.createDataFrame([(1.0,), (None,), (1.0,)], schema="x DOUBLE")
+    n = df.groupBy("x").agg(F.count("*").alias("f")).agg(counted_n).collect()[0][0]
+    assert n == 3
+
+
 def test_kll_merged_matches_single_level_gate(spark):
     from twitter_followers_patterns_mapreduce_spark.operators.stats import (
         kll_quantile_profile,

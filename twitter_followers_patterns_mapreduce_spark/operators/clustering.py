@@ -388,9 +388,19 @@ def _logreg_weights(
     codegen — zero joins, zero shuffles) and the gradient allreduce is
     ONE hash-agg: posexplode the feature vector with the bias folded in
     as a constant pseudo-feature (dim d, x = 1), group by dim — d+1
-    output cells, DECIMAL per-term reductions so the result is identical
-    under any partitioning.  One action per iteration collects the d+1
-    gradient cells; row data never leaves the executors.
+    output cells, per-term reductions quantized on the DECIMAL(28,12)
+    grid so the result is identical under any partitioning.  One action
+    per iteration collects the d+1 gradient cells; row data never
+    leaves the executors.
+
+    Round-12 (guide §1.2 per-task work, the splits.py ``_dot``
+    discipline): the quantized terms accumulate as hi/lo-split BIGINTs
+    (``q12 = CAST(grid value × 10¹² AS BIGINT)``, exact long sums of
+    ``q12 DIV 10⁶`` and ``q12 % 10⁶``, DECIMAL(24,0) reconstruction on
+    the d+1 group rows only) instead of DECIMAL sums — same grid, same
+    doubles out (weight trajectories compared bit-identical vs the
+    decimal plan at sf0.1), no per-row BigDecimal accumulation; exact
+    through ~10²⁴ scaled units (≅ 10¹² rows per dim).
 
     Exactness contract: the left fold ((0+x₁w₁)+x₂w₂)+… runs in fixed
     index order — bit-identical on any engine — and the oracle unrolls
@@ -422,12 +432,20 @@ def _logreg_weights(
                     F.concat(F.col("v"), F.array(F.lit(1.0)))
                 ).alias("dim", "x"),
             )
+            .selectExpr(
+                "dim",
+                f"CAST(CAST(x * r AS {_DEC}) * 1000000000000 AS BIGINT) AS _q12",
+            )
             .groupBy("dim")
             .agg(
-                (
-                    F.sum((F.col("x") * F.col("r")).cast(_DEC)).cast("double")
-                    / F.count("*")
-                ).alias("g")
+                F.expr("SUM(_q12 DIV 1000000)").alias("_sh"),
+                F.expr("SUM(_q12 % 1000000)").alias("_sl"),
+                F.count("*").alias("_n"),
+            )
+            .selectExpr(
+                "dim",
+                "CAST(CAST(CAST(_sh AS DECIMAL(23,0)) * 1000000 + _sl"
+                " AS DECIMAL(24,0)) / 1000000000000 AS DOUBLE) / _n AS g",
             )
             .collect()
         )

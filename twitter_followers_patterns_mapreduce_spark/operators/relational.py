@@ -84,15 +84,24 @@ def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataF
         F.sum(F.expr("charge12 DIV 1000000000")).alias("sch"),
         F.sum(F.expr("charge12 % 1000000000")).alias("scl"),
     )
+    # Reconstruction widths (round-11 advice): a DECIMAL(38,0) numerator
+    # forces Spark's precision-loss adjustment to cut the division's
+    # scale to 6 — silently rounding sum_disc_price (true scale 8) and
+    # sum_charge (true scale 12) before the DOUBLE cast, a ≤5e-7 drift
+    # the oracle never has.  Casting the numerator to the narrowest
+    # covering width keeps the full scale exact: DECIMAL(30,0)/10⁸ →
+    # DECIMAL(38,8) and DECIMAL(26,0)/10¹² → DECIMAL(38,12), both
+    # exact; 26 integral digits hold Σ charge·10¹² through ~sf400 (the
+    # hi/lo long accumulators overflow earlier anyway, sf~100).
     return agg.selectExpr(
         "l_returnflag",
         "l_linestatus",
         "CAST(CAST(sq4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) AS sum_qty",
         "CAST(CAST(sp4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) AS sum_base_price",
-        "CAST((CAST(sdh AS DECIMAL(38,0)) * 1000000 + sdl) / 100000000 AS DOUBLE)"
-        " AS sum_disc_price",
-        "CAST((CAST(sch AS DECIMAL(38,0)) * 1000000000 + scl) / 1000000000000 AS DOUBLE)"
-        " AS sum_charge",
+        "CAST(CAST(CAST(sdh AS DECIMAL(38,0)) * 1000000 + sdl AS DECIMAL(30,0))"
+        " / 100000000 AS DOUBLE) AS sum_disc_price",
+        "CAST(CAST(CAST(sch AS DECIMAL(38,0)) * 1000000000 + scl AS DECIMAL(26,0))"
+        " / 1000000000000 AS DOUBLE) AS sum_charge",
         "round(CAST(CAST(sq4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) / count_order, 6)"
         " AS avg_qty",
         "round(CAST(CAST(sp4 AS DECIMAL(38,0)) / 10000 AS DOUBLE) / count_order, 6)"
@@ -165,8 +174,11 @@ def top_customers_by_revenue(
         .selectExpr(
             "c_custkey",
             "c_name",
-            "CAST((CAST(rh AS DECIMAL(38,0)) * 1000000 + rl) / 100000000 AS DOUBLE)"
-            " AS revenue",
+            # DECIMAL(30,0)/10⁸ → DECIMAL(38,8): exact at the revenue's
+            # true scale 8 (a 38-wide numerator would round to 6dp —
+            # same advice fix as q1's reconstruction)
+            "CAST(CAST(CAST(rh AS DECIMAL(38,0)) * 1000000 + rl AS DECIMAL(30,0))"
+            " / 100000000 AS DOUBLE) AS revenue",
             "n_items",
         )
     )

@@ -213,7 +213,10 @@ def kll_quantile_profile(
         .agg(F.count("*").alias("f"))
         .agg(
             F.expr(f"percentile(x, array({arr}), f)").alias("ex"),
-            F.expr("CAST(SUM(f) AS BIGINT)").alias("n"),
+            # coalesce: on EMPTY input the grouped table has zero rows
+            # and SUM(f) is NULL where the old COUNT(*) form said 0 —
+            # pin the original empty-input contract (round-11 advice)
+            F.expr("CAST(coalesce(SUM(f), 0) AS BIGINT)").alias("n"),
         )
     )
     one = exact.crossJoin(F.broadcast(sketch))
