@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from twitter_followers_patterns_mapreduce_spark.functions.checkpoint import lazy_ckpt
 from twitter_followers_patterns_mapreduce_spark.functions.vector import as_double
 from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 
@@ -85,7 +86,7 @@ def kmeans_model(
     from the deterministic init plus a final assignment."""
     emb = fan_out(embeddings).select(
         "vec_id", as_double("embedding").alias("v")
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_ckpt)
     cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
@@ -93,10 +94,10 @@ def kmeans_model(
         # lazy checkpoint per round: each centroid table is computed
         # once even though the next round references it k·|V| times in
         # the assignment cross, and the plan stays O(1) deep
-        cents = _update(_assign(emb, cents)).localCheckpoint(eager=False)
+        cents = _update(_assign(emb, cents)).transform(lazy_ckpt)
     # consumers (IVF search, semantic dedup) join the assignment against
     # itself — checkpoint it so the Lloyd chain never replays per branch
-    return cents, _assign(emb, cents).localCheckpoint(eager=False)
+    return cents, _assign(emb, cents).transform(lazy_ckpt)
 
 
 def kmeans_fit(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
@@ -261,7 +262,7 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
     # this frame — without the barrier the k-means assignment DAG
     # (n·k broadcast-argmin distance evaluations) executed three times
     # per run (measured cold 9.9 s → 5.8 s at sf0.1; output identical)
-    corpus = assign.withColumn("nv", norm(F.col("v"))).localCheckpoint(eager=False)
+    corpus = assign.withColumn("nv", norm(F.col("v"))).transform(lazy_ckpt)
     a = corpus.select(
         F.col("vec_id").alias("vec_id"), F.col("cid").alias("cid"),
         F.col("v").alias("av"), F.col("nv").alias("an"),

@@ -30,6 +30,7 @@ from twitter_followers_patterns_mapreduce_spark.functions.vector import (
     dot,
     norm,
 )
+from twitter_followers_patterns_mapreduce_spark.functions.checkpoint import lazy_ckpt
 from twitter_followers_patterns_mapreduce_spark.operators.topk import ranked_top_k
 from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 
@@ -925,7 +926,7 @@ def mmr_diversified_topk(
         rel_all.withColumn("rn", F.row_number().over(w_rel))
         .where(F.col("rn") <= m)
         .drop("rn")
-        .localCheckpoint(eager=False)
+        .transform(lazy_ckpt)
     )
     va = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("va"), F.col("nv").alias("na"))
     vb = emb.select(F.col("vec_id").alias("other_id"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
@@ -942,7 +943,7 @@ def mmr_diversified_topk(
         .join(va, "cand_id")
         .join(vb, "other_id")
         .select("query_id", "cand_id", "other_id", sim6.alias("sim6"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_ckpt)
     )
     sel = (
         cand.withColumn("rn", F.row_number().over(w_rel))
@@ -953,7 +954,7 @@ def mmr_diversified_topk(
             F.lit(1).cast("int").alias("step"),
             (F.col("rel6").cast("double") / F.lit(1000000.0)).alias("score"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lazy_ckpt)
     )
     w_score = Window.partitionBy("query_id").orderBy(F.desc("score7"), F.asc("cand_id"))
     for step in range(2, k + 1):
@@ -987,7 +988,7 @@ def mmr_diversified_topk(
                 (F.col("score7").cast("double") / F.lit(10000000.0)).alias("score"),
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+        sel = sel.unionByName(pick).transform(lazy_ckpt)
     return sel.select("query_id", "step", F.col("cand_id").alias("neighbor_id"), "score")
 
 
