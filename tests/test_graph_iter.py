@@ -45,6 +45,22 @@ def test_connected_components_fold_invariant(spark, fold):
     assert r == {**{i: 1 for i in range(1, 13)}, 20: 20, 21: 20}
 
 
+def test_connected_components_string_ids(spark):
+    # text graphs (collocation communities, dedup clusters) propagate
+    # STRING labels: the exact SUM fingerprint only applies to numeric
+    # ids — string ids must fall back to the hash fingerprint, not
+    # throw a CAST error (regression pinned in round 12)
+    edges = spark.createDataFrame(
+        [("alpha", "beta"), ("beta", "gamma"), ("delta", "epsilon")],
+        "src STRING, dst STRING",
+    )
+    r = {x["id"]: x["comp"] for x in GI.connected_components(edges).collect()}
+    assert r == {
+        "alpha": "alpha", "beta": "alpha", "gamma": "alpha",
+        "delta": "delta", "epsilon": "delta",
+    }
+
+
 def test_connected_components_respects_max_iter_under_fold(spark):
     # max_iter bounds the TOTAL pass count, not the fold count: a
     # 12-node chain is not converged after 2 passes, and the fold loop

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from twitter_followers_patterns_mapreduce_spark.functions.checkpoint import lazy_ckpt
 from twitter_followers_patterns_mapreduce_spark.functions.textfns import tokens_sql
 
 # PII-style redaction presets. The synthetic corpus contains no
@@ -1412,7 +1413,7 @@ def corpus_bpe_train(df: DataFrame, rounds: int = 6) -> DataFrame:
     state = words.selectExpr(
         "freq",
         "concat('|', regexp_replace(word, '(.)', '$1|')) AS state",
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_ckpt)
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
         pairs = (
@@ -1442,7 +1443,7 @@ def corpus_bpe_train(df: DataFrame, rounds: int = 6) -> DataFrame:
         state = state.selectExpr(
             "freq",
             f"replace(state, '|{s1}|{s2}|', '|{s1}{s2}|') AS state",
-        ).localCheckpoint(eager=False)
+        ).transform(lazy_ckpt)
     return spark.createDataFrame(
         merges,
         schema="round BIGINT, left_sym STRING, right_sym STRING, "

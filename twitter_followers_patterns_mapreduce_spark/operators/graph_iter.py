@@ -124,7 +124,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50, fold: int = 4) ->
       * labels are pointwise non-increasing, so ``SUM(comp)`` is
         strictly decreasing until convergence: an unchanged sum across
         a fold ⟺ no label moved in that fold (exact DECIMAL(38,0)
-        sum — no hash-collision caveat).
+        sum — no hash-collision caveat).  Non-numeric node ids (the
+        collocation/dedup text graphs propagate STRING labels) use the
+        ``connected_components_twostar`` fingerprint instead —
+        (count, Σ xxhash64(id, comp)) — same 2⁻⁶⁴ collision discipline.
 
     The propagation table carries explicit self-loops so a pass
     references ``comp`` ONCE (``min over N(v) ∪ {v}``) — the k folded
@@ -157,7 +160,17 @@ def connected_components(edges: DataFrame, max_iter: int = 50, fold: int = 4) ->
         .transform(_ckpt)
     )
 
-    prev_sum = None
+    numeric_ids = dict(comp.dtypes)["comp"] in (
+        "tinyint", "smallint", "int", "bigint", "decimal", "float", "double"
+    ) or dict(comp.dtypes)["comp"].startswith("decimal")
+    if numeric_ids:
+        fp_aggs = [F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")]
+    else:
+        fp_aggs = [
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("h"),
+        ]
+    prev_fp = None
     passes = 0
     while passes < max_iter:
         k = min(fold, max_iter - passes)
@@ -169,14 +182,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50, fold: int = 4) ->
             )
             passes += 1
         # one lazy checkpoint + one convergence action per fold: the
-        # SUM(comp) agg below is what materializes the k passes
+        # fingerprint agg below is what materializes the k passes
         comp = _ckpt(comp)
-        cur_sum = comp.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
+        cur_fp = tuple(comp.agg(*fp_aggs).collect()[0])
+        if cur_fp == prev_fp:
             break
-        prev_sum = cur_sum
+        prev_fp = cur_fp
     return comp
 
 
@@ -1363,6 +1374,19 @@ def strongly_connected_components(
         lab = nodes.select(
             "id", F.col("id").alias("fmin"), F.col("id").alias("bmin")
         ).transform(_ckpt)
+        numeric_ids = dict(lab.dtypes)["fmin"] in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        ) or dict(lab.dtypes)["fmin"].startswith("decimal")
+        if numeric_ids:
+            fp_aggs = [
+                F.sum(F.col("fmin").cast("decimal(38,0)")).alias("sf"),
+                F.sum(F.col("bmin").cast("decimal(38,0)")).alias("sb"),
+            ]
+        else:  # string ids: the twostar hash-fingerprint discipline
+            fp_aggs = [
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("id", "fmin", "bmin").cast("decimal(38,0)")).alias("h"),
+            ]
         prev_fp = None
         passes = 0
         converged = False
@@ -1382,11 +1406,7 @@ def strongly_connected_components(
                 lab = fprop.join(bprop, "id")
                 passes += 1
             lab = _ckpt(lab)
-            row = lab.agg(
-                F.sum(F.col("fmin").cast("decimal(38,0)")).alias("sf"),
-                F.sum(F.col("bmin").cast("decimal(38,0)")).alias("sb"),
-            ).collect()[0]
-            fp = (row["sf"], row["sb"])
+            fp = tuple(lab.agg(*fp_aggs).collect()[0])
             if fp == prev_fp:
                 converged = True
                 break

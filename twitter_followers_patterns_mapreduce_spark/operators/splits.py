@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from twitter_followers_patterns_mapreduce_spark.functions.checkpoint import lazy_ckpt
 from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
 
 N_BUCKETS = 100
@@ -121,9 +122,8 @@ def contamination_check(
         tokens_sql,
     )
 
-    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
-
     from twitter_followers_patterns_mapreduce_spark.functions.hashing import h64_sql
+    from twitter_followers_patterns_mapreduce_spark.sources.readers import fan_out
 
     sh = shingles_sql(tokens_sql("text", "spark"), n_shingle, "spark")
     # Shingles are hashed to 60-bit BIGINTs BEFORE anything is
@@ -751,7 +751,7 @@ def quality_classifier_scores(
                 "doc_id", "is_tgt", "CAST(-1 AS BIGINT) AS bucket", "1.0 AS x"
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(lazy_ckpt)
     )
     # corpus size: one metadata-sized action (the logreg-family
     # bounded control-plane collect)
@@ -796,7 +796,7 @@ def quality_classifier_scores(
         w = (
             w.join(g, "bucket")
             .selectExpr("bucket", f"w + {lr!r} * g AS w")
-            .localCheckpoint(eager=False)
+            .transform(lazy_ckpt)
         )
     return (
         _dot(
