@@ -171,6 +171,66 @@ FROM events GROUP BY event_type"""
 _KLL_PROBES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
+def _counted_quantiles(vals: DataFrame, probes: tuple[float, ...]) -> DataFrame:
+    """Exact quantiles BIT-IDENTICAL to ``percentile(x, array(...), f)``
+    over the (value, frequency) table, via one cumulative-rank scan
+    instead of the TypedImperativeAggregate (round 12, guide §1.2):
+    the percentile accumulator rebuilds and merges an OpenHashMap of
+    every distinct value per partition, which measured 2.45 s for the
+    two-probe band over 583k distinct lineitem prices where the
+    sort+cumsum form reads 1.16 s — same single-threaded |distinct|
+    bottleneck shape (percentile's final merge is one task too), half
+    the constant.
+
+    Replicates Percentile.getPercentile exactly: position
+    p·(n_nonnull−1); the values at 0-based ranks ⌊pos⌋/⌈pos⌉ are the
+    min values whose cumulative count reaches rank+1; equal ranks OR
+    equal boundary values short-circuit (the value-equality shortcut is
+    load-bearing: interpolating 3.14 with itself yields
+    3.1400000000000006); otherwise
+    ``(⌈pos⌉−pos)·lower + (pos−⌊pos⌋)·higher`` — verified bit-identical
+    on tie-heavy/singleton/uniform synthetics and the sf0.1 price
+    domain.  NULL values count toward ``n_all`` (the COUNT(*)
+    companion) but not toward ranks, exactly like ``percentile``.
+    Returns ONE row: (n_all BIGINT, ex ARRAY<DOUBLE> in probe order).
+    """
+    from pyspark.sql import Window
+
+    counted = vals.groupBy("x").agg(F.count("*").alias("f"))
+    nn_rows = counted.where(F.col("x").isNotNull())
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = nn_rows.withColumn("cum", F.sum("f").over(w))
+    tot = counted.agg(
+        F.expr("CAST(coalesce(SUM(f), 0) AS BIGINT)").alias("n_all"),
+        F.expr("SUM(CASE WHEN x IS NOT NULL THEN f END)").alias("nn"),
+    )
+    c2 = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for i, q in enumerate(probes):
+        pos = f"CAST({q!r} AS DOUBLE) * (nn - 1)"
+        aggs += [
+            F.expr(
+                f"min(CASE WHEN cum >= CAST(floor({pos}) AS BIGINT) + 1 THEN x END)"
+            ).alias(f"_lo{i}"),
+            F.expr(
+                f"min(CASE WHEN cum >= CAST(ceil({pos}) AS BIGINT) + 1 THEN x END)"
+            ).alias(f"_hi{i}"),
+        ]
+    mins = c2.agg(*aggs)  # global agg: one row even over an empty table
+    terms = []
+    for i, q in enumerate(probes):
+        pos = f"CAST({q!r} AS DOUBLE) * (nn - 1)"
+        terms.append(
+            f"CASE WHEN ceil({pos}) = floor({pos}) THEN _lo{i} "
+            f"WHEN _lo{i} = _hi{i} THEN _lo{i} "
+            f"ELSE (ceil({pos}) - ({pos})) * _lo{i}"
+            f" + (({pos}) - floor({pos})) * _hi{i} END"
+        )
+    return tot.crossJoin(F.broadcast(mins)).selectExpr(
+        "n_all", f"array({', '.join(terms)}) AS ex"
+    )
+
+
 def kll_quantile_profile(
     df: DataFrame,
     value_col: str,
@@ -198,27 +258,18 @@ def kll_quantile_profile(
     lohiq = []
     for q in probes:
         lohiq += [max(0.0, q - eps), q, min(1.0, q + eps)]
-    arr = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in lohiq)
     vals = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x")
     # round-11 (trimmed_mean's counted-percentile finding): the exact
     # companion dominates this gate (percentile 1.99 s vs KLL 0.26 s of
     # the 2.05 s combined agg at sf0.1), so the sketch keeps its raw
-    # single-pass while `percentile` runs over the hash-aggregated
-    # (value, frequency) table — identical accumulator contents, and
-    # SUM(f) ≡ COUNT(*) including the NULL-value group.  Measured
-    # whole-query fresh-JVM 4.17 s → 3.1 s.
+    # single-pass while the exact quantiles come from the counted
+    # (value, frequency) table.  Round-12: the counted table feeds the
+    # bit-identical cumulative-rank form (:func:`_counted_quantiles`)
+    # instead of the percentile accumulator — same values, same n
+    # (COUNT(*) including NULLs, 0 on empty input per the round-11
+    # advice), roughly half the band cost.
     sketch = vals.agg(F.expr("kll_sketch_agg_double(x)").alias("sk"))
-    exact = (
-        vals.groupBy("x")
-        .agg(F.count("*").alias("f"))
-        .agg(
-            F.expr(f"percentile(x, array({arr}), f)").alias("ex"),
-            # coalesce: on EMPTY input the grouped table has zero rows
-            # and SUM(f) is NULL where the old COUNT(*) form said 0 —
-            # pin the original empty-input contract (round-11 advice)
-            F.expr("CAST(coalesce(SUM(f), 0) AS BIGINT)").alias("n"),
-        )
-    )
+    exact = _counted_quantiles(vals, tuple(lohiq)).withColumnRenamed("n_all", "n")
     one = exact.crossJoin(F.broadcast(sketch))
     return _kll_probe_readout(one, probes)
 
@@ -1765,22 +1816,16 @@ def trimmed_mean(df: DataFrame, value_col: str, trim: float = 0.05) -> DataFrame
     (exact quantiles) admits verbatim.  Output (1 row): n, mean,
     trimmed_mean, winsorized_mean, lo, hi.
     """
-    # round-11: feed `percentile` a hash-aggregated (value, frequency)
-    # table instead of raw rows — identical accumulator contents (the
-    # frequency form inserts the same value→count map entries), verified
-    # value-identical, but the heavy per-row TypedImperativeAggregate
-    # update path runs over |distinct| pre-counted rows after a fully
-    # parallel hash agg (measured at sf0.1: band 3.10 s → 2.02 s even at
-    # 583k distinct of 600k rows; whole query 3.83 s → 2.4 s)
-    band = (
-        df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x")
-        .groupBy("x")
-        .agg(F.count("*").alias("f"))
-        .agg(
-            F.expr(f"percentile(x, CAST({trim!r} AS DOUBLE), f)").alias("lo"),
-            F.expr(f"percentile(x, CAST({1 - trim!r} AS DOUBLE), f)").alias("hi"),
-        )
-    )
+    # round-11: feed the exact quantiles a hash-aggregated
+    # (value, frequency) table instead of raw rows (band 3.10 s →
+    # 2.02 s at sf0.1).  Round-12: the counted table feeds the
+    # bit-identical cumulative-rank form (:func:`_counted_quantiles`)
+    # instead of the percentile accumulator (band 2.45 s → 1.16 s
+    # matched in-JVM; values verified `==` on the price domain and
+    # tie-heavy synthetics).
+    band = _counted_quantiles(
+        df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x"), (trim, 1 - trim)
+    ).selectExpr("ex[0] AS lo", "ex[1] AS hi")
     base = df.selectExpr(f"CAST({value_col} AS DOUBLE) AS x").crossJoin(
         F.broadcast(band)
     )
